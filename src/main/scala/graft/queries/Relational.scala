@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational core: scans, filters, projections, joins, aggregations,
+  * windows, set ops, histograms (SURVEY.md §2.3-§2.5, §2.7, §7 step 3).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation) are broadcast — no shuffle;
+  *  - fact-fact joins shuffle on their keys and rely on AQE for skew;
+  *  - all aggregations are partial-aggregate-friendly (sum/count/avg/min/
+  *    max), so map-side combine halves shuffle volume for free;
+  *  - filters/projections are plain Catalyst expressions → pushed into
+  *    the parquet scan (verified via .explain: PushedFilters/ReadSchema).
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary — groupBy agg over the biggest
+    * fact table; partial aggregation makes the shuffle 6 rows wide. */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 6) AS avg_qty,
+      | round(avg(l_extendedprice), 4) AS avg_price,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: TPC-H Q6-style selective scan — every predicate pushes to
+    * parquet; single-row result, zero-shuffle (partial agg + final). */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_discount".between(0.04, 0.08) && $"l_quantity" < 25)
+      .agg(
+        round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val q02Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      | count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 25""".stripMargin
+
+  /** q03: star join — orders ⋈ customer (shuffle on custkey) ⋈ nation ⋈
+    * region (both broadcast: dimension tables stay small at any SF). */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      .join(customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val q03Sql =
+    """SELECT r_name, n_name,
+      | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q04: top-k — agg then global sort+limit; ties broken on the already-
+    * rounded measure + key so both engines sort identically. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .join(customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"o_custkey".as("custkey"), $"c_name".as("name"),
+        $"total_spend", $"n_orders")
+      .orderBy($"total_spend".desc, $"custkey")
+      .limit(10)
+  }
+
+  private val q04Sql =
+    """SELECT o_custkey AS custkey, c_name AS name,
+      | round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey, c_name
+      |ORDER BY total_spend DESC, custkey
+      |LIMIT 10""".stripMargin
+
+  /** q05: left-semi join (EXISTS) — F1's isin generalized to a key set
+    * from another table; semi-join avoids materializing order columns. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .join(orders(s, dir).filter($"o_orderstatus" === "F"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q05Sql =
+    """SELECT c_nationkey, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** q06: left-anti join (NOT EXISTS) — customers with no finished order. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .join(orders(s, dir).filter($"o_orderstatus" === "F"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg($"c_acctbal"), 4).as("avg_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q06Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      | round(avg(c_acctbal), 4) AS avg_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q07: distinct + multi-agg over the events stream table (A1/A7). */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("total_value"),
+        round(avg($"value"), 6).as("avg_value"))
+      .orderBy($"event_type")
+  }
+
+  private val q07Sql =
+    """SELECT event_type, count(*) AS n_events,
+      | count(DISTINCT user_id) AS n_users,
+      | round(sum(value), 2) AS total_value,
+      | round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q08: ranking window — top-3 events per user by value (W11);
+    * single shuffle on user_id, rank computed within partitions. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"user_id", $"rn", $"event_id", $"value")
+      .orderBy($"user_id", $"rn")
+  }
+
+  private val q08Sql =
+    """SELECT user_id, rn, event_id, value FROM (
+      | SELECT user_id, event_id, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |                     ORDER BY value DESC, event_id) AS rn
+      | FROM events) t
+      |WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** q09: hyperparameter grid (J5) — crossJoin of literal dimension
+    * tables replaces itertools.product (`unsupervised.py:419-430`). */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val models = Seq("T_CPC", "TS_CPC", "S_CPC").toDF("model")
+    val cls = Seq("LogisticRegression", "ClassifierNN").toDF("classifier")
+    val bs = Seq(64, 256, 1024).toDF("batch_size")
+    val lrl = Seq(0.0001, 0.001).toDF("lrl")
+    models.crossJoin(cls).crossJoin(bs).crossJoin(lrl)
+      .withColumn("lr", round($"batch_size" / 1024.0 * $"lrl", 10))
+      .withColumn("run_name",
+        concat_ws("|", $"model", $"classifier", $"batch_size"))
+      .orderBy($"model", $"classifier", $"batch_size", $"lrl")
+  }
+
+  private val q09Sql =
+    """SELECT model, classifier, batch_size, lrl,
+      | round(batch_size / 1024.0 * lrl, 10) AS lr,
+      | model || '|' || classifier || '|' || batch_size AS run_name
+      |FROM (VALUES ('T_CPC'), ('TS_CPC'), ('S_CPC')) m(model)
+      |CROSS JOIN (VALUES ('LogisticRegression'), ('ClassifierNN')) c(classifier)
+      |CROSS JOIN (VALUES (64), (256), (1024)) b(batch_size)
+      |CROSS JOIN (VALUES (CAST(0.0001 AS DOUBLE)), (CAST(0.001 AS DOUBLE))) l(lrl)
+      |ORDER BY model, classifier, batch_size, lrl""".stripMargin
+
+  /** q10: set ops — union/intersect/except of user-id sets (§2.7). */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val clickers = e.filter($"event_type" === "click").select($"user_id")
+    val erroring = e.filter($"event_type" === "error").select($"user_id")
+    def counted(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), $"n")
+    counted(clickers.union(erroring).distinct(), "union")
+      .union(counted(clickers.intersect(erroring), "intersect"))
+      .union(counted(clickers.except(erroring), "except"))
+      .orderBy($"op")
+  }
+
+  private val q10Sql =
+    """SELECT * FROM (
+      | SELECT 'union' AS op, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type='click'
+      |  UNION SELECT user_id FROM events WHERE event_type='error') u
+      | UNION ALL
+      | SELECT 'intersect', count(*) FROM (
+      |  SELECT user_id FROM events WHERE event_type='click'
+      |  INTERSECT SELECT user_id FROM events WHERE event_type='error') i
+      | UNION ALL
+      | SELECT 'except', count(*) FROM (
+      |  SELECT user_id FROM events WHERE event_type='click'
+      |  EXCEPT SELECT user_id FROM events WHERE event_type='error') x
+      |) t ORDER BY op""".stripMargin
+
+  /** q11: equi-width histogram (A8) — fixed bucket width so the bucket
+    * function needs no global min/max pass; single groupBy shuffle. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .withColumn("bucket",
+        least(floor($"l_extendedprice" / 3500.0), lit(29L)).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"l_extendedprice"), 2).as("lo"),
+        round(max($"l_extendedprice"), 2).as("hi"))
+      .orderBy($"bucket")
+  }
+
+  private val q11Sql =
+    """SELECT CAST(least(floor(l_extendedprice / 3500.0), 29) AS INT) AS bucket,
+      | count(*) AS n,
+      | round(min(l_extendedprice), 2) AS lo,
+      | round(max(l_extendedprice), 2) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q12: string projections (P10) — concat_ws label building as in
+    * `unsupervised.py:495`, plus broadcast dim join. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .select(
+        $"c_custkey".as("custkey"),
+        concat_ws(" | ", $"c_name", $"n_name", $"c_mktsegment").as("label"),
+        upper(substring($"c_name", 1, 8)).as("prefix"),
+        length($"c_name").as("name_len"))
+      .orderBy($"custkey")
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey AS custkey,
+      | concat_ws(' | ', c_name, n_name, c_mktsegment) AS label,
+      | upper(substr(c_name, 1, 8)) AS prefix,
+      | length(c_name) AS name_len
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY custkey""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01, Some(q01Sql), "TPC-H Q1-style agg (A2/A12)"),
+    Q("q02_selective_scan", q02, Some(q02Sql), "pushdown filter + agg (F2)"),
+    Q("q03_star_join", q03, Some(q03Sql), "fact⋈dim broadcast star join (J4)"),
+    Q("q04_topk_customers", q04, Some(q04Sql), "agg + global top-k (§2.7)"),
+    Q("q05_semi_join", q05, Some(q05Sql), "left-semi EXISTS (F1 generalized)"),
+    Q("q06_anti_join", q06, Some(q06Sql), "left-anti NOT EXISTS"),
+    Q("q07_event_type_stats", q07, Some(q07Sql), "distinct + multi-agg (A1/A7)"),
+    Q("q08_window_topk", q08, Some(q08Sql), "ranking window per key (W11)"),
+    Q("q09_param_grid", q09, Some(q09Sql), "crossJoin hyperparam grid (J5)"),
+    Q("q10_set_ops", q10, Some(q10Sql), "union/intersect/except (§2.7)"),
+    Q("q11_histogram", q11, Some(q11Sql), "equi-width histogram (A8)"),
+    Q("q12_string_label", q12, Some(q12Sql), "string concat label (P10)"))
+}
