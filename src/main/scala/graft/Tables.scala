@@ -21,7 +21,8 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     val raw = s.read.parquet(s"$d/events.parquet")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer `div`, NOT `/`: double division loses precision at 1e18 ns
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -1,4 +1,279 @@
 package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.ops.{ArrayOps, SeriesOps}
+
+/** Series / window / sequence operators over the long-form events table
+  * (SURVEY.md §1.4 long↔array conversion, §2.6 W-ops, §2.10 extension).
+  *
+  * Queries deliberately exercise the ARRAY-form path (assemble → row-local
+  * HOF) while their oracles are plain relational SQL — the DuckDB compare
+  * then proves the array algebra equals the relational semantics.
+  *
+  * Ordering note: series assembly sorts by struct(ts, value…); every
+  * oracle window therefore orders by (ts, <first value col>) to match.
+  */
 object Series {
-  val queries: Seq[Q] = Seq()
+
+  /** q20: long→array assembly round-trip — per-series stats computed FROM
+    * the assembled arrays, checked against relational aggregation. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = SeriesOps.assemble(events(s, dir), $"user_id", $"ts", "v" -> $"value")
+    series.select(
+      $"series_key".as("user_id"),
+      $"series_len".as("n_events"),
+      element_at($"ts_seq", 1).as("first_ts"),
+      element_at($"ts_seq", -1).as("last_ts"),
+      round(ArrayOps.arraySum($"v"), 4).as("total_value"),
+      round(ArrayOps.arrayMean($"v"), 6).as("avg_value"),
+      array_min($"v").as("min_value"),
+      array_max($"v").as("max_value"))
+      .orderBy($"user_id")
+  }
+
+  private val q20Sql =
+    """SELECT user_id, count(*) AS n_events,
+      | CAST(min(ts) AS TIMESTAMP) AS first_ts,
+      | CAST(max(ts) AS TIMESTAMP) AS last_ts,
+      | round(sum(value), 4) AS total_value,
+      | round(avg(value), 6) AS avg_value,
+      | min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q21: P1×P2 quality fuse via zip_with on assembled arrays; checksum
+    * equals the relational weighted sum. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+      .withColumn("quality", pmod($"event_id", lit(16)).cast("int"))
+    val series = SeriesOps.assemble(e, $"user_id", $"ts",
+      "v" -> $"value", "q" -> $"quality")
+    series.select(
+      $"series_key".as("user_id"),
+      round(ArrayOps.arraySum(zip_with($"v", $"q",
+        (v, q) => v * (q.cast("double") + 1.0) / 16.0)), 6).as("fused_sum"),
+      $"series_len".as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q21Sql =
+    """SELECT user_id,
+      | round(sum(value * ((event_id % 16) + 1.0) / 16.0), 6) AS fused_sum,
+      | count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q22: W7 EMA — sequential per-series recurrence via aggregate HOF;
+    * oracle uses the closed form Σ α(1−α)^(n−i)·x_i. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = SeriesOps.assemble(events(s, dir), $"user_id", $"ts", "v" -> $"value")
+    series.select(
+      $"series_key".as("user_id"),
+      round(ArrayOps.emaLast($"v", 0.1), 6).as("ema"),
+      $"series_len".as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q22Sql =
+    """WITH ord AS (
+      | SELECT user_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS n
+      | FROM events)
+      |SELECT user_id,
+      | round(sum(CASE WHEN rn = 1 THEN pow(0.9, n - 1) * value
+      |           ELSE 0.1 * pow(0.9, n - rn) * value END), 6) AS ema,
+      | count(*) AS n_events
+      |FROM ord GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q23: W1 long form — centered 3-row moving average as a Spark Window
+    * (one shuffle on user_id; edges shrink like avg-of-available). */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-1, 1)
+    events(s, dir)
+      .withColumn("smoothed", round(avg($"value").over(w), 6))
+      .select($"user_id", $"event_id", $"value", $"smoothed")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q23Sql =
+    """SELECT user_id, event_id, value,
+      | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS smoothed
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** q24: as-of join — each click matched to the user's most recent
+    * error at-or-before it. Spark side: union+carry-forward (one sort,
+    * no join explosion); oracle: DuckDB's native ASOF JOIN. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val errors = e.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"value".as("err_value"),
+        unix_micros($"ts").as("err_us"))
+    SeriesOps.asofJoin(clicks, errors, "user_id", "ts",
+      Seq("err_value", "err_us"))
+      .select($"user_id", $"event_id", $"value",
+        $"asof_err_value".as("last_err_value"),
+        (unix_micros($"ts") - $"asof_err_us").as("lag_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q24Sql =
+    """SELECT l.user_id, l.event_id, l.value,
+      | r.value AS last_err_value,
+      | epoch_us(CAST(l.ts AS TIMESTAMP))
+      |   - epoch_us(CAST(r.ts AS TIMESTAMP)) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.user_id, l.event_id""".stripMargin
+
+  /** q25: gap-based sessionization (30-min gap) — per-user session count
+    * and max/avg session sizes (§2.10 session_window analogue). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sessions = SeriesOps.sessionize(events(s, dir), $"user_id", $"ts", 1800L)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("session_events"))
+    sessions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"session_events").as("max_session_events"),
+        round(avg($"session_events"), 6).as("avg_session_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q25Sql =
+    """WITH o AS (
+      | SELECT user_id, ts,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      | FROM events),
+      |f AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN prev IS NULL
+      |        OR date_part('epoch', CAST(ts AS TIMESTAMP))
+      |         - date_part('epoch', CAST(prev AS TIMESTAMP)) > 1800
+      |       THEN 1 ELSE 0 END AS new_s
+      | FROM o),
+      |sess AS (
+      | SELECT user_id,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM f),
+      |per AS (
+      | SELECT user_id, session_id, count(*) AS session_events
+      | FROM sess GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS n_sessions,
+      | max(session_events) AS max_session_events,
+      | round(avg(session_events), 6) AS avg_session_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q26: tumbling-window resample (daily × event_type) — the batch
+    * analogue of Structured Streaming's window() aggregation. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SeriesOps.resample(events(s, dir), $"event_type", $"ts", $"value", "day")
+      .select($"series_key".as("event_type"), $"bucket".as("day"),
+        $"n", round($"sum_value", 4).as("sum_value"),
+        round($"avg_value", 6).as("avg_value"),
+        $"min_value", $"max_value")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q26Sql =
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      | count(*) AS n, round(sum(value), 4) AS sum_value,
+      | round(avg(value), 6) AS avg_value,
+      | min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  /** q27: per-key argmax (W8/A3 shape) — the event_type with the highest
+    * total value per user; rank on the ROUNDED measure so both engines
+    * agree on ties. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val totals = events(s, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(round(sum($"value"), 6).as("total_value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"total_value".desc, $"event_type")
+    totals.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("top_type"), $"total_value")
+      .orderBy($"user_id")
+  }
+
+  private val q27Sql =
+    """SELECT user_id, event_type AS top_type, total_value FROM (
+      | SELECT user_id, event_type,
+      |  round(sum(value), 6) AS total_value,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY round(sum(value), 6) DESC, event_type) AS rn
+      | FROM events GROUP BY user_id, event_type) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q28: numerically-stable log-sum-exp per series (A4/W9 kernel),
+    * computed on the ARRAY form via the HOF library. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = SeriesOps.assemble(
+      events(s, dir).withColumn("x", $"value" / 100.0),
+      $"user_id", $"ts", "x" -> $"x")
+    series.select(
+      $"series_key".as("user_id"),
+      round(ArrayOps.logSumExp($"x"), 6).as("lse"),
+      $"series_len".as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q28Sql =
+    """WITH m AS (
+      | SELECT user_id, max(value / 100.0) AS mx FROM events GROUP BY user_id)
+      |SELECT e.user_id,
+      | round(ln(sum(exp(e.value / 100.0 - m.mx))) + any_value(m.mx), 6) AS lse,
+      | count(*) AS n_events
+      |FROM events e JOIN m USING (user_id)
+      |GROUP BY e.user_id ORDER BY user_id""".stripMargin
+
+  /** q29: pivot (long→wide) — per-user total value per event_type as
+    * columns; Spark groupBy().pivot() vs oracle conditional aggregation. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum($"value"), 4))
+      .na.fill(0.0)
+      .orderBy($"user_id")
+  }
+
+  private val q29Sql =
+    """SELECT user_id,
+      | coalesce(round(sum(CASE WHEN event_type='click' THEN value END), 4), 0) AS click,
+      | coalesce(round(sum(CASE WHEN event_type='error' THEN value END), 4), 0) AS error,
+      | coalesce(round(sum(CASE WHEN event_type='purchase' THEN value END), 4), 0) AS purchase,
+      | coalesce(round(sum(CASE WHEN event_type='signup' THEN value END), 4), 0) AS signup,
+      | coalesce(round(sum(CASE WHEN event_type='view' THEN value END), 4), 0) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
+    Q("q21_quality_fuse", q21, Some(q21Sql), "P1×P2 zip_with fuse checksum"),
+    Q("q22_ema", q22, Some(q22Sql), "W7 EMA recurrence vs closed form"),
+    Q("q23_smooth_window", q23, Some(q23Sql), "W1 long-form 3-tap window"),
+    Q("q24_asof_join", q24, Some(q24Sql), "as-of join vs DuckDB ASOF"),
+    Q("q25_sessionize", q25, Some(q25Sql), "gap sessionization (§2.10)"),
+    Q("q26_resample_daily", q26, Some(q26Sql), "tumbling-window resample"),
+    Q("q27_argmax_type", q27, Some(q27Sql), "per-key argmax (W8)"),
+    Q("q28_logsumexp", q28, Some(q28Sql), "stable LSE on array form (A4/W9)"),
+    Q("q29_pivot_types", q29, Some(q29Sql), "pivot long→wide"))
 }
