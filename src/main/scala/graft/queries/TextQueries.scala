@@ -1,4 +1,232 @@
 package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder brief; SURVEY.md §7 step 8): token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting,
+  * n-gram statistics.
+  *
+  * Scale notes (100 TB posture): every query is a scan → row-local
+  * string/array HOFs (codegen'd, no UDFs) → one groupBy shuffle at most.
+  * Token/ngram explosion is bounded by document length; the only global
+  * sort is a top-k LIMIT which Spark executes as per-partition top-k +
+  * merge (TakeOrderedAndProject), not a full sort.
+  */
 object TextQueries {
-  val queries: Seq[Q] = Seq()
+
+  /** whitespace tokenization shared by all queries (documents are
+    * single-space separated; split is Java-regex, same as DuckDB's
+    * string_split on ' '). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** q30: per-document token statistics — token count, distinct count,
+    * type-token ratio, mean token length (P-ops over string arrays). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .select(
+        $"doc_id",
+        size($"t").as("n_tokens"),
+        size(array_distinct($"t")).as("n_distinct"),
+        round(size(array_distinct($"t")).cast("double") /
+          size($"t").cast("double"), 6).as("ttr"),
+        round(aggregate($"t", lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / size($"t").cast("double"), 6).as("avg_tok_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val q30Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |SELECT doc_id,
+      | len(t) AS n_tokens,
+      | len(list_distinct(t)) AS n_distinct,
+      | round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr,
+      | round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+      |   / len(t), 6) AS avg_tok_len
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** q31: corpus profile per (lang, source) — the groupBy rollup a
+    * dataset-curation pipeline runs first. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .withColumn("n_tok", size(toks($"text")))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        round(avg($"n_tok"), 4).as("avg_tokens"),
+        sum($"n_tok").as("total_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val q31Sql =
+    """SELECT lang, source, count(*) AS n_docs,
+      | round(avg(n_chars), 4) AS avg_chars,
+      | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+      | sum(len(string_split(text, ' '))) AS total_tokens
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Marker lexicons for the language-ID heuristic (q32). The corpus is
+    * synthetic with a shared vocabulary, so markers are fixed vocab
+    * subsets — the OPERATOR (per-lang lexicon hit scoring + argmax with
+    * deterministic tie-break) is what the query demonstrates. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("group", "hash", "batch"),
+    "en" -> Seq("the", "a", "value"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("column", "filter", "merge"),
+    "zh" -> Seq("window", "query", "join"))
+
+  /** q32: n-gram/lexicon language-ID — score each doc against each
+    * language's marker lexicon (token hit count, normalized), predict
+    * argmax, report the lang × predicted confusion matrix. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withScores = langMarkers.foldLeft(
+      documents(s, dir).withColumn("t", toks($"text"))) {
+      case (df, (l, ms)) =>
+        df.withColumn(s"score_$l",
+          aggregate(col("t"), lit(0L),
+            (acc, x) => acc + when(x.isin(ms: _*), 1L).otherwise(0L)))
+    }
+    // argmax with tie-break on lexicon order (first max wins)
+    val pred = langMarkers.map { case (l, _) => (l, col(s"score_$l")) }
+      .foldLeft((lit(""), lit(-1L))) { case ((bl, bs), (l, sc)) =>
+        (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+      }._1
+    withScores.withColumn("pred_lang", pred)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  private val q32Sql = {
+    val scoreExprs = langMarkers.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($set))) AS BIGINT) AS score_$l"
+    }.mkString(",\n ")
+    // same left-fold argmax as the Spark side: strictly-greater wins
+    val arg = langMarkers.foldLeft(("''", "CAST(-1 AS BIGINT)")) {
+      case ((bl, bs), (l, _)) =>
+        (s"(CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END)",
+          s"(CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END)")
+    }._1
+    s"""WITH d AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+       |sc AS (SELECT lang, $scoreExprs FROM d),
+       |p AS (SELECT lang, $arg AS pred_lang FROM sc)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** q33: document quality scoring — length, repetition (1−TTR) and
+    * stopword-ratio features fused into one score, bucketed. The keep/
+    * drop decision of a pretraining-data filter. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("a", "the")
+    documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .withColumn("n_tok", size($"t").cast("double"))
+      .withColumn("ttr", size(array_distinct($"t")) / $"n_tok")
+      .withColumn("stop_ratio",
+        aggregate($"t", lit(0L),
+          (acc, x) => acc + when(x.isin(stop: _*), 1L).otherwise(0L)) / $"n_tok")
+      .withColumn("len_score", least($"n_tok" / 80.0, lit(1.0)))
+      .withColumn("score", round(
+        $"len_score" * 0.3 + $"ttr" * 0.4 + (lit(1.0) - $"stop_ratio") * 0.3, 6))
+      .withColumn("bucket",
+        when($"score" >= 0.8, "high")
+          .when($"score" >= 0.6, "medium").otherwise("low"))
+      .select($"doc_id", round($"ttr", 6).as("ttr"),
+        round($"stop_ratio", 6).as("stop_ratio"), $"score", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  private val q33Sql =
+    """WITH d AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |f AS (
+      | SELECT doc_id,
+      |  CAST(len(t) AS DOUBLE) AS n_tok,
+      |  len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS ttr,
+      |  CAST(len(list_filter(t, x -> x IN ('a', 'the'))) AS DOUBLE)
+      |    / len(t) AS stop_ratio
+      | FROM d)
+      |SELECT doc_id, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
+      | round(least(n_tok / 80.0, 1.0) * 0.3 + ttr * 0.4
+      |   + (1.0 - stop_ratio) * 0.3, 6) AS score,
+      | CASE WHEN round(least(n_tok / 80.0, 1.0) * 0.3 + ttr * 0.4
+      |        + (1.0 - stop_ratio) * 0.3, 6) >= 0.8 THEN 'high'
+      |      WHEN round(least(n_tok / 80.0, 1.0) * 0.3 + ttr * 0.4
+      |        + (1.0 - stop_ratio) * 0.3, 6) >= 0.6 THEN 'medium'
+      |      ELSE 'low' END AS bucket
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** q34: document fingerprinting — content md5, a 32-bit bucket from its
+    * hex prefix, and an order-sensitive polynomial rolling hash over the
+    * token stream (left fold, mod 1e9+7). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .select(
+        $"doc_id",
+        md5($"text").as("fp_md5"),
+        conv(substring(md5($"text"), 1, 8), 16, 10).cast("long").as("fp_bucket"),
+        aggregate($"t", lit(0L), (acc, x) =>
+          pmod(acc * 31L + length(x) * 17L + ascii(substring(x, 1, 1)),
+            lit(1000000007L))).as("fp_rolling"))
+      .orderBy($"doc_id")
+  }
+
+  private val q34Sql =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t
+      |           FROM documents)
+      |SELECT doc_id, md5(text) AS fp_md5,
+      | CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS fp_bucket,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(t, x -> CAST(length(x) * 17
+      |                  + unicode(substr(x, 1, 1)) AS BIGINT))),
+      |   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** q35: global top-20 word trigrams — n-gram generation per row then
+    * one count shuffle; top-k via LIMIT (per-partition top-k + merge,
+    * no global sort at scale). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .filter(size($"t") >= 3)
+      .select(explode(transform(sequence(lit(1), size($"t") - 2), i =>
+        concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+          element_at($"t", i + 2)))).as("ngram"))
+      .groupBy($"ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"ngram")
+      .limit(20)
+  }
+
+  private val q35Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+      |      FROM d)
+      |SELECT ngram, count(*) AS n FROM g
+      |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q30_token_stats", q30, Some(q30Sql), "per-doc token stats (text analysis)"),
+    Q("q31_corpus_profile", q31, Some(q31Sql), "lang×source corpus rollup"),
+    Q("q32_lang_id", q32, Some(q32Sql), "lexicon lang-ID heuristic + confusion"),
+    Q("q33_quality_score", q33, Some(q33Sql), "doc quality scoring + buckets"),
+    Q("q34_fingerprint", q34, Some(q34Sql), "md5 + rolling-hash fingerprints"),
+    Q("q35_ngram_topk", q35, Some(q35Sql), "global top-20 word trigrams"))
 }
