@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deduplication suite over `documents` — the training-data-pipeline
+  * surface (builder brief): exact dedup, MinHash signatures,
+  * MinHash-LSH near-dup candidate generation with exact-Jaccard
+  * verification, and SimHash fingerprints.
+  *
+  * All hashing is md5-based so every stage is bit-identical in the
+  * DuckDB oracle: h_i(s) = int(md5(i ":" s)[0:8 hex]) — a 32-bit
+  * universal-ish hash family indexed by seed i.
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup is one hash-groupBy on a 32-char digest (map-side
+  *    partial min/count), not on the full text;
+  *  - LSH candidates shuffle on (band_idx, band_key) — pairs are
+  *    generated per bucket, never all-pairs; a pathological bucket
+  *    (boilerplate spam) is AQE-skew-split, and the per-bucket pair
+  *    count can be capped upstream by dropping buckets with
+  *    count > limit (documented, not needed at test SF);
+  *  - the Jaccard verify join touches only candidate pairs.
+  */
+object DedupQueries {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** distinct word-3-gram shingle set of a token array (len >= 3). */
+  private def shingles(t: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2))))
+
+  /** 32-bit md5 hash of a shingle under seed i (cross-engine exact). */
+  private def h32(i: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), s)), 1, 8), 16, 10).cast("long")
+
+  private val K = 8          // MinHash signature length
+  private val BANDS = 4      // bands of rows R = K / BANDS = 2
+
+  /** docs with their shingle sets and K-lane MinHash signature columns
+    * sig0..sig7 plus BANDS band-key columns. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .filter(size($"t") >= 3)
+      .withColumn("sh", shingles($"t"))
+    val withSigs = (0 until K).foldLeft(base) { (df, i) =>
+      df.withColumn(s"sig$i", array_min(transform(col("sh"), x => h32(i, x))))
+    }
+    (0 until BANDS).foldLeft(withSigs) { (df, b) =>
+      df.withColumn(s"band$b",
+        md5(concat_ws(",", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+    }
+  }
+
+  /** shared oracle CTE producing the same signatures in DuckDB. */
+  private val sigSqlCte: String = {
+    val sigExprs = (0 until K).map { i =>
+      s"""list_min(list_transform(sh,
+         |   x -> CAST(concat('0x', substr(md5('$i:' || x), 1, 8)) AS BIGINT)
+         | )) AS sig$i""".stripMargin
+    }.mkString(",\n ")
+    val bandExprs = (0 until BANDS).map { b =>
+      s"md5(concat_ws(',', sig${2 * b}, sig${2 * b + 1})) AS band$b"
+    }.mkString(",\n ")
+    s"""shq AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       | WHERE len(t) >= 3),
+       |sigq AS (
+       | SELECT doc_id, sh,
+       | $sigExprs
+       | FROM shq),
+       |bandq AS (
+       | SELECT *,
+       | $bandExprs
+       | FROM sigq)""".stripMargin
+  }
+
+  /** q40: exact dedup — every doc mapped to the canonical (min doc_id)
+    * of its md5(text) group; group size and dup flag. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = documents(s, dir).select($"doc_id", md5($"text").as("fp"))
+    val groups = fp.groupBy($"fp")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("group_n"))
+    fp.join(groups, "fp")
+      .select($"doc_id", $"canonical_id", $"group_n",
+        ($"doc_id" =!= $"canonical_id").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  private val q40Sql =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_n
+      |      FROM fp GROUP BY fp)
+      |SELECT doc_id, canonical_id, group_n,
+      | doc_id <> canonical_id AS is_dup
+      |FROM fp JOIN g USING (fp) ORDER BY doc_id""".stripMargin
+
+  /** q41: per-doc MinHash signatures — K md5 lanes over the distinct
+    * shingle set, plus the banded LSH keys. Deterministic row per doc. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    signatures(s, dir)
+      .select(($"doc_id" +: size($"sh").as("n_shingles") +:
+        (0 until K).map(i => col(s"sig$i")) :+
+        col("band0") :+ col("band3")): _*)
+      .orderBy($"doc_id")
+  }
+
+  private val q41Sql = {
+    val sigCols = (0 until K).map(i => s"sig$i").mkString(", ")
+    s"""WITH $sigSqlCte
+       |SELECT doc_id, len(sh) AS n_shingles, $sigCols, band0, band3
+       |FROM bandq ORDER BY doc_id""".stripMargin
+  }
+
+  /** q42: MinHash-LSH near-dup pairs, end-to-end — band-bucket join
+    * generates candidates, exact shingle Jaccard verifies, threshold
+    * 0.7 keeps true near-dups. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = signatures(s, dir)
+    val bands = sigs.select($"doc_id", $"sh",
+      explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*))
+        .as("band"))
+      .select($"doc_id", $"sh", $"band.band_idx", $"band.band_key")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+      .withColumn("jaccard", round(
+        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 6))
+      .filter($"jaccard" >= 0.7)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q42Sql = {
+    val bandUnion = (0 until BANDS)
+      .map(b => s"SELECT doc_id, sh, $b AS band_idx, band$b AS band_key FROM bandq")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH $sigSqlCte,
+       |bands AS (
+       | $bandUnion),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id),
+       |ver AS (
+       | SELECT doc_a, doc_b,
+       |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+       |   6) AS jaccard
+       | FROM cand
+       | JOIN shq sa ON sa.doc_id = doc_a
+       | JOIN shq sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM ver
+       |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q43: SimHash — 32-bit per-doc fingerprint from token-frequency bit
+    * votes (tokens with multiplicity; bit j set iff Σ ±1 votes > 0). */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .withColumn("th", transform(toks($"text"), x =>
+        conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+      .withColumn("simhash",
+        // column-valued shift amounts: shiftleft/right only take literal
+        // ints, so use exact power-of-two arithmetic (h < 2^32, so
+        // h / 2^j is exact in double)
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+          val p2 = pow(lit(2.0), j).cast("long")
+          acc + when(
+            aggregate($"th", lit(0L), (v, h) =>
+              v + when((h.cast("long") / p2).cast("long") % 2 === 1, 1L)
+                .otherwise(-1L)) > 0,
+            p2).otherwise(0L)
+        }))
+      .select($"doc_id", $"simhash",
+        shiftright($"simhash", 24).as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val q43Sql =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  list_transform(string_split(text, ' '),
+      |    x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS th
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
+      |   CASE WHEN list_sum(list_transform(th, h ->
+      |          CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+      | FROM d)
+      |SELECT doc_id, simhash, simhash >> 24 AS bucket
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q40_exact_dedup", q40, Some(q40Sql), "exact dedup via md5 groupBy"),
+    Q("q41_minhash_sig", q41, Some(q41Sql), "MinHash signatures + LSH bands"),
+    Q("q42_lsh_neardup", q42, Some(q42Sql), "MinHash-LSH pairs + Jaccard verify"),
+    Q("q43_simhash", q43, Some(q43Sql), "SimHash 32-bit fingerprints"))
+}
