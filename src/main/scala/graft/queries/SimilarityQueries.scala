@@ -1,4 +1,169 @@
 package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.ops.ArrayOps
+
+/** Similarity search over the `embeddings` table (builder brief;
+  * SURVEY.md §7 step 8 "similarity search"): brute-force cosine top-k
+  * as the exact baseline, random-hyperplane LSH bucketing as the scale
+  * path, and per-label centroid statistics.
+  *
+  * Scale notes (100 TB posture):
+  *  - brute-force KNN broadcasts the (small) query set and streams the
+  *    corpus once — cost O(|Q|·N·d) with no corpus shuffle; top-k is a
+  *    per-partition heap (window rank over a bounded candidate set);
+  *  - LSH restricts candidate generation to one bucket (expected
+  *    N/2^P per bucket) — the join shuffles on the bucket key only;
+  *  - centroids come from a posexplode + groupBy(label, dim) partial
+  *    aggregation — d·L groups, never a collect.
+  *
+  * All arithmetic is double (embeddings cast up from float) so the
+  * DuckDB oracle agrees to well below the rounding threshold.
+  */
 object SimilarityQueries {
-  val queries: Seq[Q] = Seq()
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1): weight(p, d) is
+    * derived from md5("p:d") and rounded to 6 decimals so the SAME
+    * literal appears in the Spark plan and the oracle SQL. */
+  private[queries] lazy val planes: Seq[Seq[BigDecimal]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until PLANES).map { p =>
+      (0 until DIM).map { d =>
+        val hex = mdig.digest(s"$p:$d".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+        BigDecimal(u * 2.0 - 1.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+  }
+
+  /** sign-bucket id: Σ_p [dot(v, plane_p) > 0] · 2^p (row-local). */
+  private def bucketCol(v: Column): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wArr = array(w.map(x => lit(x.toDouble)): _*)
+      when(ArrayOps.dot(v, wArr) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** same bucket id as a DuckDB expression over a DOUBLE[] column. */
+  private def bucketSql(v: String): String =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wLit = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($v, $wLit), " +
+        s"z -> CAST(z[1] * z[2] AS DOUBLE))) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** q50: brute-force cosine top-5 — queries are vec_id ≡ 0 (mod 25);
+    * ranking on the ROUNDED similarity with vec_id tie-break so both
+    * engines order identically. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(q).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("sim", round(ArrayOps.cosine($"qv", $"v"), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private val q50Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+      |p AS (SELECT q_id, vec_id,
+      |       round(list_cosine_similarity(qv, v), 5) AS sim
+      |      FROM q JOIN e ON vec_id <> q_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |       row_number() OVER (PARTITION BY q_id
+      |                          ORDER BY sim DESC, vec_id) AS rn
+      |      FROM p)
+      |SELECT q_id, rn, vec_id AS neighbor_id, sim FROM r
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** q51: LSH-bucketed ANN — random-hyperplane sign buckets; each query
+    * (vec_id ≡ 0 mod 125) searches only its own bucket. The 100-TB
+    * shape: candidate join keyed on the bucket, not all-pairs. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("bucket", bucketCol($"v"))
+    val q = e.filter($"vec_id" % 125 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(q).join(e, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("sim", round(ArrayOps.cosine($"qv", $"v"), 5))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy($"q_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"q_id", $"bucket", $"n_cand", $"rn",
+        $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q51Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b
+       |      WHERE vec_id % 125 = 0),
+       |p AS (SELECT q_id, q.bucket, vec_id,
+       |       round(list_cosine_similarity(qv, v), 5) AS sim
+       |      FROM q JOIN b USING (bucket) WHERE vec_id <> q_id),
+       |r AS (SELECT q_id, bucket, vec_id, sim,
+       |       count(*) OVER (PARTITION BY q_id) AS n_cand,
+       |       row_number() OVER (PARTITION BY q_id
+       |                          ORDER BY sim DESC, vec_id) AS rn
+       |      FROM p)
+       |SELECT q_id, bucket, n_cand, rn, vec_id AS neighbor_id, sim FROM r
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  /** q52: per-label centroid statistics — centroid via posexplode +
+    * groupBy(label, dim); norms row-local. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"label", $"embedding".cast("array<double>").as("v"))
+    val norms = e.groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(ArrayOps.l2Norm($"v")), 5).as("avg_norm"))
+    val cent = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x").as("c"))
+      .groupBy($"label").agg(round(sqrt(sum($"c" * $"c")), 5).as("centroid_norm"))
+    norms.join(cent, "label")
+      .select($"label", $"n", $"avg_norm", $"centroid_norm")
+      .orderBy($"label")
+  }
+
+  private val q52Sql =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |norms AS (
+      | SELECT label, count(*) AS n,
+      |  round(avg(sqrt(list_sum(list_transform(v, x -> x * x)))), 5)
+      |    AS avg_norm
+      | FROM e GROUP BY label),
+      |ex AS (SELECT label, unnest(v) AS x,
+      |        unnest(generate_series(1, len(v))) AS dim FROM e),
+      |cd AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY label, dim),
+      |cn AS (SELECT label, round(sqrt(sum(c * c)), 5) AS centroid_norm
+      |       FROM cd GROUP BY label)
+      |SELECT label, n, avg_norm, centroid_norm
+      |FROM norms JOIN cn USING (label) ORDER BY label""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q50_knn_brute", q50, Some(q50Sql), "brute-force cosine top-5 KNN"),
+    Q("q51_ann_lsh", q51, Some(q51Sql), "random-hyperplane LSH ANN"),
+    Q("q52_centroid_stats", q52, Some(q52Sql), "per-label centroid stats"))
 }
