@@ -1,4 +1,209 @@
 package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import graft.Tables._
+import graft.ops.Metrics
+
+/** ML / evaluation operators (SURVEY.md §2.9 M1-M3, §2.5 A9-A11): the
+  * reference's "query answers" — probe fits and their metrics — over the
+  * embeddings table.
+  *
+  * Metric queries (AUC, confusion/PRF1) are single-pass distributed
+  * aggregations with exact DuckDB oracles. Probe fits (LogisticRegression,
+  * PCA, KMeans, MLP) are Spark ML pipelines — iterative solvers, not
+  * SQL-expressible, so they carry no oracle (rows-only check per the
+  * driver contract) and their correctness rides on ScalaTest specs.
+  *
+  * Scale notes: rank-sum AUC aggregates on the distinct-score table
+  * (Metrics.rocAuc); Spark ML LR/KMeans/PCA are the distributed
+  * implementations (tree-aggregated gradients / Gramian), designed for
+  * exactly the 1000-executor case.
+  */
 object MlQueries {
-  val queries: Seq[Q] = Seq()
+
+  /** binary task shared by the metric queries: y = label < 5, score =
+    * raw first embedding component (float-exact across engines). */
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir).select(
+      element_at($"embedding", 1).cast("double").as("score"),
+      when($"label" < 5, 1).otherwise(0).as("y"))
+  }
+
+  /** q60: ROC-AUC via the rank-sum (Mann-Whitney U) identity (A11). */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Metrics.rocAuc(scored(s, dir), $"score", $"y")
+      .select(round($"auc", 6).as("auc"), $"n_pos", $"n_neg")
+  }
+
+  private val q60Sql =
+    """WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+      |            CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+      |           FROM embeddings),
+      |g AS (SELECT sc, count(*) AS c, sum(y) AS pos_c FROM s GROUP BY sc),
+      |r AS (SELECT *, coalesce(sum(c) OVER (ORDER BY sc
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS cum_before FROM g),
+      |t AS (SELECT sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
+      |       sum(pos_c) AS np, sum(c - pos_c) AS nn FROM r)
+      |SELECT round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+      | CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+      |FROM t""".stripMargin
+
+  /** q61: per-class precision/recall/F1 from a thresholded score (A10). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val preds = scored(s, dir)
+      .withColumn("pred", when($"score" > 0, 1).otherwise(0))
+    Metrics.classificationReport(preds, $"pred", $"y")
+      .select($"cls", $"support", $"pred_n", $"tp",
+        round($"precision", 6).as("precision"),
+        round($"recall", 6).as("recall"),
+        round($"f1", 6).as("f1"))
+      .orderBy($"cls")
+  }
+
+  private val q61Sql =
+    """WITH s AS (SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+      |            CASE WHEN CAST(embedding[1] AS DOUBLE) > 0
+      |                 THEN 1 ELSE 0 END AS p
+      |           FROM embeddings),
+      |byc AS (SELECT y AS cls, count(*) AS support,
+      |         sum(CASE WHEN p = y THEN 1 ELSE 0 END) AS tp
+      |        FROM s GROUP BY y),
+      |pc AS (SELECT p AS cls, count(*) AS pred_n FROM s GROUP BY p),
+      |j AS (SELECT cls,
+      |       coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+      |       coalesce(pred_n, 0) AS pred_n
+      |      FROM byc FULL OUTER JOIN pc USING (cls)),
+      |m AS (SELECT cls, support, pred_n, tp,
+      |       CASE WHEN pred_n > 0
+      |            THEN CAST(tp AS DOUBLE) / pred_n ELSE 0.0 END AS pr,
+      |       CASE WHEN support > 0
+      |            THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS rc
+      |      FROM j)
+      |SELECT CAST(cls AS BIGINT) AS cls, support, pred_n, tp,
+      | round(pr, 6) AS precision, round(rc, 6) AS recall,
+      | round(CASE WHEN pr + rc > 0
+      |        THEN 2.0 * pr * rc / (pr + rc) ELSE 0.0 END, 6) AS f1
+      |FROM m ORDER BY cls""".stripMargin
+
+  /** q62: one-vs-rest AUC grid (M7 protocol shape) — AUC of the same
+    * score against each label's indicator, via grouped rank-sum. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ovr = embeddings(s, dir)
+      .select(element_at($"embedding", 1).cast("double").as("score"), $"label")
+      .select($"score", $"label", explode(sequence(lit(0), lit(9))).as("l"))
+      .withColumn("y", when($"label" === $"l", 1).otherwise(0))
+    Metrics.rocAuc(ovr, $"score", $"y", Seq($"l"))
+      .select($"l", round($"auc", 6).as("auc"), $"n_pos", $"n_neg")
+      .orderBy($"l")
+  }
+
+  private val q62Sql =
+    """WITH s AS (
+      | SELECT l, CAST(embedding[1] AS DOUBLE) AS sc,
+      |  CASE WHEN label = l THEN 1.0 ELSE 0.0 END AS y
+      | FROM embeddings, (SELECT unnest(generate_series(0, 9)) AS l)),
+      |g AS (SELECT l, sc, count(*) AS c, sum(y) AS pos_c
+      |      FROM s GROUP BY l, sc),
+      |r AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY l ORDER BY sc
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS cum_before FROM g),
+      |t AS (SELECT l, sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
+      |       sum(pos_c) AS np, sum(c - pos_c) AS nn FROM r GROUP BY l)
+      |SELECT l, round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+      | CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+      |FROM t ORDER BY l""".stripMargin
+
+  /** q63: M1 logistic-regression probe — fit on vec_id % 5 != 0, report
+    * held-out AUC of the predicted probability (rank-sum, so the metric
+    * path is the same audited code as q60). Rows-only check. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select($"vec_id",
+      array_to_vector($"embedding".cast("array<double>")).as("features"),
+      when($"label" < 5, 1.0).otherwise(0.0).as("y"))
+    val train = e.filter($"vec_id" % 5 =!= 0)
+    val test = e.filter($"vec_id" % 5 === 0)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("y")
+      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+    val model = lr.fit(train)
+    val preds = model.transform(test)
+      .select(element_at(vector_to_array($"probability"), 2).as("p1"), $"y")
+    Metrics.rocAuc(preds, $"p1", $"y")
+      .select(round($"auc", 4).as("test_auc"), $"n_pos", $"n_neg")
+  }
+
+  /** q64: M3 PCA probe — project to 2 components, report per-label mean
+    * of each component (latent-space separation view). Rows-only. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select($"label",
+      array_to_vector($"embedding".cast("array<double>")).as("features"))
+    val pca = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pc").setK(2)
+    val model = pca.fit(e)
+    model.transform(e)
+      .select($"label",
+        element_at(vector_to_array($"pc"), 1).as("pc1"),
+        element_at(vector_to_array($"pc"), 2).as("pc2"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"pc1"), 4).as("avg_pc1"),
+        round(avg($"pc2"), 4).as("avg_pc2"))
+      .orderBy($"label")
+  }
+
+  /** q65: KMeans clustering (dataset-curation workhorse) — k=8, seeded;
+    * report cluster sizes sorted (ids are arbitrary, sizes are not).
+    * Rows-only. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select(
+      array_to_vector($"embedding".cast("array<double>")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(8).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
+    val model = km.fit(e)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc)  // 8 rows — single-partition window is fine
+    model.transform(e)
+      .groupBy($"prediction").agg(count(lit(1)).as("n"))
+      .withColumn("size_rank", row_number().over(w))
+      .select($"size_rank", $"n")
+      .orderBy($"size_rank")
+  }
+
+  /** q66: M2 MLP probe — [64,16,2] multilayer perceptron, seeded, small
+    * budget; held-out accuracy. Rows-only. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select($"vec_id",
+      array_to_vector($"embedding".cast("array<double>")).as("features"),
+      when($"label" < 5, 1.0).otherwise(0.0).as("y"))
+    val train = e.filter($"vec_id" % 5 =!= 0)
+    val test = e.filter($"vec_id" % 5 === 0)
+    val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+      .setLayers(Array(64, 16, 2)).setSeed(42L).setMaxIter(40)
+      .setFeaturesCol("features").setLabelCol("y")
+    val model = mlp.fit(train)
+    val preds = model.transform(test)
+    Metrics.accuracy(preds, $"prediction", $"y")
+      .select(round($"accuracy", 4).as("test_accuracy"))
+      .withColumn("n_test", lit(test.count()))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q60_roc_auc", q60, Some(q60Sql), "rank-sum ROC-AUC (A11)"),
+    Q("q61_prf_report", q61, Some(q61Sql), "precision/recall/F1 report (A10)"),
+    Q("q62_auc_grid", q62, Some(q62Sql), "one-vs-rest AUC grid (M7 shape)"),
+    Q("q63_lr_probe", q63, None, "M1 LogisticRegression probe (Spark ML)"),
+    Q("q64_pca_probe", q64, None, "M3 PCA latent projection (Spark ML)"),
+    Q("q65_kmeans", q65, None, "KMeans clustering (Spark ML)"),
+    Q("q66_mlp_probe", q66, None, "M2 MLP probe (Spark ML)"))
 }
