@@ -23,6 +23,7 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++
       Series.queries ++
+      SeqQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++

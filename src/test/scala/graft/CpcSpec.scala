@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Cpc
+
+/** GRU recurrence (W2): the HOF column scan must equal the plain-Scala
+  * fold, and closed-form hand checks must hold. */
+class CpcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runScan(w: Cpc.GruWeights, xs: Seq[Double]): Seq[Double] =
+    Seq(xs).toDF("xs")
+      .select(Cpc.gruScan(w, col("xs")).as("h"))
+      .collect()(0).getSeq[Double](0).toList
+
+  test("column scan equals Scala reference fold (hidden 2 and 3)") {
+    val rnd = new scala.util.Random(5)
+    for (h <- Seq(2, 3); trial <- 1 to 3) {
+      val w = Cpc.demoWeights(h, seed = 100L * h + trial)
+      val xs = Seq.fill(10 + rnd.nextInt(20))(rnd.nextDouble() * 2 - 1)
+      val got = runScan(w, xs)
+      val want = Cpc.gruScanRef(w, xs)
+      got.zip(want).foreach { case (g, e) =>
+        assert(approxEqual(g, e, 1e-12), s"h=$h trial=$trial: $got vs $want")
+      }
+    }
+  }
+
+  test("zero weights: state stays at fixed point of the zero-gate update") {
+    // all weights/biases 0 → z = σ(0) = 0.5, h̃ = tanh(0) = 0,
+    // so h' = 0.5·h → starting at 0, state stays 0
+    val w = Cpc.GruWeights(
+      Seq(0.0, 0.0), Seq(Seq(0.0, 0.0), Seq(0.0, 0.0)), Seq(0.0, 0.0),
+      Seq(0.0, 0.0), Seq(Seq(0.0, 0.0), Seq(0.0, 0.0)), Seq(0.0, 0.0),
+      Seq(0.0, 0.0), Seq(Seq(0.0, 0.0), Seq(0.0, 0.0)), Seq(0.0, 0.0))
+    assert(runScan(w, Seq(1.0, -2.0, 3.0)) == Seq(0.0, 0.0))
+  }
+
+  test("one-step closed form") {
+    // single step from h=0 with scalar weights: z = σ(wz·x), r unused
+    // (h=0), h̃ = tanh(wh·x), h' = z·h̃
+    val w = Cpc.GruWeights(
+      Seq(0.7), Seq(Seq(0.3)), Seq(0.1),
+      Seq(0.2), Seq(Seq(0.4)), Seq(-0.1),
+      Seq(1.1), Seq(Seq(0.6)), Seq(0.05))
+    val x = 0.8
+    val z = 1.0 / (1.0 + math.exp(-(0.7 * x + 0.1)))
+    val expected = z * math.tanh(1.1 * x + 0.05)
+    val got = runScan(w, Seq(x))
+    assert(approxEqual(got.head, expected, 1e-12))
+  }
+
+  test("empty series returns the zero initial state") {
+    val w = Cpc.demoWeights(2)
+    assert(runScan(w, Seq.empty) == Seq(0.0, 0.0))
+  }
+}
