@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder brief): image/audio/video as
+  * opaque BINARY payloads with typed metadata, plus decode /
+  * feature-extract / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * DETERMINISTIC FAKE decode — a byte-histogram feature vector standing
+  * in for a real decoder. Everything around it (schema, binary columns,
+  * metadata struct, batch boundary, partitioning) is the real Spark
+  * plumbing a production decoder (JNI/codec UDF or mapPartitions batch)
+  * would plug into; swap the function body, keep the signature
+  * `BINARY → ARRAY<DOUBLE>`.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no driver
+  * collect); feature extraction is a row-local narrow map, so asset
+  * tables partition like any other fact table; frame sampling is
+  * row-local binary slicing (substr on BINARY is zero-copy-ish in
+  * Tungsten).
+  */
+object Multimodal {
+
+  val HIST_BUCKETS = 16
+
+  /** Build a typed asset table from `documents` — payload = UTF-8 bytes
+    * of the text (a stand-in for real image/audio bytes), metadata as a
+    * proper struct column. */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("modality"),
+      col("source"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        when(col("doc_id") % 2 === 0, lit(640)).otherwise(lit(0)).as("width"),
+        when(col("doc_id") % 2 === 0, lit(0)).otherwise(lit(16000))
+          .as("sample_rate")).as("meta"))
+
+  /** STUB decoder: BINARY → ARRAY<DOUBLE>(HIST_BUCKETS) normalized
+    * byte histogram (byte mod HIST_BUCKETS). Replace with a real codec
+    * at the same signature. Null-safe; empty payload → zero vector. */
+  val decodeStub = udf((payload: Array[Byte]) =>
+    if (payload == null) null
+    else {
+      val hist = new Array[Double](HIST_BUCKETS)
+      payload.foreach(b => hist((b & 0xff) % HIST_BUCKETS) += 1.0)
+      val n = math.max(payload.length, 1).toDouble
+      hist.map(_ / n).toSeq
+    })
+
+  /** fixed-size frame sampling: payload → ARRAY<BINARY> of `frameLen`-
+    * byte frames (last frame may be short) — video-frame/audio-window
+    * extraction shape, pure column ops (no UDF). */
+  def frameSample(payload: Column, frameLen: Int): Column =
+    transform(
+      sequence(lit(0), greatest(
+        ceil(octet_length(payload).cast("double") / frameLen).cast("int") - 1,
+        lit(0))),
+      i => substring_index_bytes(payload, i, frameLen))
+
+  private def substring_index_bytes(payload: Column, i: Column,
+                                    frameLen: Int): Column =
+    payload.substr(i * frameLen + 1, lit(frameLen))
+
+  /** "resize" stub: truncate-or-zero-pad the payload to `targetLen`
+    * bytes (real resample/resize plugs in at the same signature). */
+  def resizeStub(payload: Column, targetLen: Int): Column = {
+    val cut = payload.substr(lit(1), lit(targetLen))
+    val zeros = lit(Array.fill[Byte](targetLen)(0))
+    concat(cut, zeros.substr(lit(1),
+      greatest(lit(targetLen) - octet_length(cut), lit(0))))
+  }
+}

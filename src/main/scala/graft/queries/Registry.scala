@@ -27,6 +27,7 @@ object Registry {
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
+      MultimodalQueries.queries ++
       MlQueries.queries
 
   lazy val byName: Map[String, Q] = {

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10): the reference is
+  * batch-only, but its per-series recurrences (W2/W7) are deliberately
+  * shaped like GroupState updates — these operators are the streaming
+  * twins of SeriesOps.resample / SeriesOps.sessionize / ArrayOps.emaLast,
+  * sharing semantics with the batch queries (q26, q25, q22).
+  *
+  * Scale notes: state is bounded per key (EMA: one double + count;
+  * windows: watermark-bounded), so executors hold O(active keys) state;
+  * watermarks bound late data and let the state store evict. All
+  * aggregations are partial-aggregate streaming aggs — the standard
+  * 1000-executor shape.
+  */
+object Streaming {
+
+  /** tumbling event-time window aggregation with watermark — streaming
+    * twin of q26_resample_daily. */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 day",
+                  watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+      .select(col("win.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"), col("avg_value"))
+
+  /** gap-based session window aggregation — streaming twin of
+    * q25_sessionize (30-min gap). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("session_events"),
+        col("session_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class EmaState(ema: Double, n: Long)
+  final case class EmaOut(user_id: Long, batch_events: Long,
+                          total_events: Long, ema: Double)
+
+  /** per-key EMA recurrence via mapGroupsWithState — the online form of
+    * ArrayOps.emaLast (α-blend, order = event time within each batch;
+    * same step function as the batch scan, W2/W7 family). Emits one
+    * updated state row per key per micro-batch. */
+  def emaPerKey(events: Dataset[Event], alpha: Double): Dataset[EmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EmaState, EmaOut](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[EmaState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val st0 = state.getOption.getOrElse(EmaState(Double.NaN, 0L))
+          val st = sorted.foldLeft(st0) { (s, e) =>
+            if (s.n == 0L) EmaState(e.value, 1L)
+            else EmaState(s.ema * (1 - alpha) + e.value * alpha, s.n + 1)
+          }
+          state.update(st)
+          EmaOut(uid, sorted.size.toLong, st.n, st.ema)
+      }
+  }
+}

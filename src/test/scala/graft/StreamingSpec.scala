@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{EmaOut, Event}
+import graft.ops.ArrayOps
+
+/** Streaming operators must agree with their batch twins (§2.10):
+  * feed a MemoryStream, drain it, compare against batch computation
+  * on the same rows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    Event(1, ts(0), 10.0), Event(1, ts(5), 20.0), Event(1, ts(50), 30.0),
+    Event(2, ts(1), 5.0), Event(2, ts(2), 7.0))
+
+  test("tumblingAgg matches batch groupBy on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val df = mem.toDF().withColumnRenamed("user_id", "uid")
+      .select(col("uid").as("user_id"), col("ts"), col("value"),
+        lit("click").as("event_type"))
+    val q = Streaming.tumblingAgg(df, windowLen = "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("tumbling")
+      .select($"event_type", $"n", $"sum_value").collect()
+    q.stop()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 5L)
+    assert(approxEqual(got(0).getDouble(2), 72.0))
+  }
+
+  test("sessionAgg splits on the 30-minute gap like batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("sessions")
+      .select($"user_id", $"session_events", $"session_value")
+      .orderBy($"user_id", $"session_events").collect()
+    q.stop()
+    // user 1: events at 10:00/10:05 (one session) and 10:50 (new session,
+    // gap 45 min > 30); user 2: one session of 2
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1L, 30.0), (1L, 2L, 30.0), (2L, 2L, 12.0)))
+  }
+
+  test("emaPerKey equals the batch emaLast scan across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.emaPerKey(mem.toDS(), alpha = 0.1)
+      .writeStream.format("memory").queryName("ema")
+      .outputMode("update").start()
+    // two micro-batches: state must carry across them
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val got = spark.table("ema").as[EmaOut].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.total_events) }
+    q.stop()
+    // batch oracle: ArrayOps.emaLast over each user's time-sorted values
+    val batch = Seq(1L -> Seq(10.0, 20.0, 30.0), 2L -> Seq(5.0, 7.0)).toDF("uid", "vs")
+      .select($"uid", ArrayOps.emaLast($"vs", 0.1).as("ema"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L).total_events == 3 && got(2L).total_events == 2)
+    assert(approxEqual(got(1L).ema, batch(1L), 1e-12))
+    assert(approxEqual(got(2L).ema, batch(2L), 1e-12))
+  }
+}
