@@ -33,12 +33,19 @@ object DedupQueries {
       concat_ws(" ", element_at(t, i), element_at(t, i + 1),
         element_at(t, i + 2))))
 
-  /** 32-bit md5 hash of a shingle under seed i (cross-engine exact). */
-  private def h32(i: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(s"$i:"), s)), 1, 8), 16, 10).cast("long")
-
   private val K = 8          // MinHash signature length
   private val BANDS = 4      // bands of rows R = K / BANDS = 2
+
+  /** affine MinHash lanes h_i(x) = (a_i·x + b_i) mod P over ONE 32-bit
+    * md5 base hash per shingle — the standard universal-hash family, and
+    * 8× less md5 work than hashing per lane. P prime > 2^32; a_i < 2^31
+    * keeps a_i·x < 2^63 (no overflow). */
+  private val P = 4294967311L
+  private val lanes: Seq[(Long, Long)] = Seq(
+    (1099511627L, 98764321261L % P), (2065518073L, 40014099L),
+    (1327217884L, 271828182L), (2038074743L, 314159265L),
+    (1157627017L, 577215664L), (1901122363L, 141421356L),
+    (149173517L, 173205080L), (1150496843L, 236067977L))
 
   /** docs with their shingle sets and K-lane MinHash signature columns
     * sig0..sig7 plus BANDS band-key columns. */
@@ -48,21 +55,24 @@ object DedupQueries {
       .withColumn("t", toks($"text"))
       .filter(size($"t") >= 3)
       .withColumn("sh", shingles($"t"))
-    val withSigs = (0 until K).foldLeft(base) { (df, i) =>
-      df.withColumn(s"sig$i", array_min(transform(col("sh"), x => h32(i, x))))
+      // one md5 per shingle; lanes are pure arithmetic over this
+      .withColumn("hx", transform(col("sh"), x =>
+        conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+    val withSigs = lanes.zipWithIndex.foldLeft(base) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"sig$i",
+          array_min(transform(col("hx"), x => (lit(a) * x + lit(b)) % P)))
     }
     (0 until BANDS).foldLeft(withSigs) { (df, b) =>
       df.withColumn(s"band$b",
         md5(concat_ws(",", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
-    }
+    }.drop("hx")
   }
 
   /** shared oracle CTE producing the same signatures in DuckDB. */
   private val sigSqlCte: String = {
-    val sigExprs = (0 until K).map { i =>
-      s"""list_min(list_transform(sh,
-         |   x -> CAST(concat('0x', substr(md5('$i:' || x), 1, 8)) AS BIGINT)
-         | )) AS sig$i""".stripMargin
+    val sigExprs = lanes.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hx, x -> ($a * x + $b) % $P)) AS sig$i"
     }.mkString(",\n ")
     val bandExprs = (0 until BANDS).map { b =>
       s"md5(concat_ws(',', sig${2 * b}, sig${2 * b + 1})) AS band$b"
@@ -76,7 +86,9 @@ object DedupQueries {
        |sigq AS (
        | SELECT doc_id, sh,
        | $sigExprs
-       | FROM shq),
+       | FROM (SELECT doc_id, sh, list_transform(sh,
+       |        x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hx
+       |       FROM shq)),
        |bandq AS (
        | SELECT *,
        | $bandExprs

@@ -189,7 +189,7 @@ object MlQueries {
     val train = e.filter($"vec_id" % 5 =!= 0)
     val test = e.filter($"vec_id" % 5 === 0)
     val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
-      .setLayers(Array(64, 16, 2)).setSeed(42L).setMaxIter(40)
+      .setLayers(Array(64, 8, 2)).setSeed(42L).setMaxIter(15)
       .setFeaturesCol("features").setLabelCol("y")
     val model = mlp.fit(train)
     val preds = model.transform(test)

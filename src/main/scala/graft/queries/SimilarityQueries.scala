@@ -63,13 +63,17 @@ object SimilarityQueries {
     * engines order identically. */
   private def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // norms are per-ROW, computed once per side before the pair join —
+    // only the dot product runs per pair (3× fewer HOF evals than a
+    // naive cosine-per-pair)
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", ArrayOps.l2Norm($"v"))
     val q = e.filter($"vec_id" % 25 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"vn".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, $"vec_id" =!= $"q_id")
-      .withColumn("sim", round(ArrayOps.cosine($"qv", $"v"), 5))
+      .withColumn("sim", round(ArrayOps.dot($"qv", $"v") / ($"qn" * $"vn"), 5))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
       .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim")
@@ -98,12 +102,13 @@ object SimilarityQueries {
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("bucket", bucketCol($"v"))
+      .withColumn("vn", ArrayOps.l2Norm($"v"))
     val q = e.filter($"vec_id" % 125 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket")
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket", $"vn".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("sim", round(ArrayOps.cosine($"qv", $"v"), 5))
+      .withColumn("sim", round(ArrayOps.dot($"qv", $"v") / ($"qn" * $"vn"), 5))
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy($"q_id")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
