@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import graft.Tables._
+import graft.ops.{ArrayOps, Cpc, Fft, Metrics, SeriesOps}
+
+/** End-to-end CPC pipelines (SURVEY.md §3 E1/E3): the full forward
+  * dataflow — quality fuse → encoder → anchor → GRU context → k-step
+  * InfoNCE — and the linear-probe evaluation protocol over a model ×
+  * classifier grid, reproducing the reference's results-table shape
+  * (`UNSUPERVISED.csv`: Model, Classification, ROC_AUC).
+  *
+  * Weights are deterministic literals (M5: training is out of engine
+  * scope; weights are inputs). GRU/ML fits are not SQL-expressible →
+  * rows-only checks; every component is oracle- or spec-checked
+  * individually (q70-q74, CpcSpec, FftSpec).
+  */
+object CpcQueries {
+
+  /** q75: full CPC forward pass (E1 steps 3-4 as ONE dataflow):
+    * per-user series → P1×P2 fuse → W1 conv encoder + P11 relu →
+    * W4 deterministic anchor → W5 prefix-GRU context → W6 targets
+    * k=1..2 → J2 batch all-pairs scores → A4 InfoNCE + A3 accuracy. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 2
+    val gru = Cpc.demoWeights(2)
+    val e = events(s, dir)
+      .withColumn("quality", pmod($"event_id", lit(16)).cast("int"))
+    val series = SeriesOps.assemble(e, $"user_id", $"ts",
+      "v" -> ($"value" / 100.0), "q" -> $"quality")
+      .filter($"series_len" >= 12)
+    // encoder: quality-gated value (scalar form of the 16-channel fuse:
+    // channel weight linear in bucket index) → 3-tap conv → ReLU
+    val encoded = series
+      .withColumn("fused", zip_with($"v", $"q",
+        (v, q) => v * (q.cast("double") + 1.0) / 16.0))
+      .withColumn("z", ArrayOps.relu(
+        ArrayOps.conv1dSame($"fused", Seq(0.25, 0.5, 0.25))))
+    // W4: deterministic anchor in [0.4L, L-K-1) via md5(user_id) —
+    // seeded-random analogue that both engines could recompute
+    val anchored = encoded
+      .withColumn("anchor", (lit(0.4) * $"series_len").cast("int") +
+        pmod(conv(substring(md5($"series_key".cast("string")), 1, 8), 16, 10)
+          .cast("long"),
+          greatest(($"series_len" * 0.6).cast("long") - K - 1, lit(1))).cast("int"))
+      // W5: GRU over the prefix z[1..anchor+1]; context = final state
+      .withColumn("ctx", Cpc.gruScan(gru,
+        ArrayOps.prefix($"z", $"anchor" + 1)))
+      // W10: scalar projection of the 2-d context per step k (literal W_k)
+      .withColumn("proj1",
+        element_at($"ctx", 1) * 0.9 + element_at($"ctx", 2) * -0.4)
+      .withColumn("proj2",
+        element_at($"ctx", 1) * -0.3 + element_at($"ctx", 2) * 1.1)
+      // W6: future latent targets at anchor+k (guarded: len >= 12 and
+      // anchor < 0.4L + 0.6L - K - 1 + 1 keeps anchor+K in range)
+      .withColumn("tgt1", element_at($"z", $"anchor" + 1))
+      .withColumn("tgt2", element_at($"z", $"anchor" + 2))
+      .withColumn("batch_id", pmod($"series_key", lit(4)))
+      .select($"series_key".as("user_id"), $"batch_id",
+        $"proj1", $"proj2", $"tgt1", $"tgt2")
+    // J2: all-pairs scores within batch for each k; A4 stable
+    // log-softmax diagonal; A3 self-match accuracy
+    val a = anchored.select($"batch_id", $"user_id".as("i"),
+      $"proj1", $"proj2")
+    val b = anchored.select($"batch_id", $"user_id".as("j"),
+      $"tgt1", $"tgt2")
+    val scores = a.join(b, "batch_id")
+      .select($"batch_id", $"i", $"j",
+        explode(array(
+          struct(lit(1).as("k"), ($"proj1" * $"tgt1").as("sc")),
+          struct(lit(2).as("k"), ($"proj2" * $"tgt2").as("sc")))).as("ks"))
+      .select($"batch_id", $"i", $"j", $"ks.k", $"ks.sc")
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k", $"i").orderBy($"sc".desc, $"j")
+    val perI = scores
+      .withColumn("rn", row_number().over(wArg))
+      .groupBy($"batch_id", $"k", $"i")
+      .agg(max($"sc").as("m"),
+        sum(when($"j" === $"i", $"sc")).as("s_pos"),
+        max(when($"rn" === 1, $"j")).as("argmax_j"))
+    val lse = scores.join(
+        perI.select($"k".as("k2"), $"i".as("i2"), $"m"),
+        $"k" === $"k2" && $"i" === $"i2")
+      .groupBy($"k", $"i")
+      .agg((log(sum(exp($"sc" - $"m"))) + first($"m")).as("lse"))
+      .select($"k".as("k3"), $"i".as("i3"), $"lse")
+    perI.join(lse, $"k" === $"k3" && $"i" === $"i3")
+      .withColumn("loss", $"lse" - $"s_pos")
+      .withColumn("hit", when($"argmax_j" === $"i", 1.0).otherwise(0.0))
+      .groupBy($"batch_id")
+      .agg(countDistinct($"i").as("batch_n"),
+        round(avg($"loss"), 6).as("info_nce"),
+        round(avg($"hit") * 100, 4).as("self_match_pct"))
+      .orderBy($"batch_id")
+  }
+
+  /** per-user representation for a CPC "model" variant (E3 untrained-
+    * probe analogue): T = temporal stats, S = spectral stats (FFT),
+    * TS = both (channel concat P9). */
+  private def representation(s: SparkSession, dir: String,
+                             variant: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+      .withColumn("is_error",
+        when($"event_type" === "error", 1.0).otherwise(0.0))
+    val series = SeriesOps.assemble(e, $"user_id", $"ts",
+      "v" -> ($"value" / 100.0), "err" -> $"is_error")
+      .filter($"series_len" >= 4)
+      .withColumn("label",
+        when(ArrayOps.arraySum($"err") > $"series_len" * 0.22, 1.0)
+          .otherwise(0.0))
+    val temporal = array(
+      ArrayOps.arrayMean($"v"),
+      ArrayOps.lastElem($"v"),
+      array_max($"v") - array_min($"v"))
+    val spectral = {
+      val mag = Fft.fftMag($"v")
+      array(
+        element_at(mag, 1) / $"series_len",
+        when(size(mag) >= 2, element_at(mag, 2) / $"series_len")
+          .otherwise(lit(0.0)),
+        when(size(mag) >= 3, element_at(mag, 3) / $"series_len")
+          .otherwise(lit(0.0)))
+    }
+    val rep = variant match {
+      case "T_CPC"  => temporal
+      case "S_CPC"  => spectral
+      case "TS_CPC" => concat(temporal, spectral) // P9 channel concat
+    }
+    series.select($"series_key".as("user_id"), $"label", rep.as("rep"))
+  }
+
+  /** q76: the linear-probe protocol grid (E1 step 4 / E3, M7) — for each
+    * (model variant × classifier) fit a probe on the train split and
+    * report held-out ROC-AUC, in the reference's results-table shape
+    * (`UNSUPERVISED.csv` header: Model, Classification, ROC_AUC). */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = for {
+      model <- Seq("T_CPC", "TS_CPC", "S_CPC")
+      cls <- Seq("LogisticRegression", "ScoreThreshold")
+    } yield (model, cls)
+    val results = grid.map { case (model, cls) =>
+      val rep = representation(s, dir, model).cache()
+      val train = rep.filter($"user_id" % 5 =!= 0)
+      val test = rep.filter($"user_id" % 5 === 0)
+      val scored = cls match {
+        case "LogisticRegression" =>
+          val lr = new org.apache.spark.ml.classification.LogisticRegression()
+            .setFeaturesCol("features").setLabelCol("label")
+            .setMaxIter(25).setRegParam(0.01)
+          val m = lr.fit(train.select($"label",
+            array_to_vector($"rep").as("features")))
+          m.transform(test.select($"user_id", $"label",
+              array_to_vector($"rep").as("features")))
+            .select(element_at(vector_to_array($"probability"), 2)
+              .as("score"), $"label")
+        case "ScoreThreshold" => // probe-free baseline: first rep channel
+          test.select(element_at($"rep", 1).as("score"), $"label")
+      }
+      val auc = Metrics.rocAuc(scored, $"score", $"label")
+        .select(round($"auc", 4)).collect()(0).getDouble(0)
+      rep.unpersist()
+      (model, cls, auc)
+    }
+    results.toDF("Model", "Classification", "ROC_AUC")
+      .orderBy($"Model", $"Classification")
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q75_cpc_forward", q75, None,
+      "full CPC forward pass: fuse→conv→GRU→InfoNCE (E1)"),
+    Q("q76_probe_grid", q76, None,
+      "linear-probe protocol grid → Model×Classification×ROC_AUC (M7)"))
+}

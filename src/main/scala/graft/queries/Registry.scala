@@ -24,6 +24,7 @@ object Registry {
     Relational.queries ++
       Series.queries ++
       SeqQueries.queries ++
+      CpcQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
