@@ -117,6 +117,15 @@ object ArrayOps {
         (acc, x) => concat(acc,
           array(element_at(acc, -1) * lit(1.0 - alpha) + x * lit(alpha)))))
 
+  /** P12: seeded train-time dropout — zero elements w.p. `p`, scale
+    * survivors by 1/(1−p) ("Augmentation", `T_CPC.py:19`). Eval mode
+    * (`model.eval()`, `unsupervised.py:102`) is the identity — pass
+    * train=false and constant folding removes the op entirely. */
+  def dropout(a: Column, p: Double, seed: Long, train: Boolean = true): Column =
+    if (!train) a
+    else transform(a, x =>
+      when(rand(seed) < p, lit(0.0)).otherwise(x / (1.0 - p)))
+
   /** P6/P7/P8 idioms re-exported for discoverability. */
   def prefix(a: Column, len: Column): Column = slice(a, lit(1), len)
   def lastElem(a: Column): Column = element_at(a, -1)

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.ArrayOps
+
+/** S4/S5 CSV sink + scan round-trip (the reference's results-table I/O,
+  * `unsupervised.py:486-493`), metrics-append sink (S6 analogue), and
+  * the P12 dropout projection. */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CSV sink → scan round-trip preserves the results table (S4/S5)") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/results"
+    val results = Seq(
+      (10, "T_CPC", "LogisticRegression", 1024, 0.8469),
+      (7, "TS_CPC", "ClassifierNN", 1024, 0.8710))
+      .toDF("n_Epochs", "Model", "Classification", "Batch Size", "ROC_AUC")
+    results.coalesce(1).write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir)
+    assert(back.columns.toSeq ==
+      Seq("n_Epochs", "Model", "Classification", "Batch Size", "ROC_AUC"))
+    val rows = back.orderBy($"n_Epochs").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 7 && rows(0).getString(1) == "TS_CPC")
+    assert(approxEqual(rows(1).getDouble(4), 0.8469))
+  }
+
+  test("metrics append sink accumulates across runs (S6 analogue)") {
+    val dir = Files.createTempDirectory("graft_metrics").toString + "/m"
+    def log(run: Int, k: String, v: Double): Unit =
+      Seq((run, k, v)).toDF("run", "metric", "value")
+        .write.mode("append").parquet(dir)
+    log(1, "loss", 1.989); log(1, "acc", 0.276); log(2, "loss", 0.197)
+    val m = spark.read.parquet(dir)
+    assert(m.count() == 3)
+    assert(m.filter($"metric" === "loss").agg(min($"value"))
+      .collect()(0).getDouble(0) == 0.197)
+  }
+
+  test("dropout (P12): seeded mask, 1/(1-p) scaling, eval identity") {
+    val xs = Seq.fill(2000)(1.0)
+    val out = Seq(xs).toDF("a")
+      .select(ArrayOps.dropout($"a", 0.1, seed = 7).as("d"))
+      .collect()(0).getSeq[Double](0)
+    // survivors scaled to 1/0.9; zeros ~10%
+    assert(out.forall(v => v == 0.0 || approxEqual(v, 1.0 / 0.9)))
+    val zeroFrac = out.count(_ == 0.0).toDouble / out.size
+    assert(zeroFrac > 0.05 && zeroFrac < 0.15)
+    // E[output] ≈ E[input] (the point of the 1/(1-p) rescale)
+    assert(math.abs(out.sum / out.size - 1.0) < 0.05)
+    // eval mode: identity
+    val ev = Seq(Seq(1.0, 2.0)).toDF("a")
+      .select(ArrayOps.dropout($"a", 0.1, 7, train = false).as("d"))
+      .collect()(0).getSeq[Double](0)
+    assert(ev == Seq(1.0, 2.0))
+  }
+}
