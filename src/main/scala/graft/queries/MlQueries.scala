@@ -198,8 +198,41 @@ object MlQueries {
       .withColumn("n_test", lit(test.count()))
   }
 
+  /** q67: M4 supervised-head loss — BCE-with-logits of a literal linear
+    * head over the embedding vs the binary label, plus the mean logit
+    * and label rate (`supervised.py:65-74` dataflow as one aggregation). */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = embeddings(s, dir).select(
+      (element_at($"embedding", 1).cast("double") * 2.0 +
+        element_at($"embedding", 2).cast("double")).as("logit"),
+      when($"label" < 5, 1.0).otherwise(0.0).as("y"))
+    // stable BCE-with-logits: max(x,0) − x·y + ln(1 + e^(−|x|))
+    d.select(
+        round(avg(greatest($"logit", lit(0.0)) - $"logit" * $"y" +
+          log(lit(1.0) + exp(-abs($"logit")))), 6).as("bce"),
+        round(avg($"logit"), 6).as("avg_logit"),
+        round(avg($"y"), 6).as("pos_rate"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q67Sql =
+    """WITH d AS (
+      | SELECT CAST(embedding[1] AS DOUBLE) * 2.0
+      |        + CAST(embedding[2] AS DOUBLE) AS logit,
+      |  CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+      | FROM embeddings)
+      |SELECT
+      | round(avg(greatest(logit, 0.0) - logit * y
+      |   + ln(1.0 + exp(-abs(logit)))), 6) AS bce,
+      | round(avg(logit), 6) AS avg_logit,
+      | round(avg(y), 6) AS pos_rate,
+      | count(*) AS n
+      |FROM d""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q60_roc_auc", q60, Some(q60Sql), "rank-sum ROC-AUC (A11)"),
+    Q("q67_bce_loss", q67, Some(q67Sql), "M4 BCE-with-logits head loss"),
     Q("q61_prf_report", q61, Some(q61Sql), "precision/recall/F1 report (A10)"),
     Q("q62_auc_grid", q62, Some(q62Sql), "one-vs-rest AUC grid (M7 shape)"),
     Q("q63_lr_probe", q63, None, "M1 LogisticRegression probe (Spark ML)"),

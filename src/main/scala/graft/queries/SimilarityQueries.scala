@@ -167,8 +167,39 @@ object SimilarityQueries {
       |SELECT label, n, avg_norm, centroid_norm
       |FROM norms JOIN cn USING (label) ORDER BY label""".stripMargin
 
+  /** q53: embedding-cosine near-dup candidates (dedup variant of the
+    * builder brief) — all pairs WITHIN a label block (the blocking key
+    * bounds the quadratic term), ranked by cosine; top-20 global. At
+    * 100 TB the label block becomes an LSH bucket (q51) or IVF cell —
+    * the pair generation stays block-local either way. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", ArrayOps.l2Norm($"v"))
+    val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"),
+      $"vn".as("na"))
+    val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"),
+      $"vn".as("nb"))
+    a.join(b, "label").filter($"id_a" < $"id_b")
+      .withColumn("cos", round(ArrayOps.dot($"va", $"vb") / ($"na" * $"nb"), 5))
+      .select($"label", $"id_a", $"id_b", $"cos")
+      .orderBy($"cos".desc, $"id_a", $"id_b")
+      .limit(20)
+  }
+
+  private val q53Sql =
+    """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings)
+      |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      | round(list_cosine_similarity(a.v, b.v), 5) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql), "brute-force cosine top-5 KNN"),
     Q("q51_ann_lsh", q51, Some(q51Sql), "random-hyperplane LSH ANN"),
-    Q("q52_centroid_stats", q52, Some(q52Sql), "per-label centroid stats"))
+    Q("q52_centroid_stats", q52, Some(q52Sql), "per-label centroid stats"),
+    Q("q53_embed_neardup", q53, Some(q53Sql),
+      "embedding-cosine near-dup candidate ranking"))
 }
