@@ -1,0 +1,81 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import graft.ops.Fft
+
+/** Native Catalyst expression for the FFT magnitude spectrum (W3) — the
+  * promotion of `Fft.fftMagUdf` per SURVEY.md §7 step 6: no UDF
+  * serialization boundary, participates in whole-stage codegen via a
+  * static kernel call (the same pattern Spark's own StaticInvoke-backed
+  * functions use).
+  *
+  * `graft_fft_mag(ARRAY<DOUBLE>) → ARRAY<DOUBLE>`; null-safe; kernel is
+  * the shared radix-2/Bluestein implementation in ops/Fft (FftSpec).
+  */
+case class FftMagExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_fft_mag requires ARRAY<DOUBLE>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "graft_fft_mag"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FftMagExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.FftMagExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FftMagExpr =
+    copy(child = newChild)
+}
+
+object FftMagExpr {
+  /** static kernel entry, shared by interpreted eval and generated code. */
+  def compute(input: ArrayData): ArrayData = {
+    val x = input.toDoubleArray()
+    val (re, im) = Fft.fftComplex(x, new Array[Double](x.length),
+      invert = false)
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) {
+      out(i) = math.sqrt(re(i) * re(i) + im(i) * im(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Runtime registration of the graft custom-function surface (idempotent;
+  * call once per SparkSession before using the SQL names). */
+object GraftFunctions {
+  private val fftMagId = FunctionIdentifier("graft_fft_mag")
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(fftMagId)) {
+      registry.registerFunction(
+        fftMagId,
+        new ExpressionInfo(classOf[FftMagExpr].getName, "graft_fft_mag"),
+        (children: Seq[Expression]) => FftMagExpr(children.head))
+    }
+  }
+
+  /** column form backed by the native expression (not the UDF). */
+  def fftMag(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_fft_mag", c)
+  }
+}

@@ -60,7 +60,7 @@ object SeqQueries {
     val series = SeriesOps.assemble(events(s, dir), $"user_id", $"ts",
       "v" -> $"value")
     series
-      .withColumn("mag", Fft.fftMag($"v"))
+      .withColumn("mag", graft.expr.GraftFunctions.fftMag(s, $"v"))
       .select(
         $"series_key".as("user_id"),
         $"series_len".as("n"),

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.GraftFunctions
+import graft.ops.Fft
+
+/** The native Catalyst expression must agree with the UDF (same kernel)
+  * and be callable from SQL after registration. */
+class FftExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expression ≡ UDF on random series") {
+    val rnd = new scala.util.Random(3)
+    val data = Seq.fill(20)(Seq.fill(1 + rnd.nextInt(40))(rnd.nextDouble() * 10))
+    val df = data.toDF("v")
+    val rows = df.select(
+      GraftFunctions.fftMag(spark, $"v").as("e"),
+      Fft.fftMag($"v").as("u")).collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](0); val u = r.getSeq[Double](1)
+      assert(e.size == u.size)
+      e.zip(u).foreach { case (a, b) => assert(approxEqual(a, b, 1e-12)) }
+    }
+  }
+
+  test("registered SQL name works in spark.sql") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_fft_mag(array(1.0d, 0.0d, 0.0d, 0.0d)) AS m")
+      .collect()(0).getSeq[Double](0)
+    // impulse → flat unit spectrum
+    assert(out.size == 4 && out.forall(v => approxEqual(v, 1.0)))
+  }
+
+  test("null input and nested use in HOF pipeline") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_fft_mag(CAST(NULL AS ARRAY<DOUBLE>)) AS m").collect()(0)
+    assert(r.isNullAt(0))
+    // stays usable inside a projection chain (codegen path)
+    val sum = Seq(Seq(1.0, 2.0, 3.0)).toDF("v")
+      .select(aggregate(GraftFunctions.fftMag(spark, $"v"), lit(0.0),
+        (s, x) => s + x).as("s")).collect()(0).getDouble(0)
+    assert(sum > 0)
+  }
+}
