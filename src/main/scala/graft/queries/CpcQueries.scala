@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import graft.Tables._
@@ -97,11 +97,11 @@ object CpcQueries {
       .orderBy($"batch_id")
   }
 
-  /** per-user representation for a CPC "model" variant (E3 untrained-
-    * probe analogue): T = temporal stats, S = spectral stats (FFT),
-    * TS = both (channel concat P9). */
-  private def representation(s: SparkSession, dir: String,
-                             variant: String): DataFrame = {
+  /** per-user 6-channel representation, computed ONCE for the whole grid
+    * (E3 untrained-probe analogue): channels 1-3 temporal stats, 4-6
+    * spectral stats (FFT). Model variants are channel slices —
+    * T = 1-3, S = 4-6, TS = all (P9 channel concat). */
+  private def representations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
       .withColumn("is_error",
@@ -125,12 +125,14 @@ object CpcQueries {
         when(size(mag) >= 3, element_at(mag, 3) / $"series_len")
           .otherwise(lit(0.0)))
     }
-    val rep = variant match {
-      case "T_CPC"  => temporal
-      case "S_CPC"  => spectral
-      case "TS_CPC" => concat(temporal, spectral) // P9 channel concat
-    }
-    series.select($"series_key".as("user_id"), $"label", rep.as("rep"))
+    series.select($"series_key".as("user_id"), $"label",
+      concat(temporal, spectral).as("rep6"))
+  }
+
+  private def variantSlice(variant: String): Column => Column = variant match {
+    case "T_CPC"  => r => slice(r, 1, 3)
+    case "S_CPC"  => r => slice(r, 4, 3)
+    case "TS_CPC" => r => r
   }
 
   /** q76: the linear-probe protocol grid (E1 step 4 / E3, M7) — for each
@@ -139,33 +141,34 @@ object CpcQueries {
     * (`UNSUPERVISED.csv` header: Model, Classification, ROC_AUC). */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val rep6 = representations(s, dir).cache()
+    val train = rep6.filter($"user_id" % 5 =!= 0)
+    val test = rep6.filter($"user_id" % 5 === 0)
     val grid = for {
       model <- Seq("T_CPC", "TS_CPC", "S_CPC")
       cls <- Seq("LogisticRegression", "ScoreThreshold")
     } yield (model, cls)
     val results = grid.map { case (model, cls) =>
-      val rep = representation(s, dir, model).cache()
-      val train = rep.filter($"user_id" % 5 =!= 0)
-      val test = rep.filter($"user_id" % 5 === 0)
+      val rep = variantSlice(model)
       val scored = cls match {
         case "LogisticRegression" =>
           val lr = new org.apache.spark.ml.classification.LogisticRegression()
             .setFeaturesCol("features").setLabelCol("label")
-            .setMaxIter(25).setRegParam(0.01)
+            .setMaxIter(15).setRegParam(0.01)
           val m = lr.fit(train.select($"label",
-            array_to_vector($"rep").as("features")))
-          m.transform(test.select($"user_id", $"label",
-              array_to_vector($"rep").as("features")))
+            array_to_vector(rep($"rep6")).as("features")))
+          m.transform(test.select($"label",
+              array_to_vector(rep($"rep6")).as("features")))
             .select(element_at(vector_to_array($"probability"), 2)
               .as("score"), $"label")
         case "ScoreThreshold" => // probe-free baseline: first rep channel
-          test.select(element_at($"rep", 1).as("score"), $"label")
+          test.select(element_at(rep($"rep6"), 1).as("score"), $"label")
       }
       val auc = Metrics.rocAuc(scored, $"score", $"label")
         .select(round($"auc", 4)).collect()(0).getDouble(0)
-      rep.unpersist()
       (model, cls, auc)
     }
+    rep6.unpersist()
     results.toDF("Model", "Classification", "ROC_AUC")
       .orderBy($"Model", $"Classification")
   }
