@@ -141,7 +141,10 @@ object CpcQueries {
     * (`UNSUPERVISED.csv` header: Model, Classification, ROC_AUC). */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rep6 = representations(s, dir).cache()
+    // per-user reps are tiny (1 row/user): coalesce so the iterative
+    // LR treeAggregates aren't task-overhead-bound. At real scale the
+    // rep table is large and keeps natural partitioning.
+    val rep6 = representations(s, dir).coalesce(4).cache()
     val train = rep6.filter($"user_id" % 5 =!= 0)
     val test = rep6.filter($"user_id" % 5 === 0)
     val grid = for {

@@ -265,8 +265,36 @@ object Series {
       | coalesce(round(sum(CASE WHEN event_type='view' THEN value END), 4), 0) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q77: W2/W7 recurrence as a typed Aggregator over LONG form (no
+    * array assembly) — order restored inside the aggregator's finish;
+    * must equal q22's array-form EMA, and the same closed-form oracle. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ema = graft.ops.ScanAggregator.emaUdaf(0.1)
+    events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        round(ema(unix_micros($"ts"), $"value", $"value"), 6).as("ema"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q77Sql =
+    """WITH ord AS (
+      | SELECT user_id, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS n
+      | FROM events)
+      |SELECT user_id,
+      | round(sum(CASE WHEN rn = 1 THEN pow(0.9, n - 1) * value
+      |           ELSE 0.1 * pow(0.9, n - rn) * value END), 6) AS ema,
+      | count(*) AS n_events
+      |FROM ord GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
+    Q("q77_ema_aggregator", q77, Some(q77Sql),
+      "W7 EMA via typed Aggregator on long form"),
     Q("q21_quality_fuse", q21, Some(q21Sql), "P1×P2 zip_with fuse checksum"),
     Q("q22_ema", q22, Some(q22Sql), "W7 EMA recurrence vs closed form"),
     Q("q23_smooth_window", q23, Some(q23Sql), "W1 long-form 3-tap window"),
