@@ -301,7 +301,30 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY custkey""".stripMargin
 
+  /** q13: hierarchical rollup — multi-level aggregation with grouping_id
+    * (beyond the reference per §2.5 note; one shuffle, partial-agg
+    * friendly like any groupBy). */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"c_acctbal"), 2).as("total_bal"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"n_name", $"c_mktsegment")
+  }
+
+  private val q13Sql =
+    """SELECT n_name, c_mktsegment, count(*) AS n,
+      | round(sum(c_acctbal), 2) AS total_bal,
+      | GROUPING_ID(n_name, c_mktsegment) AS gid
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY gid, n_name, c_mktsegment""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q13_rollup", q13, Some(q13Sql), "rollup + grouping_id multi-level agg"),
     Q("q01_pricing_summary", q01, Some(q01Sql), "TPC-H Q1-style agg (A2/A12)"),
     Q("q02_selective_scan", q02, Some(q02Sql), "pushdown filter + agg (F2)"),
     Q("q03_star_join", q03, Some(q03Sql), "fact⋈dim broadcast star join (J4)"),

@@ -291,7 +291,63 @@ object Series {
       | count(*) AS n_events
       |FROM ord GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q78: SLIDING event-time windows (2-day window, 1-day slide) via
+    * Spark's native window() — each event lands in win/slide buckets;
+    * the oracle enumerates the same epoch-aligned window starts. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "2 days", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  private val q78Sql =
+    """WITH e AS (
+      | SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      | FROM events),
+      |win AS (
+      | SELECT event_type, value,
+      |  unnest(list_transform(
+      |   generate_series(
+      |     CAST(floor((t - 172800000000) / 86400000000.0) AS BIGINT) + 1,
+      |     CAST(floor(t / 86400000000.0) AS BIGINT)),
+      |   k -> k * 86400000000)) AS ws
+      | FROM e)
+      |SELECT make_timestamp(ws) AS win_start, event_type,
+      | count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM win GROUP BY ws, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** q79: exact interpolated percentiles per event_type (the profiling
+    * aggregation; at 100 TB swap in approx_percentile — same plan
+    * shape, sketch-mergeable). */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(percentile($"value", array(lit(0.5), lit(0.9), lit(0.99)))
+        .as("ps"), count(lit(1)).as("n"))
+      .select($"event_type",
+        round(element_at($"ps", 1), 6).as("p50"),
+        round(element_at($"ps", 2), 6).as("p90"),
+        round(element_at($"ps", 3), 6).as("p99"),
+        $"n")
+      .orderBy($"event_type")
+  }
+
+  private val q79Sql =
+    """SELECT event_type,
+      | round(quantile_cont(value, 0.5), 6) AS p50,
+      | round(quantile_cont(value, 0.9), 6) AS p90,
+      | round(quantile_cont(value, 0.99), 6) AS p99,
+      | count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q78_sliding_window", q78, Some(q78Sql), "sliding event-time windows"),
+    Q("q79_percentiles", q79, Some(q79Sql), "exact interpolated percentiles"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
     Q("q77_ema_aggregator", q77, Some(q77Sql),
       "W7 EMA via typed Aggregator on long form"),
