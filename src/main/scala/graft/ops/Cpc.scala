@@ -64,6 +64,48 @@ object Cpc {
     aggregate(xs, array(Seq.fill(w.h)(lit(0.0)): _*),
       (h, x) => gruStep(w, h, x))
 
+  /** W1 multi-channel 1-D convolution (the reference encoder shape,
+    * `T_CPC.py:16-22`: Conv1d(in→out, k=3, pad=1)): input is TIME-major
+    * `ARRAY<ARRAY<DOUBLE>>` (t → channel vector, as produced by
+    * `ArrayOps.oneHotFuse`), weights `w(o)(c)(tap)` literal, taps
+    * centered with zero padding. Output time-major with `w.length`
+    * channels. Pure nested HOFs — row-local, codegen-friendly. */
+  def conv1dChannels(x: Column, w: Seq[Seq[Seq[Double]]],
+                     bias: Seq[Double]): Column = {
+    val taps = w.head.head.size
+    val center = taps / 2
+    transform(sequence(lit(1), size(x)), t =>
+      array(w.zipWithIndex.map { case (wo, o) =>
+        val terms = for {
+          c <- wo.indices
+          d <- 0 until taps
+        } yield {
+          val j = t + (d - center)
+          when(j >= 1 && j <= size(x),
+            element_at(element_at(x, j), c + 1) * lit(wo(c)(d)))
+            .otherwise(lit(0.0))
+        }
+        terms.reduce(_ + _) + lit(bias(o))
+      }: _*))
+  }
+
+  /** plain-Scala reference for conv1dChannels (ScalaTest oracle). */
+  def conv1dChannelsRef(x: Seq[Seq[Double]], w: Seq[Seq[Seq[Double]]],
+                        bias: Seq[Double]): Seq[Seq[Double]] = {
+    val taps = w.head.head.size
+    val center = taps / 2
+    x.indices.map { t =>
+      w.indices.map { o =>
+        bias(o) + (for {
+          c <- w(o).indices
+          d <- 0 until taps
+          j = t + d - center
+          if j >= 0 && j < x.size
+        } yield x(j)(c) * w(o)(c)(d)).sum
+      }
+    }
+  }
+
   /** plain-Scala reference for the same scan (ScalaTest oracle). */
   def gruScanRef(w: GruWeights, xs: Seq[Double]): Seq[Double] = {
     def sig(t: Double) = 1.0 / (1.0 + math.exp(-t))

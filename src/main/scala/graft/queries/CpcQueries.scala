@@ -32,13 +32,24 @@ object CpcQueries {
     val series = SeriesOps.assemble(e, $"user_id", $"ts",
       "v" -> ($"value" / 100.0), "q" -> $"quality")
       .filter($"series_len" >= 12)
-    // encoder: quality-gated value (scalar form of the 16-channel fuse:
-    // channel weight linear in bucket index) → 3-tap conv → ReLU
+    // encoder, the reference W1 shape (`T_CPC.py:16-22`): P1×P2 16-channel
+    // one-hot fuse → Conv1d(16→2, k=3, pad=1) channel mix → ReLU →
+    // collapse to the scalar latent track
+    val encW = {
+      var st = 2026L
+      def nxt(): Double = {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      }
+      Seq.fill(2)(Seq.fill(16)(Seq.fill(3)(nxt())))
+    }
     val encoded = series
-      .withColumn("fused", zip_with($"v", $"q",
-        (v, q) => v * (q.cast("double") + 1.0) / 16.0))
-      .withColumn("z", ArrayOps.relu(
-        ArrayOps.conv1dSame($"fused", Seq(0.25, 0.5, 0.25))))
+      .withColumn("fused16", ArrayOps.oneHotFuse($"v", $"q", 16))
+      .withColumn("enc",
+        Cpc.conv1dChannels($"fused16", encW, Seq(0.05, -0.05)))
+      .withColumn("z", transform($"enc", ch =>
+        greatest(element_at(ch, 1), lit(0.0)) +
+          greatest(element_at(ch, 2), lit(0.0))))
     // W4: deterministic anchor in [0.4L, L-K-1) via md5(user_id) —
     // seeded-random analogue that both engines could recompute
     val anchored = encoded

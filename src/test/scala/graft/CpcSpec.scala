@@ -54,4 +54,33 @@ class CpcSpec extends SparkSpec {
     val w = Cpc.demoWeights(2)
     assert(runScan(w, Seq.empty) == Seq(0.0, 0.0))
   }
+
+  test("conv1dChannels equals Scala reference (multi-channel W1)") {
+    val rnd = new scala.util.Random(9)
+    // 3 in-channels → 2 out-channels, k=3, random weights, length 7
+    val w = Seq.fill(2)(Seq.fill(3)(Seq.fill(3)(rnd.nextDouble() - 0.5)))
+    val bias = Seq(0.1, -0.2)
+    val x = Seq.fill(7)(Seq.fill(3)(rnd.nextDouble() * 2 - 1))
+    val got = Seq(x).toDF("x")
+      .select(Cpc.conv1dChannels(col("x"), w, bias).as("y"))
+      .collect()(0).getSeq[scala.collection.Seq[Double]](0).map(_.toList)
+    val want = Cpc.conv1dChannelsRef(x, w, bias)
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, e) =>
+      g.zip(e).foreach { case (a, b) => assert(approxEqual(a, b, 1e-12)) }
+    }
+  }
+
+  test("conv1dChannels composes with oneHotFuse (reference encoder shape)") {
+    // (value, quality) rows → 4-channel one-hot fuse → 4→2 channel conv
+    val w = Seq.fill(2)(Seq.fill(4)(Seq(0.0, 1.0, 0.0))) // identity tap
+    val bias = Seq(0.0, 0.0)
+    val fused = graft.ops.ArrayOps.oneHotFuse(
+      array(lit(5.0), lit(7.0)), array(lit(1), lit(3)), 4)
+    val out = Seq(1).toDF("d")
+      .select(Cpc.conv1dChannels(fused, w, bias).as("y"))
+      .collect()(0).getSeq[scala.collection.Seq[Double]](0)
+    // identity center tap + all-channel sum weight 1 → out = value at t
+    assert(out.map(_.head) == Seq(5.0, 7.0))
+  }
 }
