@@ -162,7 +162,13 @@ object CpcQueries {
       model <- Seq("T_CPC", "TS_CPC", "S_CPC")
       cls <- Seq("LogisticRegression", "ScoreThreshold")
     } yield (model, cls)
-    val results = grid.map { case (model, cls) =>
+    rep6.count() // materialize the cache once before the parallel fits
+    // grid cells are independent Spark jobs — submit them concurrently
+    // (the cluster-idiomatic M7 orchestration; scheduler interleaves)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = grid.map { case (model, cls) => Future {
       val rep = variantSlice(model)
       val scored = cls match {
         case "LogisticRegression" =>
@@ -181,7 +187,8 @@ object CpcQueries {
       val auc = Metrics.rocAuc(scored, $"score", $"label")
         .select(round($"auc", 4)).collect()(0).getDouble(0)
       (model, cls, auc)
-    }
+    } }
+    val results = futures.map(f => Await.result(f, Duration.Inf))
     rep6.unpersist()
     results.toDF("Model", "Classification", "ROC_AUC")
       .orderBy($"Model", $"Classification")

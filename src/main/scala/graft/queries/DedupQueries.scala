@@ -185,6 +185,96 @@ object DedupQueries {
        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** near-dup pairs (the q42 pipeline, shared by q44). */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = signatures(s, dir)
+    val bands = sigs.select($"doc_id", $"sh",
+      explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*))
+        .as("band"))
+      .select($"doc_id", $"sh", $"band.band_idx", $"band.band_key")
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+      .withColumn("jaccard", round(
+        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 6))
+      .filter($"jaccard" >= 0.7)
+      .select($"doc_a", $"doc_b")
+  }
+
+  /** q44: transitive duplicate CLUSTERS from the near-dup pairs —
+    * connected components by iterative min-label propagation (the step
+    * that turns pairwise near-dups into dedup groups). Driver loop runs
+    * to fixpoint; components are shallow (dup chains), so the iteration
+    * count is the component diameter. At 100 TB: same loop with
+    * checkpointing every few rounds (lineage control), still one
+    * shuffle per round. Oracle: recursive-CTE reachability closure. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = neardupPairs(s, dir).cache()
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node")
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neigh = edges.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      val next = labels.join(neigh, $"node" === $"src", "left")
+        .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      iter += 1
+    }
+    val out = labels.select($"node".as("doc_id"), $"lbl".as("cluster_id"))
+      .orderBy($"doc_id")
+    pairs.unpersist(); edges.unpersist()
+    out
+  }
+
+  private val q44Sql = {
+    val bandUnion = (0 until BANDS)
+      .map(b => s"SELECT doc_id, sh, $b AS band_idx, band$b AS band_key FROM bandq")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH RECURSIVE $sigSqlCte,
+       |bands AS (
+       | $bandUnion),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id),
+       |pairs AS (
+       | SELECT doc_a, doc_b FROM (
+       |  SELECT doc_a, doc_b,
+       |   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+       |    6) AS jaccard
+       |  FROM cand
+       |  JOIN shq sa ON sa.doc_id = doc_a
+       |  JOIN shq sb ON sb.doc_id = doc_b) v
+       | WHERE jaccard >= 0.7),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs
+       | UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(node, r) AS (
+       | SELECT src, src FROM edges
+       | UNION
+       | SELECT w.node, e.dst FROM walk w JOIN edges e ON w.r = e.src)
+       |SELECT node AS doc_id, min(r) AS cluster_id
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   /** q43: SimHash — 32-bit per-doc fingerprint from token-frequency bit
     * votes (tokens with multiplicity; bit j set iff Σ ±1 votes > 0). */
   private def q43(s: SparkSession, dir: String): DataFrame = {
@@ -229,5 +319,7 @@ object DedupQueries {
     Q("q40_exact_dedup", q40, Some(q40Sql), "exact dedup via md5 groupBy"),
     Q("q41_minhash_sig", q41, Some(q41Sql), "MinHash signatures + LSH bands"),
     Q("q42_lsh_neardup", q42, Some(q42Sql), "MinHash-LSH pairs + Jaccard verify"),
-    Q("q43_simhash", q43, Some(q43Sql), "SimHash 32-bit fingerprints"))
+    Q("q43_simhash", q43, Some(q43Sql), "SimHash 32-bit fingerprints"),
+    Q("q44_dup_clusters", q44, Some(q44Sql),
+      "connected-component dup clusters (label propagation)"))
 }
