@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 1L, 30.0), (1L, 2L, 30.0), (2L, 2L, 12.0)))
   }
 
+  test("watermark drops late events in append-mode windowed agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val df = mem.toDF()
+      .select(col("user_id"), col("ts"), col("value"),
+        lit("click").as("event_type"))
+    val q = Streaming.tumblingAgg(df, windowLen = "1 hour",
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    // batch 1: events in the 10:00 hour, max ts 10:50
+    mem.addData(Event(1, ts(0), 1.0), Event(1, ts(50), 2.0))
+    q.processAllAvailable()
+    // batch 2: advance event time to 13:00 → watermark 12:30 closes the
+    // 10:00 window (emitted); a 10:05 straggler must be DROPPED
+    mem.addData(Event(1, Timestamp.valueOf("2026-01-01 13:00:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(5), 100.0)) // late beyond watermark
+    q.processAllAvailable()
+    val rows = spark.table("late")
+      .select(col("bucket"), col("n"), col("sum_value")).collect()
+    q.stop()
+    // the emitted 10:00 window contains only the on-time events
+    val w10 = rows.find(_.getTimestamp(0) ==
+      Timestamp.valueOf("2026-01-01 10:00:00"))
+    assert(w10.isDefined, s"10:00 window not emitted: ${rows.mkString}")
+    assert(w10.get.getLong(1) == 2L)
+    assert(approxEqual(w10.get.getDouble(2), 3.0))
+  }
+
   test("emaPerKey equals the batch emaLast scan across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
