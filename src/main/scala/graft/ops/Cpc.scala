@@ -106,6 +106,28 @@ object Cpc {
     }
   }
 
+  /** DuckDB SQL for one GRU step as a lambda body: given state list
+    * name `h` (1-based DOUBLE[], size w.h) and input name `x`, emit the
+    * next-state DOUBLE[] literal. sigmoid/tanh are spelled with exp()
+    * (DuckDB has no tanh); identical recurrence up to float ulps, which
+    * the rounded query output absorbs. Used to ORACLE-CHECK the GRU. */
+  def gruStepSql(w: GruWeights, h: String, x: String): String = {
+    def sig(t: String) = s"(1.0 / (1.0 + exp(-($t))))"
+    def tnh(t: String) = s"(1.0 - 2.0 / (exp(2.0 * ($t)) + 1.0))"
+    def lin(wv: Seq[Double], u: Seq[Seq[Double]], b: Seq[Double], i: Int,
+            hOf: Int => String) =
+      (s"(${wv(i)}) * $x + (${b(i)})" +:
+        (0 until w.h).map(j => s"(${u(i)(j)}) * ${hOf(j)}")).mkString(" + ")
+    def hAt(j: Int) = s"$h[${j + 1}]"
+    val comps = (0 until w.h).map { i =>
+      val z = sig(lin(w.wz, w.uz, w.bz, i, hAt))
+      val rh = (j: Int) => s"(${sig(lin(w.wr, w.ur, w.br, j, hAt))} * ${hAt(j)})"
+      val hh = tnh(lin(w.wh, w.uh, w.bh, i, rh))
+      s"(1.0 - $z) * ${hAt(i)} + $z * $hh"
+    }
+    comps.mkString("[", ", ", "]")
+  }
+
   /** plain-Scala reference for the same scan (ScalaTest oracle). */
   def gruScanRef(w: GruWeights, xs: Seq[Double]): Seq[Double] = {
     def sig(t: Double) = 1.0 / (1.0 + math.exp(-t))

@@ -87,22 +87,43 @@ object SeqQueries {
 
   /** q72: W2 GRU scan — hidden-2 GRU over each user's value series
     * (inputs scaled to O(1)), final state as the representation. Pure
-    * HOF recurrence; no SQL form (DuckDB lacks tanh) → rows-only check,
-    * correctness in CpcSpec. */
+    * HOF recurrence on the Spark side; the ORACLE re-runs the same
+    * recurrence in DuckDB via list_reduce with a DOUBLE[] state and
+    * exp()-spelled sigmoid/tanh — even the GRU is oracle-checked
+    * (plus closed-form checks in CpcSpec). */
   private def q72(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Cpc.demoWeights(2)
     val series = SeriesOps.assemble(
       events(s, dir).withColumn("x", $"value" / 100.0),
       $"user_id", $"ts", "x" -> $"x")
     series
-      .withColumn("hfin", Cpc.gruScan(w, $"x"))
+      .withColumn("hfin", Cpc.gruScan(gruW, $"x"))
       .select(
         $"series_key".as("user_id"),
         $"series_len".as("n"),
         round(element_at($"hfin", 1), 6).as("h0"),
         round(element_at($"hfin", 2), 6).as("h1"))
       .orderBy($"user_id")
+  }
+
+  private val gruW = Cpc.demoWeights(2)
+
+  private lazy val q72Sql = {
+    // list_reduce needs acc type = element type (both DOUBLE[], any
+    // length): acc is the 2-elem state, elements are [x] singletons
+    val step = Cpc.gruStepSql(gruW, "h", "xx[1]")
+    s"""WITH xs AS (
+       | SELECT user_id, list(value / 100.0 ORDER BY ts, value / 100.0) AS v
+       | FROM events GROUP BY user_id),
+       |scan AS (
+       | SELECT user_id, len(v) AS n,
+       |  list_reduce(
+       |   list_prepend([0.0, 0.0], list_transform(v, x -> [x])),
+       |   (h, xx) -> $step) AS hfin
+       | FROM xs)
+       |SELECT user_id, n,
+       | round(hfin[1], 6) AS h0, round(hfin[2], 6) AS h1
+       |FROM scan ORDER BY user_id""".stripMargin
   }
 
   /** q73: A4/J2/J3/A3 — batch-local InfoNCE: per-user representation,
@@ -204,7 +225,8 @@ object SeqQueries {
   val queries: Seq[Q] = Seq(
     Q("q70_conv1d", q70, Some(q70Sql), "W1 3-tap conv, array vs window"),
     Q("q71_fft_spectrum", q71, Some(q71Sql), "W3 FFT vs SQL DFT bins"),
-    Q("q72_gru_scan", q72, None, "W2 GRU recurrence (HOF scan)"),
+    Q("q72_gru_scan", q72, Some(q72Sql),
+      "W2 GRU recurrence (HOF scan, list_reduce oracle)"),
     Q("q73_infonce", q73, Some(q73Sql), "A4 batch-local InfoNCE + A3 acc"),
     Q("q74_batchnorm", q74, Some(q74Sql), "A5 batch-norm moments"))
 }
