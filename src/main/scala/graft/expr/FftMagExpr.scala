@@ -62,6 +62,7 @@ object FftMagExpr {
   * call once per SparkSession before using the SQL names). */
 object GraftFunctions {
   private val fftMagId = FunctionIdentifier("graft_fft_mag")
+  private val dotId = FunctionIdentifier("graft_dot")
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -71,11 +72,22 @@ object GraftFunctions {
         new ExpressionInfo(classOf[FftMagExpr].getName, "graft_fft_mag"),
         (children: Seq[Expression]) => FftMagExpr(children.head))
     }
+    if (!registry.functionExists(dotId)) {
+      registry.registerFunction(
+        dotId,
+        new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotExpr(children(0), children(1)))
+    }
   }
 
-  /** column form backed by the native expression (not the UDF). */
+  /** column forms backed by the native expressions (not UDFs). */
   def fftMag(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function("graft_fft_mag", c)
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_dot", a, b)
   }
 }

@@ -73,7 +73,7 @@ object SimilarityQueries {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"vn".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, $"vec_id" =!= $"q_id")
-      .withColumn("sim", round(ArrayOps.dot($"qv", $"v") / ($"qn" * $"vn"), 5))
+      .withColumn("sim", round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") / ($"qn" * $"vn"), 5))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
       .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim")
@@ -108,7 +108,7 @@ object SimilarityQueries {
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("sim", round(ArrayOps.dot($"qv", $"v") / ($"qn" * $"vn"), 5))
+      .withColumn("sim", round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") / ($"qn" * $"vn"), 5))
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy($"q_id")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
@@ -182,7 +182,7 @@ object SimilarityQueries {
     val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"),
       $"vn".as("nb"))
     a.join(b, "label").filter($"id_a" < $"id_b")
-      .withColumn("cos", round(ArrayOps.dot($"va", $"vb") / ($"na" * $"nb"), 5))
+      .withColumn("cos", round(graft.expr.GraftFunctions.dot(s, $"va", $"vb") / ($"na" * $"nb"), 5))
       .select($"label", $"id_a", $"id_b", $"cos")
       .orderBy($"cos".desc, $"id_a", $"id_b")
       .limit(20)
