@@ -217,29 +217,51 @@ object DedupQueries {
     * shuffle per round. Oracle: recursive-CTE reachability closure. */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = neardupPairs(s, dir).cache()
-    val edges = pairs
-      .union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").cache()
-    var labels = edges.select($"src".as("node")).distinct()
-      .withColumn("lbl", $"node")
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
+    // localCheckpoint truncates LINEAGE: the folded propagation plan
+    // references `edges` many times, and without truncation every
+    // reference embeds (and Catalyst re-optimizes / recomputes) the
+    // whole LSH pipeline subtree
+    val edges = neardupPairs(s, dir)
+      .select(array($"doc_a", $"doc_b").as("e"))
+      .select(explode(array(
+        struct($"e"(0).as("src"), $"e"(1).as("dst")),
+        struct($"e"(1).as("src"), $"e"(0).as("dst")))).as("ed"))
+      .select($"ed.src", $"ed.dst")
+      .coalesce(4)
+      .localCheckpoint(true)
+    // the label-prop loop works on a tiny edge set — run its shuffles
+    // narrow (restored below; at scale the edge set is large and keeps
+    // the session default)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+    def propagate(labels: DataFrame): DataFrame = {
       val neigh = edges.join(labels, $"dst" === $"node")
         .groupBy($"src").agg(min($"lbl").as("nlbl"))
-      val next = labels.join(neigh, $"node" === $"src", "left")
+      labels.join(neigh, $"node" === $"src", "left")
         .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
-        .cache()
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
-      iter += 1
     }
-    val out = labels.select($"node".as("doc_id"), $"lbl".as("cluster_id"))
+    // near-dup clusters are shallow — 6 rounds folded LAZILY into one
+    // plan (one job), then a single convergence check; the loop below
+    // only runs for a pathological >6-diameter component
+    var labels = (1 to 3).foldLeft(
+      edges.select($"src".as("node")).distinct().withColumn("lbl", $"node"))(
+      (l, _) => propagate(l)).localCheckpoint(true)
+    var changed = propagate(labels).as("n")
+      .join(labels.as("o"), col("n.node") === col("o.node"))
+      .filter(col("n.lbl") < col("o.lbl")).count()
+    while (changed > 0) {
+      labels = (1 to 3).foldLeft(labels)((l, _) => propagate(l))
+        .localCheckpoint(true)
+      changed = propagate(labels).as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+    }
+    labels.select($"node".as("doc_id"), $"lbl".as("cluster_id"))
       .orderBy($"doc_id")
-    pairs.unpersist(); edges.unpersist()
-    out
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   private val q44Sql = {
