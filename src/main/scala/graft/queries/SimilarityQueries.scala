@@ -167,6 +167,90 @@ object SimilarityQueries {
       |SELECT label, n, avg_norm, centroid_norm
       |FROM norms JOIN cn USING (label) ORDER BY label""".stripMargin
 
+  private val CELLS = 16
+
+  /** deterministic IVF "codebook": CELLS centroids in [-1,1)^DIM derived
+    * from md5 (same literal-sharing trick as the hyperplanes). A real
+    * deployment trains these with KMeans (q65); literals keep the
+    * assignment oracle-checkable. */
+  private[queries] lazy val centroids: Seq[Seq[BigDecimal]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until CELLS).map { c =>
+      (0 until DIM).map { d =>
+        val hex = mdig.digest(s"c:$c:d:$d".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+        BigDecimal(u * 2.0 - 1.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+  }
+
+  /** nearest-centroid cell id: argmax_c (v·c − |c|²/2) (≡ argmin
+    * euclidean distance). Scores land in ONE array and argmax is
+    * array_position-of-max (first max wins) — a chained conditional
+    * fold would duplicate each score subtree exponentially (2^CELLS
+    * expression nodes) and hang Catalyst analysis. */
+  private def cellCol(v: Column): Column = {
+    val scores = array(centroids.map { c =>
+      val cArr = array(c.map(x => lit(x.toDouble)): _*)
+      val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      ArrayOps.dot(v, cArr) - half
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  private def cellSql(v: String): String = {
+    val scores = centroids.map { c =>
+      val cLit = c.mkString("[", ", ", "]")
+      val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      s"(list_sum(list_transform(list_zip($v, $cLit), " +
+        s"z -> CAST(z[1] * z[2] AS DOUBLE))) - ($half))"
+    }.mkString("[", ",\n   ", "]")
+    s"(CAST(list_position($scores, list_max($scores)) AS INT) - 1)"
+  }
+
+  /** q54: IVF-cell ANN — nearest-centroid assignment partitions the
+    * corpus into CELLS inverted lists; each query searches only its own
+    * cell (the quantizer-as-blocking scale path, complementing q51's
+    * LSH). */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("cell", cellCol($"v"))
+      .withColumn("vn", ArrayOps.l2Norm($"v"))
+    val q = e.filter($"vec_id" % 125 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell", $"vn".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(q).join(e, Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") / ($"qn" * $"vn"), 5))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy($"q_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"q_id", $"cell", $"n_cand", $"rn",
+        $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q54Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, ${cellSql("v")} AS cell FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM b
+       |      WHERE vec_id % 125 = 0),
+       |p AS (SELECT q_id, q.cell, vec_id,
+       |       round(list_cosine_similarity(qv, v), 5) AS sim
+       |      FROM q JOIN b USING (cell) WHERE vec_id <> q_id),
+       |r AS (SELECT q_id, cell, vec_id, sim,
+       |       count(*) OVER (PARTITION BY q_id) AS n_cand,
+       |       row_number() OVER (PARTITION BY q_id
+       |                          ORDER BY sim DESC, vec_id) AS rn
+       |      FROM p)
+       |SELECT q_id, cell, n_cand, rn, vec_id AS neighbor_id, sim FROM r
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   /** q53: embedding-cosine near-dup candidates (dedup variant of the
     * builder brief) — all pairs WITHIN a label block (the blocking key
     * bounds the quadratic term), ranked by cosine; top-20 global. At
@@ -199,6 +283,7 @@ object SimilarityQueries {
   val queries: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql), "brute-force cosine top-5 KNN"),
     Q("q51_ann_lsh", q51, Some(q51Sql), "random-hyperplane LSH ANN"),
+    Q("q54_ann_ivf", q54, Some(q54Sql), "IVF nearest-centroid-cell ANN"),
     Q("q52_centroid_stats", q52, Some(q52Sql), "per-label centroid stats"),
     Q("q53_embed_neardup", q53, Some(q53Sql),
       "embedding-cosine near-dup candidate ranking"))

@@ -222,7 +222,43 @@ object TextQueries {
       |SELECT ngram, count(*) AS n FROM g
       |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin
 
+  /** q36: BPE-ish regex tokenization (builder brief: "token counting —
+    * whitespace + a BPE-ish regex"): subword-style lexer classes
+    * (lowercase runs, Titlecase runs, digit runs, single punct) via
+    * regexp_extract_all — the same pattern compiles in Java regex and
+    * RE2, so the oracle tokenizes identically. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+    documents(s, dir)
+      .withColumn("bt", regexp_extract_all($"text", lit(pat), lit(0)))
+      .select(
+        $"doc_id",
+        size($"bt").as("n_subtokens"),
+        size(filter($"bt", t => t.rlike("^[a-zA-Z]"))).as("n_alpha"),
+        size(filter($"bt", t => t.rlike("^[0-9]"))).as("n_num"),
+        round(aggregate($"bt", lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / $"n_chars", 6).as("coverage"))
+      .orderBy($"doc_id")
+  }
+
+  private val q36Sql =
+    """WITH d AS (
+      | SELECT doc_id, n_chars,
+      |  regexp_extract_all(text,
+      |   '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]') AS bt
+      | FROM documents)
+      |SELECT doc_id,
+      | len(bt) AS n_subtokens,
+      | len(list_filter(bt, t -> regexp_matches(t, '^[a-zA-Z]')))
+      |   AS n_alpha,
+      | len(list_filter(bt, t -> regexp_matches(t, '^[0-9]'))) AS n_num,
+      | round(CAST(list_sum(list_transform(bt, t -> length(t))) AS DOUBLE)
+      |   / n_chars, 6) AS coverage
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q36_bpe_tokens", q36, Some(q36Sql), "BPE-ish regex subword tokens"),
     Q("q30_token_stats", q30, Some(q30Sql), "per-doc token stats (text analysis)"),
     Q("q31_corpus_profile", q31, Some(q31Sql), "lang×source corpus rollup"),
     Q("q32_lang_id", q32, Some(q32Sql), "lexicon lang-ID heuristic + confusion"),
