@@ -45,6 +45,42 @@ object Streaming {
         col("session_value"))
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  final case class ClosedSession(user_id: Long, session_start: Long,
+                                 session_end: Long, n: Long, sum: Double)
+
+  /** custom stateful sessionizer via flatMapGroupsWithState: carries an
+    * open session per key across micro-batches, EMITS each session the
+    * moment a gap closes it (unlike session_window, which waits for the
+    * watermark) — the §2.10 GroupState shape with multi-row output.
+    * Gap unit: milliseconds of event time. */
+  def sessionizeStateful(events: Dataset[Event],
+                         gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[SessState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null =>
+                st = SessState(t, t, 1L, e.value)
+              case s if t - s.last > gapMs =>
+                closed += ClosedSession(uid, s.start, s.last, s.n, s.sum)
+                st = SessState(t, t, 1L, e.value)
+              case s =>
+                st = SessState(s.start, t, s.n + 1, s.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
   final case class EmaState(ema: Double, n: Long)
   final case class EmaOut(user_id: Long, batch_events: Long,
                           total_events: Long, ema: Double)

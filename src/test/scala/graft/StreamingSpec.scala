@@ -87,6 +87,27 @@ class StreamingSpec extends SparkSpec {
     assert(approxEqual(w10.get.getDouble(2), 3.0))
   }
 
+  test("sessionizeStateful closes sessions on gap across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionizeStateful(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("statefulsess")
+      .outputMode("append").start()
+    // batch 1: user 1 events 10:00, 10:05 — open session, nothing emitted
+    mem.addData(Event(1, ts(0), 10.0), Event(1, ts(5), 20.0))
+    q.processAllAvailable()
+    assert(spark.table("statefulsess").count() == 0)
+    // batch 2: 10:50 (45-min gap) closes it and opens a new one
+    mem.addData(Event(1, ts(50), 30.0))
+    q.processAllAvailable()
+    val rows = spark.table("statefulsess")
+      .select(col("user_id"), col("n"), col("sum")).collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+    assert(approxEqual(rows(0).getDouble(2), 30.0))
+  }
+
   test("emaPerKey equals the batch emaLast scan across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
