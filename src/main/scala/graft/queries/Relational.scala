@@ -323,7 +323,94 @@ object Relational {
       |GROUP BY ROLLUP (n_name, c_mktsegment)
       |ORDER BY gid, n_name, c_mktsegment""".stripMargin
 
+  /** q14: analytic window breadth (W11 family) — lag/lead deltas,
+    * running totals, percent_rank/ntile over per-user event sequences. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+    events(s, dir)
+      .withColumn("prev_delta",
+        round($"value" - lag($"value", 1).over(w), 6))
+      .withColumn("next_delta",
+        round(lead($"value", 1).over(w) - $"value", 6))
+      .withColumn("running_sum", round(sum($"value").over(wAll), 4))
+      .withColumn("pct_rank", round(percent_rank().over(
+        Window.partitionBy($"user_id").orderBy($"value", $"event_id")), 6))
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy($"user_id").orderBy($"value", $"event_id")))
+      .select($"user_id", $"event_id", $"prev_delta", $"next_delta",
+        $"running_sum", $"pct_rank", $"quartile")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q14Sql =
+    """SELECT user_id, event_id,
+      | round(value - lag(value) OVER w, 6) AS prev_delta,
+      | round(lead(value) OVER w - value, 6) AS next_delta,
+      | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+      |   AS running_sum,
+      | round(percent_rank() OVER wv, 6) AS pct_rank,
+      | ntile(4) OVER wv AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       wv AS (PARTITION BY user_id ORDER BY value, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q15: date/time function breadth (§2.8 — the engine adds real
+    * TimestampType handling the index-as-time reference lacks). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(
+        year($"ts").as("y"),
+        weekofyear($"ts").as("week"),
+        dayofweek($"ts").as("dow"),
+        hour($"ts").as("hr"))
+      .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+      .filter($"n" >= 3)
+      .orderBy($"y", $"week", $"dow", $"hr")
+  }
+
+  private val q15Sql =
+    """SELECT CAST(year(ts) AS INT) AS y,
+      | CAST(weekofyear(ts) AS INT) AS week,
+      | CAST(dayofweek(ts) AS INT) + 1 AS dow,
+      | CAST(hour(ts) AS INT) AS hr,
+      | count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3
+      |ORDER BY y, week, dow, hr""".stripMargin
+
+  /** q16: string function breadth (§2.8) — pad/split_part/translate/
+    * initcap/edit distance (levenshtein powers fuzzy key matching). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .select(
+        $"c_custkey".as("custkey"),
+        lpad($"c_name", 22, "_").as("padded"),
+        substring_index($"c_name", "#", -1).as("num_part"),
+        translate($"c_mktsegment", "AEIOU", "aeiou").as("seg_tr"),
+        initcap(lower($"c_mktsegment")).as("seg_cap"),
+        levenshtein($"c_name", $"c_mktsegment").as("edit_dist"))
+      .orderBy($"custkey")
+  }
+
+  private val q16Sql =
+    """SELECT c_custkey AS custkey,
+      | lpad(c_name, 22, '_') AS padded,
+      | split_part(c_name, '#', 2) AS num_part,
+      | translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+      | concat(upper(substr(lower(c_mktsegment), 1, 1)),
+      |        substr(lower(c_mktsegment), 2)) AS seg_cap,
+      | levenshtein(c_name, c_mktsegment) AS edit_dist
+      |FROM customer ORDER BY custkey""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q14_analytic_windows", q14, Some(q14Sql), "lag/lead/ntile/percent_rank"),
+    Q("q15_datetime_funcs", q15, Some(q15Sql), "calendar bucketing breadth"),
+    Q("q16_string_funcs", q16, Some(q16Sql), "string function breadth"),
     Q("q13_rollup", q13, Some(q13Sql), "rollup + grouping_id multi-level agg"),
     Q("q01_pricing_summary", q01, Some(q01Sql), "TPC-H Q1-style agg (A2/A12)"),
     Q("q02_selective_scan", q02, Some(q02Sql), "pushdown filter + agg (F2)"),
