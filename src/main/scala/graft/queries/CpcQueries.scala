@@ -19,14 +19,25 @@ import graft.ops.{ArrayOps, Cpc, Fft, Metrics, SeriesOps}
   */
 object CpcQueries {
 
+  private val K = 2
+  private lazy val gru = Cpc.demoWeights(2)
+  private val encBias = Seq(0.05, -0.05)
+  private lazy val encW: Seq[Seq[Seq[Double]]] = {
+    var st = 2026L
+    def nxt(): Double = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((st >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    Seq.fill(2)(Seq.fill(16)(Seq.fill(3)(nxt())))
+  }
+
   /** q75: full CPC forward pass (E1 steps 3-4 as ONE dataflow):
     * per-user series → P1×P2 fuse → W1 conv encoder + P11 relu →
     * W4 deterministic anchor → W5 prefix-GRU context → W6 targets
-    * k=1..2 → J2 batch all-pairs scores → A4 InfoNCE + A3 accuracy. */
+    * k=1..2 → J2 batch all-pairs scores → A4 InfoNCE + A3 accuracy.
+    * The ORACLE reproduces the whole pass in DuckDB (q75Sql below). */
   private def q75(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val K = 2
-    val gru = Cpc.demoWeights(2)
     val e = events(s, dir)
       .withColumn("quality", pmod($"event_id", lit(16)).cast("int"))
     val series = SeriesOps.assemble(e, $"user_id", $"ts",
@@ -35,18 +46,10 @@ object CpcQueries {
     // encoder, the reference W1 shape (`T_CPC.py:16-22`): P1×P2 16-channel
     // one-hot fuse → Conv1d(16→2, k=3, pad=1) channel mix → ReLU →
     // collapse to the scalar latent track
-    val encW = {
-      var st = 2026L
-      def nxt(): Double = {
-        st = st * 6364136223846793005L + 1442695040888963407L
-        ((st >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-      }
-      Seq.fill(2)(Seq.fill(16)(Seq.fill(3)(nxt())))
-    }
     val encoded = series
       .withColumn("fused16", ArrayOps.oneHotFuse($"v", $"q", 16))
       .withColumn("enc",
-        Cpc.conv1dChannels($"fused16", encW, Seq(0.05, -0.05)))
+        Cpc.conv1dChannels($"fused16", encW, encBias))
       .withColumn("z", transform($"enc", ch =>
         greatest(element_at(ch, 1), lit(0.0)) +
           greatest(element_at(ch, 2), lit(0.0))))
@@ -106,6 +109,88 @@ object CpcQueries {
         round(avg($"loss"), 6).as("info_nce"),
         round(avg($"hit") * 100, 4).as("self_match_pct"))
       .orderBy($"batch_id")
+  }
+
+  /** DuckDB oracle for the ENTIRE forward pass. The one-hot fuse makes
+    * the 16-channel conv a weight LOOKUP: Σ_c w[o][c][d]·fused[j][c] =
+    * w[o][q[j]][d]·x[j], so the encoder is three guarded taps per
+    * output channel; the GRU prefix scan is a list_reduce (q72's
+    * technique); anchor/projection/InfoNCE mirror the Spark plan.
+    * Summation-order fp deltas (~1e-16) sit far below the 6-dp output
+    * rounding. */
+  private lazy val q75Sql: String = {
+    // flat lookup lists: wl(o)[c*3 + d + 1] = encW(o)(c)(d)
+    val wl = (0 to 1).map(o => encW(o).flatten.mkString("[", ", ", "]"))
+    def encTerm(o: Int): String = {
+      val taps = (0 to 2).map { d =>
+        val j = d - 1 match {
+          case 0 => "t"
+          case off if off < 0 => s"(t - ${-off})"
+          case off => s"(t + $off)"
+        }
+        s"(CASE WHEN $j >= 1 AND $j <= n " +
+          s"THEN ${wl(o)}[q[$j] * 3 + $d + 1] * x[$j] ELSE 0.0 END)"
+      }
+      s"((${encBias(o)}) + ${taps.mkString(" + ")})"
+    }
+    val gruStep = Cpc.gruStepSql(gru, "h", "xx[1]")
+    s"""WITH s1 AS (
+       | SELECT user_id,
+       |  list(value / 100.0 ORDER BY ts, value / 100.0, quality) AS x,
+       |  list(quality ORDER BY ts, value / 100.0, quality) AS q,
+       |  count(*) AS n
+       | FROM (SELECT *, CAST(event_id % 16 AS INT) AS quality FROM events)
+       | GROUP BY user_id HAVING count(*) >= 12),
+       |zt AS (
+       | SELECT user_id, n,
+       |  list_transform(generate_series(1, CAST(n AS INT)), t ->
+       |   greatest(${encTerm(0)}, 0.0) + greatest(${encTerm(1)}, 0.0)) AS z
+       | FROM s1),
+       |anch AS (
+       | SELECT user_id, user_id % 4 AS batch_id, n, z,
+       |  CAST(floor(0.4 * n) AS INT) +
+       |   CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+       |         AS BIGINT)
+       |    % greatest(CAST(floor(n * 0.6) AS BIGINT) - ${K + 1}, 1) AS INT)
+       |   AS anchor
+       | FROM zt),
+       |ctxd AS (
+       | SELECT user_id, batch_id, anchor, z,
+       |  list_reduce(
+       |   list_prepend([0.0, 0.0],
+       |     list_transform(z[1:(anchor + 1)], e -> [e])),
+       |   (h, xx) -> $gruStep) AS ctx
+       | FROM anch),
+       |proj AS (
+       | SELECT user_id, batch_id,
+       |  ctx[1] * 0.9 + ctx[2] * -0.4 AS proj1,
+       |  ctx[1] * -0.3 + ctx[2] * 1.1 AS proj2,
+       |  z[anchor + 1] AS tgt1, z[anchor + 2] AS tgt2
+       | FROM ctxd),
+       |sc AS (
+       | SELECT a.batch_id, a.user_id AS i, b.user_id AS j, kk.k,
+       |  CASE WHEN kk.k = 1 THEN a.proj1 * b.tgt1
+       |       ELSE a.proj2 * b.tgt2 END AS sc
+       | FROM proj a JOIN proj b ON a.batch_id = b.batch_id
+       | CROSS JOIN (VALUES (1), (2)) kk(k)),
+       |scr AS (
+       | SELECT *, row_number() OVER (PARTITION BY k, i
+       |            ORDER BY sc DESC, j) AS rn FROM sc),
+       |peri AS (
+       | SELECT batch_id, k, i, max(sc) AS m,
+       |  sum(CASE WHEN j = i THEN sc END) AS s_pos,
+       |  max(CASE WHEN rn = 1 THEN j END) AS argmax_j
+       | FROM scr GROUP BY batch_id, k, i),
+       |lse AS (
+       | SELECT sc.k, sc.i, ln(sum(exp(sc.sc - p.m))) + any_value(p.m) AS lse
+       | FROM sc JOIN peri p ON sc.k = p.k AND sc.i = p.i
+       | GROUP BY sc.k, sc.i)
+       |SELECT p.batch_id, count(DISTINCT p.i) AS batch_n,
+       | round(avg(l.lse - p.s_pos), 6) AS info_nce,
+       | round(avg(CASE WHEN p.argmax_j = p.i THEN 1.0 ELSE 0.0 END) * 100, 4)
+       |   AS self_match_pct
+       |FROM peri p JOIN lse l ON p.k = l.k AND p.i = l.i
+       |GROUP BY p.batch_id ORDER BY p.batch_id""".stripMargin
   }
 
   /** per-user 6-channel representation, computed ONCE for the whole grid
@@ -195,8 +280,8 @@ object CpcQueries {
   }
 
   val queries: Seq[Q] = Seq(
-    Q("q75_cpc_forward", q75, None,
-      "full CPC forward pass: fuse→conv→GRU→InfoNCE (E1)"),
+    Q("q75_cpc_forward", q75, Some(q75Sql),
+      "full CPC forward pass: fuse→conv→GRU→InfoNCE (E1, full oracle)"),
     Q("q76_probe_grid", q76, None,
       "linear-probe protocol grid → Model×Classification×ROC_AUC (M7)"))
 }
