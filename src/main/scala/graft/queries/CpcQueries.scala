@@ -22,6 +22,7 @@ object CpcQueries {
   private val K = 2
   private lazy val gru = Cpc.demoWeights(2)
   private val encBias = Seq(0.05, -0.05)
+  private val conv2Kernel = Seq(0.3, 0.5, 0.2)
   private lazy val encW: Seq[Seq[Seq[Double]]] = {
     var st = 2026L
     def nxt(): Double = {
@@ -43,16 +44,19 @@ object CpcQueries {
     val series = SeriesOps.assemble(e, $"user_id", $"ts",
       "v" -> ($"value" / 100.0), "q" -> $"quality")
       .filter($"series_len" >= 12)
-    // encoder, the reference W1 shape (`T_CPC.py:16-22`): P1×P2 16-channel
-    // one-hot fuse → Conv1d(16→2, k=3, pad=1) channel mix → ReLU →
-    // collapse to the scalar latent track
+    // encoder, the reference W1 shape (`T_CPC.py:16-22`, TWO stacked
+    // layers): P1×P2 16-channel one-hot fuse → Conv1d(16→2, k=3,
+    // pad=1) channel mix → ReLU → collapse → second temporal
+    // Conv1d(k=3, pad=1) → ReLU
     val encoded = series
       .withColumn("fused16", ArrayOps.oneHotFuse($"v", $"q", 16))
       .withColumn("enc",
         Cpc.conv1dChannels($"fused16", encW, encBias))
-      .withColumn("z", transform($"enc", ch =>
+      .withColumn("z1", transform($"enc", ch =>
         greatest(element_at(ch, 1), lit(0.0)) +
           greatest(element_at(ch, 2), lit(0.0))))
+      .withColumn("z", ArrayOps.relu(
+        ArrayOps.conv1dSame($"z1", conv2Kernel)))
     // W4: deterministic anchor in [0.4L, L-K-1) via md5(user_id) —
     // seeded-random analogue that both engines could recompute
     val anchored = encoded
@@ -144,8 +148,22 @@ object CpcQueries {
        |zt AS (
        | SELECT user_id, n,
        |  list_transform(generate_series(1, CAST(n AS INT)), t ->
-       |   greatest(${encTerm(0)}, 0.0) + greatest(${encTerm(1)}, 0.0)) AS z
+       |   greatest(${encTerm(0)}, 0.0) + greatest(${encTerm(1)}, 0.0)) AS z1
        | FROM s1),
+       |z2t AS (
+       | SELECT user_id, n,
+       |  list_transform(generate_series(1, CAST(n AS INT)), t ->
+       |   greatest(${
+         conv2Kernel.zipWithIndex.map { case (k, d) =>
+           val j = d - 1 match {
+             case 0 => "t"
+             case off if off < 0 => s"(t - ${-off})"
+             case off => s"(t + $off)"
+           }
+           s"(CASE WHEN $j >= 1 AND $j <= n THEN z1[$j] * ($k) ELSE 0.0 END)"
+         }.mkString(" + ")
+       }, 0.0)) AS z
+       | FROM zt),
        |anch AS (
        | SELECT user_id, user_id % 4 AS batch_id, n, z,
        |  CAST(floor(0.4 * n) AS INT) +
@@ -153,7 +171,7 @@ object CpcQueries {
        |         AS BIGINT)
        |    % greatest(CAST(floor(n * 0.6) AS BIGINT) - ${K + 1}, 1) AS INT)
        |   AS anchor
-       | FROM zt),
+       | FROM z2t),
        |ctxd AS (
        | SELECT user_id, batch_id, anchor, z,
        |  list_reduce(
