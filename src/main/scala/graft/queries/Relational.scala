@@ -407,7 +407,40 @@ object Relational {
       | levenshtein(c_name, c_mktsegment) AS edit_dist
       |FROM customer ORDER BY custkey""".stripMargin
 
+  /** q17: TPC-H Q9-flavor — part ⋈ lineitem ⋈ supplier ⋈ nation profit
+    * rollup by (nation, brand). Two broadcast dims (part filtered,
+    * nation) + one fact-side shuffle join with supplier. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir).filter($"p_size" <= 20)),
+        $"l_partkey" === $"p_partkey")
+      .join(supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          - $"l_quantity" * $"p_retailprice" * 0.8), 2).as("profit"),
+        round(avg($"s_acctbal"), 4).as("avg_supp_bal"))
+      .orderBy($"n_name", $"p_brand")
+  }
+
+  private val q17Sql =
+    """SELECT n_name, p_brand, count(*) AS n_lines,
+      | round(sum(l_extendedprice * (1.0 - l_discount)
+      |   - l_quantity * p_retailprice * 0.8), 2) AS profit,
+      | round(avg(s_acctbal), 4) AS avg_supp_bal
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size <= 20
+      |GROUP BY n_name, p_brand
+      |ORDER BY n_name, p_brand""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q17_profit_rollup", q17, Some(q17Sql), "4-table profit join (part/supplier)"),
     Q("q14_analytic_windows", q14, Some(q14Sql), "lag/lead/ntile/percent_rank"),
     Q("q15_datetime_funcs", q15, Some(q15Sql), "calendar bucketing breadth"),
     Q("q16_string_funcs", q16, Some(q16Sql), "string function breadth"),
