@@ -222,7 +222,52 @@ object SeqQueries {
       | round(sum(vhat * vhat), 4) AS sumsq_vhat
       |FROM nrm GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q81: P12 train-mode dropout with a DETERMINISTIC md5 mask (the
+    * oracle-checkable analogue of rand(seed), which is partition-order
+    * dependent): drop p=1/10 of timesteps (md5(uid:t) % 10 == 0),
+    * scale survivors by 10/9; report per-user kept count and means —
+    * mean(dropped) ≈ mean (the unbiasedness the rescale buys). */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = SeriesOps.assemble(events(s, dir), $"user_id", $"ts",
+      "v" -> $"value")
+    series
+      .withColumn("dropped",
+        zip_with($"v", sequence(lit(1), size($"v")), (x, t) => {
+          val h = conv(substring(md5(
+            concat($"series_key".cast("string"), lit(":"), t.cast("string"))),
+            1, 8), 16, 10).cast("long")
+          when(h % 10 === 0, lit(0.0)).otherwise(x * 10.0 / 9.0)
+        }))
+      .select(
+        $"series_key".as("user_id"),
+        $"series_len".as("n"),
+        size(filter($"dropped", x => x =!= 0.0)).as("n_kept"),
+        round(ArrayOps.arrayMean($"v"), 6).as("mean_orig"),
+        round(ArrayOps.arrayMean($"dropped"), 6).as("mean_dropped"))
+      .orderBy($"user_id")
+  }
+
+  private val q81Sql =
+    """WITH s1 AS (
+      | SELECT user_id, list(value ORDER BY ts, value) AS v
+      | FROM events GROUP BY user_id),
+      |d AS (
+      | SELECT user_id, v, len(v) AS n,
+      |  list_transform(generate_series(1, len(v)), t ->
+      |   CASE WHEN CAST(concat('0x',
+      |          substr(md5(concat(CAST(user_id AS VARCHAR), ':',
+      |                 CAST(t AS VARCHAR))), 1, 8)) AS BIGINT) % 10 = 0
+      |        THEN 0.0 ELSE v[t] * 10.0 / 9.0 END) AS dropped
+      | FROM s1)
+      |SELECT user_id, n,
+      | len(list_filter(dropped, x -> x <> 0.0)) AS n_kept,
+      | round(CAST(list_sum(v) AS DOUBLE) / n, 6) AS mean_orig,
+      | round(CAST(list_sum(dropped) AS DOUBLE) / n, 6) AS mean_dropped
+      |FROM d ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q81_dropout_mask", q81, Some(q81Sql), "P12 deterministic dropout mask"),
     Q("q70_conv1d", q70, Some(q70Sql), "W1 3-tap conv, array vs window"),
     Q("q71_fft_spectrum", q71, Some(q71Sql), "W3 FFT vs SQL DFT bins"),
     Q("q72_gru_scan", q72, Some(q72Sql),
