@@ -345,7 +345,41 @@ object Series {
       | count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q82: W7 EMA full TRAJECTORY (`exercise provided.ipynb` cell 20
+    * curve smoothing) — emaScan HOF then posexplode back to long form;
+    * oracle recomputes each prefix with the BIT-EXACT fold
+    * (list_reduce with no init seeds from v₁ — the same left fold as
+    * the HOF scan; the pow() closed form differs at rounding
+    * boundaries). */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = SeriesOps.assemble(events(s, dir), $"user_id", $"ts",
+      "v" -> $"value")
+    series
+      .select($"series_key".as("user_id"),
+        posexplode(ArrayOps.emaScan($"v", 0.1)).as(Seq("t0", "ema")))
+      // explicit floor(x·10⁴+0.5)/10⁴ on BOTH sides: round() boundary
+      // semantics differ between engines on exact-half doubles
+      .select($"user_id", ($"t0" + 1).as("t"),
+        (floor($"ema" * 10000 + 0.5) / 10000.0).as("ema"))
+      .orderBy($"user_id", $"t")
+  }
+
+  private val q82Sql =
+    """WITH s1 AS (
+      | SELECT user_id, list(value ORDER BY ts, value) AS v
+      | FROM events GROUP BY user_id),
+      |e AS (
+      | SELECT user_id,
+      |  unnest(generate_series(1, len(v))) AS t,
+      |  unnest(list_transform(generate_series(1, len(v)), t2 ->
+      |   floor(list_reduce(v[1:t2], (acc, x) -> acc * 0.9 + x * 0.1)
+      |         * 10000 + 0.5) / 10000.0)) AS ema
+      | FROM s1)
+      |SELECT user_id, t, ema FROM e ORDER BY user_id, t""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q82_ema_curve", q82, Some(q82Sql), "W7 EMA trajectory vs closed form"),
     Q("q78_sliding_window", q78, Some(q78Sql), "sliding event-time windows"),
     Q("q79_percentiles", q79, Some(q79Sql), "exact interpolated percentiles"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
