@@ -71,6 +71,23 @@ class CpcSpec extends SparkSpec {
     }
   }
 
+  test("conv1dSame is shift-equivariant away from the boundary") {
+    val rnd = new scala.util.Random(13)
+    val x = Seq.fill(20)(rnd.nextDouble() * 4 - 2)
+    val k = Seq(0.2, 0.5, 0.3)
+    def convOf(xs: Seq[Double]): Seq[Double] =
+      Seq(xs).toDF("x")
+        .select(graft.ops.ArrayOps.conv1dSame(col("x"), k).as("y"))
+        .collect()(0).getSeq[Double](0)
+    val y = convOf(x)
+    val yShift = convOf(0.0 +: x) // shift input right by one
+    // interior outputs shift with the input (boundary rows excluded)
+    (2 until x.size).foreach { i =>
+      assert(approxEqual(yShift(i + 1), y(i), 1e-12),
+        s"i=$i ${yShift(i + 1)} vs ${y(i)}")
+    }
+  }
+
   test("conv1dChannels composes with oneHotFuse (reference encoder shape)") {
     // (value, quality) rows → 4-channel one-hot fuse → 4→2 channel conv
     val w = Seq.fill(2)(Seq.fill(4)(Seq(0.0, 1.0, 0.0))) // identity tap
