@@ -43,14 +43,7 @@ object Multimodal {
   /** STUB decoder: BINARY → ARRAY<DOUBLE>(HIST_BUCKETS) normalized
     * byte histogram (byte mod HIST_BUCKETS). Replace with a real codec
     * at the same signature. Null-safe; empty payload → zero vector. */
-  val decodeStub = udf((payload: Array[Byte]) =>
-    if (payload == null) null
-    else {
-      val hist = new Array[Double](HIST_BUCKETS)
-      payload.foreach(b => hist((b & 0xff) % HIST_BUCKETS) += 1.0)
-      val n = math.max(payload.length, 1).toDouble
-      hist.map(_ / n).toSeq
-    })
+  val decodeStub = udf((payload: Array[Byte]) => decodeKernel(payload))
 
   /** fixed-size frame sampling: payload → ARRAY<BINARY> of `frameLen`-
     * byte frames (last frame may be short) — video-frame/audio-window
@@ -65,6 +58,40 @@ object Multimodal {
   private def substring_index_bytes(payload: Column, i: Column,
                                     frameLen: Int): Column =
     payload.substr(i * frameLen + 1, lit(frameLen))
+
+  /** Batched decode over partitions — the Scala analogue of a
+    * mapInPandas decode: payloads are decoded in fixed-size BATCHES per
+    * partition (a real codec amortizes model/codec init and vectorizes
+    * across the batch; the stub preserves exactly that batch shape).
+    * Input rows: (asset_id: Long, payload: Array[Byte]); output adds
+    * the feature vector. Never materializes a partition — the iterator
+    * is consumed lazily, `batchSize` rows at a time. */
+  def decodeBatchedPartitions(
+      df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary: a real decoder would run ONE vectorized
+          // call over `batch` here
+          val feats = batch.map { case (_, p) => decodeKernel(p) }
+          batch.zip(feats).map { case ((id, _), f) => (id, f) }
+        }
+      }
+    out.toDF("asset_id", "features")
+  }
+
+  /** shared stub kernel (same math as decodeStub's UDF). */
+  private[ops] def decodeKernel(payload: Array[Byte]): Seq[Double] =
+    if (payload == null) null
+    else {
+      val hist = new Array[Double](HIST_BUCKETS)
+      payload.foreach(b => hist((b & 0xff) % HIST_BUCKETS) += 1.0)
+      val n = math.max(payload.length, 1).toDouble
+      hist.map(_ / n).toSeq
+    }
 
   /** "resize" stub: truncate-or-zero-pad the payload to `targetLen`
     * bytes (real resample/resize plugs in at the same signature). */

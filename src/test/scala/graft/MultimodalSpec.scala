@@ -37,6 +37,23 @@ class MultimodalSpec extends SparkSpec {
       Seq('a'.toByte, 'b'.toByte, 0.toByte, 0.toByte))
   }
 
+  test("decodeBatchedPartitions equals per-row UDF and respects batching") {
+    val docs = Seq.tabulate(10)(i => (i.toLong, s"payload-$i" * (i + 1)))
+      .toDF("asset_id", "t")
+      .select($"asset_id", encode($"t", "UTF-8").as("payload"))
+    val viaBatch = Multimodal.decodeBatchedPartitions(docs, batchSize = 3)
+      .orderBy($"asset_id").collect()
+    val viaUdf = docs
+      .select($"asset_id", Multimodal.decodeStub($"payload").as("features"))
+      .orderBy($"asset_id").collect()
+    assert(viaBatch.length == 10)
+    viaBatch.zip(viaUdf).foreach { case (b, u) =>
+      assert(b.getLong(0) == u.getLong(0))
+      val bf = b.getSeq[Double](1); val uf = u.getSeq[Double](1)
+      bf.zip(uf).foreach { case (x, y) => assert(approxEqual(x, y, 1e-12)) }
+    }
+  }
+
   test("asset table schema: payload binary + metadata struct") {
     val docs = Seq((1L, "hello world", "en", "srcX", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
