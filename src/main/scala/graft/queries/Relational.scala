@@ -439,7 +439,71 @@ object Relational {
       |GROUP BY n_name, p_brand
       |ORDER BY n_name, p_brand""".stripMargin
 
+  /** q18: dataset profiler — per-column null/distinct/min/max/avg over
+    * lineitem numerics (the first pass any 100-TB curation run makes;
+    * single scan per column group, sketch-swappable per PERF.md). */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)), 4).as("min_v"),
+        round(max(col(c)), 4).as("max_v"),
+        round(avg(col(c)), 4).as("avg_v"))
+        .select(lit(c).as("column_name"), $"n_rows", $"n_null",
+          $"n_distinct", $"min_v", $"max_v", $"avg_v")
+    }.reduce(_ union _).orderBy($"column_name")
+  }
+
+  private val q18Sql = {
+    val per = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+           | round(avg($c), 4) AS avg_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"SELECT * FROM (\n$per\n) t ORDER BY column_name"
+  }
+
+  /** q19: deterministic stratified sampling — ~20% per language via an
+    * md5 hash threshold (the reproducible sampleBy a training-data
+    * pipeline needs: same rows selected on every run and every engine). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir)
+      .withColumn("keep",
+        conv(substring(md5(concat(lit("s:"), $"doc_id")), 1, 8), 16, 10)
+          .cast("long") % 100 < 20)
+    d.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"),
+        round(sum(when($"keep", 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("rate"))
+      .orderBy($"lang")
+  }
+
+  private val q19Sql =
+    """WITH d AS (
+      | SELECT lang,
+      |  CAST(concat('0x', substr(md5(concat('s:', CAST(doc_id AS VARCHAR))),
+      |       1, 8)) AS BIGINT) % 100 < 20 AS keep
+      | FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      | sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_sampled,
+      | round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+      |   / CAST(count(*) AS DOUBLE), 6) AS rate
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q18_profiler", q18, Some(q18Sql), "per-column dataset profiler"),
+    Q("q19_stratified_sample", q19, Some(q19Sql), "deterministic stratified sample"),
     Q("q17_profit_rollup", q17, Some(q17Sql), "4-table profit join (part/supplier)"),
     Q("q14_analytic_windows", q14, Some(q14Sql), "lag/lead/ntile/percent_rank"),
     Q("q15_datetime_funcs", q15, Some(q15Sql), "calendar bucketing breadth"),

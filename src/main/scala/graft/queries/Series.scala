@@ -378,7 +378,41 @@ object Series {
       | FROM s1)
       |SELECT user_id, t, ema FROM e ORDER BY user_id, t""".stripMargin
 
+  /** q85: time-RANGE (non-equi) join — error events within ±1 h of a
+    * click by the same user (§2.4 "range join" gap as a feature). The
+    * equi key (user_id) carries the shuffle; the range predicate
+    * filters within the hash-join stream side, so this stays a hash
+    * join, not a cartesian. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val errors = e.filter($"event_type" === "error")
+      .select($"user_id", $"ts".as("e_ts"), $"value".as("err_value"))
+    clicks.join(errors, Seq("user_id"))
+      .filter(abs(unix_micros($"e_ts") - unix_micros($"c_ts")) <= 3600000000L)
+      .groupBy($"user_id")
+      .agg(countDistinct($"click_id").as("clicks_with_nearby_error"),
+        count(lit(1)).as("n_pairs"),
+        round(avg($"err_value"), 6).as("avg_err_value"))
+      .orderBy($"user_id")
+  }
+
+  private val q85Sql =
+    """SELECT c.user_id,
+      | count(DISTINCT c.event_id) AS clicks_with_nearby_error,
+      | count(*) AS n_pairs,
+      | round(avg(e.value), 6) AS avg_err_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+      |       - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 3600000000
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q85_range_join", q85, Some(q85Sql), "time-range non-equi join"),
     Q("q82_ema_curve", q82, Some(q82Sql), "W7 EMA trajectory vs closed form"),
     Q("q78_sliding_window", q78, Some(q78Sql), "sliding event-time windows"),
     Q("q79_percentiles", q79, Some(q79Sql), "exact interpolated percentiles"),
