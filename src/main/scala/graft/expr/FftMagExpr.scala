@@ -60,6 +60,25 @@ object FftMagExpr {
 
 /** Runtime registration of the graft custom-function surface (idempotent;
   * call once per SparkSession before using the SQL names). */
+/** Config-time registration: start a session with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.expr.GraftExtensions` and the graft
+  * function surface is available in every SQL context of the session —
+  * the deployment path for a shared cluster (runtime
+  * `GraftFunctions.register` remains for library embedding). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_fft_mag"),
+      new ExpressionInfo(classOf[FftMagExpr].getName, "graft_fft_mag"),
+      (children: Seq[Expression]) => FftMagExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotExpr(children(0), children(1))))
+  }
+}
+
 object GraftFunctions {
   private val fftMagId = FunctionIdentifier("graft_fft_mag")
   private val dotId = FunctionIdentifier("graft_dot")

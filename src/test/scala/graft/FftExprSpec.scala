@@ -32,6 +32,19 @@ class FftExprSpec extends SparkSpec {
     assert(out.size == 4 && out.forall(v => approxEqual(v, 1.0)))
   }
 
+  test("GraftExtensions registers injections; graft_dot works in SQL") {
+    // extensions bind at session build; the shared test session can't
+    // be rebuilt, so check the injection hook accepts our class and the
+    // runtime-registered SQL name produces the native expression
+    new graft.expr.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(out == 11.0)
+  }
+
   test("null input and nested use in HOF pipeline") {
     GraftFunctions.register(spark)
     val r = spark.sql(
