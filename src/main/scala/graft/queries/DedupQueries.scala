@@ -337,7 +337,70 @@ object DedupQueries {
       |SELECT doc_id, simhash, simhash >> 24 AS bucket
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** q45: brute n-gram Jaccard near-dup pairs — exact pairwise Jaccard
+    * over distinct word-3-gram sets, blocked on (lang, token-count
+    * adjacency |Δ| ≤ 1): high-Jaccard near-dups are length-stable, so
+    * the block keeps recall while bounding the quadratic term (the
+    * unblocked exhaustive form is what q42's LSH replaces at scale). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .filter(size($"t") >= 3)
+      // 32-bit md5 shingle hashes: integer set-intersections are far
+      // cheaper than string sets over the pair join (a hash collision
+      // would merge shingles identically in both engines)
+      .select($"doc_id", $"lang", size($"t").as("nt"),
+        array_distinct(transform(shingles($"t"), x =>
+          conv(substring(md5(x), 1, 8), 16, 10).cast("long"))).as("sh"))
+      // materialize once: both join sides reuse the hashed-shingle
+      // blocks instead of re-running the scan+md5 pipeline
+      .localCheckpoint(true)
+    val a = d.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"),
+      explode(array($"nt" - 1, $"nt", $"nt" + 1)).as("band"))
+    val b = d.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"),
+      $"nt".as("band"))
+    // barrier after the intersect: downstream projection collapse would
+    // otherwise inline (and re-evaluate) the set-intersection into the
+    // jaccard expression, the ≥0.7 filter, and the output projection
+    val sized = a.join(b, Seq("lang", "band")).filter($"doc_a" < $"doc_b")
+      .select($"lang", $"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double").as("inter"),
+        size($"sh_a").as("na"), size($"sh_b").as("nb"))
+      .localCheckpoint(true)
+    sized
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
+      .filter($"jaccard" >= 0.7)
+      .select($"lang", $"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q45Sql =
+    """WITH d AS (
+      | SELECT doc_id, lang, len(t) AS nt,
+      |  list_distinct(list_transform(
+      |   list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+      |   x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))) AS sh
+      | FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |       FROM documents)
+      | WHERE len(t) >= 3),
+      |a AS (SELECT lang, doc_id AS doc_a, sh AS sh_a,
+      |       unnest([nt - 1, nt, nt + 1]) AS band FROM d),
+      |b AS (SELECT lang, doc_id AS doc_b, sh AS sh_b, nt AS band FROM d)
+      |SELECT lang, doc_a, doc_b,
+      | round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      |  / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+      |  AS jaccard
+      |FROM a JOIN b USING (lang, band)
+      |WHERE doc_a < doc_b
+      |  AND round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      |  / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+      |  >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q45_ngram_jaccard", q45, Some(q45Sql), "brute n-gram Jaccard pairs"),
     Q("q40_exact_dedup", q40, Some(q40Sql), "exact dedup via md5 groupBy"),
     Q("q41_minhash_sig", q41, Some(q41Sql), "MinHash signatures + LSH bands"),
     Q("q42_lsh_neardup", q42, Some(q42Sql), "MinHash-LSH pairs + Jaccard verify"),
