@@ -39,6 +39,21 @@ class SinkSpec extends SparkSpec {
       .collect()(0).getDouble(0) == 0.197)
   }
 
+  test("JSON and ORC sinks round-trip the series frame (source breadth)") {
+    val base = Files.createTempDirectory("graft_fmt").toString
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), "en"), (2L, Seq(3.5), "fr"))
+      .toDF("id", "vals", "lang")
+    df.write.mode("overwrite").json(s"$base/j")
+    val j = spark.read.json(s"$base/j")
+    assert(j.count() == 2)
+    assert(j.selectExpr("vals[0]").orderBy(col("id")).collect()(0).getDouble(0) == 1.0)
+    df.write.mode("overwrite").orc(s"$base/o")
+    val o = spark.read.orc(s"$base/o")
+    assert(o.schema("vals").dataType.simpleString == "array<double>")
+    assert(o.count() == 2)
+  }
+
   test("dropout (P12): seeded mask, 1/(1-p) scaling, eval identity") {
     val xs = Seq.fill(2000)(1.0)
     val out = Seq(xs).toDF("a")
