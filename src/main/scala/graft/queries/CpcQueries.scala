@@ -263,7 +263,7 @@ object CpcQueries {
     val test = rep6.filter($"user_id" % 5 === 0)
     val grid = for {
       model <- Seq("T_CPC", "TS_CPC", "S_CPC")
-      cls <- Seq("LogisticRegression", "ScoreThreshold")
+      cls <- Seq("LogisticRegression", "ClassifierNN", "ScoreThreshold")
     } yield (model, cls)
     rep6.count() // materialize the cache once before the parallel fits
     // grid cells are independent Spark jobs — submit them concurrently
@@ -279,6 +279,17 @@ object CpcQueries {
             .setFeaturesCol("features").setLabelCol("label")
             .setMaxIter(15).setRegParam(0.01)
           val m = lr.fit(train.select($"label",
+            array_to_vector(rep($"rep6")).as("features")))
+          m.transform(test.select($"label",
+              array_to_vector(rep($"rep6")).as("features")))
+            .select(element_at(vector_to_array($"probability"), 2)
+              .as("score"), $"label")
+        case "ClassifierNN" => // M2: the reference's MLP probe
+          val dim = if (model == "TS_CPC") 6 else 3
+          val nn = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+            .setLayers(Array(dim, 8, 2)).setSeed(42L).setMaxIter(15)
+            .setFeaturesCol("features").setLabelCol("label")
+          val m = nn.fit(train.select($"label",
             array_to_vector(rep($"rep6")).as("features")))
           m.transform(test.select($"label",
               array_to_vector(rep($"rep6")).as("features")))

@@ -411,7 +411,46 @@ object Series {
       |       - epoch_us(CAST(e.ts AS TIMESTAMP))) <= 3600000000
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** q86: Spark's NATIVE session_window in batch mode (30-min gap) —
+    * must agree with the manual lag/cumsum sessionization (q25), which
+    * is exactly what the oracle computes. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"session_events").as("max_session_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q86Sql =
+    """WITH o AS (
+      | SELECT user_id, ts,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      | FROM events),
+      |f AS (
+      | SELECT user_id, ts,
+      |  CASE WHEN prev IS NULL
+      |        OR date_part('epoch', CAST(ts AS TIMESTAMP))
+      |         - date_part('epoch', CAST(prev AS TIMESTAMP)) >= 1800
+      |       THEN 1 ELSE 0 END AS new_s
+      | FROM o),
+      |sess AS (
+      | SELECT user_id,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM f),
+      |per AS (
+      | SELECT user_id, session_id, count(*) AS session_events
+      | FROM sess GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS n_sessions,
+      | max(session_events) AS max_session_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q86_session_window", q86, Some(q86Sql), "native session_window (batch)"),
     Q("q85_range_join", q85, Some(q85Sql), "time-range non-equi join"),
     Q("q82_ema_curve", q82, Some(q82Sql), "W7 EMA trajectory vs closed form"),
     Q("q78_sliding_window", q78, Some(q78Sql), "sliding event-time windows"),
