@@ -257,7 +257,62 @@ object TextQueries {
       |   / n_chars, 6) AS coverage
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** q37: content-filter scan — PII-pattern hits (email/URL/long-digit
+    * runs; RE2-compatible regexes so both engines match identically)
+    * and intra-document trigram repetition (the boilerplate/spam signal
+    * — distinct-shingle ratio), rolled up per source. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9]{7,}"
+    documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .withColumn("n_sh", greatest(size($"t") - 2, lit(0)))
+      .withColumn("n_sh_distinct",
+        when($"n_sh" > 0, size(array_distinct(
+          transform(sequence(lit(1), greatest(size($"t") - 2, lit(1))), i =>
+            concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+              element_at($"t", i + 2))))))
+          .otherwise(0))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all($"text", lit(email), lit(0))))
+          .as("email_hits"),
+        sum(size(regexp_extract_all($"text", lit(url), lit(0))))
+          .as("url_hits"),
+        sum(size(regexp_extract_all($"text", lit(digits), lit(0))))
+          .as("digit_run_hits"),
+        round(avg(when($"n_sh" > 0,
+          $"n_sh_distinct" / $"n_sh".cast("double"))), 6)
+          .as("avg_shingle_uniqueness"))
+      .orderBy($"source")
+  }
+
+  private val q37Sql =
+    """WITH d AS (
+      | SELECT source, text, string_split(text, ' ') AS t FROM documents),
+      |f AS (
+      | SELECT source, text,
+      |  greatest(len(t) - 2, 0) AS n_sh,
+      |  CASE WHEN len(t) >= 3 THEN
+      |   len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+      |  ELSE 0 END AS n_sh_distinct
+      | FROM d)
+      |SELECT source, count(*) AS n_docs,
+      | sum(len(regexp_extract_all(text,
+      |   '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS email_hits,
+      | sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS url_hits,
+      | sum(len(regexp_extract_all(text, '[0-9]{7,}'))) AS digit_run_hits,
+      | round(avg(CASE WHEN n_sh > 0
+      |   THEN n_sh_distinct / CAST(n_sh AS DOUBLE) END), 6)
+      |   AS avg_shingle_uniqueness
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q37_content_filter", q37, Some(q37Sql), "PII-pattern scan + repetition"),
     Q("q36_bpe_tokens", q36, Some(q36Sql), "BPE-ish regex subword tokens"),
     Q("q30_token_stats", q30, Some(q30Sql), "per-doc token stats (text analysis)"),
     Q("q31_corpus_profile", q31, Some(q31Sql), "lang×source corpus rollup"),
