@@ -23,7 +23,7 @@ object Metrics {
              groupCols: Seq[Column] = Seq.empty): DataFrame = {
     val base = df.select((groupCols :+ score.as("s") :+
       label.cast("double").as("y")): _*)
-    val gNames = base.columns.dropRight(2)
+    val gNames = base.columns.dropRight(2).toIndexedSeq
     val gCols = gNames.map(col)
     // per distinct score: row count and positive count
     val grouped = base.groupBy((gCols :+ col("s")): _*)
