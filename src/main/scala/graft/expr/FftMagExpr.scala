@@ -82,6 +82,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object GraftFunctions {
   private val fftMagId = FunctionIdentifier("graft_fft_mag")
   private val dotId = FunctionIdentifier("graft_dot")
+  private val bottomKId = FunctionIdentifier("graft_bottomk")
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -97,6 +98,19 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
         (children: Seq[Expression]) => DotExpr(children(0), children(1)))
     }
+    if (!registry.functionExists(bottomKId)) {
+      registry.registerFunction(
+        bottomKId,
+        new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
+        (children: Seq[Expression]) =>
+          BottomKAgg(children(0), children(1)).toAggregateExpression())
+    }
+  }
+
+  /** bottom-k sketch aggregate column (native TypedImperativeAggregate). */
+  def bottomK(spark: SparkSession, c: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_bottomk", c, org.apache.spark.sql.functions.lit(k))
   }
 
   /** column forms backed by the native expressions (not UDFs). */

@@ -399,7 +399,60 @@ object DedupQueries {
       |  >= 0.7
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q46: SOURCE-level similarity via bottom-k MinHash sketches — the
+    * native TypedImperativeAggregate `graft_bottomk` keeps the k
+    * smallest distinct shingle hashes per source in O(k) memory (the
+    * scale path where collect_set would blow up), then pairwise
+    * Ĵ = |bottomk(A∪B) ∩ skA ∩ skB| / |bottomk(A∪B)|. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kSk = 128
+    val sk = documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .filter(size($"t") >= 3)
+      .select($"source", explode(transform(shingles($"t"), x =>
+        conv(substring(md5(x), 1, 8), 16, 10).cast("long"))).as("h"))
+      .groupBy($"source")
+      .agg(graft.expr.GraftFunctions.bottomK(s, $"h", kSk).as("sk"))
+    val a = sk.select($"source".as("source_a"), $"sk".as("sk_a"))
+    val b = sk.select($"source".as("source_b"), $"sk".as("sk_b"))
+    a.join(b, $"source_a" < $"source_b")
+      .withColumn("u", slice(array_sort(array_union($"sk_a", $"sk_b")),
+        1, kSk))
+      .select($"source_a", $"source_b",
+        size($"sk_a").as("k_a"), size($"sk_b").as("k_b"),
+        size($"u").as("k_union"),
+        round(size(array_intersect(array_intersect($"u", $"sk_a"), $"sk_b"))
+          / size($"u").cast("double"), 6).as("jaccard_est"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val q46Sql =
+    """WITH h AS (
+      | SELECT source,
+      |  unnest(list_transform(
+      |   list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+      |   x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))) AS hv
+      | FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+      | WHERE len(t) >= 3),
+      |sk AS (
+      | SELECT source, list_sort(list_distinct(list(hv)))[1:128] AS sk
+      | FROM h GROUP BY source),
+      |p AS (
+      | SELECT a.source AS source_a, b.source AS source_b,
+      |  a.sk AS sk_a, b.sk AS sk_b,
+      |  list_sort(list_distinct(a.sk || b.sk))[1:128] AS u
+      | FROM sk a JOIN sk b ON a.source < b.source)
+      |SELECT source_a, source_b,
+      | len(sk_a) AS k_a, len(sk_b) AS k_b, len(u) AS k_union,
+      | round(len(list_intersect(list_intersect(u, sk_a), sk_b))
+      |   / CAST(len(u) AS DOUBLE), 6) AS jaccard_est
+      |FROM p ORDER BY source_a, source_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q46_sketch_similarity", q46, Some(q46Sql),
+      "bottom-k MinHash sketch source similarity (native agg)"),
     Q("q45_ngram_jaccard", q45, Some(q45Sql), "brute n-gram Jaccard pairs"),
     Q("q40_exact_dedup", q40, Some(q40Sql), "exact dedup via md5 groupBy"),
     Q("q41_minhash_sig", q41, Some(q41Sql), "MinHash signatures + LSH bands"),
