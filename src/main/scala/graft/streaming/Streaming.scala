@@ -85,6 +85,47 @@ object Streaming {
   final case class EmaOut(user_id: Long, batch_events: Long,
                           total_events: Long, ema: Double)
 
+  /** gap sessionizer with EVENT-TIME TIMEOUT: a session also closes
+    * when the WATERMARK passes last_event + gap — no later event for
+    * the key required (the piece `sessionizeStateful` leaves to the
+    * next batch). State per key is one open session; the timeout
+    * timestamp doubles as the eviction bound. */
+  def sessionizeWithTimeout(events: Dataset[Event], gapMs: Long,
+                            watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, batch, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessState(t, t, 1L, e.value)
+                case s if t - s.last > gapMs =>
+                  closed += ClosedSession(uid, s.start, s.last, s.n, s.sum)
+                  st = SessState(t, t, 1L, e.value)
+                case s => st = SessState(s.start, t, s.n + 1, s.sum + e.value)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** per-key EMA recurrence via mapGroupsWithState — the online form of
     * ArrayOps.emaLast (α-blend, order = event time within each batch;
     * same step function as the batch scan, W2/W7 family). Emits one

@@ -108,6 +108,31 @@ class StreamingSpec extends SparkSpec {
     assert(approxEqual(rows(0).getDouble(2), 30.0))
   }
 
+  test("sessionizeWithTimeout closes a session when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionizeWithTimeout(mem.toDS(),
+        gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("timeoutsess")
+      .outputMode("append").start()
+    // open a session for user 1
+    mem.addData(Event(1, ts(0), 10.0), Event(1, ts(5), 20.0))
+    q.processAllAvailable()
+    assert(spark.table("timeoutsess").count() == 0)
+    // a DIFFERENT user far in the future advances the watermark past
+    // user 1's last + gap; the timeout must close user 1's session
+    mem.addData(Event(2, Timestamp.valueOf("2026-01-01 14:00:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, Timestamp.valueOf("2026-01-01 14:00:01"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("timeoutsess")
+      .select(col("user_id"), col("n"), col("sum")).collect()
+    q.stop()
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      math.abs(r.getDouble(2) - 30.0) < 1e-9),
+      s"user 1 session not closed by timeout: ${rows.mkString(", ")}")
+  }
+
   test("emaPerKey equals the batch emaLast scan across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
