@@ -304,7 +304,11 @@ object CpcQueries {
     } }
     val results = futures.map(f => Await.result(f, Duration.Inf))
     rep6.unpersist()
+    // exact golden-table header shape (`UNSUPERVISED.csv:1`): epochs=0
+    // (untrained representations, E3) and the reference batch size
     results.toDF("Model", "Classification", "ROC_AUC")
+      .select(lit(0).as("n_Epochs"), $"Model", $"Classification",
+        lit(1024).as("Batch Size"), $"ROC_AUC")
       .orderBy($"Model", $"Classification")
   }
 

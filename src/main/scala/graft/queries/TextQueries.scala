@@ -311,7 +311,44 @@ object TextQueries {
       |   AS avg_shingle_uniqueness
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** q38: deterministic class rebalancing — downsample every language
+    * to the minority-class count via md5-ordered ranking (the engine
+    * form of the reference's pre-materialized class-balanced train
+    * split, `train_balancedwork.pickle`, `exercise provided.ipynb`
+    * cell 3 "train split is class-balanced"). */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("r:"), $"doc_id")), $"doc_id")
+    val ranked = documents(s, dir)
+      .select($"lang", $"doc_id")
+      .withColumn("rk", row_number().over(w))
+    val minCount = ranked.groupBy($"lang").agg(count(lit(1)).as("c"))
+      .agg(min($"c").as("n_min"))
+    ranked.crossJoin(broadcast(minCount))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_orig"),
+        sum(when($"rk" <= $"n_min", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" <= $"n_min", $"doc_id")).as("kept_checksum"))
+      .orderBy($"lang")
+  }
+
+  private val q38Sql =
+    """WITH r AS (
+      | SELECT lang, doc_id,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(concat('r:', CAST(doc_id AS VARCHAR))), doc_id)
+      |    AS rk
+      | FROM documents),
+      |m AS (SELECT min(c) AS n_min FROM
+      |      (SELECT count(*) AS c FROM documents GROUP BY lang))
+      |SELECT lang, count(*) AS n_orig,
+      | sum(CASE WHEN rk <= n_min THEN 1 ELSE 0 END) AS n_kept,
+      | sum(CASE WHEN rk <= n_min THEN doc_id END) AS kept_checksum
+      |FROM r CROSS JOIN m GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q38_rebalance", q38, Some(q38Sql), "deterministic class rebalancing"),
     Q("q37_content_filter", q37, Some(q37Sql), "PII-pattern scan + repetition"),
     Q("q36_bpe_tokens", q36, Some(q36Sql), "BPE-ish regex subword tokens"),
     Q("q30_token_stats", q30, Some(q30Sql), "per-doc token stats (text analysis)"),
