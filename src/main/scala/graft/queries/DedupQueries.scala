@@ -450,7 +450,64 @@ object DedupQueries {
       |   / CAST(len(u) AS DOUBLE), 6) AS jaccard_est
       |FROM p ORDER BY source_a, source_b""".stripMargin
 
+  /** q47: contamination matrix — near-dup pairs (q42's LSH pipeline)
+    * that CROSS source boundaries, counted per source pair: the
+    * train/test-leakage check a dataset split must pass before
+    * training. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = documents(s, dir).select($"doc_id", $"source")
+    neardupPairs(s, dir)
+      .join(src.withColumnRenamed("source", "source_a"),
+        $"doc_a" === src("doc_id")).drop("doc_id")
+      .join(broadcast(src.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("doc_id", "doc_id_b")),
+        $"doc_b" === $"doc_id_b")
+      .filter($"source_a" =!= $"source_b")
+      .withColumn("s_lo", least($"source_a", $"source_b"))
+      .withColumn("s_hi", greatest($"source_a", $"source_b"))
+      .groupBy($"s_lo", $"s_hi")
+      .agg(count(lit(1)).as("n_leaked_pairs"))
+      .orderBy($"s_lo", $"s_hi")
+  }
+
+  private lazy val q47Sql = {
+    val bandUnion = (0 until BANDS)
+      .map(b => s"SELECT doc_id, sh, $b AS band_idx, band$b AS band_key FROM bandq")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH $sigSqlCte,
+       |bands AS (
+       | $bandUnion),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id),
+       |pairs AS (
+       | SELECT doc_a, doc_b FROM (
+       |  SELECT doc_a, doc_b,
+       |   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+       |    6) AS jaccard
+       |  FROM cand
+       |  JOIN shq sa ON sa.doc_id = doc_a
+       |  JOIN shq sb ON sb.doc_id = doc_b) v
+       | WHERE jaccard >= 0.7),
+       |x AS (
+       | SELECT da.source AS source_a, db.source AS source_b
+       | FROM pairs
+       | JOIN documents da ON da.doc_id = doc_a
+       | JOIN documents db ON db.doc_id = doc_b
+       | WHERE da.source <> db.source)
+       |SELECT least(source_a, source_b) AS s_lo,
+       | greatest(source_a, source_b) AS s_hi,
+       | count(*) AS n_leaked_pairs
+       |FROM x GROUP BY s_lo, s_hi ORDER BY s_lo, s_hi""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q47_contamination", q47, Some(q47Sql),
+      "cross-source near-dup leakage matrix"),
     Q("q46_sketch_similarity", q46, Some(q46Sql),
       "bottom-k MinHash sketch source similarity (native agg)"),
     Q("q45_ngram_jaccard", q45, Some(q45Sql), "brute n-gram Jaccard pairs"),
