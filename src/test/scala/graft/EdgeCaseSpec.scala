@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{ArrayOps, SeriesOps}
+
+/** Boundary behavior under Spark 4 ANSI mode: singletons, empties, and
+  * missing join partners must not throw and must take the documented
+  * values. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0)
+
+  test("singleton arrays: softmax=1, argmax=1, smooth3=identity, conv ok") {
+    assert(one(ArrayOps.softmax(array(lit(3.0)))).getSeq[Double](0) == Seq(1.0))
+    assert(one(ArrayOps.argmax(array(lit(3.0)))).getLong(0) == 1L)
+    assert(one(ArrayOps.smooth3(array(lit(5.0)))).getSeq[Double](0) == Seq(5.0))
+    val c = one(ArrayOps.conv1dSame(array(lit(2.0)), Seq(1.0))).getSeq[Double](0)
+    assert(c == Seq(2.0))
+  }
+
+  test("empty arrays: sum=0, ema=null, emaScan=[], logSumExp well-defined") {
+    val empty = array().cast("array<double>")
+    assert(one(ArrayOps.arraySum(empty)).getDouble(0) == 0.0)
+    assert(one(ArrayOps.emaLast(empty, 0.1)).isNullAt(0))
+    assert(one(ArrayOps.emaScan(empty, 0.1)).getSeq[Double](0).isEmpty)
+  }
+
+  test("asofJoin: left rows with no prior right row carry nulls") {
+    val left = Seq((1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.0))
+      .toDF("k", "ts", "v")
+    val right = Seq((1L, Timestamp.valueOf("2026-01-01 11:00:00"), 9.9))
+      .toDF("k", "ts", "rv") // only AFTER the left row
+    val out = SeriesOps.asofJoin(left, right, "k", "ts", Seq("rv")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_rv")))
+  }
+
+  test("sessionize: single event is one session") {
+    val df = Seq((1L, Timestamp.valueOf("2026-01-01 10:00:00")))
+      .toDF("k", "ts")
+    val out = SeriesOps.sessionize(df, col("k"), col("ts"), 1800L)
+      .select(col("session_id")).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+  }
+
+  test("dot on unequal lengths via native expr uses min length") {
+    graft.expr.GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 10.0)
+  }
+}
