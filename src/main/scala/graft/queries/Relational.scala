@@ -501,7 +501,33 @@ object Relational {
       |   / CAST(count(*) AS DOUBLE), 6) AS rate
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q49: correlation/covariance aggregates per group — the moment
+    * statistics a feature-engineering pass computes (all single-pass,
+    * partial-aggregate-friendly). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_pop($"l_quantity", $"l_extendedprice"), 2)
+          .as("covar_qty_price"),
+        round(stddev_pop($"l_discount"), 6).as("stddev_discount"),
+        round(var_samp($"l_tax"), 6).as("var_tax"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q49Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      | round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      | round(stddev_pop(l_discount), 6) AS stddev_discount,
+      | round(var_samp(l_tax), 6) AS var_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q49_moments", q49, Some(q49Sql), "corr/covar/stddev/var per group"),
     Q("q18_profiler", q18, Some(q18Sql), "per-column dataset profiler"),
     Q("q19_stratified_sample", q19, Some(q19Sql), "deterministic stratified sample"),
     Q("q17_profit_rollup", q17, Some(q17Sql), "4-table profit join (part/supplier)"),
