@@ -1,0 +1,44 @@
+package graft
+
+import graft.queries.Registry
+
+/** Plan-shape contracts (PERF.md audits, locked in as regressions):
+  * the physical plans that make these queries scale must keep their
+  * shape — pushdown reaching the scan, dims broadcast, candidate
+  * joins hash-keyed (never cartesian). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q02: predicates push into the parquet scan") {
+    val p = plan("q02_selective_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_quantity"), p.take(800))
+  }
+
+  test("q03: all three dimension joins broadcast") {
+    val p = plan("q03_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p.take(1200))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q42: LSH candidate join is hash-keyed, not cartesian") {
+    val p = plan("q42_lsh_neardup")
+    assert(p.contains("HashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q50: KNN broadcasts the query side (nested-loop on broadcast)") {
+    val p = plan("q50_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+  }
+
+  test("q30: documents scan prunes to the two used columns") {
+    val p = plan("q30_token_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(800))
+  }
+}
