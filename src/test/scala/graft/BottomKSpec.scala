@@ -35,6 +35,24 @@ class BottomKSpec extends SparkSpec {
       .toLongArray().toSeq == Seq(5L, 10L, 20L, 25L))
   }
 
+  test("bottom-k Jaccard estimate tracks exact Jaccard (sketch math)") {
+    val rnd = new scala.util.Random(31)
+    val k = 256
+    for (overlap <- Seq(0.2, 0.5, 0.8)) {
+      // two sets of ~4000 hashed elements with the given overlap
+      val common = Seq.fill((4000 * overlap).toInt)(rnd.nextLong().abs)
+      val a = (common ++ Seq.fill(4000 - common.size)(rnd.nextLong().abs)).toSet
+      val b = (common ++ Seq.fill(4000 - common.size)(rnd.nextLong().abs)).toSet
+      val exact = (a & b).size.toDouble / (a | b).size
+      val skA = a.toSeq.sorted.take(k).toSet
+      val skB = b.toSeq.sorted.take(k).toSet
+      val u = (skA | skB).toSeq.sorted.take(k).toSet
+      val est = (u & skA & skB).size.toDouble / u.size
+      assert(math.abs(est - exact) < 0.12,
+        s"overlap=$overlap exact=$exact est=$est")
+    }
+  }
+
   test("SQL surface: groupBy sketch equals sorted-distinct prefix") {
     val df = (1 to 500).map(i => ((i % 3).toLong, ((i * 7919) % 997).toLong))
       .toDF("g", "h")
