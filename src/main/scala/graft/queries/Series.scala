@@ -449,7 +449,54 @@ object Series {
       | max(session_events) AS max_session_events
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q87: resample + GAP FILL — daily buckets per user over the user's
+    * own [min_day, max_day] span, missing days forward-filled with the
+    * last observed daily sum (the regularization step before any
+    * fixed-step sequence model; irregular → regular grid). */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("d"))
+      .agg(round(sum($"value"), 4).as("v"))
+    val spans = daily.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+    val grid = spans.select($"user_id",
+      explode(sequence($"d0", $"d1",
+        expr("INTERVAL 1 DAY"))).as("d"))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled", last($"v", ignoreNulls = true).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_gap_days"),
+        round(sum($"filled"), 4).as("filled_sum"))
+      .orderBy($"user_id")
+  }
+
+  private val q87Sql =
+    """WITH daily AS (
+      | SELECT user_id, date_trunc('day', ts) AS d,
+      |  round(sum(value), 4) AS v
+      | FROM events GROUP BY user_id, d),
+      |grid AS (
+      | SELECT user_id, unnest(generate_series(min(d), max(d),
+      |   INTERVAL 1 DAY)) AS d
+      | FROM daily GROUP BY user_id),
+      |j AS (
+      | SELECT g.user_id, g.d, daily.v,
+      |  last_value(daily.v IGNORE NULLS) OVER (
+      |   PARTITION BY g.user_id ORDER BY g.d
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      | FROM grid g LEFT JOIN daily
+      |   ON g.user_id = daily.user_id AND g.d = daily.d)
+      |SELECT user_id, count(*) AS n_days,
+      | sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_gap_days,
+      | round(sum(filled), 4) AS filled_sum
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q87_gap_fill", q87, Some(q87Sql), "resample + forward-fill gaps"),
     Q("q86_session_window", q86, Some(q86Sql), "native session_window (batch)"),
     Q("q85_range_join", q85, Some(q85Sql), "time-range non-equi join"),
     Q("q82_ema_curve", q82, Some(q82Sql), "W7 EMA trajectory vs closed form"),
