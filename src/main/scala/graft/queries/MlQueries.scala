@@ -72,7 +72,7 @@ object MlQueries {
       |                 THEN 1 ELSE 0 END AS p
       |           FROM embeddings),
       |byc AS (SELECT y AS cls, count(*) AS support,
-      |         sum(CASE WHEN p = y THEN 1 ELSE 0 END) AS tp
+      |         CAST(sum(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT) AS tp
       |        FROM s GROUP BY y),
       |pc AS (SELECT p AS cls, count(*) AS pred_n FROM s GROUP BY p),
       |j AS (SELECT cls,

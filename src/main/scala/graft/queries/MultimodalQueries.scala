@@ -50,9 +50,9 @@ object MultimodalQueries {
        |    AS n_frames
        | FROM a)
        |SELECT modality, source, count(*) AS n_assets,
-       | sum(n_bytes) AS total_bytes,
+       | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        | round(avg(feat_norm), 6) AS avg_feat_norm,
-       | sum(n_frames) AS total_frames
+       | CAST(sum(n_frames) AS BIGINT) AS total_frames
        |FROM f GROUP BY modality, source
        |ORDER BY modality, source""".stripMargin
 

@@ -463,7 +463,7 @@ object Relational {
     val per = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map { c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
-           | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            | count(DISTINCT $c) AS n_distinct,
            | round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
            | round(avg($c), 4) AS avg_v
@@ -496,7 +496,7 @@ object Relational {
       |       1, 8)) AS BIGINT) % 100 < 20 AS keep
       | FROM documents)
       |SELECT lang, count(*) AS n_docs,
-      | sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_sampled,
+      | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
       | round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
       |   / CAST(count(*) AS DOUBLE), 6) AS rate
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin

@@ -491,7 +491,8 @@ object Series {
       | FROM grid g LEFT JOIN daily
       |   ON g.user_id = daily.user_id AND g.d = daily.d)
       |SELECT user_id, count(*) AS n_days,
-      | sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_gap_days,
+      | CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_gap_days,
       | round(sum(filled), 4) AS filled_sum
       |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
 

@@ -68,7 +68,7 @@ object TextQueries {
     """SELECT lang, source, count(*) AS n_docs,
       | round(avg(n_chars), 4) AS avg_chars,
       | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-      | sum(len(string_split(text, ' '))) AS total_tokens
+      | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** Marker lexicons for the language-ID heuristic (q32). The corpus is
@@ -302,10 +302,12 @@ object TextQueries {
       |  ELSE 0 END AS n_sh_distinct
       | FROM d)
       |SELECT source, count(*) AS n_docs,
-      | sum(len(regexp_extract_all(text,
-      |   '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS email_hits,
-      | sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS url_hits,
-      | sum(len(regexp_extract_all(text, '[0-9]{7,}'))) AS digit_run_hits,
+      | CAST(sum(len(regexp_extract_all(text,
+      |   '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS BIGINT) AS email_hits,
+      | CAST(sum(len(regexp_extract_all(text, 'https?://[^ ]+'))) AS BIGINT)
+      |   AS url_hits,
+      | CAST(sum(len(regexp_extract_all(text, '[0-9]{7,}'))) AS BIGINT)
+      |   AS digit_run_hits,
       | round(avg(CASE WHEN n_sh > 0
       |   THEN n_sh_distinct / CAST(n_sh AS DOUBLE) END), 6)
       |   AS avg_shingle_uniqueness
@@ -343,8 +345,9 @@ object TextQueries {
       |m AS (SELECT min(c) AS n_min FROM
       |      (SELECT count(*) AS c FROM documents GROUP BY lang))
       |SELECT lang, count(*) AS n_orig,
-      | sum(CASE WHEN rk <= n_min THEN 1 ELSE 0 END) AS n_kept,
-      | sum(CASE WHEN rk <= n_min THEN doc_id END) AS kept_checksum
+      | CAST(sum(CASE WHEN rk <= n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(sum(CASE WHEN rk <= n_min THEN doc_id END) AS BIGINT)
+      |   AS kept_checksum
       |FROM r CROSS JOIN m GROUP BY lang ORDER BY lang""".stripMargin
 
   val queries: Seq[Q] = Seq(

@@ -47,6 +47,16 @@ for name in names:
         print(f"FAIL {name}: {str(ex)[:200]}"); fails += 1; continue
     if sorted(scols) != sorted(ocols):
         print(f"FAIL {name}: schema spark={sorted(scols)} oracle={sorted(ocols)}"); fails += 1; continue
+    # The driver fetches oracle results through pandas, which coerces
+    # DuckDB HUGEINT/DECIMAL (e.g. sum(BIGINT)) to float64 -> "15706.0"
+    # vs Spark's "15706" -> hash mismatch. Flag such columns so the
+    # oracle SQL gets an explicit CAST(... AS BIGINT).
+    rel = con.sql(oracle[name])
+    bad = [c for c, t in zip(rel.columns, [str(x) for x in rel.types])
+           if t == "HUGEINT" or t.startswith("DECIMAL")]
+    if bad:
+        print(f"FAIL {name}: oracle cols {bad} are HUGEINT/DECIMAL "
+              f"(driver coerces to float64) — CAST to BIGINT"); fails += 1; continue
     cs, co = canon(scols, srows), canon(ocols, orows)
     if cs != co:
         print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
