@@ -16,8 +16,25 @@ object Bench {
       SparkEntry.entry(spark).count()
       graft.Tables.lineitem(spark, sfDir)
         .groupBy("l_returnflag").count().count()
+      // Spark ML first-use is dominated by one-time class loading +
+      // JIT (LBFGS, vector UDTs, prediction codegen) — ~8 s of q76's
+      // cold time on this host. Absorb it with throwaway 8-row fits.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.ml.functions.array_to_vector
+      val tiny = spark.range(8).select(
+        (col("id") % 2).cast("int").as("label"),
+        array_to_vector(array(rand(1), rand(2))).as("features"))
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(2).fit(tiny).transform(tiny).count()
+      new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+        .setLayers(Array(2, 3, 2)).setMaxIter(2).setSeed(1L)
+        .fit(tiny).transform(tiny).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // local iteration aid: SPARK_GRAFT_ONLY=q76,q44 times just those
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -255,29 +255,36 @@ object CpcQueries {
     * (`UNSUPERVISED.csv` header: Model, Classification, ROC_AUC). */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // per-user reps are tiny (1 row/user): coalesce so the iterative
-    // LR treeAggregates aren't task-overhead-bound. At real scale the
-    // rep table is large and keeps natural partitioning.
-    val rep6 = representations(s, dir).coalesce(4).cache()
+    // per-user reps are tiny (1 row/user): a single cached partition
+    // makes each probe iteration a one-task job (treeAggregate over
+    // thousands of rows is driver-overhead-bound otherwise). At real
+    // scale the rep table is large and keeps natural partitioning.
+    val rep6 = representations(s, dir).coalesce(1).cache()
     val train = rep6.filter($"user_id" % 5 =!= 0)
     val test = rep6.filter($"user_id" % 5 === 0)
     val grid = for {
       model <- Seq("T_CPC", "TS_CPC", "S_CPC")
       cls <- Seq("LogisticRegression", "ClassifierNN", "ScoreThreshold")
     } yield (model, cls)
-    rep6.count() // materialize the cache once before the parallel fits
-    // grid cells are independent Spark jobs — submit them concurrently
-    // (the cluster-idiomatic M7 orchestration; scheduler interleaves)
-    import scala.concurrent.{Await, Future}
+    rep6.count() // materialize the cache once before the fits
+    // Only the six model FITS are eager (iterative Spark ML jobs);
+    // they run at most 3-wide — nine concurrent futures thrashed the
+    // scheduler on a shared host (r02: 32.8 s) for zero data
+    // parallelism, since each iteration is a one-task job. Scoring and
+    // AUC are NOT per-cell collects: all nine scored frames union into
+    // ONE grouped rank-sum AUC job (Metrics.rocAuc groupCols), so the
+    // query stays a single declarative result regardless of grid size.
+    import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val futures = grid.map { case (model, cls) => Future {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val scoredCells = grid.map { case (model, cls) => Future {
       val rep = variantSlice(model)
       val scored = cls match {
         case "LogisticRegression" =>
           val lr = new org.apache.spark.ml.classification.LogisticRegression()
             .setFeaturesCol("features").setLabelCol("label")
-            .setMaxIter(15).setRegParam(0.01)
+            .setMaxIter(10).setTol(1e-5).setRegParam(0.01)
           val m = lr.fit(train.select($"label",
             array_to_vector(rep($"rep6")).as("features")))
           m.transform(test.select($"label",
@@ -298,17 +305,18 @@ object CpcQueries {
         case "ScoreThreshold" => // probe-free baseline: first rep channel
           test.select(element_at(rep($"rep6"), 1).as("score"), $"label")
       }
-      val auc = Metrics.rocAuc(scored, $"score", $"label")
-        .select(round($"auc", 4)).collect()(0).getDouble(0)
-      (model, cls, auc)
+      scored.select(lit(model).as("Model"), lit(cls).as("Classification"),
+        $"score", $"label")
     } }
-    val results = futures.map(f => Await.result(f, Duration.Inf))
-    rep6.unpersist()
+    val allScored = scoredCells.map(f => Await.result(f, Duration.Inf))
+      .reduce(_ unionAll _)
+    pool.shutdown()
     // exact golden-table header shape (`UNSUPERVISED.csv:1`): epochs=0
     // (untrained representations, E3) and the reference batch size
-    results.toDF("Model", "Classification", "ROC_AUC")
+    Metrics.rocAuc(allScored, $"score", $"label",
+        Seq($"Model", $"Classification"))
       .select(lit(0).as("n_Epochs"), $"Model", $"Classification",
-        lit(1024).as("Batch Size"), $"ROC_AUC")
+        lit(1024).as("Batch Size"), round($"auc", 4).as("ROC_AUC"))
       .orderBy($"Model", $"Classification")
   }
 
