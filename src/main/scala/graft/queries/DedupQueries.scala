@@ -134,32 +134,48 @@ object DedupQueries {
        |FROM bandq ORDER BY doc_id""".stripMargin
   }
 
-  /** q42: MinHash-LSH near-dup pairs, end-to-end — band-bucket join
-    * generates candidates, exact shingle Jaccard verifies, threshold
-    * 0.7 keeps true near-dups. */
-  private def q42(s: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.7) — the shared
+    * LSH pipeline behind q42/q44/q47. The band self-join carries ONLY
+    * (doc_id, band_idx, band_key): at 100 TB, shuffling the shingle
+    * arrays through the candidate join would move ~4× the corpus'
+    * shingle payload; instead candidates join BACK to a doc→shingles
+    * table for the exact-Jaccard verify (the same shape as the oracle's
+    * `cand` + `JOIN shq` CTEs). The slim projection is materialized
+    * once (localCheckpoint) so bands and the shingle lookup don't
+    * re-run the scan+md5 pipeline. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = signatures(s, dir)
-    val bands = sigs.select($"doc_id", $"sh",
+      .select(($"doc_id" +: $"sh" +:
+        (0 until BANDS).map(b => col(s"band$b"))): _*)
+      .localCheckpoint(true)
+    val bands = sigs.select($"doc_id",
       explode(array((0 until BANDS).map(b =>
         struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*))
         .as("band"))
-      .select($"doc_id", $"sh", $"band.band_idx", $"band.band_key")
+      .select($"doc_id", $"band.band_idx", $"band.band_key")
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val sh = sigs.select($"doc_id", $"sh")
     cands
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
       .withColumn("jaccard", round(
         $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 6))
       .filter($"jaccard" >= 0.7)
       .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
   }
+
+  /** q42: MinHash-LSH near-dup pairs, end-to-end — band-bucket join
+    * generates candidates, exact shingle Jaccard verifies, threshold
+    * 0.7 keeps true near-dups. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   private val q42Sql = {
     val bandUnion = (0 until BANDS)
@@ -185,28 +201,9 @@ object DedupQueries {
        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** near-dup pairs (the q42 pipeline, shared by q44). */
-  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sigs = signatures(s, dir)
-    val bands = sigs.select($"doc_id", $"sh",
-      explode(array((0 until BANDS).map(b =>
-        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*))
-        .as("band"))
-      .select($"doc_id", $"sh", $"band.band_idx", $"band.band_key")
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
-      .withColumn("jaccard", round(
-        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 6))
-      .filter($"jaccard" >= 0.7)
-      .select($"doc_a", $"doc_b")
-  }
+  /** near-dup pairs (the q42 pipeline, shared by q44/q47). */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).select(col("doc_a"), col("doc_b"))
 
   /** q44: transitive duplicate CLUSTERS from the near-dup pairs —
     * connected components by iterative min-label propagation (the step
@@ -229,12 +226,11 @@ object DedupQueries {
       .select($"ed.src", $"ed.dst")
       .coalesce(4)
       .localCheckpoint(true)
-    // the label-prop loop works on a tiny edge set — run its shuffles
-    // narrow (restored below; at scale the edge set is large and keeps
-    // the session default)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    // the label-prop loop works on a tiny edge set; AQE coalesces its
+    // shuffles to match (no session-conf mutation — a mutated
+    // spark.sql.shuffle.partitions would leak into concurrent queries
+    // and into this query's own post-return stages, since the DataFrame
+    // is lazy). At scale the edge set is large and AQE sizes normally.
     def propagate(labels: DataFrame): DataFrame = {
       val neigh = edges.join(labels, $"dst" === $"node")
         .groupBy($"src").agg(min($"lbl").as("nlbl"))
@@ -259,9 +255,6 @@ object DedupQueries {
     }
     labels.select($"node".as("doc_id"), $"lbl".as("cluster_id"))
       .orderBy($"doc_id")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
   }
 
   private val q44Sql = {

@@ -30,6 +30,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q42: band-join exchange carries no shingle arrays") {
+    // the candidate join must move only (doc_id, band_idx, band_key) —
+    // shuffling the shingle arrays ×BANDS through it is the 100-TB
+    // scale wart the verify-join-back shape exists to avoid
+    val exec = Registry.byName("q42_lsh_neardup").run(spark, sf)
+      .queryExecution.executedPlan
+    // collect() doesn't descend into the AQE wrapper's inputPlan
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val bandJoins = flatten(exec).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.exists(_.toString.contains("band_key")) => j
+    }
+    assert(bandJoins.nonEmpty, "no band-keyed join found:\n" + exec.toString.take(1200))
+    bandJoins.foreach { j =>
+      (j.left.output ++ j.right.output).foreach { a =>
+        assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"band join carries array column ${a.name}")
+      }
+    }
+  }
+
   test("q50: KNN broadcasts the query side (nested-loop on broadcast)") {
     val p = plan("q50_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
