@@ -215,7 +215,7 @@ object CpcQueries {
     * (E3 untrained-probe analogue): channels 1-3 temporal stats, 4-6
     * spectral stats (FFT). Model variants are channel slices —
     * T = 1-3, S = 4-6, TS = all (P9 channel concat). */
-  private def representations(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def representations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
       .withColumn("is_error",
@@ -255,11 +255,13 @@ object CpcQueries {
     * (`UNSUPERVISED.csv` header: Model, Classification, ROC_AUC). */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // per-user reps are tiny (1 row/user): a single cached partition
+    // per-user reps are tiny (1 row/user): one cached partition (via a
+    // tiny-data repartition, NOT coalesce — coalesce(1) would collapse
+    // the parallel FFT/assembly upstream into one task)
     // makes each probe iteration a one-task job (treeAggregate over
     // thousands of rows is driver-overhead-bound otherwise). At real
     // scale the rep table is large and keeps natural partitioning.
-    val rep6 = representations(s, dir).coalesce(1).cache()
+    val rep6 = representations(s, dir).repartition(1).cache()
     val train = rep6.filter($"user_id" % 5 =!= 0)
     val test = rep6.filter($"user_id" % 5 === 0)
     val grid = for {

@@ -25,6 +25,7 @@ object Registry {
       Series.queries ++
       SeqQueries.queries ++
       CpcQueries.queries ++
+      TrajectoryQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++

@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.array_to_vector
+import graft.ops.Metrics
+
+/** The reference's trained-trajectory protocol (SURVEY.md §3 E1/E2 and
+  * the `un-sup comparison.ipynb` J4 join), re-expressed with the
+  * weights-as-inputs contract (M5: gradient training is out of engine
+  * scope).
+  *
+  * A literal per-epoch weight table drives representation quality: at
+  * epoch e the per-user 6-channel representation is
+  *   r_i(e) = (1 − e/4)·noise_i + (e/4)·feature_i
+  * where `noise_i` is a deterministic md5 channel (the untrained random
+  * encoder) and `feature_i` the informative channel (CpcQueries'
+  * temporal+spectral rep). Epoch 0 is exactly the untrained-baseline
+  * floor (E3, `withouttrain.csv`); later epochs model the encoder
+  * converging toward its informative representation — the engine-side
+  * analogue of `unsupervised.py:297-336`'s every-`test_every`-epochs
+  * probe loop producing `UNSUPERVISED.csv` rows.
+  *
+  *  - q88: unsupervised trajectory — probe protocol (M7) re-run at
+  *    epochs {0,2,4} (test_every=2) × model × {LogisticRegression,
+  *    ScoreThreshold}; LR fits are Spark ML ⇒ rows-only check (contract)
+  *    with the AUC trend locked by TrajectorySpec. Mirrors
+  *    `UNSUPERVISED_LR.csv` (LR-only golden table).
+  *  - q89: supervised counterpart (`supervised.py:312-431`) — A6
+  *    mean-collapse of the epoch-e representation → M4 BCE head with
+  *    literal weights → `SUPERVISED.csv` shape (no Classification
+  *    column) + BCE loss. No iterative fit ⇒ FULLY oracle-checked.
+  *  - q90: the `un-sup comparison.ipynb` cell-0 join (J4): unsupervised
+  *    (probe-free ScoreThreshold slice) × supervised per
+  *    (Model, n_Epochs). FULLY oracle-checked.
+  */
+object TrajectoryQueries {
+
+  private val Epochs = 4 // trajectory runs epoch 0..4
+
+  /** (user_id, label, n_Epochs, r1..r6): the per-epoch blended
+    * representation table. One row per user per epoch — the epoch
+    * dimension is a broadcast literal table, so the fan-out is a
+    * narrow crossJoin (no shuffle of the rep table). */
+  private def blended(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epochs = (0 to Epochs).toDF("n_Epochs")
+    val noisy = (1 to 6).foldLeft(CpcQueries.representations(s, dir)) {
+      (df, i) =>
+        df.withColumn(s"nz$i",
+          conv(substring(md5(concat(lit(s"nz:$i:"),
+            $"user_id".cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000 / lit(999.0) - 0.5)
+    }
+    val alpha = $"n_Epochs" / lit(4.0)
+    (1 to 6).foldLeft(noisy.crossJoin(broadcast(epochs))) { (df, i) =>
+      df.withColumn(s"r$i",
+        (lit(1.0) - alpha) * col(s"nz$i") + alpha * element_at($"rep6", i))
+    }.select(($"user_id" +: $"label" +: $"n_Epochs" +:
+      (1 to 6).map(i => col(s"r$i"))): _*)
+  }
+
+  /** Shared oracle CTEs reproducing `blended` in DuckDB: series
+    * assembly → temporal features + O(n²) DFT bins (the q71 technique)
+    * → md5 noise channels → per-epoch blend. */
+  private lazy val blendSqlCte: String = {
+    def dft(k: Int): String =
+      s"""sqrt(
+         |   pow(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+         |     j -> v[j] * cos(2 * pi() * $k * (j - 1) / n))), 2) +
+         |   pow(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+         |     j -> v[j] * sin(2 * pi() * $k * (j - 1) / n))), 2)) / n""".stripMargin
+    val nz = (1 to 6).map { i =>
+      s"""CAST(concat('0x', substr(md5(concat('nz:$i:',
+         |    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+         |   % 1000 / 999.0 - 0.5 AS nz$i""".stripMargin
+    }.mkString(",\n  ")
+    val blend = (1 to 6).map { i =>
+      s"(1.0 - CAST(e.n_Epochs AS DOUBLE) / 4.0) * nz$i" +
+        s" + CAST(e.n_Epochs AS DOUBLE) / 4.0 * f$i AS r$i"
+    }.mkString(",\n  ")
+    s"""s1 AS (
+       | SELECT user_id,
+       |  list(value / 100.0 ORDER BY ts, value / 100.0, is_error) AS v,
+       |  list(is_error ORDER BY ts, value / 100.0, is_error) AS err,
+       |  count(*) AS n
+       | FROM (SELECT user_id, ts, value,
+       |        CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END
+       |          AS is_error
+       |       FROM events)
+       | GROUP BY user_id HAVING count(*) >= 4),
+       |feat AS (
+       | SELECT user_id,
+       |  CASE WHEN list_sum(err) > n * 0.22 THEN 1.0 ELSE 0.0 END AS label,
+       |  list_sum(v) / n AS f1,
+       |  v[CAST(n AS INT)] AS f2,
+       |  list_max(v) - list_min(v) AS f3,
+       |  abs(list_sum(v)) / n AS f4,
+       |  ${dft(1)} AS f5,
+       |  ${dft(2)} AS f6,
+       |  $nz
+       | FROM s1),
+       |ep AS (SELECT CAST(unnest(generate_series(0, $Epochs)) AS INT)
+       |        AS n_Epochs),
+       |br AS (
+       | SELECT f.user_id, f.label, e.n_Epochs,
+       |  $blend
+       | FROM feat f CROSS JOIN ep e)""".stripMargin
+  }
+
+  /** A6 mean-collapse per model variant, written with the identical
+    * left-associated sum in Spark and SQL (bit-equal across engines). */
+  private def xbarCol(model: Column): Column =
+    when(model === "T_CPC", (col("r1") + col("r2") + col("r3")) / 3.0)
+      .when(model === "S_CPC", (col("r4") + col("r5") + col("r6")) / 3.0)
+      .otherwise((col("r1") + col("r2") + col("r3") +
+        col("r4") + col("r5") + col("r6")) / 6.0)
+
+  private val xbarSql: String =
+    """CASE WHEN m.Model = 'T_CPC' THEN (r1 + r2 + r3) / 3.0
+      |     WHEN m.Model = 'S_CPC' THEN (r4 + r5 + r6) / 3.0
+      |     ELSE (r1 + r2 + r3 + r4 + r5 + r6) / 6.0 END""".stripMargin
+
+  // literal M4 head over the A5-standardized collapse: z-scoring x̄ per
+  // (Model, epoch) — batchnorm eval-mode semantics — keeps the literal
+  // head calibrated at every epoch (BCE decreases as class separation
+  // grows; a raw-x̄ head mis-calibrates when the blend changes scale).
+  // AUC is unaffected: the per-group affine is rank-preserving.
+  private def headScore(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-(lit(1.5) * z)))
+
+  private val headScoreSql =
+    "1.0 / (1.0 + exp(-(1.5 * ((xbar - mu) / sd))))"
+
+  /** (user_id, label, n_Epochs, Model, xbar, score): the supervised
+    * scored table shared by q89/q90. */
+  private def supScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val models = Seq("T_CPC", "TS_CPC", "S_CPC").toDF("Model")
+    val sup = blended(s, dir).crossJoin(broadcast(models))
+      .withColumn("xbar", xbarCol($"Model"))
+    val st = sup.groupBy($"Model", $"n_Epochs")
+      .agg(avg($"xbar").as("mu"), stddev_pop($"xbar").as("sd"))
+    sup.join(st, Seq("Model", "n_Epochs"))
+      .withColumn("score", headScore(($"xbar" - $"mu") / $"sd"))
+  }
+
+  /** oracle CTEs for `supScored` (appended after blendSqlCte). */
+  private lazy val supScoredSqlCte: String =
+    s"""md AS (SELECT * FROM (VALUES ('T_CPC'), ('TS_CPC'), ('S_CPC'))
+       |        m(Model)),
+       |sup AS (
+       | SELECT b.user_id, b.label, b.n_Epochs, m.Model,
+       |  CASE WHEN m.Model = 'S_CPC' THEN r4 ELSE r1 END AS uscore,
+       |  $xbarSql AS xbar
+       | FROM br b CROSS JOIN md m),
+       |st AS (
+       | SELECT Model, n_Epochs, avg(xbar) AS mu, stddev_pop(xbar) AS sd
+       | FROM sup GROUP BY Model, n_Epochs),
+       |supz AS (
+       | SELECT s.*, $headScoreSql AS score
+       | FROM sup s JOIN st USING (Model, n_Epochs))""".stripMargin
+
+  /** q88: the unsupervised probe-protocol TRAJECTORY (E1) — epochs
+    * {0, 2, 4} (test_every = 2) × model × classifier, `UNSUPERVISED.csv`
+    * header shape. Epoch 0 reproduces the untrained floor (E3); the AUC
+    * trend across epochs is the reference's headline result. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = blended(s, dir).filter($"n_Epochs" % 2 === 0)
+      .repartition(1).cache()
+    reps.count()
+    val train = reps.filter($"user_id" % 5 =!= 0)
+    val test = reps.filter($"user_id" % 5 === 0)
+    def feats(model: String): Column = model match {
+      case "T_CPC" => array($"r1", $"r2", $"r3")
+      case "S_CPC" => array($"r4", $"r5", $"r6")
+      case _       => array($"r1", $"r2", $"r3", $"r4", $"r5", $"r6")
+    }
+    val grid = for {
+      e <- 0 to Epochs by 2
+      model <- Seq("T_CPC", "TS_CPC", "S_CPC")
+      cls <- Seq("LogisticRegression", "ScoreThreshold")
+    } yield (e, model, cls)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val cells = grid.map { case (e, model, cls) => Future {
+      val scored = cls match {
+        case "LogisticRegression" =>
+          val lr = new org.apache.spark.ml.classification.LogisticRegression()
+            .setFeaturesCol("features").setLabelCol("label")
+            .setMaxIter(10).setTol(1e-5).setRegParam(0.01)
+          val m = lr.fit(train.filter($"n_Epochs" === e).select($"label",
+            array_to_vector(feats(model)).as("features")))
+          m.transform(test.filter($"n_Epochs" === e).select($"label",
+              array_to_vector(feats(model)).as("features")))
+            .select(element_at(
+              org.apache.spark.ml.functions.vector_to_array($"probability"), 2)
+              .as("score"), $"label")
+        case _ => // ScoreThreshold: first channel of the variant slice
+          test.filter($"n_Epochs" === e)
+            .select(element_at(feats(model), 1).as("score"), $"label")
+      }
+      scored.select(lit(e).as("n_Epochs"), lit(model).as("Model"),
+        lit(cls).as("Classification"), $"score", $"label")
+    } }
+    val allScored = cells.map(f => Await.result(f, Duration.Inf))
+      .reduce(_ unionAll _)
+    pool.shutdown()
+    Metrics.rocAuc(allScored, $"score", $"label",
+        Seq($"n_Epochs", $"Model", $"Classification"))
+      .select($"n_Epochs", $"Model", $"Classification",
+        lit(1024).as("Batch Size"), round($"auc", 4).as("ROC_AUC"))
+      .orderBy($"Model", $"Classification", $"n_Epochs")
+  }
+
+  /** q89: the supervised trajectory (`supervised.py:312-431`, E2) —
+    * A6 mean-collapse → literal M4 BCE head → per-(Model, n_Epochs)
+    * held-out ROC-AUC + BCE loss in the `SUPERVISED.csv` shape. Fully
+    * oracle-checked (no iterative fit anywhere). */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = supScored(s, dir)
+    val bce = scored.groupBy($"Model", $"n_Epochs")
+      .agg((-avg($"label" * log($"score") +
+        (lit(1.0) - $"label") * log(lit(1.0) - $"score"))).as("bce"))
+    Metrics.rocAuc(scored, $"score", $"label", Seq($"Model", $"n_Epochs"))
+      .join(bce, Seq("Model", "n_Epochs"))
+      .select($"n_Epochs", $"Model", lit(1024).as("Batch Size"),
+        round($"auc", 4).as("ROC_AUC"), round($"bce", 6).as("bce_loss"))
+      .orderBy($"Model", $"n_Epochs")
+  }
+
+  /** grouped rank-sum AUC oracle fragment over sc(Model, n_Epochs, y,
+    * score) — the q62 pattern with a two-column group. */
+  private def aucSql(src: String): String =
+    s"""g AS (SELECT Model, n_Epochs, score, count(*) AS c, sum(y) AS pos_c
+       |      FROM $src GROUP BY Model, n_Epochs, score),
+       |r AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY Model, n_Epochs
+       |        ORDER BY score
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS cum_before FROM g),
+       |t AS (SELECT Model, n_Epochs,
+       |       sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
+       |       sum(pos_c) AS np, sum(c - pos_c) AS nn
+       |      FROM r GROUP BY Model, n_Epochs)""".stripMargin
+
+  private lazy val q89Sql =
+    s"""WITH $blendSqlCte,
+       |$supScoredSqlCte,
+       |sc AS (
+       | SELECT Model, n_Epochs, label AS y, score FROM supz),
+       |${aucSql("sc")},
+       |bce AS (
+       | SELECT Model, n_Epochs,
+       |  -avg(y * ln(score) + (1.0 - y) * ln(1.0 - score)) AS bce
+       | FROM sc GROUP BY Model, n_Epochs)
+       |SELECT t.n_Epochs AS n_Epochs, t.Model AS Model,
+       | 1024 AS "Batch Size",
+       | round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 4) AS ROC_AUC,
+       | round(bce, 6) AS bce_loss
+       |FROM t JOIN bce ON t.Model = bce.Model AND t.n_Epochs = bce.n_Epochs
+       |ORDER BY t.Model, t.n_Epochs""".stripMargin
+
+  /** q90: the comparison join (`un-sup comparison.ipynb` cell 0, J4) —
+    * unsupervised (probe-free ScoreThreshold slice: first channel of
+    * the variant representation) vs supervised (q89 head) per
+    * (Model, n_Epochs). Fully oracle-checked. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = supScored(s, dir)
+      .withColumn("uscore",
+        when($"Model" === "S_CPC", $"r4").otherwise($"r1"))
+    val unsup = Metrics.rocAuc(base.withColumn("score", $"uscore"),
+      $"score", $"label", Seq($"Model", $"n_Epochs"))
+      .select($"Model", $"n_Epochs", round($"auc", 4).as("unsup_auc"))
+    val sup = Metrics.rocAuc(base,
+      $"score", $"label", Seq($"Model", $"n_Epochs"))
+      .select($"Model", $"n_Epochs", round($"auc", 4).as("sup_auc"))
+    unsup.join(sup, Seq("Model", "n_Epochs"))
+      .select($"n_Epochs", $"Model", $"unsup_auc", $"sup_auc",
+        round($"sup_auc" - $"unsup_auc", 4).as("auc_gap"))
+      .orderBy($"Model", $"n_Epochs")
+  }
+
+  private lazy val q90Sql =
+    s"""WITH $blendSqlCte,
+       |$supScoredSqlCte,
+       |uc AS (
+       | SELECT Model, n_Epochs, label AS y, uscore AS score FROM supz),
+       |${aucSql("uc")},
+       |ua AS (
+       | SELECT Model, n_Epochs,
+       |  round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 4)
+       |    AS unsup_auc
+       | FROM t),
+       |sc2 AS (
+       | SELECT Model, n_Epochs, label AS y, score FROM supz),
+       |g2 AS (SELECT Model, n_Epochs, score, count(*) AS c, sum(y) AS pos_c
+       |       FROM sc2 GROUP BY Model, n_Epochs, score),
+       |r2 AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY Model, n_Epochs
+       |         ORDER BY score
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS cum_before FROM g2),
+       |t2 AS (SELECT Model, n_Epochs,
+       |        sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
+       |        sum(pos_c) AS np, sum(c - pos_c) AS nn
+       |       FROM r2 GROUP BY Model, n_Epochs),
+       |sa AS (
+       | SELECT Model, n_Epochs,
+       |  round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 4) AS sup_auc
+       | FROM t2)
+       |SELECT ua.n_Epochs AS n_Epochs, ua.Model AS Model,
+       | unsup_auc, sup_auc,
+       | round(sup_auc - unsup_auc, 4) AS auc_gap
+       |FROM ua JOIN sa ON ua.Model = sa.Model AND ua.n_Epochs = sa.n_Epochs
+       |ORDER BY ua.Model, ua.n_Epochs""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q88_unsup_trajectory", q88, None,
+      "epoch-trajectory probe protocol (E1, UNSUPERVISED_LR.csv shape)"),
+    Q("q89_sup_trajectory", q89, Some(q89Sql),
+      "supervised trajectory: A6 mean + M4 BCE head (SUPERVISED.csv)"),
+    Q("q90_unsup_comparison", q90, Some(q90Sql),
+      "un-sup comparison join per (Model, n_Epochs) (J4)"))
+}

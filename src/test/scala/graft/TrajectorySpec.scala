@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.Registry
+
+/** Golden-shape + trend contracts for the epoch-trajectory protocol
+  * (q88/q89/q90) — the engine-side analogue of the reference's
+  * UNSUPERVISED/SUPERVISED result tables: AUC must rise and BCE must
+  * fall as the per-epoch weight table converges toward the informative
+  * representation. Runs at sf0.01 (sf0.001 has too few users for
+  * stable rank statistics). */
+class TrajectorySpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q89: supervised AUC rises and BCE falls monotonically per model") {
+    val rows = Registry.byName("q89_sup_trajectory").run(spark, sf01)
+      .collect().map(r => (r.getString(1), r.getInt(0),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 15) // 3 models x epochs 0..4
+    rows.groupBy(_._1).foreach { case (model, rs) =>
+      val byEpoch = rs.sortBy(_._2)
+      val aucs = byEpoch.map(_._3)
+      val bces = byEpoch.map(_._4)
+      assert(aucs.zip(aucs.tail).forall { case (a, b) => a < b },
+        s"$model AUC not increasing: ${aucs.mkString(",")}")
+      assert(bces.zip(bces.tail).forall { case (a, b) => a > b },
+        s"$model BCE not decreasing: ${bces.mkString(",")}")
+    }
+  }
+
+  test("q88: probe trajectory clears its epoch-0 floor") {
+    val rows = Registry.byName("q88_unsup_trajectory").run(spark, sf01)
+      .collect().map(r => ((r.getString(1), r.getString(2), r.getInt(0)),
+        r.getDouble(4))).toMap
+    assert(rows.size == 18) // 3 models x {0,2,4} x 2 classifiers
+    // ScoreThreshold: epoch 4 is exactly the informative representation
+    // (alpha = 1) -> beats the epoch-0 noise floor for every model;
+    // T and TS share channel 1, so their thresholds coincide.
+    Seq("T_CPC", "TS_CPC", "S_CPC").foreach { m =>
+      assert(rows((m, "ScoreThreshold", 4)) > rows((m, "ScoreThreshold", 0)),
+        s"$m threshold trajectory flat")
+    }
+    assert(rows(("T_CPC", "ScoreThreshold", 4)) ==
+      rows(("TS_CPC", "ScoreThreshold", 4)))
+    // LR probe: averaged over models the trained rep beats the noise rep
+    // (per-model epoch-0 LR AUC is small-sample noisy by design)
+    val lr4 = Seq("T_CPC", "TS_CPC", "S_CPC")
+      .map(m => rows((m, "LogisticRegression", 4))).sum / 3
+    val lr0 = Seq("T_CPC", "TS_CPC", "S_CPC")
+      .map(m => rows((m, "LogisticRegression", 0))).sum / 3
+    assert(lr4 > lr0 + 0.02, s"LR trajectory flat: $lr0 -> $lr4")
+  }
+
+  test("q90: comparison join is consistent with its two sides") {
+    val rows = Registry.byName("q90_unsup_comparison").run(spark, sf01)
+      .collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val (u, s, gap) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(gap - BigDecimal(s - u)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+}
