@@ -198,6 +198,61 @@ object MlQueries {
       .withColumn("n_test", lit(test.count()))
   }
 
+  /** q91: the PCA latent-scatter table with patient filters
+    * (`exercise provided.ipynb` cells 12/17): the notebook filters the
+    * cohort by patient id — cell 12 a literal id set (F1,
+    * `isin(145, 106, 116, 176)`), cell 17 a range (F2,
+    * `patient_id > 100`) — fits PCA(2) on the filtered latent
+    * representations, and scatters (pc1, pc2) per label. The engine
+    * emits that scatter TABLE (plots stay client-side per S7); the id
+    * literals are scaled to the testdata id domain. Rows-only
+    * (iterative PCA fit); per-label separation locked by
+    * TrajectorySpec. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = CpcQueries.representations(s, dir)
+      .select($"user_id", $"label",
+        array_to_vector($"rep6").as("features"))
+    val cohorts = Seq(
+      // F1 membership filter — cell 12's four-patient cohort
+      "cohort_set" -> reps.filter($"user_id".isin(2L, 3L, 5L, 7L, 11L, 13L)),
+      // F2 range filter — cell 17's `patient_id > 100` analogue
+      "range_gt" -> reps.filter($"user_id" > 7))
+    cohorts.map { case (fname, cohort) =>
+      val pca = new org.apache.spark.ml.feature.PCA()
+        .setInputCol("features").setOutputCol("pc").setK(2)
+      val model = pca.fit(cohort)
+      model.transform(cohort)
+        .select(lit(fname).as("filter_name"), $"user_id",
+          $"label".cast("int").as("label"),
+          round(element_at(vector_to_array($"pc"), 1), 4).as("pc1"),
+          round(element_at(vector_to_array($"pc"), 2), 4).as("pc2"))
+    }.reduce(_ unionAll _)
+      .orderBy($"filter_name", $"user_id")
+  }
+
+  /** q92: A9 plain accuracy, oracle-checked — thresholded prediction
+    * (`score > 0 → class 1`) against the binary label via
+    * `Metrics.accuracy` (the same audited aggregation q63/q66 report
+    * through), so the last §2.5 aggregate has a DuckDB oracle. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val preds = scored(s, dir)
+      .withColumn("pred", when($"score" > 0, 1).otherwise(0))
+    Metrics.accuracy(preds, $"pred", $"y")
+      .select(round($"accuracy", 6).as("accuracy"))
+      .withColumn("n", lit(preds.count()))
+  }
+
+  private val q92Sql =
+    """SELECT
+      | round(avg(CASE WHEN (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0
+      |                      THEN 1 ELSE 0 END)
+      |                = (CASE WHEN label < 5 THEN 1 ELSE 0 END)
+      |           THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+      | count(*) AS n
+      |FROM embeddings""".stripMargin
+
   /** q67: M4 supervised-head loss — BCE-with-logits of a literal linear
     * head over the embedding vs the binary label, plus the mean logit
     * and label rate (`supervised.py:65-74` dataflow as one aggregation). */
@@ -238,5 +293,9 @@ object MlQueries {
     Q("q63_lr_probe", q63, None, "M1 LogisticRegression probe (Spark ML)"),
     Q("q64_pca_probe", q64, None, "M3 PCA latent projection (Spark ML)"),
     Q("q65_kmeans", q65, None, "KMeans clustering (Spark ML)"),
-    Q("q66_mlp_probe", q66, None, "M2 MLP probe (Spark ML)"))
+    Q("q66_mlp_probe", q66, None, "M2 MLP probe (Spark ML)"),
+    Q("q91_pca_scatter", q91, None,
+      "patient-filtered PCA(2) latent scatter (F1/F2 + M3)"),
+    Q("q92_accuracy", q92, Some(q92Sql),
+      "A9 thresholded-prediction accuracy (oracle)"))
 }

@@ -51,6 +51,26 @@ class TrajectorySpec extends SparkSpec {
     assert(lr4 > lr0 + 0.02, s"LR trajectory flat: $lr0 -> $lr4")
   }
 
+  test("q91: PCA scatter separates the classes in latent space") {
+    val df = Registry.byName("q91_pca_scatter").run(spark, sf01)
+    val cents = df.collect()
+      .groupBy(r => (r.getString(0), r.getInt(2)))
+      .map { case (k, rs) =>
+        k -> (rs.map(_.getDouble(3)).sum / rs.length,
+          rs.map(_.getDouble(4)).sum / rs.length)
+      }
+    // the notebook's claim: the two classes occupy distinct regions of
+    // the 2-d latent projection (cells 12/17 scatter by label)
+    Seq("cohort_set", "range_gt").foreach { f =>
+      val (c0x, c0y) = cents((f, 0))
+      val (c1x, c1y) = cents((f, 1))
+      val d = math.hypot(c0x - c1x, c0y - c1y)
+      assert(d > 0.05, s"$f label centroids too close: $d")
+    }
+    // both notebook filters produce points
+    assert(df.collect().map(_.getString(0)).distinct.length == 2)
+  }
+
   test("q90: comparison join is consistent with its two sides") {
     val rows = Registry.byName("q90_unsup_comparison").run(spark, sf01)
       .collect()
