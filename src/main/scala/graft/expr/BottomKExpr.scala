@@ -32,7 +32,11 @@ case class BottomKAgg(
       TypeCheckResult.TypeCheckFailure("k must be a literal")
     else (child.dataType, kExpr.dataType) match {
       case (LongType, IntegerType | LongType) =>
-        TypeCheckResult.TypeCheckSuccess
+        val kv = kExpr.eval()
+        if (kv == null || kv.asInstanceOf[Number].intValue() < 1)
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_bottomk requires k >= 1, got $kv")
+        else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_bottomk requires (BIGINT, INT), got ${l.simpleString}, ${r.simpleString}")
     }

@@ -13,7 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (`aggregate(zip_with(a, b, *), 0, +)`) materializes an intermediate
   * array per row-pair; this expression is a single primitive loop over
   * the two unsafe arrays, no allocation, codegen via static call.
-  * Result is bit-identical to the HOF form (same left-to-right order).
+  * For EQUAL-length inputs the result is bit-identical to the HOF form
+  * (same left-to-right order). Length-mismatch semantics differ by
+  * design: this sums over min(len) (EdgeCaseSpec pins it), while the
+  * HOF form yields NULL (zip_with pads the shorter side with nulls).
   */
 case class DotExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -16,8 +16,10 @@ import graft.ops.Fft
   * static kernel call (the same pattern Spark's own StaticInvoke-backed
   * functions use).
   *
-  * `graft_fft_mag(ARRAY<DOUBLE>) → ARRAY<DOUBLE>`; null-safe; kernel is
-  * the shared radix-2/Bluestein implementation in ops/Fft (FftSpec).
+  * `graft_fft_mag(ARRAY<DOUBLE>) → ARRAY<DOUBLE>`; a null ARRAY yields
+  * null, null ELEMENTS are treated as 0.0 (the dense-series semantics —
+  * a gap contributes nothing to the spectrum); kernel is the shared
+  * radix-2/Bluestein implementation in ops/Fft (FftSpec).
   */
 case class FftMagExpr(child: Expression) extends UnaryExpression {
 
@@ -43,9 +45,17 @@ case class FftMagExpr(child: Expression) extends UnaryExpression {
 }
 
 object FftMagExpr {
-  /** static kernel entry, shared by interpreted eval and generated code. */
+  /** static kernel entry, shared by interpreted eval and generated code.
+    * Extracts elements null-aware (toDoubleArray throws on null
+    * elements, reachable from SQL: graft_fft_mag(array(1.0, NULL))). */
   def compute(input: ArrayData): ArrayData = {
-    val x = input.toDoubleArray()
+    val n = input.numElements()
+    val x = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      x(j) = if (input.isNullAt(j)) 0.0 else input.getDouble(j)
+      j += 1
+    }
     val (re, im) = Fft.fftComplex(x, new Array[Double](x.length),
       invert = false)
     val out = new Array[Double](x.length)
@@ -71,11 +81,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((
       FunctionIdentifier("graft_fft_mag"),
       new ExpressionInfo(classOf[FftMagExpr].getName, "graft_fft_mag"),
-      (children: Seq[Expression]) => FftMagExpr(children.head)))
+      GraftFunctions.fftMagBuilder))
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotExpr(children(0), children(1))))
+      GraftFunctions.dotBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
+      GraftFunctions.bottomKBuilder))
   }
 }
 
@@ -84,26 +98,44 @@ object GraftFunctions {
   private val dotId = FunctionIdentifier("graft_dot")
   private val bottomKId = FunctionIdentifier("graft_bottomk")
 
+  // shared builders (runtime registry + GraftExtensions) with arity
+  // checks — a one-arg graft_bottomk call must fail analysis with a
+  // clear message, not IndexOutOfBounds
+  private def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name takes exactly $n argument(s), got ${children.length}")
+
+  private[expr] val fftMagBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_fft_mag", 1, ch); FftMagExpr(ch.head)
+  }
+  private[expr] val dotBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_dot", 2, ch); DotExpr(ch(0), ch(1))
+  }
+  private[expr] val bottomKBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_bottomk", 2, ch)
+    BottomKAgg(ch(0), ch(1)).toAggregateExpression()
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(fftMagId)) {
       registry.registerFunction(
         fftMagId,
         new ExpressionInfo(classOf[FftMagExpr].getName, "graft_fft_mag"),
-        (children: Seq[Expression]) => FftMagExpr(children.head))
+        fftMagBuilder)
     }
     if (!registry.functionExists(dotId)) {
       registry.registerFunction(
         dotId,
         new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotExpr(children(0), children(1)))
+        dotBuilder)
     }
     if (!registry.functionExists(bottomKId)) {
       registry.registerFunction(
         bottomKId,
         new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
-        (children: Seq[Expression]) =>
-          BottomKAgg(children(0), children(1)).toAggregateExpression())
+        bottomKBuilder)
     }
   }
 

@@ -41,7 +41,18 @@ object Cpc {
   private def sigmoid(t: Column): Column = lit(1.0) / (lit(1.0) + exp(-t))
 
   /** one GRU step h' = GRU(h, x) as a column expression; h is
-    * ARRAY<DOUBLE>(H), x is a scalar column. */
+    * ARRAY<DOUBLE>(H), x is a scalar column.
+    *
+    * GATE CONVENTION — this is the ORIGINAL Cho et al. (2014) GRU:
+    *   h̃ = tanh(W x + b + U (r ⊙ h));  h' = (1 − z) ⊙ h + z ⊙ h̃
+    * (reset gate applied to h BEFORE the U matmul). PyTorch's `nn.GRU`
+    * (used by the reference, `T_CPC.py:25`) differs:
+    *   n = tanh(W x + b_in + r ⊙ (U h + b_hn));  h' = (1 − z) ⊙ n + z ⊙ h
+    * — reset applied AFTER the matmul, and z gates the OLD state, not
+    * the candidate. The engine is internally consistent (Spark, the
+    * DuckDB oracle via gruStepSql, and CpcSpec's closed forms all use
+    * this convention), but weights trained in torch nn.GRU must NOT be
+    * ported as-is: transform them (or swap this step function) first. */
   def gruStep(w: GruWeights, h: Column, x: Column): Column = {
     def hAt(i: Int): Column = element_at(h, i + 1)
     def gate(wv: Seq[Double], u: Seq[Seq[Double]], b: Seq[Double],

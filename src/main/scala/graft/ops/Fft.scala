@@ -1,8 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
-
 /** FFT (SURVEY.md §2.6 W3 — `torch.fft.fft` at `TS_CPC.py:70-71`,
   * `S_CPC.py:69-70`): hand-written, dependency-free (offline build).
   *
@@ -12,11 +9,11 @@ import org.apache.spark.sql.functions.udf
   * impulse/constant/single-tone closed forms, Parseval, linearity,
   * ifft∘fft ≈ id, and agreement with the O(n²) DFT.
   *
-  * Exposed to queries as a Scala UDF over the row-local series array —
-  * sequences are bounded (reference: 200), so per-row cost is O(n log n)
-  * and the operator scales linearly with rows, no shuffle. (A codegen
-  * Catalyst Expression is the upgrade path if BENCH flags the UDF
-  * boundary; the kernel below is shared either way.)
+  * The ONLY column-level surface is the native Catalyst expression
+  * `graft_fft_mag` (expr/FftMagExpr — codegen, no UDF boundary), which
+  * calls this kernel statically. Sequences are bounded (reference:
+  * 200), so per-row cost is O(n log n) and the operator scales
+  * linearly with rows, no shuffle.
   */
 object Fft {
 
@@ -174,9 +171,4 @@ object Fft {
     re.indices.map(i => math.sqrt(re(i) * re(i) + im(i) * im(i)))
   }
 
-  /** UDF column form: fft_mag(ARRAY<DOUBLE>) → ARRAY<DOUBLE>. */
-  val fftMagUdf = udf((x: Seq[Double]) =>
-    if (x == null) null else magnitude(x))
-
-  def fftMag(c: Column): Column = fftMagUdf(c)
 }

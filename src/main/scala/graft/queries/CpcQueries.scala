@@ -231,7 +231,7 @@ object CpcQueries {
       ArrayOps.lastElem($"v"),
       array_max($"v") - array_min($"v"))
     val spectral = {
-      val mag = Fft.fftMag($"v")
+      val mag = graft.expr.GraftFunctions.fftMag(s, $"v")
       array(
         element_at(mag, 1) / $"series_len",
         when(size(mag) >= 2, element_at(mag, 2) / $"series_len")

@@ -9,13 +9,19 @@ import graft.ops.Fft
 class FftExprSpec extends SparkSpec {
   import spark.implicits._
 
+  // test-scope UDF over the same kernel — the main path exposes ONLY
+  // the native expression (the UDF exists here to cross-check the
+  // expression's ArrayData plumbing against plain Scala evaluation)
+  private val fftMagUdf = udf((x: Seq[Double]) =>
+    if (x == null) null else Fft.magnitude(x))
+
   test("expression ≡ UDF on random series") {
     val rnd = new scala.util.Random(3)
     val data = Seq.fill(20)(Seq.fill(1 + rnd.nextInt(40))(rnd.nextDouble() * 10))
     val df = data.toDF("v")
     val rows = df.select(
       GraftFunctions.fftMag(spark, $"v").as("e"),
-      Fft.fftMag($"v").as("u")).collect()
+      fftMagUdf($"v").as("u")).collect()
     rows.foreach { r =>
       val e = r.getSeq[Double](0); val u = r.getSeq[Double](1)
       assert(e.size == u.size)
@@ -43,6 +49,30 @@ class FftExprSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(out == 11.0)
+  }
+
+  test("null ELEMENTS are treated as 0.0, not a crash") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_fft_mag(array(1.0d, CAST(NULL AS DOUBLE), 0.0d, 0.0d)) AS m")
+      .collect()(0).getSeq[Double](0)
+    // ≡ impulse of length 4 → flat unit spectrum
+    assert(out.size == 4 && out.forall(v => approxEqual(v, 1.0)))
+  }
+
+  test("graft_bottomk rejects k < 1 and wrong arity at analysis time") {
+    GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_bottomk(CAST(1 AS BIGINT), 0)").collect()
+    }
+    assert(e1.getMessage.contains("k >= 1"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_bottomk(CAST(1 AS BIGINT))").collect()
+    }
+    assert(e2.getMessage.contains("argument"), e2.getMessage)
+    // extensions path exposes the same three-function surface
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expr.GraftExtensions()(exts)
   }
 
   test("null input and nested use in HOF pipeline") {

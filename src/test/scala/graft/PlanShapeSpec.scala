@@ -56,6 +56,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dropout: eval mode folds to the bare column, train mode injects rand") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(1).select(array(lit(1.0), lit(2.0)).as("a"))
+    // M6 train/eval switch: eval-mode dropout must leave NO trace in
+    // the optimized plan (the reference's model.eval() semantics)
+    val evalPlan = df.select(graft.ops.ArrayOps
+        .dropout($"a", 0.1, 7L, train = false).as("o"))
+      .queryExecution.optimizedPlan.toString
+    assert(!evalPlan.toLowerCase.contains("rand"), evalPlan)
+    assert(!evalPlan.contains("transform"), evalPlan)
+    val trainPlan = df.select(graft.ops.ArrayOps
+        .dropout($"a", 0.1, 7L).as("o"))
+      .queryExecution.optimizedPlan.toString
+    assert(trainPlan.toLowerCase.contains("rand"), trainPlan)
+  }
+
   test("q50: KNN broadcasts the query side (nested-loop on broadcast)") {
     val p = plan("q50_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
