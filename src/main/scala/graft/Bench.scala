@@ -31,7 +31,9 @@ object Bench {
         .fit(tiny).transform(tiny).count()
     } catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q76,q44 times just those
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map {

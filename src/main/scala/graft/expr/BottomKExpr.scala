@@ -33,9 +33,12 @@ case class BottomKAgg(
     else (child.dataType, kExpr.dataType) match {
       case (LongType, IntegerType | LongType) =>
         val kv = kExpr.eval()
-        if (kv == null || kv.asInstanceOf[Number].intValue() < 1)
+        // longValue, not intValue: a BIGINT k > Int.MaxValue must fail
+        // here, not silently truncate into a tiny sketch
+        if (kv == null || kv.asInstanceOf[Number].longValue() < 1 ||
+            kv.asInstanceOf[Number].longValue() > Int.MaxValue)
           TypeCheckResult.TypeCheckFailure(
-            s"graft_bottomk requires k >= 1, got $kv")
+            s"graft_bottomk requires 1 <= k <= ${Int.MaxValue}, got $kv")
         else TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_bottomk requires (BIGINT, INT), got ${l.simpleString}, ${r.simpleString}")

@@ -261,14 +261,16 @@ object CpcQueries {
     // makes each probe iteration a one-task job (treeAggregate over
     // thousands of rows is driver-overhead-bound otherwise). At real
     // scale the rep table is large and keeps natural partitioning.
-    val rep6 = representations(s, dir).repartition(1).cache()
+    // eager localCheckpoint (not cache): materializes once, cuts
+    // lineage, and frees its blocks with the RDD instead of pinning a
+    // session-lifetime cache entry per invocation
+    val rep6 = representations(s, dir).repartition(1).localCheckpoint(true)
     val train = rep6.filter($"user_id" % 5 =!= 0)
     val test = rep6.filter($"user_id" % 5 === 0)
     val grid = for {
       model <- Seq("T_CPC", "TS_CPC", "S_CPC")
       cls <- Seq("LogisticRegression", "ClassifierNN", "ScoreThreshold")
     } yield (model, cls)
-    rep6.count() // materialize the cache once before the fits
     // Only the six model FITS are eager (iterative Spark ML jobs);
     // they run at most 3-wide — nine concurrent futures thrashed the
     // scheduler on a shared host (r02: 32.8 s) for zero data
@@ -280,7 +282,8 @@ object CpcQueries {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val scoredCells = grid.map { case (model, cls) => Future {
+    val allScored = try {
+      val scoredCells = grid.map { case (model, cls) => Future {
       val rep = variantSlice(model)
       val scored = cls match {
         case "LogisticRegression" =>
@@ -309,10 +312,10 @@ object CpcQueries {
       }
       scored.select(lit(model).as("Model"), lit(cls).as("Classification"),
         $"score", $"label")
-    } }
-    val allScored = scoredCells.map(f => Await.result(f, Duration.Inf))
-      .reduce(_ unionAll _)
-    pool.shutdown()
+      } }
+      scoredCells.map(f => Await.result(f, Duration.Inf))
+        .reduce(_ unionAll _)
+    } finally pool.shutdown() // non-daemon threads would hang the JVM
     // exact golden-table header shape (`UNSUPERVISED.csv:1`): epochs=0
     // (untrained representations, E3) and the reference batch size
     Metrics.rocAuc(allScored, $"score", $"label",

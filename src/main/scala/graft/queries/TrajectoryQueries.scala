@@ -143,6 +143,9 @@ object TrajectoryQueries {
       .agg(avg($"xbar").as("mu"), stddev_pop($"xbar").as("sd"))
     sup.join(st, Seq("Model", "n_Epochs"))
       .withColumn("score", headScore(($"xbar" - $"mu") / $"sd"))
+    // no checkpoint here: q89/q90 consume this in ONE action whose two
+    // aggregation branches share the subtree via ReusedExchange — an
+    // eager materialization measured ~1.5 s SLOWER than the reuse
   }
 
   /** oracle CTEs for `supScored` (appended after blendSqlCte). */
@@ -167,9 +170,10 @@ object TrajectoryQueries {
     * trend across epochs is the reference's headline result. */
   private def q88(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // eager localCheckpoint: materialize once without pinning a
+    // session-lifetime cache entry per invocation
     val reps = blended(s, dir).filter($"n_Epochs" % 2 === 0)
-      .repartition(1).cache()
-    reps.count()
+      .repartition(1).localCheckpoint(true)
     val train = reps.filter($"user_id" % 5 =!= 0)
     val test = reps.filter($"user_id" % 5 === 0)
     def feats(model: String): Column = model match {
@@ -187,7 +191,8 @@ object TrajectoryQueries {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    val cells = grid.map { case (e, model, cls) => Future {
+    val allScored = try {
+      val cells = grid.map { case (e, model, cls) => Future {
       val scored = cls match {
         case "LogisticRegression" =>
           val lr = new org.apache.spark.ml.classification.LogisticRegression()
@@ -206,10 +211,10 @@ object TrajectoryQueries {
       }
       scored.select(lit(e).as("n_Epochs"), lit(model).as("Model"),
         lit(cls).as("Classification"), $"score", $"label")
-    } }
-    val allScored = cells.map(f => Await.result(f, Duration.Inf))
-      .reduce(_ unionAll _)
-    pool.shutdown()
+      } }
+      cells.map(f => Await.result(f, Duration.Inf))
+        .reduce(_ unionAll _)
+    } finally pool.shutdown() // non-daemon threads would hang the JVM
     Metrics.rocAuc(allScored, $"score", $"label",
         Seq($"n_Epochs", $"Model", $"Classification"))
       .select($"n_Epochs", $"Model", $"Classification",
@@ -234,19 +239,21 @@ object TrajectoryQueries {
       .orderBy($"Model", $"n_Epochs")
   }
 
-  /** grouped rank-sum AUC oracle fragment over sc(Model, n_Epochs, y,
-    * score) — the q62 pattern with a two-column group. */
-  private def aucSql(src: String): String =
-    s"""g AS (SELECT Model, n_Epochs, score, count(*) AS c, sum(y) AS pos_c
+  /** grouped rank-sum AUC oracle fragment over src(Model, n_Epochs, y,
+    * score) — the q62 pattern with a two-column group. `sfx` suffixes
+    * the CTE names so the block can appear twice in one WITH (q90). */
+  private def aucSql(src: String, sfx: String = ""): String =
+    s"""g$sfx AS (SELECT Model, n_Epochs, score, count(*) AS c,
+       |       sum(y) AS pos_c
        |      FROM $src GROUP BY Model, n_Epochs, score),
-       |r AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY Model, n_Epochs
+       |r$sfx AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY Model, n_Epochs
        |        ORDER BY score
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |        AS cum_before FROM g),
-       |t AS (SELECT Model, n_Epochs,
+       |        AS cum_before FROM g$sfx),
+       |t$sfx AS (SELECT Model, n_Epochs,
        |       sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
        |       sum(pos_c) AS np, sum(c - pos_c) AS nn
-       |      FROM r GROUP BY Model, n_Epochs)""".stripMargin
+       |      FROM r$sfx GROUP BY Model, n_Epochs)""".stripMargin
 
   private lazy val q89Sql =
     s"""WITH $blendSqlCte,
@@ -299,16 +306,7 @@ object TrajectoryQueries {
        | FROM t),
        |sc2 AS (
        | SELECT Model, n_Epochs, label AS y, score FROM supz),
-       |g2 AS (SELECT Model, n_Epochs, score, count(*) AS c, sum(y) AS pos_c
-       |       FROM sc2 GROUP BY Model, n_Epochs, score),
-       |r2 AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY Model, n_Epochs
-       |         ORDER BY score
-       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |         AS cum_before FROM g2),
-       |t2 AS (SELECT Model, n_Epochs,
-       |        sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
-       |        sum(pos_c) AS np, sum(c - pos_c) AS nn
-       |       FROM r2 GROUP BY Model, n_Epochs),
+       |${aucSql("sc2", "2")},
        |sa AS (
        | SELECT Model, n_Epochs,
        |  round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 4) AS sup_auc

@@ -65,7 +65,7 @@ class FftExprSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       spark.sql("SELECT graft_bottomk(CAST(1 AS BIGINT), 0)").collect()
     }
-    assert(e1.getMessage.contains("k >= 1"), e1.getMessage)
+    assert(e1.getMessage.contains("1 <= k"), e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql("SELECT graft_bottomk(CAST(1 AS BIGINT))").collect()
     }

@@ -21,10 +21,14 @@ class TrajectorySpec extends SparkSpec {
       val byEpoch = rs.sortBy(_._2)
       val aucs = byEpoch.map(_._3)
       val bces = byEpoch.map(_._4)
-      assert(aucs.zip(aucs.tail).forall { case (a, b) => a < b },
-        s"$model AUC not increasing: ${aucs.mkString(",")}")
-      assert(bces.zip(bces.tail).forall { case (a, b) => a > b },
-        s"$model BCE not decreasing: ${bces.mkString(",")}")
+      // non-decreasing per step (outputs are 4-dp rounded — adjacent
+      // epochs may legitimately plateau), strict endpoint-to-endpoint
+      assert(aucs.zip(aucs.tail).forall { case (a, b) => a <= b },
+        s"$model AUC not monotone: ${aucs.mkString(",")}")
+      assert(aucs.last > aucs.head, s"$model AUC flat overall")
+      assert(bces.zip(bces.tail).forall { case (a, b) => a >= b },
+        s"$model BCE not monotone: ${bces.mkString(",")}")
+      assert(bces.last < bces.head, s"$model BCE flat overall")
     }
   }
 
