@@ -44,6 +44,18 @@ object Streaming {
         col("sess.end").as("session_end"), col("session_events"),
         col("session_value"))
 
+  /** streaming exact dedup — the streaming twin of q40: emit only the
+    * first document per content fingerprint, with the watermark
+    * bounding how long each seen-fingerprint state is retained (the
+    * ingestion-time dedup a training-data pipeline runs in front of
+    * the corpus store; state is O(distinct fingerprints inside the
+    * watermark), evicted as event time advances). `docs` needs columns
+    * (ts TIMESTAMP, fp STRING). */
+  def dedupStream(docs: DataFrame, watermark: String = "1 day"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
   final case class SessState(start: Long, last: Long, n: Long, sum: Double)

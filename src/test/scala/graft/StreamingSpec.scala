@@ -87,6 +87,29 @@ class StreamingSpec extends SparkSpec {
     assert(approxEqual(w10.get.getDouble(2), 3.0))
   }
 
+  test("dedupStream keeps only the first doc per fingerprint, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "fp", "doc_id")
+    val q = Streaming.dedupStream(df)
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    // batch 1: two distinct fingerprints + one in-batch duplicate
+    mem.addData((ts(0), "aaa", 1L), (ts(1), "bbb", 2L), (ts(2), "aaa", 3L))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate (state hit) + one new fingerprint
+    mem.addData((ts(10), "bbb", 4L), (ts(11), "ccc", 5L))
+    q.processAllAvailable()
+    val got = spark.table("dedupstream").select($"fp", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    // exactly one survivor per fingerprint — the batch-twin semantics
+    // of q40's canonical-per-group dedup (first arrival wins)
+    assert(got.map(_._1) == Set("aaa", "bbb", "ccc"))
+    assert(got.size == 3)
+    assert(got.contains(("ccc", 5L)))
+  }
+
   test("sessionizeStateful closes sessions on gap across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
