@@ -290,6 +290,65 @@ object DedupQueries {
        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  /** q48: the dedup APPLY step — the cleaned corpus a pipeline actually
+    * ships: drop every doc that has an exact-dup (same md5(text)) or a
+    * verified near-dup (q42 pipeline) with a SMALLER doc_id (greedy
+    * min-id survivor; deterministic). Reported as the per-source
+    * keep/drop rollup with a survivor checksum. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir).select($"doc_id", $"source", md5($"text").as("fp"))
+    val exactCanon = docs.groupBy($"fp").agg(min($"doc_id").as("canon"))
+    val dropExact = docs.join(exactCanon, "fp")
+      .filter($"doc_id" =!= $"canon").select($"doc_id")
+    val dropNear = verifiedPairs(s, dir).select($"doc_b".as("doc_id"))
+    val dropped = dropExact.union(dropNear).distinct()
+    docs.join(dropped.withColumn("is_dropped", lit(true)),
+        Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_dropped".isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"is_dropped".isNull, $"doc_id")).as("kept_checksum"))
+      .orderBy($"source")
+  }
+
+  private lazy val q48Sql = {
+    val bandUnion = (0 until BANDS)
+      .map(b => s"SELECT doc_id, sh, $b AS band_idx, band$b AS band_key FROM bandq")
+      .mkString("\n UNION ALL\n ")
+    s"""WITH $sigSqlCte,
+       |bands AS (
+       | $bandUnion),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id),
+       |pairs AS (
+       | SELECT doc_a, doc_b FROM (
+       |  SELECT doc_a, doc_b,
+       |   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+       |    6) AS jaccard
+       |  FROM cand
+       |  JOIN shq sa ON sa.doc_id = doc_a
+       |  JOIN shq sb ON sb.doc_id = doc_b) v
+       | WHERE jaccard >= 0.7),
+       |d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+       |ec AS (SELECT fp, min(doc_id) AS canon FROM d GROUP BY fp),
+       |dropped AS (
+       | SELECT doc_id FROM d JOIN ec USING (fp) WHERE doc_id <> canon
+       | UNION
+       | SELECT doc_b FROM pairs)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_kept,
+       | CAST(sum(CASE WHEN dr.doc_id IS NULL THEN d.doc_id END) AS BIGINT)
+       |   AS kept_checksum
+       |FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q43: SimHash — 32-bit per-doc fingerprint from token-frequency bit
     * votes (tokens with multiplicity; bit j set iff Σ ±1 votes > 0). */
   private def q43(s: SparkSession, dir: String): DataFrame = {
@@ -509,5 +568,7 @@ object DedupQueries {
     Q("q42_lsh_neardup", q42, Some(q42Sql), "MinHash-LSH pairs + Jaccard verify"),
     Q("q43_simhash", q43, Some(q43Sql), "SimHash 32-bit fingerprints"),
     Q("q44_dup_clusters", q44, Some(q44Sql),
-      "connected-component dup clusters (label propagation)"))
+      "connected-component dup clusters (label propagation)"),
+    Q("q48_corpus_filter", q48, Some(q48Sql),
+      "dedup APPLY: cleaned-corpus keep/drop rollup (exact + near-dup)"))
 }

@@ -168,7 +168,8 @@ object MlQueries {
     val e = embeddings(s, dir).select(
       array_to_vector($"embedding".cast("array<double>")).as("features"))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(8).setSeed(42L).setMaxIter(20).setFeaturesCol("features")
+      .setK(8).setSeed(42L).setMaxIter(10).setTol(1e-4)
+      .setFeaturesCol("features")
     val model = km.fit(e)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"n".desc)  // 8 rows — single-partition window is fine

@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q89: events scan is pruned to the four needed columns") {
+    val p = plan("q89_sup_trajectory")
+    // representations() needs ts/user_id/event_type/value only —
+    // event_id and props must not reach the parquet reader
+    assert(p.contains("ReadSchema"), p.take(800))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("event_id") && !read.contains("props"), read)
+  }
+
   test("dropout: eval mode folds to the bare column, train mode injects rand") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
