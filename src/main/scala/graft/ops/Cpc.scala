@@ -52,7 +52,8 @@ object Cpc {
     * the candidate. The engine is internally consistent (Spark, the
     * DuckDB oracle via gruStepSql, and CpcSpec's closed forms all use
     * this convention), but weights trained in torch nn.GRU must NOT be
-    * ported as-is: transform them (or swap this step function) first. */
+    * ported as-is — use `gruStepTorch`/`gruScanTorch` (the exact
+    * nn.GRU recurrence, oracle-checked by q93) for ported weights. */
   def gruStep(w: GruWeights, h: Column, x: Column): Column = {
     def hAt(i: Int): Column = element_at(h, i + 1)
     def gate(wv: Seq[Double], u: Seq[Seq[Double]], b: Seq[Double],
@@ -74,6 +75,36 @@ object Cpc {
   def gruScan(w: GruWeights, xs: Column): Column =
     aggregate(xs, array(Seq.fill(w.h)(lit(0.0)): _*),
       (h, x) => gruStep(w, h, x))
+
+  /** one TORCH-convention GRU step (`torch.nn.GRU`, the reference's
+    * actual cell at `T_CPC.py:25`):
+    *   r = σ(W_r x + b_r + U_r h);  z = σ(W_z x + b_z + U_z h)
+    *   n = tanh(W_h x + b_h + r ⊙ (U_h h + b_hn))
+    *   h' = (1 − z) ⊙ n + z ⊙ h
+    * Differences from `gruStep` (Cho): reset applies AFTER the U
+    * matmul, and z gates the OLD state. `bhn` is torch's separate
+    * hidden bias of the candidate gate — the one bias that cannot be
+    * merged (for r/z, fold b_ih + b_hh into the GruWeights biases).
+    * With this step, torch-trained nn.GRU weights port DIRECTLY. */
+  def gruStepTorch(w: GruWeights, bhn: Seq[Double],
+                   h: Column, x: Column): Column = {
+    def hAt(i: Int): Column = element_at(h, i + 1)
+    def lin(wv: Seq[Double], u: Seq[Seq[Double]], b: Seq[Double], i: Int) =
+      lit(wv(i)) * x + b(i) +
+        (0 until w.h).map(j => lit(u(i)(j)) * hAt(j)).reduce(_ + _)
+    val z = (0 until w.h).map(i => sigmoid(lin(w.wz, w.uz, w.bz, i)))
+    val r = (0 until w.h).map(i => sigmoid(lin(w.wr, w.ur, w.br, i)))
+    val n = (0 until w.h).map(i => tanh(lit(w.wh(i)) * x + w.bh(i) +
+      r(i) * ((0 until w.h).map(j => lit(w.uh(i)(j)) * hAt(j))
+        .reduce(_ + _) + bhn(i))))
+    array((0 until w.h).map(i =>
+      (lit(1.0) - z(i)) * n(i) + z(i) * hAt(i)): _*)
+  }
+
+  /** torch-convention GRU scan (zero initial state → final state). */
+  def gruScanTorch(w: GruWeights, bhn: Seq[Double], xs: Column): Column =
+    aggregate(xs, array(Seq.fill(w.h)(lit(0.0)): _*),
+      (h, x) => gruStepTorch(w, bhn, h, x))
 
   /** W1 multi-channel 1-D convolution (the reference encoder shape,
     * `T_CPC.py:16-22`: Conv1d(in→out, k=3, pad=1)): input is TIME-major
@@ -137,6 +168,42 @@ object Cpc {
       s"(1.0 - $z) * ${hAt(i)} + $z * $hh"
     }
     comps.mkString("[", ", ", "]")
+  }
+
+  /** DuckDB SQL for one TORCH-convention GRU step (oracle twin of
+    * `gruStepTorch`, same contract as `gruStepSql`). */
+  def gruStepTorchSql(w: GruWeights, bhn: Seq[Double],
+                      h: String, x: String): String = {
+    def sig(t: String) = s"(1.0 / (1.0 + exp(-($t))))"
+    def tnh(t: String) = s"(1.0 - 2.0 / (exp(2.0 * ($t)) + 1.0))"
+    def hAt(j: Int) = s"$h[${j + 1}]"
+    def lin(wv: Seq[Double], u: Seq[Seq[Double]], b: Seq[Double], i: Int) =
+      (s"(${wv(i)}) * $x + (${b(i)})" +:
+        (0 until w.h).map(j => s"(${u(i)(j)}) * ${hAt(j)}")).mkString(" + ")
+    val comps = (0 until w.h).map { i =>
+      val z = sig(lin(w.wz, w.uz, w.bz, i))
+      val r = sig(lin(w.wr, w.ur, w.br, i))
+      val uh = (0 until w.h).map(j => s"(${w.uh(i)(j)}) * ${hAt(j)}")
+        .mkString(" + ")
+      val n = tnh(s"(${w.wh(i)}) * $x + (${w.bh(i)}) + $r * ($uh + (${bhn(i)}))")
+      s"(1.0 - $z) * $n + $z * ${hAt(i)}"
+    }
+    comps.mkString("[", ", ", "]")
+  }
+
+  /** plain-Scala reference for the torch-convention scan (ScalaTest). */
+  def gruScanTorchRef(w: GruWeights, bhn: Seq[Double],
+                      xs: Seq[Double]): Seq[Double] = {
+    def sig(t: Double) = 1.0 / (1.0 + math.exp(-t))
+    xs.foldLeft(Seq.fill(w.h)(0.0)) { (h, x) =>
+      val z = (0 until w.h).map(i => sig(w.wz(i) * x + w.bz(i) +
+        (0 until w.h).map(j => w.uz(i)(j) * h(j)).sum))
+      val r = (0 until w.h).map(i => sig(w.wr(i) * x + w.br(i) +
+        (0 until w.h).map(j => w.ur(i)(j) * h(j)).sum))
+      val n = (0 until w.h).map(i => math.tanh(w.wh(i) * x + w.bh(i) +
+        r(i) * ((0 until w.h).map(j => w.uh(i)(j) * h(j)).sum + bhn(i))))
+      (0 until w.h).map(i => (1.0 - z(i)) * n(i) + z(i) * h(i))
+    }
   }
 
   /** plain-Scala reference for the same scan (ScalaTest oracle). */

@@ -126,6 +126,44 @@ object SeqQueries {
        |FROM scan ORDER BY user_id""".stripMargin
   }
 
+  /** q93: W2 in the TORCH nn.GRU gate convention (the reference's
+    * actual cell) — same scan as q72 but with `gruStepTorch`, so
+    * torch-trained weights port directly; oracle re-runs the torch
+    * recurrence in DuckDB via list_reduce. The q72/q93 pair
+    * demonstrates (and q93Sql pins) the two gate conventions. */
+  private val gruBhn = Seq(0.1, -0.2)
+
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = SeriesOps.assemble(
+      events(s, dir).withColumn("x", $"value" / 100.0),
+      $"user_id", $"ts", "x" -> $"x")
+    series
+      .withColumn("hfin", Cpc.gruScanTorch(gruW, gruBhn, $"x"))
+      .select(
+        $"series_key".as("user_id"),
+        $"series_len".as("n"),
+        round(element_at($"hfin", 1), 6).as("h0"),
+        round(element_at($"hfin", 2), 6).as("h1"))
+      .orderBy($"user_id")
+  }
+
+  private lazy val q93Sql = {
+    val step = Cpc.gruStepTorchSql(gruW, gruBhn, "h", "xx[1]")
+    s"""WITH xs AS (
+       | SELECT user_id, list(value / 100.0 ORDER BY ts, value / 100.0) AS v
+       | FROM events GROUP BY user_id),
+       |scan AS (
+       | SELECT user_id, len(v) AS n,
+       |  list_reduce(
+       |   list_prepend([0.0, 0.0], list_transform(v, x -> [x])),
+       |   (h, xx) -> $step) AS hfin
+       | FROM xs)
+       |SELECT user_id, n,
+       | round(hfin[1], 6) AS h0, round(hfin[2], 6) AS h1
+       |FROM scan ORDER BY user_id""".stripMargin
+  }
+
   /** q73: A4/J2/J3/A3 — batch-local InfoNCE: per-user representation,
     * batches of users (user_id mod 5), all-pairs scores within batch,
     * stable log-softmax diagonal loss + self-match accuracy. */
@@ -272,6 +310,8 @@ object SeqQueries {
     Q("q71_fft_spectrum", q71, Some(q71Sql), "W3 FFT vs SQL DFT bins"),
     Q("q72_gru_scan", q72, Some(q72Sql),
       "W2 GRU recurrence (HOF scan, list_reduce oracle)"),
+    Q("q93_gru_torch", q93, Some(q93Sql),
+      "W2 GRU in the torch nn.GRU gate convention (oracle)"),
     Q("q73_infonce", q73, Some(q73Sql), "A4 batch-local InfoNCE + A3 acc"),
     Q("q74_batchnorm", q74, Some(q74Sql), "A5 batch-norm moments"))
 }

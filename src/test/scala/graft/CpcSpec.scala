@@ -26,6 +26,42 @@ class CpcSpec extends SparkSpec {
     }
   }
 
+  test("torch-convention scan equals its Scala fold and a hand closed form") {
+    val rnd = new scala.util.Random(9)
+    for (h <- Seq(2, 3); trial <- 1 to 3) {
+      val w = Cpc.demoWeights(h, seed = 300L * h + trial)
+      val bhn = Seq.tabulate(h)(i => 0.05 * (i + 1) - 0.1)
+      val xs = Seq.fill(8 + rnd.nextInt(12))(rnd.nextDouble() * 2 - 1)
+      val got = Seq(xs).toDF("xs")
+        .select(Cpc.gruScanTorch(w, bhn, col("xs")).as("h"))
+        .collect()(0).getSeq[Double](0).toList
+      val want = Cpc.gruScanTorchRef(w, bhn, xs)
+      got.zip(want).foreach { case (g, e) =>
+        assert(approxEqual(g, e, 1e-12), s"h=$h trial=$trial: $got vs $want")
+      }
+    }
+    // hand closed form, hidden 1, one step from h = 0 (U terms vanish
+    // but bhn survives INSIDE r ⊙ (U h + b_hn) — the torch-specific
+    // placement):  n = tanh(wh·x + bh + r·bhn), h' = (1 − z)·n
+    val w1 = Cpc.GruWeights(
+      wz = Seq(0.7), uz = Seq(Seq(0.3)), bz = Seq(0.1),
+      wr = Seq(-0.4), ur = Seq(Seq(0.2)), br = Seq(0.2),
+      wh = Seq(0.9), uh = Seq(Seq(-0.5)), bh = Seq(-0.1))
+    val x = 0.6
+    def sig(t: Double) = 1.0 / (1.0 + math.exp(-t))
+    val z = sig(0.7 * x + 0.1)
+    val r = sig(-0.4 * x + 0.2)
+    val n = math.tanh(0.9 * x - 0.1 + r * 0.25)
+    val expect = (1.0 - z) * n
+    val one = Seq(Seq(x)).toDF("xs")
+      .select(Cpc.gruScanTorch(w1, Seq(0.25), col("xs")).as("h"))
+      .collect()(0).getSeq[Double](0).head
+    assert(approxEqual(one, expect, 1e-12), s"$one vs $expect")
+    // and the two conventions genuinely differ on the same weights
+    val cho = Cpc.gruScanRef(w1, Seq(x)).head
+    assert(!approxEqual(one, cho, 1e-6), "conventions coincide unexpectedly")
+  }
+
   test("zero weights: state stays at fixed point of the zero-gate update") {
     // all weights/biases 0 → z = σ(0) = 0.5, h̃ = tanh(0) = 0,
     // so h' = 0.5·h → starting at 0, state stays 0
