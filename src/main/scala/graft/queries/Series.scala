@@ -265,6 +265,47 @@ object Series {
       | coalesce(round(sum(CASE WHEN event_type='view' THEN value END), 4), 0) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q94: P15 row-local softmax, oracle-checked — per-user activity
+    * profile (q29's pivoted per-type sums, /1000 into exp range) turned
+    * into a probability distribution via `ArrayOps.softmax` (stable
+    * max-subtraction form; the identical left-associated sum of exps is
+    * spelled out in the DuckDB oracle). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val piv = events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(round(sum($"value"), 4))
+      .na.fill(0.0)
+    val arr = array(types.map(t => col(t) / 1000.0): _*)
+    piv.withColumn("p", graft.ops.ArrayOps.softmax(arr))
+      .select(($"user_id" +: types.zipWithIndex.map { case (t, i) =>
+        round(element_at($"p", i + 1), 6).as(s"p_$t")
+      }): _*)
+      .orderBy($"user_id")
+  }
+
+  private val q94Sql =
+    """WITH piv AS (
+      | SELECT user_id,
+      |  coalesce(round(sum(CASE WHEN event_type='click' THEN value END), 4), 0) / 1000.0 AS c,
+      |  coalesce(round(sum(CASE WHEN event_type='error' THEN value END), 4), 0) / 1000.0 AS e,
+      |  coalesce(round(sum(CASE WHEN event_type='purchase' THEN value END), 4), 0) / 1000.0 AS pu,
+      |  coalesce(round(sum(CASE WHEN event_type='signup' THEN value END), 4), 0) / 1000.0 AS sg,
+      |  coalesce(round(sum(CASE WHEN event_type='view' THEN value END), 4), 0) / 1000.0 AS vw
+      | FROM events GROUP BY user_id),
+      |mx AS (SELECT *, greatest(c, e, pu, sg, vw) AS m FROM piv),
+      |z AS (SELECT *, exp(c - m) + exp(e - m) + exp(pu - m)
+      |        + exp(sg - m) + exp(vw - m) AS zz FROM mx)
+      |SELECT user_id,
+      | round(exp(c - m) / zz, 6) AS p_click,
+      | round(exp(e - m) / zz, 6) AS p_error,
+      | round(exp(pu - m) / zz, 6) AS p_purchase,
+      | round(exp(sg - m) / zz, 6) AS p_signup,
+      | round(exp(vw - m) / zz, 6) AS p_view
+      |FROM z ORDER BY user_id""".stripMargin
+
   /** q77: W2/W7 recurrence as a typed Aggregator over LONG form (no
     * array assembly) — order restored inside the aggregator's finish;
     * must equal q22's array-form EMA, and the same closed-form oracle. */
@@ -514,5 +555,7 @@ object Series {
     Q("q26_resample_daily", q26, Some(q26Sql), "tumbling-window resample"),
     Q("q27_argmax_type", q27, Some(q27Sql), "per-key argmax (W8)"),
     Q("q28_logsumexp", q28, Some(q28Sql), "stable LSE on array form (A4/W9)"),
-    Q("q29_pivot_types", q29, Some(q29Sql), "pivot long→wide"))
+    Q("q29_pivot_types", q29, Some(q29Sql), "pivot long→wide"),
+    Q("q94_softmax_profile", q94, Some(q94Sql),
+      "P15 softmax over the per-type activity profile (oracle)"))
 }
