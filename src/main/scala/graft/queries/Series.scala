@@ -306,6 +306,40 @@ object Series {
       | round(exp(vw - m) / zz, 6) AS p_view
       |FROM z ORDER BY user_id""".stripMargin
 
+  /** q95: S4/S5 CSV sink + scan under the oracle gate — the results-CSV
+    * round trip the reference performs (`unsupervised.py:486-493`:
+    * `to_csv` then `read_csv` for plotting): write the per-type rollup
+    * (rounded, so the decimal text round-trips exactly) to a CSV
+    * results table, re-read it with header+inferSchema, and aggregate
+    * the re-read frame. The ORACLE computes the same numbers straight
+    * from parquet — any loss or mistyping in the sink/scan path breaks
+    * the hash. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rollup = events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(round(sum($"value"), 4).as("v"), count(lit(1)).as("n"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q95").toString + "/results"
+    rollup.coalesce(1).write.option("header", "true").csv(out)
+    s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum($"v"), 4).as("total_v"),
+        sum($"n").cast("long").as("total_n"))
+      .orderBy($"event_type")
+  }
+
+  private val q95Sql =
+    """WITH rollup AS (
+      | SELECT event_type, date_trunc('day', ts) AS d,
+      |  round(sum(value), 4) AS v, count(*) AS n
+      | FROM events GROUP BY event_type, d)
+      |SELECT event_type, count(*) AS n_days,
+      | round(sum(v), 4) AS total_v,
+      | CAST(sum(n) AS BIGINT) AS total_n
+      |FROM rollup GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q77: W2/W7 recurrence as a typed Aggregator over LONG form (no
     * array assembly) — order restored inside the aggregator's finish;
     * must equal q22's array-form EMA, and the same closed-form oracle. */
@@ -557,5 +591,7 @@ object Series {
     Q("q28_logsumexp", q28, Some(q28Sql), "stable LSE on array form (A4/W9)"),
     Q("q29_pivot_types", q29, Some(q29Sql), "pivot long→wide"),
     Q("q94_softmax_profile", q94, Some(q94Sql),
-      "P15 softmax over the per-type activity profile (oracle)"))
+      "P15 softmax over the per-type activity profile (oracle)"),
+    Q("q95_csv_roundtrip", q95, Some(q95Sql),
+      "S4/S5 results-CSV sink+scan round trip (oracle)"))
 }
