@@ -26,7 +26,13 @@ import graft.ops.ArrayOps
 object SimilarityQueries {
 
   private val DIM = 64
-  private val PLANES = 8
+  // 4 planes, not more: the corpus is near-orthogonal (top-3 cosine
+  // ≈ 0.37 → ~68°, P(plane splits a true pair) ≈ 0.38), so E[Hamming
+  // distance to a true neighbor] ≈ 0.38·P — at P = 8 that is ~3 and
+  // even multi-probe-1 recall collapses to 0; at P = 4 it is ~1.5 and
+  // probing Hamming ≤ 1 recovers half the true top-k (AnnRecallSpec).
+  // At scale, P trades bucket size against recall per probe count.
+  private val PLANES = 4
 
   /** Deterministic pseudo-random hyperplanes in [-1, 1): weight(p, d) is
     * derived from md5("p:d") and rounded to 6 decimals so the SAME
@@ -94,9 +100,14 @@ object SimilarityQueries {
       |SELECT q_id, rn, vec_id AS neighbor_id, sim FROM r
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
-  /** q51: LSH-bucketed ANN — random-hyperplane sign buckets; each query
-    * (vec_id ≡ 0 mod 125) searches only its own bucket. The 100-TB
-    * shape: candidate join keyed on the bucket, not all-pairs. */
+  /** q51: MULTI-PROBE LSH ANN — random-hyperplane sign buckets; each
+    * query (vec_id ≡ 0 mod 125) searches its home bucket plus every
+    * bucket at Hamming distance 1 (flip one plane sign): with P planes
+    * over N vectors a single probe holds ~N/2^P candidates and misses
+    * any neighbor across one hyperplane, so 1-probe recall collapses —
+    * multi-probe restores recall (AnnRecallSpec pins it vs q50 brute
+    * force) while the candidate join stays keyed on the bucket, never
+    * all-pairs. Probes partition space, so no candidate dedup needed. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
@@ -105,6 +116,10 @@ object SimilarityQueries {
       .withColumn("vn", ArrayOps.l2Norm($"v"))
     val q = e.filter($"vec_id" % 125 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket", $"vn".as("qn"))
+      .withColumn("home", $"bucket")
+      .withColumn("bucket", explode(array(
+        ($"home" +: (0 until PLANES).map(p =>
+          $"home".bitwiseXOR(lit(1L << p)))): _*)))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
@@ -112,27 +127,31 @@ object SimilarityQueries {
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy($"q_id")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"q_id", $"bucket", $"n_cand", $"rn",
+      .select($"q_id", $"home".as("bucket"), $"n_cand", $"rn",
         $"vec_id".as("neighbor_id"), $"sim")
       .orderBy($"q_id", $"rn")
   }
 
-  private lazy val q51Sql =
+  private lazy val q51Sql = {
+    val probes = ("bucket" +: (0 until PLANES).map(p =>
+      s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
-       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b
-       |      WHERE vec_id % 125 = 0),
-       |p AS (SELECT q_id, q.bucket, vec_id,
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS home,
+       |       unnest($probes) AS bucket
+       |      FROM b WHERE vec_id % 125 = 0),
+       |p AS (SELECT q_id, q.home, vec_id,
        |       round(list_cosine_similarity(qv, v), 5) AS sim
        |      FROM q JOIN b USING (bucket) WHERE vec_id <> q_id),
-       |r AS (SELECT q_id, bucket, vec_id, sim,
+       |r AS (SELECT q_id, home, vec_id, sim,
        |       count(*) OVER (PARTITION BY q_id) AS n_cand,
        |       row_number() OVER (PARTITION BY q_id
        |                          ORDER BY sim DESC, vec_id) AS rn
        |      FROM p)
-       |SELECT q_id, bucket, n_cand, rn, vec_id AS neighbor_id, sim FROM r
-       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+       |SELECT q_id, home AS bucket, n_cand, rn, vec_id AS neighbor_id, sim
+       |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
 
   /** q52: per-label centroid statistics — centroid via posexplode +
     * groupBy(label, dim); norms row-local. */
