@@ -350,7 +350,47 @@ object TextQueries {
       |   AS kept_checksum
       |FROM r CROSS JOIN m GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q96: deterministic WEIGHTED sampling (Efraimidis–Spirakis) — the
+    * importance-sampling counterpart to q19's uniform sampler: each doc
+    * draws u ∈ (0,1] from md5 and ranks by the ES key ln(u)/w (⇔
+    * u^(1/w); higher weight ⇒ more likely to rank top), weight =
+    * n_chars. Top-5 per language = a without-replacement sample biased
+    * toward long documents, reproducible across engines and runs — the
+    * quality-weighted corpus subsample a training pipeline draws. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir)
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("ws:"), $"doc_id")), 1, 8), 16, 10)
+          .cast("long") % 1000000 + 1) / lit(1000001.0))
+      .withColumn("es_key", log($"u") / $"n_chars")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy($"es_key".desc, $"doc_id")
+    d.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk", $"doc_id", $"n_chars",
+        round($"es_key" * 1e6, 4).as("es_key_e6"))
+      .orderBy($"lang", $"rk")
+  }
+
+  private val q96Sql =
+    """WITH d AS (
+      | SELECT lang, doc_id, n_chars,
+      |  (CAST(concat('0x', substr(md5(concat('ws:', CAST(doc_id AS VARCHAR))),
+      |        1, 8)) AS BIGINT) % 1000000 + 1) / 1000001.0 AS u
+      | FROM documents),
+      |k AS (
+      | SELECT lang, doc_id, n_chars, ln(u) / n_chars AS es_key,
+      |  row_number() OVER (PARTITION BY lang
+      |                     ORDER BY ln(u) / n_chars DESC, doc_id) AS rk
+      | FROM d)
+      |SELECT lang, rk, doc_id, n_chars,
+      | round(es_key * 1e6, 4) AS es_key_e6
+      |FROM k WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q96_weighted_sample", q96, Some(q96Sql),
+      "Efraimidis-Spirakis deterministic weighted sampling"),
     Q("q38_rebalance", q38, Some(q38Sql), "deterministic class rebalancing"),
     Q("q37_content_filter", q37, Some(q37Sql), "PII-pattern scan + repetition"),
     Q("q36_bpe_tokens", q36, Some(q36Sql), "BPE-ish regex subword tokens"),
