@@ -204,34 +204,43 @@ object SimilarityQueries {
     }
   }
 
-  /** nearest-centroid cell id: argmax_c (v·c − |c|²/2) (≡ argmin
-    * euclidean distance). Scores land in ONE array and argmax is
-    * array_position-of-max (first max wins) — a chained conditional
-    * fold would duplicate each score subtree exponentially (2^CELLS
-    * expression nodes) and hang Catalyst analysis. */
-  private def cellCol(v: Column): Column = {
-    val scores = array(centroids.map { c =>
+  /** per-cell assignment scores v·c − |c|²/2 (argmax ≡ argmin euclidean
+    * distance), as ONE array — a chained conditional fold would
+    * duplicate each score subtree exponentially (2^CELLS expression
+    * nodes) and hang Catalyst analysis. */
+  private def cellScoresCol(v: Column): Column =
+    array(centroids.map { c =>
       val cArr = array(c.map(x => lit(x.toDouble)): _*)
       val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
       ArrayOps.dot(v, cArr) - half
     }: _*)
+
+  /** nearest-centroid cell id (first max wins via array_position). */
+  private def cellCol(v: Column): Column = {
+    val scores = cellScoresCol(v)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
-  private def cellSql(v: String): String = {
-    val scores = centroids.map { c =>
+  private def cellScoresSql(v: String): String =
+    centroids.map { c =>
       val cLit = c.mkString("[", ", ", "]")
       val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
       s"(list_sum(list_transform(list_zip($v, $cLit), " +
         s"z -> CAST(z[1] * z[2] AS DOUBLE))) - ($half))"
     }.mkString("[", ",\n   ", "]")
+
+  private def cellSql(v: String): String = {
+    val scores = cellScoresSql(v)
     s"(CAST(list_position($scores, list_max($scores)) AS INT) - 1)"
   }
 
-  /** q54: IVF-cell ANN — nearest-centroid assignment partitions the
-    * corpus into CELLS inverted lists; each query searches only its own
-    * cell (the quantizer-as-blocking scale path, complementing q51's
-    * LSH). */
+  /** q54: IVF-cell ANN with nprobe = 2 — nearest-centroid assignment
+    * partitions the corpus into CELLS inverted lists; each query
+    * searches its nearest AND second-nearest cell (the standard IVF
+    * recall lever: a query near a cell boundary finds neighbors that
+    * were quantized to the runner-up cell; AnnRecallSpec pins recall
+    * vs q50). The quantizer-as-blocking scale path, complementing
+    * q51's multi-probe LSH. */
   private def q54(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
@@ -240,6 +249,15 @@ object SimilarityQueries {
       .withColumn("vn", ArrayOps.l2Norm($"v"))
     val q = e.filter($"vec_id" % 125 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell", $"vn".as("qn"))
+      .withColumn("s", cellScoresCol($"qv"))
+      // runner-up cell: argmax with the winner masked to -inf
+      .withColumn("sm", transform($"s", (x, i) =>
+        when(i === $"cell", lit(Double.NegativeInfinity)).otherwise(x)))
+      .withColumn("cell2",
+        (array_position($"sm", array_max($"sm")) - 1).cast("int"))
+      .withColumn("home", $"cell")
+      .withColumn("cell", explode(array($"home", $"cell2")))
+      .drop("s", "sm", "cell2")
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
@@ -248,7 +266,7 @@ object SimilarityQueries {
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy($"q_id")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"q_id", $"cell", $"n_cand", $"rn",
+      .select($"q_id", $"home".as("cell"), $"n_cand", $"rn",
         $"vec_id".as("neighbor_id"), $"sim")
       .orderBy($"q_id", $"rn")
   }
@@ -257,18 +275,29 @@ object SimilarityQueries {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |b AS (SELECT vec_id, v, ${cellSql("v")} AS cell FROM e),
-       |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM b
-       |      WHERE vec_id % 125 = 0),
-       |p AS (SELECT q_id, q.cell, vec_id,
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, cell AS home,
+       |        ${cellScoresSql("v")} AS s
+       |       FROM b WHERE vec_id % 125 = 0),
+       |q1 AS (SELECT *, list_transform(
+       |         list_zip(s, generate_series(1, len(s))),
+       |         z -> CASE WHEN z[2] = home + 1
+       |              THEN CAST('-infinity' AS DOUBLE)
+       |              ELSE CAST(z[1] AS DOUBLE) END) AS sm
+       |       FROM q0),
+       |q AS (SELECT q_id, qv, home,
+       |       unnest([home,
+       |         CAST(list_position(sm, list_max(sm)) AS INT) - 1]) AS cell
+       |      FROM q1),
+       |p AS (SELECT q_id, q.home, vec_id,
        |       round(list_cosine_similarity(qv, v), 5) AS sim
        |      FROM q JOIN b USING (cell) WHERE vec_id <> q_id),
-       |r AS (SELECT q_id, cell, vec_id, sim,
+       |r AS (SELECT q_id, home, vec_id, sim,
        |       count(*) OVER (PARTITION BY q_id) AS n_cand,
        |       row_number() OVER (PARTITION BY q_id
        |                          ORDER BY sim DESC, vec_id) AS rn
        |      FROM p)
-       |SELECT q_id, cell, n_cand, rn, vec_id AS neighbor_id, sim FROM r
-       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+       |SELECT q_id, home AS cell, n_cand, rn, vec_id AS neighbor_id, sim
+       |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
   /** q53: embedding-cosine near-dup candidates (dedup variant of the
     * builder brief) — all pairs WITHIN a label block (the blocking key

@@ -28,9 +28,10 @@ class AnnRecallSpec extends SparkSpec {
       .sum / shared.size
   }
 
-  // Both measure exactly 0.5 on the sf0.01 corpus (near-orthogonal
-  // embeddings, top-3 at cosine ~0.37 — the hard case for bucketed
-  // ANN); the floor leaves margin only for a testdata refresh.
+  // Measured on the sf0.01 corpus (near-orthogonal embeddings, top-3
+  // at cosine ~0.37 — the hard case for bucketed ANN): multi-probe
+  // LSH 0.5, IVF nprobe=2 0.583. The floor leaves margin only for a
+  // testdata refresh.
   test("q51 multi-probe sign-LSH recall@3 vs brute force >= 0.4") {
     val r = recallOf("q51_ann_lsh")
     assert(r >= 0.4, s"LSH ANN recall collapsed: $r")
