@@ -300,13 +300,49 @@ object SimilarityQueries {
        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
   /** q53: embedding-cosine near-dup candidates (dedup variant of the
-    * builder brief) — all pairs WITHIN a label block (the blocking key
-    * bounds the quadratic term), ranked by cosine; top-20 global. At
-    * 100 TB the label block becomes an LSH bucket (q51) or IVF cell —
-    * the pair generation stays block-local either way. */
-  private def q53(s: SparkSession, dir: String): DataFrame = {
+    * builder brief) — pair generation keyed on (label, LSH bucket): the
+    * q51 sign-bucket joins the raw label as a blocking key, so the
+    * quadratic term is bounded by the BUCKET size (~n_label/2^P), not
+    * the label size. A true near-duplicate (cos → 1, angle → 0) is
+    * split by a random hyperplane with probability θ/π → 0, so
+    * bucket-blocking keeps near-dup recall while a skewed label no
+    * longer degenerates to all-pairs (SkewSpec pins the pair-count
+    * bound; EdgeCaseSpec pins that perturbed near-dup copies stay
+    * co-bucketed). The exact label-block form survives as
+    * `q53ExactBaseline` for the spec-level recall comparison. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    q53Blocked(s, embeddings(s, dir))
+
+  /** bucket-blocked candidate pairs (pre-ranking) over any
+    * (label, vec_id, embedding) frame — factored out so SkewSpec can
+    * count candidates on a skewed synthetic corpus. */
+  private[graft] def q53Pairs(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, dir)
+    val e = emb
+      .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("bucket", bucketCol($"v"))
+      .withColumn("vn", ArrayOps.l2Norm($"v"))
+    val a = e.select($"label", $"bucket", $"vec_id".as("id_a"),
+      $"v".as("va"), $"vn".as("na"))
+    val b = e.select($"label", $"bucket", $"vec_id".as("id_b"),
+      $"v".as("vb"), $"vn".as("nb"))
+    a.join(b, Seq("label", "bucket")).filter($"id_a" < $"id_b")
+      .withColumn("cos", round(graft.expr.GraftFunctions.dot(s, $"va", $"vb") / ($"na" * $"nb"), 5))
+      .select($"label", $"id_a", $"id_b", $"cos")
+  }
+
+  private[graft] def q53Blocked(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    q53Pairs(s, emb)
+      .orderBy($"cos".desc, $"id_a", $"id_b")
+      .limit(20)
+  }
+
+  /** the exact all-pairs-within-label baseline (pre-round-4 q53),
+    * kept as the recall yardstick for the bucket-blocked plan. */
+  private[graft] def q53ExactBaseline(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = emb
       .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("vn", ArrayOps.l2Norm($"v"))
     val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"),
@@ -316,17 +352,17 @@ object SimilarityQueries {
     a.join(b, "label").filter($"id_a" < $"id_b")
       .withColumn("cos", round(graft.expr.GraftFunctions.dot(s, $"va", $"vb") / ($"na" * $"nb"), 5))
       .select($"label", $"id_a", $"id_b", $"cos")
-      .orderBy($"cos".desc, $"id_a", $"id_b")
-      .limit(20)
   }
 
-  private val q53Sql =
-    """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |           FROM embeddings)
-      |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-      | round(list_cosine_similarity(a.v, b.v), 5) AS cos
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
+  private lazy val q53Sql =
+    s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |bk AS (SELECT label, vec_id, v, ${bucketSql("v")} AS bucket FROM e)
+       |SELECT a.label, a.vec_id AS id_a, c.vec_id AS id_b,
+       | round(list_cosine_similarity(a.v, c.v), 5) AS cos
+       |FROM bk a JOIN bk c ON a.label = c.label AND a.bucket = c.bucket
+       | AND a.vec_id < c.vec_id
+       |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql), "brute-force cosine top-5 KNN"),

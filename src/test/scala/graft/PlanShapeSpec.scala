@@ -56,6 +56,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q53: pair join is keyed on the LSH bucket, not label alone") {
+    val exec = Registry.byName("q53_embed_neardup").run(spark, sf)
+      .queryExecution.executedPlan
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val pairJoins = flatten(exec).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(pairJoins.nonEmpty, exec.toString.take(1200))
+    // every equi-join in the plan must include the bucket key — a
+    // label-only join is the quadratic-under-skew shape this locks out
+    pairJoins.foreach { j =>
+      assert(j.leftKeys.exists(_.toString.contains("bucket")),
+        s"pair join not bucket-keyed: ${j.leftKeys.mkString(", ")}")
+    }
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
   test("q89: events scan is pruned to the four needed columns") {
     val p = plan("q89_sup_trajectory")
     // representations() needs ts/user_id/event_type/value only —
