@@ -29,8 +29,9 @@ object SimilarityQueries {
   // 4 planes, not more: the corpus is near-orthogonal (top-3 cosine
   // ≈ 0.37 → ~68°, P(plane splits a true pair) ≈ 0.38), so E[Hamming
   // distance to a true neighbor] ≈ 0.38·P — at P = 8 that is ~3 and
-  // even multi-probe-1 recall collapses to 0; at P = 4 it is ~1.5 and
-  // probing Hamming ≤ 1 recovers half the true top-k (AnnRecallSpec).
+  // even multi-probe-1 recall collapses to 0; at P = 4 it is ~1.5,
+  // probing Hamming ≤ 1 recovers half the true top-k and Hamming ≤ 2
+  // covers P(d ≤ 2) ≈ 0.84 (AnnRecallSpec pins the measured curve).
   // At scale, P trades bucket size against recall per probe count.
   private val PLANES = 4
 
@@ -100,15 +101,41 @@ object SimilarityQueries {
       |SELECT q_id, rn, vec_id AS neighbor_id, sim FROM r
       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  /** XOR masks for every probe bucket within Hamming distance
+    * `maxHamming` of the home bucket (home first, then single flips,
+    * then double flips — the standard multi-probe LSH schedule). */
+  private[graft] def probeMasks(maxHamming: Int): Seq[Long] = {
+    val h0 = Seq(0L)
+    val h1 = (0 until PLANES).map(p => 1L << p)
+    val h2 = for {
+      p <- 0 until PLANES; r <- p + 1 until PLANES
+    } yield (1L << p) | (1L << r)
+    (h0 ++ (if (maxHamming >= 1) h1 else Nil) ++
+      (if (maxHamming >= 2) h2 else Nil)).toSeq
+  }
+
   /** q51: MULTI-PROBE LSH ANN — random-hyperplane sign buckets; each
-    * query (vec_id ≡ 0 mod 125) searches its home bucket plus every
-    * bucket at Hamming distance 1 (flip one plane sign): with P planes
-    * over N vectors a single probe holds ~N/2^P candidates and misses
-    * any neighbor across one hyperplane, so 1-probe recall collapses —
-    * multi-probe restores recall (AnnRecallSpec pins it vs q50 brute
-    * force) while the candidate join stays keyed on the bucket, never
-    * all-pairs. Probes partition space, so no candidate dedup needed. */
-  private def q51(s: SparkSession, dir: String): DataFrame = {
+    * query (vec_id ≡ 0 mod 125) searches every bucket within Hamming
+    * distance 2 of its home bucket (flip ≤ 2 plane signs): on this
+    * near-orthogonal corpus a true top-3 neighbor crosses each plane
+    * with p ≈ 0.38, so its expected Hamming distance is ~1.5 and the
+    * ≤2 schedule covers P(d ≤ 2) ≈ 0.84 of true neighbors — measured
+    * recall@3 ≥ 0.8 with 11 of 16 buckets probed (AnnRecallSpec pins
+    * the full recall-vs-candidates curve for Hamming 0/1/2 vs q50
+    * brute). The candidate join stays keyed on the bucket, never
+    * all-pairs; probes partition space, so no candidate dedup needed.
+    * At 100-TB scale P grows with N (buckets ~N/2^P) and the probe
+    * count stays C(P,0)+C(P,1)+C(P,2) — polynomial in P while the
+    * per-probe bucket shrinks exponentially. */
+  private val MAX_HAMMING = 2
+
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    lshAnn(s, dir, MAX_HAMMING)
+
+  /** parameterized LSH ANN (probe schedule = Hamming ≤ maxHamming) —
+    * exposed so AnnRecallSpec can pin the recall-vs-candidates curve. */
+  private[graft] def lshAnn(s: SparkSession, dir: String,
+      maxHamming: Int): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -118,8 +145,7 @@ object SimilarityQueries {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket", $"vn".as("qn"))
       .withColumn("home", $"bucket")
       .withColumn("bucket", explode(array(
-        ($"home" +: (0 until PLANES).map(p =>
-          $"home".bitwiseXOR(lit(1L << p)))): _*)))
+        probeMasks(maxHamming).map(m => $"home".bitwiseXOR(lit(m))): _*)))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
@@ -133,8 +159,9 @@ object SimilarityQueries {
   }
 
   private lazy val q51Sql = {
-    val probes = ("bucket" +: (0 until PLANES).map(p =>
-      s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+    val probes = probeMasks(MAX_HAMMING)
+      .map(m => if (m == 0L) "bucket" else s"xor(bucket, $m)")
+      .mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
@@ -234,32 +261,51 @@ object SimilarityQueries {
     s"(CAST(list_position($scores, list_max($scores)) AS INT) - 1)"
   }
 
-  /** q54: IVF-cell ANN with nprobe = 2 — nearest-centroid assignment
+  /** q54: IVF-cell ANN with nprobe = 4 — nearest-centroid assignment
     * partitions the corpus into CELLS inverted lists; each query
-    * searches its nearest AND second-nearest cell (the standard IVF
+    * searches its 4 nearest cells by quantizer score (the standard IVF
     * recall lever: a query near a cell boundary finds neighbors that
-    * were quantized to the runner-up cell; AnnRecallSpec pins recall
-    * vs q50). The quantizer-as-blocking scale path, complementing
-    * q51's multi-probe LSH. */
-  private def q54(s: SparkSession, dir: String): DataFrame = {
+    * were quantized to runner-up cells). nprobe = 2 measured recall@3
+    * at 0.58 on this corpus; nprobe = 4 clears 0.8 while scanning
+    * 4/16 of the inverted lists — AnnRecallSpec pins the full
+    * recall-vs-candidates curve for nprobe ∈ {1, 2, 4} vs q50 brute.
+    * The quantizer-as-blocking scale path, complementing q51's
+    * multi-probe LSH; at 100 TB, CELLS grows ~√N (the IVF rule) and
+    * nprobe stays a small constant fraction of CELLS. */
+  private val NPROBE = 4
+
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    ivfAnn(s, dir, NPROBE)
+
+  /** parameterized IVF ANN — the nprobe nearest cells are found by
+    * iteratively masking the argmax cell to −∞ (nprobe − 1 maskings;
+    * an array-scores fold, never an exponential conditional chain).
+    * Exposed so AnnRecallSpec can pin the recall-vs-candidates curve. */
+  private[graft] def ivfAnn(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("cell", cellCol($"v"))
       .withColumn("vn", ArrayOps.l2Norm($"v"))
-    val q = e.filter($"vec_id" % 125 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell", $"vn".as("qn"))
-      .withColumn("s", cellScoresCol($"qv"))
-      // runner-up cell: argmax with the winner masked to -inf
-      .withColumn("sm", transform($"s", (x, i) =>
-        when(i === $"cell", lit(Double.NegativeInfinity)).otherwise(x)))
-      .withColumn("cell2",
-        (array_position($"sm", array_max($"sm")) - 1).cast("int"))
-      .withColumn("home", $"cell")
-      .withColumn("cell", explode(array($"home", $"cell2")))
-      .drop("s", "sm", "cell2")
+    var q = e.filter($"vec_id" % 125 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("c1"),
+        $"vn".as("qn"))
+      .withColumn("s1", cellScoresCol($"qv"))
+    for (r <- 2 to nprobe) {
+      q = q.withColumn(s"s$r", transform(col(s"s${r - 1}"), (x, i) =>
+          when(i === col(s"c${r - 1}"), lit(Double.NegativeInfinity))
+            .otherwise(x)))
+        .withColumn(s"c$r",
+          (array_position(col(s"s$r"), array_max(col(s"s$r"))) - 1)
+            .cast("int"))
+    }
+    val probed = q.withColumn("home", $"c1")
+      .withColumn("cell",
+        explode(array((1 to nprobe).map(r => col(s"c$r")): _*)))
+      .select($"q_id", $"qv", $"qn", $"home", $"cell")
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
-    broadcast(q).join(e, Seq("cell"))
+    broadcast(probed).join(e, Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("sim",
         round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") / ($"qn" * $"vn"), 5))
@@ -271,23 +317,29 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rn")
   }
 
-  private lazy val q54Sql =
+  private lazy val q54Sql = {
+    // the same argmax-masking chain, one CTE per additional probe
+    val chain = (2 to NPROBE).map { r =>
+      val keep = (1 until r).map(i => s"c$i").mkString(", ")
+      s"""q$r AS (SELECT q_id, qv, $keep, sm AS s$r,
+         |        CAST(list_position(sm, list_max(sm)) AS INT) - 1 AS c$r
+         |       FROM (SELECT *, list_transform(
+         |          list_zip(s${r - 1}, generate_series(1, len(s${r - 1}))),
+         |          z -> CASE WHEN z[2] = c${r - 1} + 1
+         |               THEN CAST('-infinity' AS DOUBLE)
+         |               ELSE CAST(z[1] AS DOUBLE) END) AS sm
+         |         FROM q${r - 1}))""".stripMargin
+    }.mkString(",\n")
+    val cells = (1 to NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |b AS (SELECT vec_id, v, ${cellSql("v")} AS cell FROM e),
-       |q0 AS (SELECT vec_id AS q_id, v AS qv, cell AS home,
-       |        ${cellScoresSql("v")} AS s
+       |q1 AS (SELECT vec_id AS q_id, v AS qv, cell AS c1,
+       |        ${cellScoresSql("v")} AS s1
        |       FROM b WHERE vec_id % 125 = 0),
-       |q1 AS (SELECT *, list_transform(
-       |         list_zip(s, generate_series(1, len(s))),
-       |         z -> CASE WHEN z[2] = home + 1
-       |              THEN CAST('-infinity' AS DOUBLE)
-       |              ELSE CAST(z[1] AS DOUBLE) END) AS sm
-       |       FROM q0),
-       |q AS (SELECT q_id, qv, home,
-       |       unnest([home,
-       |         CAST(list_position(sm, list_max(sm)) AS INT) - 1]) AS cell
-       |      FROM q1),
+       |$chain,
+       |q AS (SELECT q_id, qv, c1 AS home, unnest($cells) AS cell
+       |      FROM q$NPROBE),
        |p AS (SELECT q_id, q.home, vec_id,
        |       round(list_cosine_similarity(qv, v), 5) AS sim
        |      FROM q JOIN b USING (cell) WHERE vec_id <> q_id),
@@ -298,6 +350,7 @@ object SimilarityQueries {
        |      FROM p)
        |SELECT q_id, home AS cell, n_cand, rn, vec_id AS neighbor_id, sim
        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
 
   /** q53: embedding-cosine near-dup candidates (dedup variant of the
     * builder brief) — pair generation keyed on (label, LSH bucket): the

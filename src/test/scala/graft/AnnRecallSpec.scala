@@ -1,13 +1,14 @@
 package graft
 
-import graft.queries.Registry
+import graft.queries.{Registry, SimilarityQueries}
 
 /** ANN quality contracts: the bucketed methods (q51 sign-LSH, q54 IVF
   * cells) against the exact brute-force top-k (q50) for the shared
   * query set (vec_id % 125 == 0 is a subset of q50's % 25 == 0). All
-  * three are deterministic, so recall@3 is an exact regression value —
-  * the measured cost of trading the all-pairs scan for bucketing,
-  * documented here the way PERF.md documents the plan trade. */
+  * variants are deterministic, so recall@3 per probe schedule is an
+  * exact regression value — the measured recall-vs-candidates curve is
+  * the documented cost of trading the all-pairs scan for bucketing,
+  * pinned here the way PERF.md pins plan trades. */
 class AnnRecallSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.01"
@@ -18,27 +19,60 @@ class AnnRecallSpec extends SparkSpec {
       .groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
 
-  private def recallOf(name: String): Double = {
-    val ann = Registry.byName(name).run(spark, sf01).collect()
-      .groupBy(_.getLong(0))
+  /** (recall@3, mean candidate count) for an ANN result frame with the
+    * q51/q54 output shape (q_id, bucket/cell, n_cand, rn, neighbor_id,
+    * sim). */
+  private def curvePoint(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val rows = df.collect()
+    val ann = rows.groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(4)).toSet }
+    val nCand = rows.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.head.getLong(2).toDouble }
     val shared = ann.keySet.intersect(brute.keySet)
     assert(shared.nonEmpty)
-    shared.toSeq.map(q => ann(q).count(brute(q).contains) / 3.0)
-      .sum / shared.size
+    val recall = shared.toSeq
+      .map(q => ann(q).count(brute(q).contains) / 3.0).sum / shared.size
+    (recall, nCand.sum / nCand.size)
   }
 
-  // Measured on the sf0.01 corpus (near-orthogonal embeddings, top-3
-  // at cosine ~0.37 — the hard case for bucketed ANN): multi-probe
-  // LSH 0.5, IVF nprobe=2 0.583. The floor leaves margin only for a
-  // testdata refresh.
-  test("q51 multi-probe sign-LSH recall@3 vs brute force >= 0.4") {
-    val r = recallOf("q51_ann_lsh")
-    assert(r >= 0.4, s"LSH ANN recall collapsed: $r")
+  test("q51 LSH recall-vs-candidates curve is monotone and ends >= 0.8") {
+    val curve = Seq(0, 1, 2).map { h =>
+      val (r, c) = curvePoint(SimilarityQueries.lshAnn(spark, sf01, h))
+      info(f"Hamming<=$h: recall@3 = $r%.3f, mean n_cand = $c%.1f")
+      (h, r, c)
+    }
+    // more probes must never lose recall, and each step must widen the
+    // candidate set (the curve the probe schedule is buying)
+    curve.sliding(2).foreach { case Seq((_, r1, c1), (_, r2, c2)) =>
+      assert(r2 >= r1, s"recall fell as probes grew: $curve")
+      assert(c2 > c1, s"candidate set did not grow: $curve")
+    }
+    // shipped schedule (q51 = Hamming <= 2): the >= 0.8 contract
+    assert(curve.last._2 >= 0.8,
+      s"q51 shipped-schedule recall@3 = ${curve.last._2}")
   }
 
-  test("q54 IVF recall@3 vs brute force >= 0.4") {
-    val r = recallOf("q54_ann_ivf")
-    assert(r >= 0.4, s"IVF ANN recall collapsed: $r")
+  test("q54 IVF recall-vs-candidates curve is monotone and ends >= 0.8") {
+    val curve = Seq(1, 2, 4).map { np =>
+      val (r, c) = curvePoint(SimilarityQueries.ivfAnn(spark, sf01, np))
+      info(f"nprobe=$np: recall@3 = $r%.3f, mean n_cand = $c%.1f")
+      (np, r, c)
+    }
+    curve.sliding(2).foreach { case Seq((_, r1, c1), (_, r2, c2)) =>
+      assert(r2 >= r1, s"recall fell as nprobe grew: $curve")
+      assert(c2 > c1, s"candidate set did not grow: $curve")
+    }
+    // shipped schedule (q54 = nprobe 4): the >= 0.8 contract
+    assert(curve.last._2 >= 0.8,
+      s"q54 shipped-schedule recall@3 = ${curve.last._2}")
+  }
+
+  test("registry q51/q54 match the shipped parameterized schedules") {
+    val q51 = Registry.byName("q51_ann_lsh").run(spark, sf01).collect()
+    val p51 = SimilarityQueries.lshAnn(spark, sf01, 2).collect()
+    assert(q51.toSeq == p51.toSeq)
+    val q54 = Registry.byName("q54_ann_ivf").run(spark, sf01).collect()
+    val p54 = SimilarityQueries.ivfAnn(spark, sf01, 4).collect()
+    assert(q54.toSeq == p54.toSeq)
   }
 }
