@@ -23,9 +23,11 @@ import graft.ops.Metrics
   *
   *  - q88: unsupervised trajectory — probe protocol (M7) re-run at
   *    epochs {0,2,4} (test_every=2) × model × {LogisticRegression,
-  *    ScoreThreshold}; LR fits are Spark ML ⇒ rows-only check (contract)
-  *    with the AUC trend locked by TrajectorySpec. Mirrors
-  *    `UNSUPERVISED_LR.csv` (LR-only golden table).
+  *    ClassifierNN, ScoreThreshold} — the reference's FULL
+  *    `UNSUPERVISED.csv` classifier grid (`unsupervised.py:419-420`)
+  *    plus the probe-free threshold floor; LR/MLP fits are Spark ML ⇒
+  *    rows-only check (contract) with the AUC trend and NN-vs-LR
+  *    ordering locked by TrajectorySpec.
   *  - q89: supervised counterpart (`supervised.py:312-431`) — A6
   *    mean-collapse of the epoch-e representation → M4 BCE head with
   *    literal weights → `SUPERVISED.csv` shape (no Classification
@@ -166,14 +168,24 @@ object TrajectoryQueries {
 
   /** q88: the unsupervised probe-protocol TRAJECTORY (E1) — epochs
     * {0, 2, 4} (test_every = 2) × model × classifier, `UNSUPERVISED.csv`
-    * header shape. Epoch 0 reproduces the untrained floor (E3); the AUC
-    * trend across epochs is the reference's headline result. */
+    * header shape with the reference's FULL classifier grid
+    * (`unsupervised.py:419-420`): `LogisticRegression` (M1),
+    * `ClassifierNN` (M2 — the paper's two-hidden-layer fully-connected
+    * head, `nn.Linear(ini,64)→ReLU→Linear(64,64)→ReLU→Linear(64,2)` at
+    * `unsupervised.py:171-183`, re-expressed as Spark ML's
+    * MultilayerPerceptronClassifier with the same (in, 64, 64, 2)
+    * layers), plus the probe-free `ScoreThreshold` floor. Epoch 0
+    * reproduces the untrained floor (E3); the AUC trend across epochs
+    * is the reference's headline result — `UNSUPERVISED.csv`'s best
+    * cell is a ClassifierNN row. */
   private def q88(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // eager localCheckpoint: materialize once without pinning a
-    // session-lifetime cache entry per invocation
+    // session-lifetime cache entry per invocation. Partition count
+    // scales with input (see checkpointPartitions) — fixed
+    // repartition(1) would single-task the 18 downstream fits at 100×.
     val reps = blended(s, dir).filter($"n_Epochs" % 2 === 0)
-      .repartition(1).localCheckpoint(true)
+      .repartition(checkpointPartitions(s, dir)).localCheckpoint(true)
     val train = reps.filter($"user_id" % 5 =!= 0)
     val test = reps.filter($"user_id" % 5 === 0)
     def feats(model: String): Column = model match {
@@ -181,14 +193,18 @@ object TrajectoryQueries {
       case "S_CPC" => array($"r4", $"r5", $"r6")
       case _       => array($"r1", $"r2", $"r3", $"r4", $"r5", $"r6")
     }
+    def dim(model: String): Int = if (model == "TS_CPC") 6 else 3
     val grid = for {
       e <- 0 to Epochs by 2
       model <- Seq("T_CPC", "TS_CPC", "S_CPC")
-      cls <- Seq("LogisticRegression", "ScoreThreshold")
+      cls <- Seq("LogisticRegression", "ClassifierNN", "ScoreThreshold")
     } yield (e, model, cls)
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    // 6-wide, not 3: the full grid is 27 cells (9 LR + 9 MLP fits) and
+    // each fit's jobs are tiny — fit-level parallelism is what keeps
+    // the grid wall-clock near the single-slowest-fit bound
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     val allScored = try {
@@ -199,6 +215,21 @@ object TrajectoryQueries {
             .setFeaturesCol("features").setLabelCol("label")
             .setMaxIter(10).setTol(1e-5).setRegParam(0.01)
           val m = lr.fit(train.filter($"n_Epochs" === e).select($"label",
+            array_to_vector(feats(model)).as("features")))
+          m.transform(test.filter($"n_Epochs" === e).select($"label",
+              array_to_vector(feats(model)).as("features")))
+            .select(element_at(
+              org.apache.spark.ml.functions.vector_to_array($"probability"), 2)
+              .as("score"), $"label")
+        case "ClassifierNN" =>
+          // the reference head trains 64 full-batch Adam steps
+          // (`unsupervised.py:220-228`); LBFGS on the same tiny
+          // full-batch problem converges in fewer iterations
+          val nn = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+            .setLayers(Array(dim(model), 64, 64, 2))
+            .setSeed(42L).setMaxIter(10).setTol(1e-4)
+            .setFeaturesCol("features").setLabelCol("label")
+          val m = nn.fit(train.filter($"n_Epochs" === e).select($"label",
             array_to_vector(feats(model)).as("features")))
           m.transform(test.filter($"n_Epochs" === e).select($"label",
               array_to_vector(feats(model)).as("features")))
@@ -220,6 +251,19 @@ object TrajectoryQueries {
       .select($"n_Epochs", $"Model", $"Classification",
         lit(1024).as("Batch Size"), round($"auc", 4).as("ROC_AUC"))
       .orderBy($"Model", $"Classification", $"n_Epochs")
+  }
+
+  /** Sizing rule for the q88 rep-table checkpoint: one partition per
+    * ~250k source event rows (the parquet footer rowcount — a
+    * metadata-only read, no scan), capped at the session's shuffle
+    * parallelism. At sf0.1 this stays 1 (the rep table is a few
+    * thousand rows — more partitions would only add scheduling
+    * overhead to 18 tiny fits); at 100× the checkpoint fans out so
+    * the grid's fits read a parallel input instead of one task. */
+  private def checkpointPartitions(s: SparkSession, dir: String): Int = {
+    val eventRows = graft.Tables.events(s, dir).count()
+    val target = math.max(1L, eventRows / 250000L)
+    math.min(target, s.sparkContext.defaultParallelism.toLong).toInt
   }
 
   /** q89: the supervised trajectory (`supervised.py:312-431`, E2) —

@@ -36,7 +36,7 @@ class TrajectorySpec extends SparkSpec {
     val rows = Registry.byName("q88_unsup_trajectory").run(spark, sf01)
       .collect().map(r => ((r.getString(1), r.getString(2), r.getInt(0)),
         r.getDouble(4))).toMap
-    assert(rows.size == 18) // 3 models x {0,2,4} x 2 classifiers
+    assert(rows.size == 27) // 3 models x {0,2,4} x 3 classifiers
     // ScoreThreshold: epoch 4 is exactly the informative representation
     // (alpha = 1) -> beats the epoch-0 noise floor for every model;
     // T and TS share channel 1, so their thresholds coincide.
@@ -46,13 +46,27 @@ class TrajectorySpec extends SparkSpec {
     }
     assert(rows(("T_CPC", "ScoreThreshold", 4)) ==
       rows(("TS_CPC", "ScoreThreshold", 4)))
-    // LR probe: averaged over models the trained rep beats the noise rep
-    // (per-model epoch-0 LR AUC is small-sample noisy by design)
-    val lr4 = Seq("T_CPC", "TS_CPC", "S_CPC")
-      .map(m => rows((m, "LogisticRegression", 4))).sum / 3
-    val lr0 = Seq("T_CPC", "TS_CPC", "S_CPC")
-      .map(m => rows((m, "LogisticRegression", 0))).sum / 3
+    // trained probes: averaged over models the trained rep beats the
+    // noise rep for BOTH classifier heads (per-model epoch-0 AUC is
+    // small-sample noisy by design)
+    def gridMean(cls: String, e: Int): Double =
+      Seq("T_CPC", "TS_CPC", "S_CPC").map(m => rows((m, cls, e))).sum / 3
+    val lr0 = gridMean("LogisticRegression", 0)
+    val lr4 = gridMean("LogisticRegression", 4)
     assert(lr4 > lr0 + 0.02, s"LR trajectory flat: $lr0 -> $lr4")
+    // ClassifierNN: an epoch-0-vs-4 TREND margin is not meaningful for
+    // the NN head at this sf — with ~30 test users the high-capacity
+    // head's epoch-0 AUC is small-sample noise (it memorizes the md5
+    // noise channels), so lock the two properties that ARE stable:
+    // (a) at convergence (epoch 4, alpha = 1: the informative rep) the
+    //     NN clears the 0.5 random floor decisively — a collapsed or
+    //     diverged fit lands at ~0.5 and fails;
+    // (b) NN-vs-LR ordering: the epoch-4 rep is linearly separable, so
+    //     the two-hidden-layer head must track the linear probe
+    //     (UNSUPERVISED.csv's best cell is a ClassifierNN row).
+    val nn4 = gridMean("ClassifierNN", 4)
+    assert(nn4 > 0.6, s"NN head does not clear the random floor: $nn4")
+    assert(nn4 > lr4 - 0.05, s"NN head underperforms LR at epoch 4: $nn4 vs $lr4")
   }
 
   test("q91: PCA scatter separates the classes in latent space") {
