@@ -286,7 +286,119 @@ object MlQueries {
       | count(*) AS n
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q97: the M2 ClassifierNN SCORING surface with literal weights —
+  // the reference head (`unsupervised.py:171-183`: Linear(in,64) →
+  // ReLU → Linear(64,64) → ReLU → Linear(64,2) → softmax at :232)
+  // as a pure forward pass. Fitting is iterative (rows-only q66/q88);
+  // scoring is matVec+ReLU+softmax — all oracle-proven primitives —
+  // so THIS surface carries a full DuckDB oracle. Weights are derived
+  // from md5 with an integer-exact formula both engines compute
+  // bit-identically: ((first8hex(md5(tag)) % 1000) / 999.0 − 0.5) ×
+  // 0.25 (the ×0.25 ≈ 2/√64 fan-in scale is an exponent shift, so
+  // exact). Spark embeds the Scala-computed literals (the plan a real
+  // deployment gets after broadcasting trained weights); the oracle
+  // re-derives them in SQL.
+  // ---------------------------------------------------------------
+  private val NN_IN = 64
+  private val NN_HID = 64
+
+  private def mdw(tag: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tag.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    ((java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 999.0 - 0.5) * 0.25
+  }
+
+  private lazy val nnW1: Seq[Seq[Double]] =
+    (0 until NN_HID).map(j => (0 until NN_IN).map(i => mdw(s"w1:$j:$i")))
+  private lazy val nnB1: Seq[Double] = (0 until NN_HID).map(j => mdw(s"b1:$j"))
+  private lazy val nnW2: Seq[Seq[Double]] =
+    (0 until NN_HID).map(j => (0 until NN_HID).map(i => mdw(s"w2:$j:$i")))
+  private lazy val nnB2: Seq[Double] = (0 until NN_HID).map(j => mdw(s"b2:$j"))
+  private lazy val nnW3: Seq[Seq[Double]] =
+    (0 until 2).map(j => (0 until NN_HID).map(i => mdw(s"w3:$j:$i")))
+  private lazy val nnB3: Seq[Double] = (0 until 2).map(j => mdw(s"b3:$j"))
+
+  /** one dense layer: relu(W·x + b), identical left-fold sum order on
+    * both engines (ArrayOps.dot folds in index order; the oracle's
+    * list_sum does the same). */
+  private def dense(w: Seq[Seq[Double]], b: Seq[Double], x: org.apache.spark.sql.Column) =
+    zip_with(graft.ops.ArrayOps.matVec(w, x), array(b.map(lit): _*),
+      (h, bias) => greatest(h + bias, lit(0.0)))
+
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select($"vec_id", $"label",
+      $"embedding".cast("array<double>").as("v"))
+    val scored = e
+      .withColumn("h1", dense(nnW1, nnB1, $"v"))
+      .withColumn("h2", dense(nnW2, nnB2, $"h1"))
+      .withColumn("l0", graft.ops.ArrayOps.dot(
+        array(nnW3(0).map(lit): _*), $"h2") + lit(nnB3(0)))
+      .withColumn("l1", graft.ops.ArrayOps.dot(
+        array(nnW3(1).map(lit): _*), $"h2") + lit(nnB3(1)))
+    // binary softmax: p1 = e^l1/(e^l0+e^l1) = 1/(1+e^(l0-l1))
+    scored.select($"vec_id", $"label",
+        round(lit(1.0) / (lit(1.0) + exp($"l0" - $"l1")), 6).as("p1"))
+      .orderBy($"vec_id")
+  }
+
+  private lazy val q97Sql = {
+    def wExpr(tag: String, jv: String, iv: String): String =
+      s"((CAST(concat('0x', substr(md5(concat('$tag:', $jv, ':', $iv)), " +
+        s"1, 8)) AS BIGINT) % 1000) / 999.0 - 0.5) * 0.25"
+    def bExpr(tag: String, jv: String): String =
+      s"((CAST(concat('0x', substr(md5(concat('$tag:', $jv)), " +
+        s"1, 8)) AS BIGINT) % 1000) / 999.0 - 0.5) * 0.25"
+    def wCte(name: String, tag: String, rows: Int, cols: Int): String =
+      s"""$name AS (
+         | SELECT list(r ORDER BY j) AS m FROM (
+         |  SELECT j, list(w ORDER BY i) AS r FROM (
+         |   SELECT j, i, ${wExpr(tag, "j", "i")} AS w
+         |   FROM generate_series(0, ${rows - 1}) s1(j),
+         |        generate_series(0, ${cols - 1}) s2(i))
+         |  GROUP BY j))""".stripMargin
+    def bCte(name: String, tag: String, n: Int): String =
+      s"""$name AS (
+         | SELECT list(w ORDER BY j) AS bv FROM (
+         |  SELECT j, ${bExpr(tag, "j")} AS w
+         |  FROM generate_series(0, ${n - 1}) s(j)))""".stripMargin
+    val layer1 =
+      s"""list_transform(generate_series(1, $NN_HID), j ->
+         | greatest(list_sum(list_transform(generate_series(1, $NN_IN),
+         |   i -> v[i] * w1.m[j][i])) + b1.bv[j], 0.0))""".stripMargin
+    val layer2 =
+      s"""list_transform(generate_series(1, $NN_HID), j ->
+         | greatest(list_sum(list_transform(generate_series(1, $NN_HID),
+         |   i -> h1[i] * w2.m[j][i])) + b2.bv[j], 0.0))""".stripMargin
+    def logit(k: Int): String =
+      s"""list_sum(list_transform(generate_series(1, $NN_HID),
+         |   i -> h2[i] * w3.m[${k + 1}][i])) + b3.bv[${k + 1}]""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |${wCte("w1", "w1", NN_HID, NN_IN)},
+       |${bCte("b1", "b1", NN_HID)},
+       |${wCte("w2", "w2", NN_HID, NN_HID)},
+       |${bCte("b2", "b2", NN_HID)},
+       |${wCte("w3", "w3", 2, NN_HID)},
+       |${bCte("b3", "b3", 2)},
+       |l1t AS (SELECT vec_id, label, $layer1 AS h1
+       |        FROM e CROSS JOIN w1 CROSS JOIN b1),
+       |l2t AS (SELECT vec_id, label, $layer2 AS h2
+       |        FROM l1t CROSS JOIN w2 CROSS JOIN b2),
+       |lg AS (SELECT vec_id, label,
+       |        ${logit(0)} AS l0,
+       |        ${logit(1)} AS l1
+       |       FROM l2t CROSS JOIN w3 CROSS JOIN b3)
+       |SELECT vec_id, label,
+       | round(1.0 / (1.0 + exp(l0 - l1)), 6) AS p1
+       |FROM lg ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q97_mlp_forward", q97, Some(q97Sql),
+      "M2 ClassifierNN forward scorer, literal weights (full oracle)"),
     Q("q60_roc_auc", q60, Some(q60Sql), "rank-sum ROC-AUC (A11)"),
     Q("q67_bce_loss", q67, Some(q67Sql), "M4 BCE-with-logits head loss"),
     Q("q61_prf_report", q61, Some(q61Sql), "precision/recall/F1 report (A10)"),
