@@ -396,9 +396,144 @@ object MlQueries {
        |FROM lg ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q98: deterministic Lloyd KMeans under the FULL oracle — the
+  // clustering counterpart to q97: Spark ML's KMeans fit (q65) is
+  // iterative and rows-only, but Lloyd's algorithm with a fixed
+  // iteration count and literal md5-derived init is a pure dataflow —
+  // K·ITER relational steps, each SQL-expressible. Cross-engine
+  // determinism: init centroids use the integer-exact md5 formula
+  // (×2 = exponent shift, exact); per-step distances round to 9 dp
+  // before argmin (first-min tie-break = lowest cell id on both
+  // engines); updated centroid means round to 6 dp. An empty cell
+  // keeps its previous centroid (the standard Lloyd fallback).
+  // Scale posture: assignment is a row-local fold against ONE
+  // broadcast centroid row (no per-row shuffle); each update is one
+  // (cell, dim) partial aggregation — k·d groups, never a collect.
+  // ---------------------------------------------------------------
+  private val KM_K = 4
+  private val KM_ITER = 2
+  private val KM_DIM = 64
+
+  /** init centroid component, integer-exact across engines:
+    * (first8hex(md5("km:c:d")) % 1000) / 999.0 * 2 − 1 ∈ [−1, 1). */
+  private def kmInitW(c: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"km:$c:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 999.0 * 2.0 - 1.0
+  }
+
+  private def kmInitSql: String =
+    s"""(SELECT list(r ORDER BY cell) AS m FROM (
+       |  SELECT cell, list(w ORDER BY dim) AS r FROM (
+       |   SELECT cell, dim,
+       |    (CAST(concat('0x', substr(md5(concat('km:', cell, ':', dim)),
+       |       1, 8)) AS BIGINT) % 1000) / 999.0 * 2.0 - 1.0 AS w
+       |   FROM generate_series(0, ${KM_K - 1}) s1(cell),
+       |        generate_series(0, ${KM_DIM - 1}) s2(dim))
+       |  GROUP BY cell))""".stripMargin
+
+  /** nearest-centroid id against a runtime array-of-arrays column:
+    * squared distances (rounded to 9 dp), first-min tie-break. */
+  private def kmAssign(v: org.apache.spark.sql.Column,
+      cmat: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dists = transform(cmat, c =>
+      round(aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t), 9))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  private val kmDistsSql: String =
+    s"""list_transform(m, c ->
+       | round(list_sum(list_transform(generate_series(1, $KM_DIM),
+       |   i -> (v[i] - c[i]) * (v[i] - c[i]))), 9))""".stripMargin
+
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val initRow = Seq(Tuple1(
+      (0 until KM_K).map(c => (0 until KM_DIM).map(d => kmInitW(c, d))))
+    ).toDF("m")
+    val grid = (for { c <- 0 until KM_K; d <- 0 until KM_DIM }
+      yield (c, d)).toDF("cell", "dim")
+    var cmat = initRow
+    var assigned: DataFrame = null
+    for (_ <- 1 to KM_ITER) {
+      assigned = e.crossJoin(broadcast(cmat))
+        .withColumn("cell", kmAssign($"v", $"m"))
+        .select($"vec_id", $"v", $"cell")
+      val means = assigned
+        .select($"cell", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim").agg(round(avg($"x"), 6).as("mx"))
+      cmat = broadcast(grid).join(means, Seq("cell", "dim"), "left")
+        .crossJoin(broadcast(cmat))
+        .withColumn("mx", coalesce($"mx",
+          element_at(element_at($"m", $"cell" + 1), $"dim" + 1)))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"mx"))),
+          t => t("mx")).as("r"))
+        .agg(transform(array_sort(collect_list(struct($"cell", $"r"))),
+          t => t("r")).as("m"))
+        // eager checkpoint of the ONE-ROW centroid table: truncates the
+        // per-iteration lineage so the next assignment (and the final
+        // norms branch) read a materialized k×d matrix instead of
+        // re-deriving the whole iteration chain per action branch
+        .localCheckpoint(true)
+    }
+    val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
+    val norms = cmat.select(posexplode($"m").as(Seq("cell0", "cv")))
+      .select(($"cell0").cast("int").as("cell"),
+        round(sqrt(graft.ops.ArrayOps.dot($"cv", $"cv")), 5)
+          .as("centroid_norm"))
+    norms.join(sizes, Seq("cell"), "left")
+      .select($"cell", coalesce($"n", lit(0L)).as("n"), $"centroid_norm")
+      .orderBy($"cell")
+  }
+
+  private lazy val q98Sql = {
+    // one (assign, update) CTE pair per Lloyd iteration, unrolled
+    val steps = (1 to KM_ITER).map { t =>
+      s"""a$t AS (SELECT vec_id, v,
+         |        CAST(list_position(ds, list_min(ds)) AS INT) - 1 AS cell
+         |       FROM (SELECT vec_id, v, $kmDistsSql AS ds
+         |             FROM e CROSS JOIN c${t - 1})),
+         |mu$t AS (SELECT cell, dim, round(avg(x), 6) AS mx FROM (
+         |        SELECT cell, unnest(v) AS x,
+         |         unnest(generate_series(0, ${KM_DIM - 1})) AS dim
+         |        FROM a$t) GROUP BY cell, dim),
+         |c$t AS (SELECT list(r ORDER BY cell) AS m FROM (
+         |       SELECT g.cell, list(coalesce(mx, pm) ORDER BY g.dim) AS r
+         |       FROM (SELECT cell, dim,
+         |              m[cell + 1][dim + 1] AS pm
+         |             FROM generate_series(0, ${KM_K - 1}) s1(cell),
+         |                  generate_series(0, ${KM_DIM - 1}) s2(dim),
+         |                  c${t - 1}) g
+         |       LEFT JOIN mu$t ON g.cell = mu$t.cell AND g.dim = mu$t.dim
+         |       GROUP BY g.cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c0 AS $kmInitSql,
+       |$steps,
+       |sizes AS (SELECT cell, count(*) AS n FROM a$KM_ITER GROUP BY cell),
+       |norms AS (SELECT CAST(cell0 - 1 AS INT) AS cell,
+       |           round(sqrt(list_sum(list_transform(cv, x -> x * x))), 5)
+       |             AS centroid_norm
+       |          FROM (SELECT unnest(m) AS cv,
+       |                 unnest(generate_series(1, $KM_K)) AS cell0
+       |                FROM c$KM_ITER))
+       |SELECT norms.cell, CAST(coalesce(n, 0) AS BIGINT) AS n, centroid_norm
+       |FROM norms LEFT JOIN sizes ON norms.cell = sizes.cell
+       |ORDER BY norms.cell""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q97_mlp_forward", q97, Some(q97Sql),
       "M2 ClassifierNN forward scorer, literal weights (full oracle)"),
+    Q("q98_kmeans_lloyd", q98, Some(q98Sql),
+      "deterministic Lloyd KMeans, literal init (full oracle)"),
     Q("q60_roc_auc", q60, Some(q60Sql), "rank-sum ROC-AUC (A11)"),
     Q("q67_bce_loss", q67, Some(q67Sql), "M4 BCE-with-logits head loss"),
     Q("q61_prf_report", q61, Some(q61Sql), "precision/recall/F1 report (A10)"),
