@@ -593,5 +593,54 @@ object Series {
     Q("q94_softmax_profile", q94, Some(q94Sql),
       "P15 softmax over the per-type activity profile (oracle)"),
     Q("q95_csv_roundtrip", q95, Some(q95Sql),
-      "S4/S5 results-CSV sink+scan round trip (oracle)"))
+      "S4/S5 results-CSV sink+scan round trip (oracle)"),
+    Q("q99_metrics_sink", q99, Some(q99Sql),
+      "S6 append-mode metrics-stream sink+scan round trip (oracle)"))
+
+  /** q99: S6 metric-stream sink under the oracle gate — the
+    * wandb-analogue append-only metrics log (`unsupervised.py:247-263`:
+    * one `wandb.log({name: value})` batch per eval step). Each "epoch"
+    * slice appends its per-type metric batch to ONE parquet metrics
+    * table (append mode — the sink never rewrites earlier batches);
+    * the query then re-reads the accumulated table and rolls it up.
+    * The ORACLE computes the same rollup straight from `events` — any
+    * loss, duplication, or mistyping in the append path breaks the
+    * hash. Parquet appends are atomic per batch and the re-read is
+    * schema-stable, so this is the streaming-metrics pattern a
+    * 1000-executor training job would use (each epoch's executors
+    * append partitioned files; readers see a consistent snapshot). */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q99").toString + "/metrics"
+    // four eval steps, each appending its own metric batch (epoch =
+    // a deterministic user_id slice, so batches are disjoint and the
+    // oracle can reconstruct them)
+    (0 to 3).foreach { e =>
+      events(s, dir)
+        .filter($"user_id" % 4 === e)
+        .groupBy($"event_type")
+        .agg(round(sum($"value"), 4).as("v"), count(lit(1)).as("n"))
+        .select(lit(e).as("epoch"), $"event_type", $"v", $"n")
+        .write.mode("append").parquet(out)
+    }
+    s.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_batches"),
+        round(sum($"v"), 4).as("total_v"),
+        sum($"n").cast("long").as("total_n"),
+        round(max($"v"), 4).as("max_v"))
+      .orderBy($"event_type")
+  }
+
+  private lazy val q99Sql =
+    """WITH batches AS (
+      | SELECT user_id % 4 AS epoch, event_type,
+      |  round(sum(value), 4) AS v, count(*) AS n
+      | FROM events GROUP BY epoch, event_type)
+      |SELECT event_type, count(*) AS n_batches,
+      | round(sum(v), 4) AS total_v,
+      | CAST(sum(n) AS BIGINT) AS total_n,
+      | round(max(v), 4) AS max_v
+      |FROM batches GROUP BY event_type ORDER BY event_type""".stripMargin
 }
