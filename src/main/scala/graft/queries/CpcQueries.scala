@@ -76,7 +76,7 @@ object CpcQueries {
       // anchor < 0.4L + 0.6L - K - 1 + 1 keeps anchor+K in range)
       .withColumn("tgt1", element_at($"z", $"anchor" + 1))
       .withColumn("tgt2", element_at($"z", $"anchor" + 2))
-      .withColumn("batch_id", pmod($"series_key", lit(4)))
+      .withColumn("batch_id", expr("series_key div 32"))
       .select($"series_key".as("user_id"), $"batch_id",
         $"proj1", $"proj2", $"tgt1", $"tgt2")
     // J2: all-pairs scores within batch for each k; A4 stable
@@ -165,7 +165,7 @@ object CpcQueries {
        }, 0.0)) AS z
        | FROM zt),
        |anch AS (
-       | SELECT user_id, user_id % 4 AS batch_id, n, z,
+       | SELECT user_id, user_id // 32 AS batch_id, n, z,
        |  CAST(floor(0.4 * n) AS INT) +
        |   CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
        |         AS BIGINT)

@@ -165,14 +165,19 @@ object SeqQueries {
   }
 
   /** q73: A4/J2/J3/A3 — batch-local InfoNCE: per-user representation,
-    * batches of users (user_id mod 5), all-pairs scores within batch,
+    * FIXED-SIZE batches of users (id-range blocks of 32 — the
+    * deterministic analogue of the reference DataLoader's fixed
+    * batch_size: batch COUNT grows with the data while the per-batch
+    * all-pairs term stays 32x32, so total pair work scales LINEARLY;
+    * a fixed batch COUNT would go quadratic at 10x data),
+    * all-pairs scores within batch,
     * stable log-softmax diagonal loss + self-match accuracy. */
   private def q73(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val reps = events(s, dir)
       .groupBy($"user_id")
       .agg((avg($"value") / 100.0).as("rep"))
-      .withColumn("batch_id", pmod($"user_id", lit(5)))
+      .withColumn("batch_id", expr("user_id div 32"))
     val a = reps.select($"batch_id", $"user_id".as("i"), $"rep".as("ri"))
     val b = reps.select($"batch_id", $"user_id".as("j"), $"rep".as("rj"))
     val scores = a.join(b, "batch_id").withColumn("sc", $"ri" * $"rj")
@@ -202,7 +207,7 @@ object SeqQueries {
 
   private val q73Sql =
     """WITH reps AS (
-      | SELECT user_id, avg(value) / 100.0 AS rep, user_id % 5 AS batch_id
+      | SELECT user_id, avg(value) / 100.0 AS rep, user_id // 32 AS batch_id
       | FROM events GROUP BY user_id),
       |sc AS (
       | SELECT a.batch_id, a.user_id AS i, b.user_id AS j,
