@@ -25,6 +25,19 @@ object Tables {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Partition count for materialized (localCheckpoint) per-user rep
+    * tables that feed probe-grid fits: one partition per ~250k source
+    * event rows (the parquet footer rowcount — a metadata-only read, no
+    * scan), capped at the session's parallelism. At sf0.1 this stays 1
+    * (the rep table is a few thousand rows — more partitions would only
+    * add scheduling overhead to tiny fits); at 100× the checkpoint fans
+    * out so grid fits read a parallel input instead of one task. */
+  def checkpointPartitions(s: SparkSession, d: String): Int = {
+    val eventRows = events(s, d).count()
+    val target = math.max(1L, eventRows / 250000L)
+    math.min(target, s.sparkContext.defaultParallelism.toLong).toInt
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

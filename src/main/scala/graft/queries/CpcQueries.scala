@@ -255,16 +255,17 @@ object CpcQueries {
     * (`UNSUPERVISED.csv` header: Model, Classification, ROC_AUC). */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // per-user reps are tiny (1 row/user): one cached partition (via a
-    // tiny-data repartition, NOT coalesce — coalesce(1) would collapse
-    // the parallel FFT/assembly upstream into one task)
-    // makes each probe iteration a one-task job (treeAggregate over
-    // thousands of rows is driver-overhead-bound otherwise). At real
-    // scale the rep table is large and keeps natural partitioning.
-    // eager localCheckpoint (not cache): materializes once, cuts
-    // lineage, and frees its blocks with the RDD instead of pinning a
+    // per-user reps are tiny (1 row/user): partition count scales with
+    // input (Tables.checkpointPartitions — 1 at sf0.1, fans out at
+    // 100×; fixed repartition(1) would single-task the fits at scale).
+    // repartition, NOT coalesce — coalesce(1) would collapse the
+    // parallel FFT/assembly upstream into one task. eager
+    // localCheckpoint (not cache): materializes once, cuts lineage, and
+    // frees its blocks with the RDD instead of pinning a
     // session-lifetime cache entry per invocation
-    val rep6 = representations(s, dir).repartition(1).localCheckpoint(true)
+    val rep6 = representations(s, dir)
+      .repartition(graft.Tables.checkpointPartitions(s, dir))
+      .localCheckpoint(true)
     val train = rep6.filter($"user_id" % 5 =!= 0)
     val test = rep6.filter($"user_id" % 5 === 0)
     val grid = for {

@@ -253,18 +253,9 @@ object TrajectoryQueries {
       .orderBy($"Model", $"Classification", $"n_Epochs")
   }
 
-  /** Sizing rule for the q88 rep-table checkpoint: one partition per
-    * ~250k source event rows (the parquet footer rowcount — a
-    * metadata-only read, no scan), capped at the session's shuffle
-    * parallelism. At sf0.1 this stays 1 (the rep table is a few
-    * thousand rows — more partitions would only add scheduling
-    * overhead to 18 tiny fits); at 100× the checkpoint fans out so
-    * the grid's fits read a parallel input instead of one task. */
-  private def checkpointPartitions(s: SparkSession, dir: String): Int = {
-    val eventRows = graft.Tables.events(s, dir).count()
-    val target = math.max(1L, eventRows / 250000L)
-    math.min(target, s.sparkContext.defaultParallelism.toLong).toInt
-  }
+  // rep-table checkpoint sizing shared with q76: Tables.checkpointPartitions
+  private def checkpointPartitions(s: SparkSession, dir: String): Int =
+    graft.Tables.checkpointPartitions(s, dir)
 
   /** q89: the supervised trajectory (`supervised.py:312-431`, E2) —
     * A6 mean-collapse → literal M4 BCE head → per-(Model, n_Epochs)
