@@ -529,7 +529,127 @@ object MlQueries {
        |ORDER BY norms.cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q100: deterministic batch-gradient-descent logistic probe under
+  // the FULL oracle — the TRAINING counterpart to q97's forward
+  // scorer. Spark ML's LR fit (q63) is an iterative black box and
+  // rows-only; plain full-batch GD with a fixed iteration count is a
+  // pure dataflow: each epoch is ONE distributed aggregation
+  // (grad_j = avg((sigmoid(w·x) − y) · x_j)) followed by a one-row
+  // weight update — exactly how a declarative training loop looks at
+  // 100 TB (the gradient is a partial-aggregable sum; the weight
+  // state is a broadcast one-row table, never a collect; lineage is
+  // cut per epoch by an eager localCheckpoint, as in q98).
+  // Cross-engine determinism: weights round to 9 dp after each
+  // update (quantized state absorbs sub-ulp exp/summation-order
+  // drift), outputs to 6 dp. The emitted table is the reference's
+  // loss-per-epoch training curve (`unsupervised.py:247-263` logs
+  // exactly this shape): iter × (weights, train/test BCE).
+  // ---------------------------------------------------------------
+  private val GD_ITER = 5
+  private val GD_LR = 2.0
+  private val GD_NF = 4 // leading embedding components; bias appended
+
+  /** features [10·x1 .. 10·x4, 1.0] and binary label, split like q63.
+    * The ×10 puts the ~0.1-magnitude embedding components on the bias
+    * column's unit scale, so one global learning rate is stable in
+    * every coordinate (lr=50 without scaling sends the bias into a
+    * divergent oscillation — the standard conditioning argument;
+    * ×10 is an exact float op, so cross-engine safe). */
+  private def gdData(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir).select($"vec_id",
+      array((1 to GD_NF).map(j =>
+        element_at($"embedding", j).cast("double") * 10.0) :+ lit(1.0): _*)
+        .as("x"),
+      when($"label" < 5, 1.0).otherwise(0.0).as("y"))
+  }
+
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = gdData(s, dir)
+    val train = d.filter($"vec_id" % 5 =!= 0)
+    val test = d.filter($"vec_id" % 5 === 0)
+    def z = graft.ops.ArrayOps.dot($"x", $"w")
+    // stable BCE-with-logits, same identity as q67
+    def bce(zc: org.apache.spark.sql.Column, yc: org.apache.spark.sql.Column) =
+      greatest(zc, lit(0.0)) - zc * yc + log(lit(1.0) + exp(-abs(zc)))
+    def lossRow(t: Int, w: DataFrame): DataFrame = {
+      val tr = train.crossJoin(broadcast(w))
+        .agg(round(avg(bce(z, $"y")), 6).as("train_bce"))
+      val te = test.crossJoin(broadcast(w))
+        .agg(round(avg(bce(z, $"y")), 6).as("test_bce"))
+      w.crossJoin(tr).crossJoin(te).select(
+        lit(t).as("iter"),
+        round(element_at($"w", 1), 6).as("w1"),
+        round(element_at($"w", 2), 6).as("w2"),
+        round(element_at($"w", 3), 6).as("w3"),
+        round(element_at($"w", 4), 6).as("w4"),
+        round(element_at($"w", 5), 6).as("bias"),
+        $"train_bce", $"test_bce")
+    }
+    var w: DataFrame = Seq(Tuple1(Seq.fill(GD_NF + 1)(0.0))).toDF("w")
+    var out = lossRow(0, w)
+    for (t <- 1 to GD_ITER) {
+      val g = train.crossJoin(broadcast(w))
+        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-z)) - $"y")
+        .select($"err", posexplode($"x").as(Seq("dim", "xj")))
+        .groupBy($"dim").agg(avg($"err" * $"xj").as("g"))
+      w = g.crossJoin(broadcast(w))
+        .select($"dim",
+          round(element_at($"w", $"dim" + 1) - lit(GD_LR) * $"g", 9).as("wj"))
+        .agg(transform(array_sort(collect_list(struct($"dim", $"wj"))),
+          c => c("wj")).as("w"))
+        .localCheckpoint(true)
+      out = out.unionAll(lossRow(t, w))
+    }
+    out.orderBy($"iter")
+  }
+
+  private lazy val q100Sql = {
+    val nf = GD_NF + 1
+    val dotSql =
+      s"list_sum(list_transform(generate_series(1, $nf), i -> x[i] * w[i]))"
+    val steps = (1 to GD_ITER).map { t =>
+      s"""g$t AS (SELECT dim, avg(err * x[dim]) AS g FROM (
+         |   SELECT x, 1.0 / (1.0 + exp(-($dotSql))) - y AS err
+         |   FROM tr CROSS JOIN w${t - 1})
+         |  CROSS JOIN generate_series(1, $nf) s$t(dim) GROUP BY dim),
+         |w$t AS (SELECT list(wj ORDER BY dim) AS w FROM (
+         |   SELECT dim, round(w[dim] - $GD_LR * g, 9) AS wj
+         |   FROM g$t CROSS JOIN w${t - 1}))""".stripMargin
+    }.mkString(",\n")
+    def bceSub(split: String, t: Int): String =
+      s"""(SELECT round(avg(greatest(z, 0.0) - z * y
+         |    + ln(1.0 + exp(-abs(z)))), 6)
+         |  FROM (SELECT $dotSql AS z, y FROM $split CROSS JOIN w$t))""".stripMargin
+    val rows = (0 to GD_ITER).map { t =>
+      s"""SELECT $t AS iter,
+         | round(w[1], 6) AS w1, round(w[2], 6) AS w2, round(w[3], 6) AS w3,
+         | round(w[4], 6) AS w4, round(w[5], 6) AS bias,
+         | ${bceSub("tr", t)} AS train_bce,
+         | ${bceSub("te", t)} AS test_bce
+         |FROM w$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT vec_id,
+       |    [CAST(embedding[1] AS DOUBLE) * 10.0,
+       |     CAST(embedding[2] AS DOUBLE) * 10.0,
+       |     CAST(embedding[3] AS DOUBLE) * 10.0,
+       |     CAST(embedding[4] AS DOUBLE) * 10.0,
+       |     1.0] AS x,
+       |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+       |   FROM embeddings),
+       |tr AS (SELECT * FROM d WHERE vec_id % 5 <> 0),
+       |te AS (SELECT * FROM d WHERE vec_id % 5 = 0),
+       |w0 AS (SELECT CAST([0, 0, 0, 0, 0] AS DOUBLE[]) AS w),
+       |$steps
+       |$rows
+       |ORDER BY iter""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q100_gd_logistic", q100, Some(q100Sql),
+      "deterministic full-batch GD logistic probe, loss curve (full oracle)"),
     Q("q97_mlp_forward", q97, Some(q97Sql),
       "M2 ClassifierNN forward scorer, literal weights (full oracle)"),
     Q("q98_kmeans_lloyd", q98, Some(q98Sql),

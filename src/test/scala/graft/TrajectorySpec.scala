@@ -89,6 +89,30 @@ class TrajectorySpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).distinct.length == 2)
   }
 
+  test("q100: GD training curve — loss falls monotonically from ln 2") {
+    val rows = Registry.byName("q100_gd_logistic").run(spark, sf01)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 6) // iter 0..5
+    val first = rows.head
+    // iter 0: zero weights, BCE = ln 2 on both splits
+    (1 to 5).foreach(i => assert(first.getDouble(i) == 0.0))
+    assert(math.abs(first.getDouble(6) - math.log(2)) < 1e-5)
+    assert(math.abs(first.getDouble(7) - math.log(2)) < 1e-5)
+    // train BCE strictly decreases every epoch (lr below the stable
+    // bound -> plain full-batch GD descends monotonically)
+    val bce = rows.map(_.getDouble(6))
+    assert(bce.zip(bce.tail).forall { case (a, b) => b < a },
+      s"train BCE not strictly decreasing: ${bce.mkString(",")}")
+    // and the iterates converge: the last weight step is smaller than
+    // the first in every coordinate-wise L2 sense
+    def wvec(r: org.apache.spark.sql.Row) = (1 to 5).map(r.getDouble)
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val steps = rows.sliding(2).map(p => dist(wvec(p(0)), wvec(p(1)))).toSeq
+    assert(steps.last < steps.head / 5,
+      s"weight steps not contracting: ${steps.mkString(",")}")
+  }
+
   test("q90: comparison join is consistent with its two sides") {
     val rows = Registry.byName("q90_unsup_comparison").run(spark, sf01)
       .collect()
