@@ -647,7 +647,101 @@ object MlQueries {
        |ORDER BY iter""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q101: power-iteration PCA under the FULL oracle — the M3
+  // counterpart to q100: Spark ML's PCA (q64) solves the Gramian
+  // eigenproblem iteratively (rows-only); the power method with a
+  // fixed iteration count and literal md5 init is a pure dataflow.
+  // One iteration = one distributed pass: s_i = xc_i · v (row-local),
+  // u_j = avg(s_i · xc_ij) (a (dim)-keyed partial aggregation — this
+  // IS X'ᵀX'v/n without ever materializing the covariance matrix,
+  // which is how PCA scales to 100 TB), then a one-row normalize +
+  // 9 dp quantize + checkpoint, as in q98/q100. Output is q64's
+  // latent-separation shape: per-label mean/mean-square projection
+  // on the converged first component.
+  // ---------------------------------------------------------------
+  private val PI_ITER = 3
+  private val PI_DIM = 64
+
+  /** init component, integer-exact across engines (kmInitW formula,
+    * tag "pi:d"): (first8hex(md5) % 1000) / 999.0 * 2 − 1. */
+  private def piInitW(d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pi:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 999.0 * 2.0 - 1.0
+  }
+
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    // per-dim mean (9 dp) as a one-row broadcast array — the centering
+    // vector; same (dim)-keyed partial-agg shape as the update step
+    val c = e.select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(round(avg($"x"), 9).as("m"))
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        t => t("m")).as("c"))
+      .localCheckpoint(true)
+    val d = e.crossJoin(broadcast(c))
+      .select($"vec_id", $"label",
+        zip_with($"v", $"c", (x, m) => x - m).as("xc"))
+    var v: DataFrame =
+      Seq(Tuple1((0 until PI_DIM).map(piInitW))).toDF("pv")
+    for (_ <- 1 to PI_ITER) {
+      val u = d.crossJoin(broadcast(v))
+        .withColumn("s", graft.ops.ArrayOps.dot($"xc", $"pv"))
+        .select($"s", posexplode($"xc").as(Seq("dim", "xj")))
+        .groupBy($"dim").agg(avg($"s" * $"xj").as("u"))
+      v = u.agg(transform(array_sort(collect_list(struct($"dim", $"u"))),
+          t => t("u")).as("uv"))
+        .select(transform($"uv", x =>
+          round(x / sqrt(graft.ops.ArrayOps.dot($"uv", $"uv")), 9)).as("pv"))
+        .localCheckpoint(true)
+    }
+    d.crossJoin(broadcast(v))
+      .withColumn("s", graft.ops.ArrayOps.dot($"xc", $"pv"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"s"), 4).as("avg_pc1"),
+        round(avg($"s" * $"s"), 4).as("ms_pc1"))
+      .orderBy($"label")
+  }
+
+  private lazy val q101Sql = {
+    val dotSql =
+      s"list_sum(list_transform(generate_series(1, $PI_DIM), i -> xc[i] * pv[i]))"
+    val steps = (1 to PI_ITER).map { t =>
+      s"""u$t AS (SELECT dim, avg(s * xc[dim]) AS u FROM (
+         |   SELECT xc, $dotSql AS s FROM d CROSS JOIN p${t - 1})
+         |  CROSS JOIN generate_series(1, $PI_DIM) s$t(dim) GROUP BY dim),
+         |p$t AS (SELECT list_transform(uv, x ->
+         |    round(x / sqrt(list_sum(list_transform(uv, y -> y * y))), 9))
+         |    AS pv
+         |   FROM (SELECT list(u ORDER BY dim) AS uv FROM u$t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c AS (SELECT list(m ORDER BY dim) AS c FROM (
+       |   SELECT dim, round(avg(v[dim]), 9) AS m
+       |   FROM e CROSS JOIN generate_series(1, $PI_DIM) sc(dim)
+       |   GROUP BY dim)),
+       |d AS (SELECT vec_id, label,
+       |   list_transform(generate_series(1, $PI_DIM), i -> v[i] - c[i]) AS xc
+       |  FROM e CROSS JOIN c),
+       |p0 AS (SELECT list_transform(generate_series(0, ${PI_DIM - 1}), j ->
+       |   (CAST(concat('0x', substr(md5(concat('pi:', j)), 1, 8)) AS BIGINT)
+       |    % 1000) / 999.0 * 2.0 - 1.0) AS pv),
+       |$steps
+       |SELECT label, count(*) AS n,
+       | round(avg(s), 4) AS avg_pc1, round(avg(s * s), 4) AS ms_pc1
+       |FROM (SELECT label, $dotSql AS s FROM d CROSS JOIN p$PI_ITER)
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q101_pca_power", q101, Some(q101Sql),
+      "power-iteration PCA first component, literal init (full oracle)"),
     Q("q100_gd_logistic", q100, Some(q100Sql),
       "deterministic full-batch GD logistic probe, loss curve (full oracle)"),
     Q("q97_mlp_forward", q97, Some(q97Sql),

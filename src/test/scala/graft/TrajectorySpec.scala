@@ -113,6 +113,31 @@ class TrajectorySpec extends SparkSpec {
       s"weight steps not contracting: ${steps.mkString(",")}")
   }
 
+  test("q101: power-iteration direction beats every raw coordinate axis") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("q101_pca_power").run(spark, sf01).collect()
+    assert(rows.length == 10)
+    val n = rows.map(_.getLong(1)).sum
+    // Rayleigh quotient of the found direction = Σ n·ms / Σ n (the
+    // projections are centered, so mean-square IS variance)
+    val rayleigh = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / n
+    // per-axis variance of each raw embedding coordinate
+    val e = graft.Tables.embeddings(spark, sf01)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+    val maxAxisVar = e.groupBy(col("dim"))
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")))
+        .as("v"))
+      .agg(max(col("v"))).head().getDouble(0)
+    // the corpus is near-isotropic (eigengap ~1%), so full convergence
+    // in 3 fixed iterations is not the contract — finding a direction
+    // better than ANY single axis is: a broken update (wrong centering,
+    // wrong fold, sign flip mid-iteration) lands at or below axis level
+    assert(rayleigh > maxAxisVar * 1.1,
+      s"power direction no better than a raw axis: $rayleigh vs $maxAxisVar")
+    assert(n == 500)
+  }
+
   test("q90: comparison join is consistent with its two sides") {
     val rows = Registry.byName("q90_unsup_comparison").run(spark, sf01)
       .collect()
