@@ -309,8 +309,32 @@ object SeqQueries {
       | round(CAST(list_sum(dropped) AS DOUBLE) / n, 6) AS mean_dropped
       |FROM d ORDER BY user_id""".stripMargin
 
+  /** q102: P12 train-mode dropout through the TRUE `rand(seed)` path
+    * (`T_CPC.py:19` — torch's Bernoulli mask), not q81's md5 stand-in:
+    * `ArrayOps.dropout` injects `rand(seed)` per element, which is
+    * partition-order dependent by nature (the same reason torch's mask
+    * depends on worker scheduling), so this carries NO oracle —
+    * rows-only by contract, with the statistical contract (empirical
+    * drop rate ≈ p, rescale unbiasedness) pinned in SinkSpec. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = SeriesOps.assemble(events(s, dir), $"user_id", $"ts",
+      "v" -> $"value")
+    series
+      .withColumn("d", ArrayOps.dropout($"v", 0.2, seed = 123L))
+      .select(
+        $"series_key".as("user_id"),
+        $"series_len".as("n"),
+        size(filter($"d", x => x =!= 0.0)).as("n_kept"),
+        round(ArrayOps.arrayMean($"v"), 6).as("mean_orig"),
+        round(ArrayOps.arrayMean($"d"), 6).as("mean_dropped"))
+      .orderBy($"user_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q81_dropout_mask", q81, Some(q81Sql), "P12 deterministic dropout mask"),
+    Q("q102_dropout_rand", q102, None,
+      "P12 train-mode dropout via rand(seed) (rows-only: partition-order dependent)"),
     Q("q70_conv1d", q70, Some(q70Sql), "W1 3-tap conv, array vs window"),
     Q("q71_fft_spectrum", q71, Some(q71Sql), "W3 FFT vs SQL DFT bins"),
     Q("q72_gru_scan", q72, Some(q72Sql),

@@ -71,4 +71,20 @@ class SinkSpec extends SparkSpec {
       .collect()(0).getSeq[Double](0)
     assert(ev == Seq(1.0, 2.0))
   }
+
+  test("q102: rand(seed) dropout query — rate ≈ p, rescale unbiased") {
+    val rows = graft.queries.Registry.byName("q102_dropout_rand")
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Number]("n").longValue).sum
+    val kept = rows.map(_.getAs[Number]("n_kept").longValue).sum
+    val rate = 1.0 - kept.toDouble / n
+    // p = 0.2 over ~60k timesteps: the empirical rate concentrates
+    assert(rate > 0.17 && rate < 0.23, s"drop rate $rate far from 0.2")
+    // 1/(1-p) rescale keeps the corpus-level mean unbiased
+    val mo = rows.map(r => r.getAs[Number]("n").doubleValue * r.getAs[Double]("mean_orig")).sum / n
+    val md = rows.map(r => r.getAs[Number]("n").doubleValue * r.getAs[Double]("mean_dropped")).sum / n
+    assert(math.abs(md - mo) < math.abs(mo) * 0.1 + 0.05,
+      s"rescaled mean drifted: $mo -> $md")
+  }
 }
