@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Scratch-dir discipline for sink round-trip queries (q99 metrics
+  * sink, the streaming gate): a query that writes an intermediate
+  * table gets a fresh temp dir, must EAGERLY materialize its final
+  * result (localCheckpoint truncates lineage, so the re-read parquet
+  * files are no longer referenced by the returned plan), and the dir
+  * is deleted before returning — repeated invocations leave nothing
+  * behind under /tmp.
+  */
+object Scratch {
+
+  /** Run `f` with a fresh temp dir; eagerly materialize the resulting
+    * frame, then delete the dir recursively. The returned frame is a
+    * lineage-free localCheckpoint, safe to consume after deletion. */
+  def withScratchDir(prefix: String)(f: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString).localCheckpoint(true)
+    finally deleteRecursively(dir.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

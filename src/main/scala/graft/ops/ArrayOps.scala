@@ -126,6 +126,15 @@ object ArrayOps {
     else transform(a, x =>
       when(rand(seed) < p, lit(0.0)).otherwise(x / (1.0 - p)))
 
+  /** P12 companion: the 0/1 KEEP-mask behind `dropout`, materialized as
+    * its own column so callers can derive both the dropped array
+    * (`zip_with`) and exact kept/dropped counts from ONE set of rand
+    * draws. rand is non-deterministic to Catalyst, so a projection
+    * computing this mask is never collapsed into its consumers — the
+    * draws happen once per row, not once per downstream use. */
+  def dropoutMask(a: Column, p: Double, seed: Long): Column =
+    transform(a, _ => when(rand(seed) < p, lit(0.0)).otherwise(lit(1.0)))
+
   /** P6/P7/P8 idioms re-exported for discoverability. */
   def prefix(a: Column, len: Column): Column = slice(a, lit(1), len)
   def lastElem(a: Column): Column = element_at(a, -1)

@@ -50,9 +50,11 @@ object Metrics {
       col("n_neg_d").cast("long").as("n_neg"))): _*)
   }
 
-  /** A9: plain accuracy. */
+  /** A9: plain accuracy plus the row count, from ONE aggregation —
+    * callers report (accuracy, n) without a second count job. */
   def accuracy(df: DataFrame, pred: Column, label: Column): DataFrame =
-    df.agg(avg(when(pred === label, 1.0).otherwise(0.0)).as("accuracy"))
+    df.agg(avg(when(pred === label, 1.0).otherwise(0.0)).as("accuracy"),
+      count(lit(1)).as("n"))
 
   /** A10: per-class precision/recall/F1 from (label, pred) pairs —
     * one confusion-count aggregation, then pure column arithmetic. */

@@ -195,8 +195,8 @@ object MlQueries {
     val model = mlp.fit(train)
     val preds = model.transform(test)
     Metrics.accuracy(preds, $"prediction", $"y")
-      .select(round($"accuracy", 4).as("test_accuracy"))
-      .withColumn("n_test", lit(test.count()))
+      .select(round($"accuracy", 4).as("test_accuracy"),
+        $"n".as("n_test"))
   }
 
   /** q91: the PCA latent-scatter table with patient filters
@@ -241,8 +241,7 @@ object MlQueries {
     val preds = scored(s, dir)
       .withColumn("pred", when($"score" > 0, 1).otherwise(0))
     Metrics.accuracy(preds, $"pred", $"y")
-      .select(round($"accuracy", 6).as("accuracy"))
-      .withColumn("n", lit(preds.count()))
+      .select(round($"accuracy", 6).as("accuracy"), $"n")
   }
 
   private val q92Sql =

@@ -10,8 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (compare sorts columns by name before hashing) and values;
   *  - results must be deterministic: every query ends in a total ORDER BY
   *    and every derived double is round()ed identically on both sides;
-  *  - queries whose semantics are not SQL-expressible (FFT, GRU scan,
-  *    ML model fits) carry no oracle and get a rows-only check.
+  *  - queries whose semantics are not SQL-expressible (iterative ML
+  *    model fits: q63/q64/q65/q66/q76/q88/q91) or not cross-engine
+  *    deterministic (the true `rand(seed)` dropout path q102, whose
+  *    draws depend on partition layout) carry no oracle and get a
+  *    rows-only check.
   */
 final case class Q(
     name: String,

@@ -321,11 +321,15 @@ object SeqQueries {
     val series = SeriesOps.assemble(events(s, dir), $"user_id", $"ts",
       "v" -> $"value")
     series
-      .withColumn("d", ArrayOps.dropout($"v", 0.2, seed = 123L))
+      // materialize the keep-mask ONCE (rand draws happen here), then
+      // derive the dropped array and the EXACT kept count from it — a
+      // kept source value of exactly 0.0 is still counted as kept
+      .withColumn("m", ArrayOps.dropoutMask($"v", 0.2, seed = 123L))
+      .withColumn("d", zip_with($"v", $"m", (x, m) => x * m / 0.8))
       .select(
         $"series_key".as("user_id"),
         $"series_len".as("n"),
-        size(filter($"d", x => x =!= 0.0)).as("n_kept"),
+        aggregate($"m", lit(0L), (s0, m) => s0 + m.cast("long")).as("n_kept"),
         round(ArrayOps.arrayMean($"v"), 6).as("mean_orig"),
         round(ArrayOps.arrayMean($"d"), 6).as("mean_dropped"))
       .orderBy($"user_id")

@@ -611,26 +611,27 @@ object Series {
     * append partitioned files; readers see a consistent snapshot). */
   private def q99(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_q99").toString + "/metrics"
-    // four eval steps, each appending its own metric batch (epoch =
-    // a deterministic user_id slice, so batches are disjoint and the
-    // oracle can reconstruct them)
-    (0 to 3).foreach { e =>
-      events(s, dir)
-        .filter($"user_id" % 4 === e)
+    graft.Scratch.withScratchDir("graft_q99") { scratch =>
+      val out = scratch + "/metrics"
+      // four eval steps, each appending its own metric batch (epoch =
+      // a deterministic user_id slice, so batches are disjoint and the
+      // oracle can reconstruct them)
+      (0 to 3).foreach { e =>
+        events(s, dir)
+          .filter($"user_id" % 4 === e)
+          .groupBy($"event_type")
+          .agg(round(sum($"value"), 4).as("v"), count(lit(1)).as("n"))
+          .select(lit(e).as("epoch"), $"event_type", $"v", $"n")
+          .write.mode("append").parquet(out)
+      }
+      s.read.parquet(out)
         .groupBy($"event_type")
-        .agg(round(sum($"value"), 4).as("v"), count(lit(1)).as("n"))
-        .select(lit(e).as("epoch"), $"event_type", $"v", $"n")
-        .write.mode("append").parquet(out)
+        .agg(count(lit(1)).as("n_batches"),
+          round(sum($"v"), 4).as("total_v"),
+          sum($"n").cast("long").as("total_n"),
+          round(max($"v"), 4).as("max_v"))
+        .orderBy($"event_type")
     }
-    s.read.parquet(out)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_batches"),
-        round(sum($"v"), 4).as("total_v"),
-        sum($"n").cast("long").as("total_n"),
-        round(max($"v"), 4).as("max_v"))
-      .orderBy($"event_type")
   }
 
   private lazy val q99Sql =

@@ -201,7 +201,7 @@ object TrajectoryQueries {
     } yield (e, model, cls)
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    // 6-wide, not 3: the full grid is 27 cells (9 LR + 9 MLP fits) and
+    // 9-wide: the full grid is 27 cells (9 LR + 9 MLP fits) and
     // each fit's jobs are tiny — fit-level parallelism is what keeps
     // the grid wall-clock near the single-slowest-fit bound
     val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
