@@ -389,11 +389,19 @@ object DedupQueries {
       |SELECT doc_id, simhash, simhash >> 24 AS bucket
       |FROM sh ORDER BY doc_id""".stripMargin
 
-  /** q45: brute n-gram Jaccard near-dup pairs — exact pairwise Jaccard
-    * over distinct word-3-gram sets, blocked on (lang, token-count
-    * adjacency |Δ| ≤ 1): high-Jaccard near-dups are length-stable, so
-    * the block keeps recall while bounding the quadratic term (the
-    * unblocked exhaustive form is what q42's LSH replaces at scale). */
+  /** q45: brute n-gram Jaccard near-dup pairs, anchored at a fixed-SIZE
+    * md5-picked probe sample — exact pairwise Jaccard over distinct
+    * word-3-gram sets, blocked on (lang, token-count adjacency
+    * |Δ| ≤ 1): high-Jaccard near-dups are length-stable, so the block
+    * keeps recall while bounding the quadratic term. `doc_a` ranges
+    * over the PROBE_K probes only (cost O(K·N) = O(N); the all-probes
+    * form measured 30× at 10× data in the round-4 sf1 audit), `doc_b`
+    * over the whole corpus in BOTH directions, so a true near-dup pair
+    * is found when EITHER endpoint is a probe — the exact yardstick
+    * LshRecallSpec compares q42 against. The unblocked exhaustive form
+    * is what q42's LSH replaces at scale. */
+  private val PROBE_K = 256
+
   private def q45(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = documents(s, dir)
@@ -408,14 +416,18 @@ object DedupQueries {
       // materialize once: both join sides reuse the hashed-shingle
       // blocks instead of re-running the scan+md5 pipeline
       .localCheckpoint(true)
-    val a = d.select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"),
-      explode(array($"nt" - 1, $"nt", $"nt" + 1)).as("band"))
+    val probes = documents(s, dir).select($"doc_id")
+      .withColumn("h", md5(concat(lit("q45:"), $"doc_id".cast("string"))))
+      .orderBy($"h", $"doc_id").limit(PROBE_K).select($"doc_id")
+    val a = d.join(probes, "doc_id")
+      .select($"lang", $"doc_id".as("doc_a"), $"sh".as("sh_a"),
+        explode(array($"nt" - 1, $"nt", $"nt" + 1)).as("band"))
     val b = d.select($"lang", $"doc_id".as("doc_b"), $"sh".as("sh_b"),
       $"nt".as("band"))
     // barrier after the intersect: downstream projection collapse would
     // otherwise inline (and re-evaluate) the set-intersection into the
     // jaccard expression, the ≥0.7 filter, and the output projection
-    val sized = a.join(b, Seq("lang", "band")).filter($"doc_a" < $"doc_b")
+    val sized = a.join(b, Seq("lang", "band")).filter($"doc_a" =!= $"doc_b")
       .select($"lang", $"doc_a", $"doc_b",
         size(array_intersect($"sh_a", $"sh_b")).cast("double").as("inter"),
         size($"sh_a").as("na"), size($"sh_b").as("nb"))
@@ -427,8 +439,8 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private val q45Sql =
-    """WITH d AS (
+  private lazy val q45Sql =
+    s"""WITH d AS (
       | SELECT doc_id, lang, len(t) AS nt,
       |  list_distinct(list_transform(
       |   list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -437,15 +449,19 @@ object DedupQueries {
       | FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
       |       FROM documents)
       | WHERE len(t) >= 3),
+      |probes AS (SELECT doc_id FROM documents
+      |           ORDER BY md5('q45:' || CAST(doc_id AS VARCHAR)), doc_id
+      |           LIMIT $PROBE_K),
       |a AS (SELECT lang, doc_id AS doc_a, sh AS sh_a,
-      |       unnest([nt - 1, nt, nt + 1]) AS band FROM d),
+      |       unnest([nt - 1, nt, nt + 1]) AS band FROM d
+      |      WHERE doc_id IN (SELECT doc_id FROM probes)),
       |b AS (SELECT lang, doc_id AS doc_b, sh AS sh_b, nt AS band FROM d)
       |SELECT lang, doc_a, doc_b,
       | round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       |  / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
       |  AS jaccard
       |FROM a JOIN b USING (lang, band)
-      |WHERE doc_a < doc_b
+      |WHERE doc_a <> doc_b
       |  AND round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       |  / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
       |  >= 0.7

@@ -65,7 +65,30 @@ object SimilarityQueries {
         s"z -> CAST(z[1] * z[2] AS DOUBLE))) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** q50: brute-force cosine top-5 — queries are vec_id ≡ 0 (mod 25);
+  // Fixed-SIZE deterministic query samples (md5-ranked ids), so the
+  // exact baseline costs O(K·N) = O(N) — a query set defined by
+  // `vec_id % k` grows ∝ N and made the brute scan O(N²/k) (measured
+  // 38× at 10× data in the round-4 sf1 audit). The ANN sample is a
+  // PREFIX of the brute sample (same hash order, shorter limit), so
+  // q50 remains exact ground truth for every q51/q54 query.
+  private val BRUTE_QK = 40
+  private val ANN_QK = 16
+
+  /** the `k` vec_ids with the smallest md5("q50:" ++ vec_id) — a
+    * constant-size, engine-agnostic sample (TakeOrdered, no shuffle of
+    * the corpus; the hash order matches the oracle's md5). */
+  private def querySample(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir).select($"vec_id")
+      .withColumn("h", md5(concat(lit("q50:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(k).select($"vec_id")
+  }
+
+  private def sampleSql(k: Int): String =
+    "(SELECT vec_id FROM embeddings " +
+      s"ORDER BY md5('q50:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)"
+
+  /** q50: brute-force cosine top-5 over the BRUTE_QK-query sample;
     * ranking on the ROUNDED similarity with vec_id tie-break so both
     * engines order identically. */
   private def q50(s: SparkSession, dir: String): DataFrame = {
@@ -76,7 +99,7 @@ object SimilarityQueries {
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("vn", ArrayOps.l2Norm($"v"))
-    val q = e.filter($"vec_id" % 25 === 0)
+    val q = e.join(querySample(s, dir, BRUTE_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"vn".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(q).join(e, $"vec_id" =!= $"q_id")
@@ -87,10 +110,11 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rn")
   }
 
-  private val q50Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  private lazy val q50Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+      |      WHERE vec_id IN ${sampleSql(BRUTE_QK)}),
       |p AS (SELECT q_id, vec_id,
       |       round(list_cosine_similarity(qv, v), 5) AS sim
       |      FROM q JOIN e ON vec_id <> q_id),
@@ -115,7 +139,7 @@ object SimilarityQueries {
   }
 
   /** q51: MULTI-PROBE LSH ANN — random-hyperplane sign buckets; each
-    * query (vec_id ≡ 0 mod 125) searches every bucket within Hamming
+    * query (the ANN_QK-id md5 sample) searches every bucket within Hamming
     * distance 2 of its home bucket (flip ≤ 2 plane signs): on this
     * near-orthogonal corpus a true top-3 neighbor crosses each plane
     * with p ≈ 0.38, so its expected Hamming distance is ~1.5 and the
@@ -141,7 +165,7 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("bucket", bucketCol($"v"))
       .withColumn("vn", ArrayOps.l2Norm($"v"))
-    val q = e.filter($"vec_id" % 125 === 0)
+    val q = e.join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket", $"vn".as("qn"))
       .withColumn("home", $"bucket")
       .withColumn("bucket", explode(array(
@@ -167,7 +191,7 @@ object SimilarityQueries {
        |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
        |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS home,
        |       unnest($probes) AS bucket
-       |      FROM b WHERE vec_id % 125 = 0),
+       |      FROM b WHERE vec_id IN ${sampleSql(ANN_QK)}),
        |p AS (SELECT q_id, q.home, vec_id,
        |       round(list_cosine_similarity(qv, v), 5) AS sim
        |      FROM q JOIN b USING (bucket) WHERE vec_id <> q_id),
@@ -288,7 +312,7 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("cell", cellCol($"v"))
       .withColumn("vn", ArrayOps.l2Norm($"v"))
-    var q = e.filter($"vec_id" % 125 === 0)
+    var q = e.join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("c1"),
         $"vn".as("qn"))
       .withColumn("s1", cellScoresCol($"qv"))
@@ -336,7 +360,7 @@ object SimilarityQueries {
        |b AS (SELECT vec_id, v, ${cellSql("v")} AS cell FROM e),
        |q1 AS (SELECT vec_id AS q_id, v AS qv, cell AS c1,
        |        ${cellScoresSql("v")} AS s1
-       |       FROM b WHERE vec_id % 125 = 0),
+       |       FROM b WHERE vec_id IN ${sampleSql(ANN_QK)}),
        |$chain,
        |q AS (SELECT q_id, qv, c1 AS home, unnest($cells) AS cell
        |      FROM q$NPROBE),

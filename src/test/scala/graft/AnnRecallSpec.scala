@@ -4,7 +4,8 @@ import graft.queries.{Registry, SimilarityQueries}
 
 /** ANN quality contracts: the bucketed methods (q51 sign-LSH, q54 IVF
   * cells) against the exact brute-force top-k (q50) for the shared
-  * query set (vec_id % 125 == 0 is a subset of q50's % 25 == 0). All
+  * query set (the ANN md5 query sample is a prefix — hence subset — of
+  * q50's brute sample; both are fixed-size, so cost stays O(N)). All
   * variants are deterministic, so recall@3 per probe schedule is an
   * exact regression value — the measured recall-vs-candidates curve is
   * the documented cost of trading the all-pairs scan for bucketing,

@@ -15,10 +15,14 @@ class LshRecallSpec extends SparkSpec {
   test("q42 LSH finds the brute-force near-dup pairs (recall >= 0.9)") {
     val lsh = Registry.byName("q42_lsh_neardup").run(spark, sf01)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // q45 blocks on (lang, |token-count delta| <= 1) — a SUBSET of all
-    // true pairs, so it can serve as ground truth for recall only
+    // q45 blocks on (lang, |token-count delta| <= 1) and anchors doc_a
+    // at a fixed probe sample — a SUBSET of all true pairs, so it can
+    // serve as ground truth for recall only. Probe-anchored pairs come
+    // out in both directions; normalize to (min, max) like q42 emits.
     val brute = Registry.byName("q45_ngram_jaccard").run(spark, sf01)
-      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      .collect()
+      .map(r => (math.min(r.getLong(1), r.getLong(2)),
+        math.max(r.getLong(1), r.getLong(2)))).toSet
     assert(brute.nonEmpty, "baseline found no near-dup pairs at sf0.01")
     val found = brute.count(lsh.contains)
     val recall = found.toDouble / brute.size
