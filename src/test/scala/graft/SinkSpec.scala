@@ -72,6 +72,28 @@ class SinkSpec extends SparkSpec {
     assert(ev == Seq(1.0, 2.0))
   }
 
+  test("rand(seed) dropout is run-to-run deterministic under a pinned layout") {
+    // the q102 no-oracle contract rests on rand(seed)'s draws depending
+    // only on (seed, partition id, row order): pin the layout with a
+    // hash repartition + within-partition sort and the kept-counts must
+    // reproduce exactly across independent runs
+    def once(): Seq[(Long, Long)] = {
+      graft.ops.SeriesOps.assemble(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"),
+          $"user_id", $"ts", "v" -> $"value")
+        .repartition(4, $"series_key")
+        .sortWithinPartitions($"series_key")
+        .withColumn("m", ArrayOps.dropoutMask($"v", 0.2, seed = 123L))
+        .select($"series_key",
+          aggregate($"m", lit(0L), (s, m) => s + m.cast("long")).as("kept"))
+        .orderBy($"series_key")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val a = once()
+    assert(a.nonEmpty)
+    assert(a == once(), "pinned-layout dropout draws did not reproduce")
+  }
+
   test("q102: rand(seed) dropout query — rate ≈ p, rescale unbiased") {
     val rows = graft.queries.Registry.byName("q102_dropout_rand")
       .run(spark, "/root/testdata/sf0.01").collect()
