@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import graft.Tables._
-import graft.ops.Metrics
+import graft.ops.{IterativeState, Metrics}
 
 /** ML / evaluation operators (SURVEY.md §2.9 M1-M3, §2.5 A9-A11): the
   * reference's "query answers" — probe fits and their metrics — over the
@@ -457,29 +457,25 @@ object MlQueries {
     ).toDF("m")
     val grid = (for { c <- 0 until KM_K; d <- 0 until KM_DIM }
       yield (c, d)).toDF("cell", "dim")
-    var cmat = initRow
+    // quantize-then-cut epoch loop (graft.ops.IterativeState): the
+    // ONE-ROW centroid table is rebuilt per epoch by ordered gathers
+    // and eagerly checkpointed, so the next assignment (and the final
+    // norms branch) read a materialized k×d matrix
     var assigned: DataFrame = null
-    for (_ <- 1 to KM_ITER) {
-      assigned = e.crossJoin(broadcast(cmat))
+    val cmat = IterativeState.epochs(initRow, KM_ITER) { (cm, _) =>
+      assigned = e.crossJoin(broadcast(cm))
         .withColumn("cell", kmAssign($"v", $"m"))
         .select($"vec_id", $"v", $"cell")
       val means = assigned
         .select($"cell", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cell", $"dim").agg(round(avg($"x"), 6).as("mx"))
-      cmat = broadcast(grid).join(means, Seq("cell", "dim"), "left")
-        .crossJoin(broadcast(cmat))
+      broadcast(grid).join(means, Seq("cell", "dim"), "left")
+        .crossJoin(broadcast(cm))
         .withColumn("mx", coalesce($"mx",
           element_at(element_at($"m", $"cell" + 1), $"dim" + 1)))
         .groupBy($"cell")
-        .agg(transform(array_sort(collect_list(struct($"dim", $"mx"))),
-          t => t("mx")).as("r"))
-        .agg(transform(array_sort(collect_list(struct($"cell", $"r"))),
-          t => t("r")).as("m"))
-        // eager checkpoint of the ONE-ROW centroid table: truncates the
-        // per-iteration lineage so the next assignment (and the final
-        // norms branch) read a materialized k×d matrix instead of
-        // re-deriving the whole iteration chain per action branch
-        .localCheckpoint(true)
+        .agg(IterativeState.gather($"dim", $"mx").as("r"))
+        .agg(IterativeState.gather($"cell", $"r").as("m"))
     }
     val sizes = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
     val norms = cmat.select(posexplode($"m").as(Seq("cell0", "cv")))
@@ -564,15 +560,39 @@ object MlQueries {
       when($"label" < 5, 1.0).otherwise(0.0).as("y"))
   }
 
+  /** logit under the broadcast one-row weight state. */
+  private def gdZ: org.apache.spark.sql.Column =
+    graft.ops.ArrayOps.dot(col("x"), col("w"))
+
+  /** stable BCE-with-logits, same identity as q67. */
+  private def gdBce(zc: org.apache.spark.sql.Column,
+      yc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(zc, lit(0.0)) - zc * yc + log(lit(1.0) + exp(-abs(zc)))
+
+  /** ONE full-batch GD epoch (shared by q100's loss curve and q106's
+    * trained trajectory): per-dim gradient as a keyed partial
+    * aggregation, 9 dp quantized weight rebuild. */
+  private def gdStep(train: DataFrame): (DataFrame, Int) => DataFrame = {
+    import train.sparkSession.implicits._
+    (w, _) => {
+      val g = train.crossJoin(broadcast(w))
+        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-gdZ)) - $"y")
+        .select($"err", posexplode($"x").as(Seq("dim", "xj")))
+        .groupBy($"dim").agg(avg($"err" * $"xj").as("g"))
+      g.crossJoin(broadcast(w))
+        .select($"dim",
+          round(element_at($"w", $"dim" + 1) - lit(GD_LR) * $"g", 9).as("wj"))
+        .agg(IterativeState.gather($"dim", $"wj").as("w"))
+    }
+  }
+
   private def q100(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = gdData(s, dir)
     val train = d.filter($"vec_id" % 5 =!= 0)
     val test = d.filter($"vec_id" % 5 === 0)
-    def z = graft.ops.ArrayOps.dot($"x", $"w")
-    // stable BCE-with-logits, same identity as q67
-    def bce(zc: org.apache.spark.sql.Column, yc: org.apache.spark.sql.Column) =
-      greatest(zc, lit(0.0)) - zc * yc + log(lit(1.0) + exp(-abs(zc)))
+    def z = gdZ
+    def bce = gdBce _
     def lossRow(t: Int, w: DataFrame): DataFrame = {
       val tr = train.crossJoin(broadcast(w))
         .agg(round(avg(bce(z, $"y")), 6).as("train_bce"))
@@ -587,41 +607,52 @@ object MlQueries {
         round(element_at($"w", 5), 6).as("bias"),
         $"train_bce", $"test_bce")
     }
-    var w: DataFrame = Seq(Tuple1(Seq.fill(GD_NF + 1)(0.0))).toDF("w")
-    var out = lossRow(0, w)
-    for (t <- 1 to GD_ITER) {
-      val g = train.crossJoin(broadcast(w))
-        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-z)) - $"y")
-        .select($"err", posexplode($"x").as(Seq("dim", "xj")))
-        .groupBy($"dim").agg(avg($"err" * $"xj").as("g"))
-      w = g.crossJoin(broadcast(w))
-        .select($"dim",
-          round(element_at($"w", $"dim" + 1) - lit(GD_LR) * $"g", 9).as("wj"))
-        .agg(transform(array_sort(collect_list(struct($"dim", $"wj"))),
-          c => c("wj")).as("w"))
-        .localCheckpoint(true)
-      out = out.unionAll(lossRow(t, w))
+    val w0: DataFrame = Seq(Tuple1(Seq.fill(GD_NF + 1)(0.0))).toDF("w")
+    var out = lossRow(0, w0)
+    // quantize-then-cut epoch loop (graft.ops.IterativeState); the
+    // trace callback reads the CHECKPOINTED weights, so each loss row
+    // hits a materialized state, not the gradient lineage
+    IterativeState.epochsTraced(w0, GD_ITER)(gdStep(train)) {
+      (w, t) => out = out.unionAll(lossRow(t, w))
     }
     out.orderBy($"iter")
   }
 
+  private lazy val gdDotSql =
+    s"list_sum(list_transform(generate_series(1, ${GD_NF + 1}), " +
+      "i -> x[i] * w[i]))"
+
+  /** w0..w{GD_ITER} CTE chain — one (gradient, update) pair per epoch,
+    * shared by the q100 and q106 oracles. */
+  private lazy val gdStepsSql = (1 to GD_ITER).map { t =>
+    s"""g$t AS (SELECT dim, avg(err * x[dim]) AS g FROM (
+       |   SELECT x, 1.0 / (1.0 + exp(-($gdDotSql))) - y AS err
+       |   FROM tr CROSS JOIN w${t - 1})
+       |  CROSS JOIN generate_series(1, ${GD_NF + 1}) s$t(dim) GROUP BY dim),
+       |w$t AS (SELECT list(wj ORDER BY dim) AS w FROM (
+       |   SELECT dim, round(w[dim] - $GD_LR * g, 9) AS wj
+       |   FROM g$t CROSS JOIN w${t - 1}))""".stripMargin
+  }.mkString(",\n")
+
+  /** feature/split/init CTEs shared by the q100 and q106 oracles. */
+  private val gdBaseSql =
+    """d AS (SELECT vec_id,
+      |    [CAST(embedding[1] AS DOUBLE) * 10.0,
+      |     CAST(embedding[2] AS DOUBLE) * 10.0,
+      |     CAST(embedding[3] AS DOUBLE) * 10.0,
+      |     CAST(embedding[4] AS DOUBLE) * 10.0,
+      |     1.0] AS x,
+      |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+      |   FROM embeddings),
+      |tr AS (SELECT * FROM d WHERE vec_id % 5 <> 0),
+      |te AS (SELECT * FROM d WHERE vec_id % 5 = 0),
+      |w0 AS (SELECT CAST([0, 0, 0, 0, 0] AS DOUBLE[]) AS w)""".stripMargin
+
   private lazy val q100Sql = {
-    val nf = GD_NF + 1
-    val dotSql =
-      s"list_sum(list_transform(generate_series(1, $nf), i -> x[i] * w[i]))"
-    val steps = (1 to GD_ITER).map { t =>
-      s"""g$t AS (SELECT dim, avg(err * x[dim]) AS g FROM (
-         |   SELECT x, 1.0 / (1.0 + exp(-($dotSql))) - y AS err
-         |   FROM tr CROSS JOIN w${t - 1})
-         |  CROSS JOIN generate_series(1, $nf) s$t(dim) GROUP BY dim),
-         |w$t AS (SELECT list(wj ORDER BY dim) AS w FROM (
-         |   SELECT dim, round(w[dim] - $GD_LR * g, 9) AS wj
-         |   FROM g$t CROSS JOIN w${t - 1}))""".stripMargin
-    }.mkString(",\n")
     def bceSub(split: String, t: Int): String =
       s"""(SELECT round(avg(greatest(z, 0.0) - z * y
          |    + ln(1.0 + exp(-abs(z)))), 6)
-         |  FROM (SELECT $dotSql AS z, y FROM $split CROSS JOIN w$t))""".stripMargin
+         |  FROM (SELECT $gdDotSql AS z, y FROM $split CROSS JOIN w$t))""".stripMargin
     val rows = (0 to GD_ITER).map { t =>
       s"""SELECT $t AS iter,
          | round(w[1], 6) AS w1, round(w[2], 6) AS w2, round(w[3], 6) AS w3,
@@ -630,20 +661,70 @@ object MlQueries {
          | ${bceSub("te", t)} AS test_bce
          |FROM w$t""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH d AS (SELECT vec_id,
-       |    [CAST(embedding[1] AS DOUBLE) * 10.0,
-       |     CAST(embedding[2] AS DOUBLE) * 10.0,
-       |     CAST(embedding[3] AS DOUBLE) * 10.0,
-       |     CAST(embedding[4] AS DOUBLE) * 10.0,
-       |     1.0] AS x,
-       |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
-       |   FROM embeddings),
-       |tr AS (SELECT * FROM d WHERE vec_id % 5 <> 0),
-       |te AS (SELECT * FROM d WHERE vec_id % 5 = 0),
-       |w0 AS (SELECT CAST([0, 0, 0, 0, 0] AS DOUBLE[]) AS w),
-       |$steps
+    s"""WITH $gdBaseSql,
+       |$gdStepsSql
        |$rows
        |ORDER BY iter""".stripMargin
+  }
+
+  /** q106: the E2 trajectory END-TO-END TRAINED and fully
+    * oracle-checked — q89's supervised trajectory evaluates literal
+    * epoch heads, q106 instead takes the epoch-t head from t
+    * declarative GD steps (q100's machinery; `supervised.py:83-85`
+    * trains exactly this logistic head per epoch) and reports the
+    * held-out ROC-AUC + BCE per epoch in the SUPERVISED.csv shape.
+    * ONE grouped rank-sum AUC job scores the whole trajectory (the
+    * A13 accumulation pattern — no per-epoch collects); ranks are on
+    * the 6 dp-rounded score so both engines order identically. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = gdData(s, dir)
+    val train = d.filter($"vec_id" % 5 =!= 0)
+    val test = d.filter($"vec_id" % 5 === 0)
+    def scoredAt(t: Int, w: DataFrame): DataFrame =
+      test.crossJoin(broadcast(w)).select(lit(t).as("n_Epochs"),
+        round(gdZ, 6).as("score"), $"y", gdBce(gdZ, $"y").as("b"))
+    val w0: DataFrame = Seq(Tuple1(Seq.fill(GD_NF + 1)(0.0))).toDF("w")
+    var scored = scoredAt(0, w0)
+    IterativeState.epochsTraced(w0, GD_ITER)(gdStep(train)) {
+      (w, t) => scored = scored.unionAll(scoredAt(t, w))
+    }
+    val bce = scored.groupBy($"n_Epochs")
+      .agg(round(avg($"b"), 6).as("bce_loss"))
+    Metrics.rocAuc(scored, $"score", $"y", Seq($"n_Epochs"))
+      .join(bce, "n_Epochs")
+      .select($"n_Epochs", lit("GD_LR").as("Model"),
+        round($"auc", 4).as("ROC_AUC"), $"bce_loss")
+      .orderBy($"n_Epochs")
+  }
+
+  private lazy val q106Sql = {
+    val scoredRows = (0 to GD_ITER).map { t =>
+      s"""SELECT $t AS n_Epochs, round($gdDotSql, 6) AS score, y,
+         | greatest($gdDotSql, 0.0) - ($gdDotSql) * y
+         |  + ln(1.0 + exp(-abs($gdDotSql))) AS b
+         |FROM te CROSS JOIN w$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $gdBaseSql,
+       |$gdStepsSql,
+       |sc AS ($scoredRows),
+       |g AS (SELECT n_Epochs, score, count(*) AS c, sum(y) AS pos_c
+       |      FROM sc GROUP BY n_Epochs, score),
+       |r AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY n_Epochs
+       |        ORDER BY score
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS cum_before FROM g),
+       |t AS (SELECT n_Epochs,
+       |       sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
+       |       sum(pos_c) AS np, sum(c - pos_c) AS nn
+       |      FROM r GROUP BY n_Epochs),
+       |bce AS (SELECT n_Epochs, round(avg(b), 6) AS bce_loss
+       |        FROM sc GROUP BY n_Epochs)
+       |SELECT t.n_Epochs AS n_Epochs, 'GD_LR' AS Model,
+       | round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 4) AS ROC_AUC,
+       | bce_loss
+       |FROM t JOIN bce ON t.n_Epochs = bce.n_Epochs
+       |ORDER BY t.n_Epochs""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -679,24 +760,22 @@ object MlQueries {
     // vector; same (dim)-keyed partial-agg shape as the update step
     val c = e.select(posexplode($"v").as(Seq("dim", "x")))
       .groupBy($"dim").agg(round(avg($"x"), 9).as("m"))
-      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
-        t => t("m")).as("c"))
+      .agg(IterativeState.gather($"dim", $"m").as("c"))
       .localCheckpoint(true)
     val d = e.crossJoin(broadcast(c))
       .select($"vec_id", $"label",
         zip_with($"v", $"c", (x, m) => x - m).as("xc"))
-    var v: DataFrame =
+    val v0: DataFrame =
       Seq(Tuple1((0 until PI_DIM).map(piInitW))).toDF("pv")
-    for (_ <- 1 to PI_ITER) {
-      val u = d.crossJoin(broadcast(v))
+    // quantize-then-cut epoch loop (graft.ops.IterativeState)
+    val v = IterativeState.epochs(v0, PI_ITER) { (pv, _) =>
+      val u = d.crossJoin(broadcast(pv))
         .withColumn("s", graft.ops.ArrayOps.dot($"xc", $"pv"))
         .select($"s", posexplode($"xc").as(Seq("dim", "xj")))
         .groupBy($"dim").agg(avg($"s" * $"xj").as("u"))
-      v = u.agg(transform(array_sort(collect_list(struct($"dim", $"u"))),
-          t => t("u")).as("uv"))
+      u.agg(IterativeState.gather($"dim", $"u").as("uv"))
         .select(transform($"uv", x =>
           round(x / sqrt(graft.ops.ArrayOps.dot($"uv", $"uv")), 9)).as("pv"))
-        .localCheckpoint(true)
     }
     d.crossJoin(broadcast(v))
       .withColumn("s", graft.ops.ArrayOps.dot($"xc", $"pv"))
@@ -743,6 +822,8 @@ object MlQueries {
       "power-iteration PCA first component, literal init (full oracle)"),
     Q("q100_gd_logistic", q100, Some(q100Sql),
       "deterministic full-batch GD logistic probe, loss curve (full oracle)"),
+    Q("q106_gd_trajectory", q106, Some(q106Sql),
+      "E2 trajectory with GD-TRAINED epoch heads: held-out AUC+BCE per epoch (full oracle)"),
     Q("q97_mlp_forward", q97, Some(q97Sql),
       "M2 ClassifierNN forward scorer, literal weights (full oracle)"),
     Q("q98_kmeans_lloyd", q98, Some(q98Sql),
