@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -186,9 +187,135 @@ object StreamingQueries {
       |WHERE p.sid < l.last_sid
       |ORDER BY p.user_id, session_start""".stripMargin
 
+  /** q107: Streaming.dedupStream (`dropDuplicatesWithinWatermark`, the
+    * ingestion-time exact dedup) under the oracle. Fingerprint =
+    * md5(user_id:event_type) (750 distinct over the corpus — real
+    * dedup pressure). The watermark delay EXCEEDS the corpus time span,
+    * so no state row can be evicted mid-run no matter how the source
+    * batches the files — the emitted set is exactly the distinct
+    * fingerprints, which is what the oracle computes. (WHICH source row
+    * survives per fingerprint is arrival-order dependent, so the query
+    * projects the fingerprint only — the deterministic part.) */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q107") { scratch =>
+      val docs = eventsStream(s, dir).select($"ts",
+        md5(concat($"user_id".cast("string"), lit(":"), $"event_type"))
+          .as("fp"))
+      runToSink(s, Streaming.dedupStream(docs, watermark = "90 days")
+          .select($"fp"), scratch)
+        .orderBy($"fp")
+    }
+  }
+
+  private val q107Sql =
+    """SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || ':' || event_type)
+      |  AS fp
+      |FROM events ORDER BY fp""".stripMargin
+
+  /** q108: Streaming.emaPerKey (mapGroupsWithState, the W7 recurrence
+    * as online state) under the oracle. mapGroupsWithState emits in
+    * UPDATE mode, which the parquet sink rejects — foreachBatch appends
+    * each micro-batch's updated rows instead (the standard pattern for
+    * state-update streams into files). One emitted row per key per
+    * micro-batch holding that key; the FINAL row per key (the one with
+    * total_events = the key's full count) carries the end-of-stream
+    * EMA, which is batching-independent because the state folds events
+    * in (ms, value) order within each batch and a parquet file is
+    * atomic to one micro-batch. Oracle: list_reduce of the same
+    * α-blend over the same ordering. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q108") { scratch =>
+      val out = scratch + "/sink"
+      val ev = eventsStream(s, dir)
+        .select($"user_id", $"ts", $"value").as[Streaming.Event]
+      val q = Streaming.emaPerKey(ev, alpha = 0.3).toDF()
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", scratch + "/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sunk = s.read.parquet(out)
+      val w = Window.partitionBy($"user_id").orderBy($"total_events".desc)
+      sunk.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"total_events",
+          round($"ema", 6).as("ema"))
+        .orderBy($"user_id")
+    }
+  }
+
+  private val q108Sql =
+    """SELECT user_id, count(*) AS total_events,
+      | round(list_reduce(
+      |   list(value ORDER BY epoch_ms(ts), value),
+      |   (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ema
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q109: Streaming.sessionizeWithTimeout (flatMapGroupsWithState +
+    * EventTimeTimeout) under the oracle — q105's gap closure PLUS the
+    * watermark-driven closure: the final no-data batch advances the
+    * watermark to max(ts) (0 s delay) and fires the timeout for every
+    * open session with last + gap < watermark, so the sink holds all
+    * gap-closed sessions plus the timed-out tails — each user's LAST
+    * session is now emitted too unless it is still within the gap of
+    * end-of-stream. The oracle adds exactly that predicate to q105's. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q109") { scratch =>
+      val ev = eventsStream(s, dir)
+        .select($"user_id", $"ts", $"value").as[Streaming.Event]
+      runToSink(s,
+        Streaming.sessionizeWithTimeout(ev, GapMs, "0 seconds").toDF(),
+        scratch)
+        .select($"user_id", $"session_start", $"session_end", $"n",
+          round($"sum", 4).as("session_value"))
+        .orderBy($"user_id", $"session_start")
+    }
+  }
+
+  private val q109Sql =
+    """WITH e AS (
+      | SELECT user_id, epoch_ms(ts) AS t, value FROM events),
+      |o AS (
+      | SELECT user_id, t, value,
+      |  lag(t) OVER (PARTITION BY user_id ORDER BY t, value) AS prev
+      | FROM e),
+      |f AS (
+      | SELECT user_id, t, value,
+      |  CASE WHEN prev IS NULL OR t - prev > 1800000
+      |       THEN 1 ELSE 0 END AS new_s
+      | FROM o),
+      |sess AS (
+      | SELECT user_id, t, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY t, value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      | FROM f),
+      |per AS (
+      | SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end,
+      |  count(*) AS n, round(sum(value), 4) AS session_value
+      | FROM sess GROUP BY user_id, sid),
+      |lasts AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id),
+      |wm AS (SELECT epoch_ms(max(ts)) AS w FROM events)
+      |SELECT p.user_id, session_start, session_end, n, session_value
+      |FROM per p JOIN lasts l ON p.user_id = l.user_id, wm
+      |WHERE p.sid < l.last_sid OR p.session_end + 1800000 < wm.w
+      |ORDER BY p.user_id, session_start""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q109_stream_timeout", q109, Some(q109Sql),
+      "§2.10 EventTimeTimeout sessionizer through a real AvailableNow StreamingQuery"),
     Q("q103_stream_tumbling", q103, Some(q103Sql),
       "§2.10 tumbling window agg through a real AvailableNow StreamingQuery"),
+    Q("q107_stream_dedup", q107, Some(q107Sql),
+      "§2.10 streaming exact dedup (dropDuplicatesWithinWatermark) under the oracle"),
+    Q("q108_stream_ema", q108, Some(q108Sql),
+      "§2.10 mapGroupsWithState EMA state via foreachBatch sink under the oracle"),
     Q("q104_stream_session", q104, Some(q104Sql),
       "§2.10 session_window agg through a real AvailableNow StreamingQuery"),
     Q("q105_stream_stateful", q105, Some(q105Sql),
