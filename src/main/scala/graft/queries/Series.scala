@@ -316,18 +316,19 @@ object Series {
     * the hash. */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rollup = events(s, dir)
-      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
-      .agg(round(sum($"value"), 4).as("v"), count(lit(1)).as("n"))
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_q95").toString + "/results"
-    rollup.coalesce(1).write.option("header", "true").csv(out)
-    s.read.option("header", "true").option("inferSchema", "true").csv(out)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_days"),
-        round(sum($"v"), 4).as("total_v"),
-        sum($"n").cast("long").as("total_n"))
-      .orderBy($"event_type")
+    graft.Scratch.withScratchDir("graft_q95") { scratch =>
+      val rollup = events(s, dir)
+        .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+        .agg(round(sum($"value"), 4).as("v"), count(lit(1)).as("n"))
+      val out = scratch + "/results"
+      rollup.coalesce(1).write.option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(sum($"v"), 4).as("total_v"),
+          sum($"n").cast("long").as("total_n"))
+        .orderBy($"event_type")
+    }
   }
 
   private val q95Sql =

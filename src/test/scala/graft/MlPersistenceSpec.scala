@@ -18,7 +18,7 @@ class MlPersistenceSpec extends SparkSpec {
     val lr = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("y").setMaxIter(10)
     val model = lr.fit(e)
-    val dir = Files.createTempDirectory("graft_model").toString + "/lr"
+    val dir = tmpDir("graft_model") + "/lr"
     model.write.overwrite().save(dir)
     val back = LogisticRegressionModel.load(dir)
     assert(back.coefficients == model.coefficients)

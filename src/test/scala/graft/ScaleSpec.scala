@@ -25,7 +25,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("hive-partitioned write prunes partitions at the scan") {
-    val dir = Files.createTempDirectory("graft_part").toString + "/events_p"
+    val dir = tmpDir("graft_part") + "/events_p"
     Tables.events(spark, sf)
       .select($"event_type", $"user_id", $"value")
       .write.partitionBy("event_type").mode("overwrite").parquet(dir)

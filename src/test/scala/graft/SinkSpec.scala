@@ -11,7 +11,7 @@ class SinkSpec extends SparkSpec {
   import spark.implicits._
 
   test("CSV sink → scan round-trip preserves the results table (S4/S5)") {
-    val dir = Files.createTempDirectory("graft_csv").toString + "/results"
+    val dir = tmpDir("graft_csv") + "/results"
     val results = Seq(
       (10, "T_CPC", "LogisticRegression", 1024, 0.8469),
       (7, "TS_CPC", "ClassifierNN", 1024, 0.8710))
@@ -28,7 +28,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("metrics append sink accumulates across runs (S6 analogue)") {
-    val dir = Files.createTempDirectory("graft_metrics").toString + "/m"
+    val dir = tmpDir("graft_metrics") + "/m"
     def log(run: Int, k: String, v: Double): Unit =
       Seq((run, k, v)).toDF("run", "metric", "value")
         .write.mode("append").parquet(dir)
@@ -40,7 +40,7 @@ class SinkSpec extends SparkSpec {
   }
 
   test("JSON and ORC sinks round-trip the series frame (source breadth)") {
-    val base = Files.createTempDirectory("graft_fmt").toString
+    val base = tmpDir("graft_fmt")
     val df = Seq(
       (1L, Seq(1.0, 2.0), "en"), (2L, Seq(3.5), "fr"))
       .toDF("id", "vals", "lang")

@@ -12,8 +12,17 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.warehouse.dir", {
+        val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def del(f: java.io.File): Unit = {
+            val cs = f.listFiles(); if (cs != null) cs.foreach(del)
+            f.delete(): Unit
+          }
+          del(wh.toFile)
+        }))
+        wh.toString
+      })
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -26,4 +35,19 @@ abstract class SparkSpec extends AnyFunSuite {
 
   def approxEqual(a: Double, b: Double, tol: Double = 1e-9): Boolean =
     math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  /** temp dir for sink tests, deleted on JVM exit — repeated `sbt test`
+    * runs must not accumulate orphans under /tmp (same discipline as
+    * graft.Scratch on the query side). */
+  def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del)
+        f.delete(): Unit
+      }
+      del(dir.toFile)
+    }))
+    dir.toString
+  }
 }
