@@ -29,6 +29,14 @@ object Bench {
       new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
         .setLayers(Array(2, 3, 2)).setMaxIter(2).setSeed(1L)
         .fit(tiny).transform(tiny).count()
+      // Structured Streaming first-use (micro-batch planner, state
+      // store provider, source/sink commit logs) is ~1-2 s of the
+      // first streaming query's cold time — absorb it with tiny
+      // sf0.001 runs of the untyped and the typed stateful paths.
+      SparkEntry.queries("q103_stream_tumbling")(
+        spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q105_stream_stateful")(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q76,q44 times just those
     val only = sys.env.get("SPARK_GRAFT_ONLY")

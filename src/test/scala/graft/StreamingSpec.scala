@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSpec {
     assert(approxEqual(got(0).getDouble(2), 72.0))
   }
 
+  test("emaPerKey final state is batching-independent (q108 contract)") {
+    // q108 takes each key's max-total_events row as the end-of-stream
+    // EMA; that is only sound if the value is the same no matter how
+    // the (time-ordered) source splits into micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    def run(name: String, chunks: Seq[Seq[Event]]): Map[Long, (Long, Double)] = {
+      val mem = MemoryStream[Event]
+      val q = Streaming.emaPerKey(mem.toDS(), 0.3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      val out = spark.table(name).collect()
+      q.stop()
+      out.groupBy(_.getLong(0)).map { case (k, rs) =>
+        val last = rs.maxBy(_.getLong(2))
+        k -> (last.getLong(2), last.getDouble(3))
+      }
+    }
+    val cut = ts(3).getTime
+    val one = run("ema_one", Seq(rows))
+    val split = run("ema_split", Seq(
+      rows.filter(_.ts.getTime <= cut), rows.filter(_.ts.getTime > cut)))
+    assert(one.nonEmpty)
+    assert(one == split, s"batch split changed the final EMA: $one vs $split")
+  }
+
   test("sessionAgg splits on the 30-minute gap like batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
