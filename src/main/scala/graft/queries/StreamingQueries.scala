@@ -94,6 +94,40 @@ object StreamingQueries {
       |         - INTERVAL 2 DAY
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** q110: Streaming.slidingAgg (2-day windows sliding daily, 2-day
+    * watermark) under the oracle — each event contributes to TWO
+    * overlapping windows; the oracle unnests both window starts per
+    * event and applies the same watermark cutoff on window end. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q110") { scratch =>
+      runToSink(s, Streaming.slidingAgg(eventsStream(s, dir)), scratch)
+        .select($"w_start", $"w_end", $"event_type", $"n",
+          round($"sum_value", 4).as("sum_value"))
+        .orderBy($"w_start", $"event_type")
+    }
+  }
+
+  private val q110Sql =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |ev AS (
+      | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+      |  event_type, value
+      | FROM events),
+      |x AS (
+      | SELECT unnest([d - INTERVAL 1 DAY, d]) AS w_start,
+      |  event_type, value
+      | FROM ev),
+      |w AS (
+      | SELECT w_start, w_start + INTERVAL 2 DAY AS w_end, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      | FROM x GROUP BY w_start, event_type)
+      |SELECT w_start, w_end, event_type, n, sum_value
+      |FROM w, m
+      |WHERE w_end <= CAST(to_timestamp(epoch_ms(mx) / 1000.0) AS TIMESTAMP)
+      |      - INTERVAL 2 DAY
+      |ORDER BY w_start, event_type""".stripMargin
+
   /** q104: Streaming.sessionAgg (session_window, 30-min gap, 2-day
     * watermark) under the oracle. Spark merges an event into a session
     * while `ts < prev_end` (= prev ts + gap), so the oracle starts a
@@ -312,6 +346,8 @@ object StreamingQueries {
       "§2.10 EventTimeTimeout sessionizer through a real AvailableNow StreamingQuery"),
     Q("q103_stream_tumbling", q103, Some(q103Sql),
       "§2.10 tumbling window agg through a real AvailableNow StreamingQuery"),
+    Q("q110_stream_sliding", q110, Some(q110Sql),
+      "§2.10 sliding window agg through a real AvailableNow StreamingQuery"),
     Q("q107_stream_dedup", q107, Some(q107Sql),
       "§2.10 streaming exact dedup (dropDuplicatesWithinWatermark) under the oracle"),
     Q("q108_stream_ema", q108, Some(q108Sql),

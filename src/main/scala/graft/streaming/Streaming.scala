@@ -31,6 +31,18 @@ object Streaming {
       .select(col("win.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"), col("avg_value"))
 
+  /** SLIDING event-time window aggregation with watermark — each event
+    * lands in windowLen/slide overlapping windows (the smoothing
+    * companion to tumblingAgg; same watermark-emission contract). */
+  def slidingAgg(events: DataFrame, windowLen: String = "2 days",
+                 slide: String = "1 day", watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("w_start"), col("win.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** gap-based session window aggregation — streaming twin of
     * q25_sessionize (30-min gap). */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",
