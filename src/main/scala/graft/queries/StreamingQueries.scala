@@ -90,7 +90,7 @@ object StreamingQueries {
       |SELECT bucket, event_type, n, sum_value, avg_value
       |FROM w, m
       |WHERE bucket + INTERVAL 1 DAY
-      |      <= CAST(to_timestamp(epoch_ms(mx) / 1000.0) AS TIMESTAMP)
+      |      <= make_timestamp(epoch_ms(mx) * 1000)
       |         - INTERVAL 2 DAY
       |ORDER BY bucket, event_type""".stripMargin
 
@@ -124,7 +124,7 @@ object StreamingQueries {
       | FROM x GROUP BY w_start, event_type)
       |SELECT w_start, w_end, event_type, n, sum_value
       |FROM w, m
-      |WHERE w_end <= CAST(to_timestamp(epoch_ms(mx) / 1000.0) AS TIMESTAMP)
+      |WHERE w_end <= make_timestamp(epoch_ms(mx) * 1000)
       |      - INTERVAL 2 DAY
       |ORDER BY w_start, event_type""".stripMargin
 
@@ -172,7 +172,7 @@ object StreamingQueries {
       | session_value
       |FROM per, m
       |WHERE session_end
-      |      <= CAST(to_timestamp(epoch_ms(mx) / 1000.0) AS TIMESTAMP)
+      |      <= make_timestamp(epoch_ms(mx) * 1000)
       |         - INTERVAL 2 DAY
       |ORDER BY user_id, session_start""".stripMargin
 
