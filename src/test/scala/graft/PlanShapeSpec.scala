@@ -108,6 +108,19 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q50_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
     assert(p.contains("BroadcastExchange"), p.take(1200))
+    // the fixed-size md5 query sample must stay a TakeOrdered (no
+    // corpus shuffle) and the top-5 must push below the rank sort —
+    // the two properties that keep the exact baseline O(K·N)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("q106: the whole GD trajectory is scored by ONE grouped AUC job") {
+    // one Window node in the entire plan — the rank-sum AUC over the
+    // scored UNION; a per-epoch collect/rank would multiply this
+    val p = plan("q106_gd_trajectory")
+    assert("(?m)^\\W*Window ".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
   test("q30: documents scan prunes to the two used columns") {
