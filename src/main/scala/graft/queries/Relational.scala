@@ -526,7 +526,62 @@ object Relational {
       | round(var_samp(l_tax), 6) AS var_tax
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q111: RANGE (interval) JOIN via bin bucketing — the custom-operator
+    * family the builder brief names alongside the as-of join (q24).
+    * Points (lineitem ship events) match intervals (order fulfillment
+    * windows `[o_orderdate, o_orderdate + 7 days)`) under a non-equi
+    * containment predicate. Spark has no native range-join strategy, so
+    * the naive form compiles to a nested-loop over the cross product —
+    * O(N·M). The 100-TB-safe form used here BINS both sides on a 7-day
+    * grid: an interval of length ≤ 7 days covers ≤ 2 bins (exploded),
+    * a point lands in exactly 1, and containment can only hold inside
+    * a shared bin — so the pair generation is a HASH join on bin_id
+    * with the exact predicate as a post-filter (PlanShapeSpec locks
+    * no-cartesian). The interval side is a fixed-SIZE md5 order sample
+    * (both sides grow with sf over the SAME time span, so the matched
+    * PAIR count is quadratic in sf — the full-side form measured 86 s
+    * at sf0.1; the q50 lesson applies: bound the probe side, keep the
+    * corpus side full, cost O(K·density) = O(N)). The oracle runs the
+    * plain inequality join (DuckDB IEJoin) over the same sample. */
+  private val RJ_K = 2000
+
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val sample = orders(s, dir).select($"o_orderkey")
+      .withColumn("h", md5(concat(lit("q111:"), $"o_orderkey".cast("string"))))
+      .orderBy($"h", $"o_orderkey").limit(RJ_K).select($"o_orderkey")
+    // dates are midnight-aligned timestamps; day arithmetic is exact
+    val iv = orders(s, dir).join(sample, "o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"o_orderdate", epoch).as("start_day"))
+      .withColumn("bin", explode(array_distinct(array(
+        floor($"start_day" / 7), floor(($"start_day" + 6) / 7)))))
+    val pt = lineitem(s, dir).select($"l_returnflag",
+      datediff($"l_shipdate", epoch).as("ship_day"))
+      .withColumn("bin", floor($"ship_day" / 7))
+    pt.join(iv, Seq("bin"))
+      .filter($"ship_day" >= $"start_day" && $"ship_day" < $"start_day" + 7)
+      .groupBy($"o_orderpriority", $"l_returnflag")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"o_orderpriority", $"l_returnflag")
+  }
+
+  private lazy val q111Sql =
+    s"""SELECT o_orderpriority, l_returnflag, count(*) AS n_pairs
+      |FROM orders, lineitem
+      |WHERE o_orderkey IN
+      |  (SELECT o_orderkey FROM orders
+      |   ORDER BY md5('q111:' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+      |   LIMIT $RJ_K)
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+      |GROUP BY o_orderpriority, l_returnflag
+      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q111_range_join", q111, Some(q111Sql),
+      "binned interval join: points ⋈ 7-day windows, hash-keyed on the bin"),
     Q("q49_moments", q49, Some(q49Sql), "corr/covar/stddev/var per group"),
     Q("q18_profiler", q18, Some(q18Sql), "per-column dataset profiler"),
     Q("q19_stratified_sample", q19, Some(q19Sql), "deterministic stratified sample"),

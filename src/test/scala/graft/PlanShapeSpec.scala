@@ -123,6 +123,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q111: range join is hash-keyed on the bin, never a nested loop") {
+    val p = plan("q111_range_join")
+    assert(p.contains("HashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("q30: documents scan prunes to the two used columns") {
     val p = plan("q30_token_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
