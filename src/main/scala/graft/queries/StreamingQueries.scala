@@ -128,6 +128,46 @@ object StreamingQueries {
       |      - INTERVAL 2 DAY
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** q112: STREAM-STATIC enrichment join under the oracle — the
+    * standard streaming enrichment shape at scale: the static
+    * dimension (nation) is joined into every micro-batch (broadcast,
+    * no state), then the enriched stream flows through the watermarked
+    * tumbling agg. The event→nation key is the deterministic
+    * `user_id % 25` mapping onto the 25 nation keys. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q112") { scratch =>
+      val dim = graft.Tables.nation(s, dir)
+        .select($"n_nationkey".as("nk"), $"n_name")
+      val enriched = eventsStream(s, dir)
+        .withColumn("nk", $"user_id" % 25)
+        .join(broadcast(dim), "nk")
+      val agg = enriched
+        .withWatermark("ts", "2 days")
+        .groupBy(window($"ts", "1 day").as("win"), $"n_name")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .select($"win.start".as("bucket"), $"n_name", $"n",
+          $"sum_value")
+      runToSink(s, agg, scratch)
+        .select($"bucket", $"n_name", $"n",
+          round($"sum_value", 4).as("sum_value"))
+        .orderBy($"bucket", $"n_name")
+    }
+  }
+
+  private val q112Sql =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |w AS (
+      | SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS bucket,
+      |  n.n_name, count(*) AS n, round(sum(e.value), 4) AS sum_value
+      | FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      | GROUP BY bucket, n_name)
+      |SELECT bucket, n_name, n, sum_value
+      |FROM w, m
+      |WHERE bucket + INTERVAL 1 DAY
+      |      <= make_timestamp(epoch_ms(mx) * 1000) - INTERVAL 2 DAY
+      |ORDER BY bucket, n_name""".stripMargin
+
   /** q104: Streaming.sessionAgg (session_window, 30-min gap, 2-day
     * watermark) under the oracle. Spark merges an event into a session
     * while `ts < prev_end` (= prev ts + gap), so the oracle starts a
@@ -348,6 +388,8 @@ object StreamingQueries {
       "§2.10 tumbling window agg through a real AvailableNow StreamingQuery"),
     Q("q110_stream_sliding", q110, Some(q110Sql),
       "§2.10 sliding window agg through a real AvailableNow StreamingQuery"),
+    Q("q112_stream_enrich", q112, Some(q112Sql),
+      "§2.10 stream-static broadcast enrichment join + windowed agg"),
     Q("q107_stream_dedup", q107, Some(q107Sql),
       "§2.10 streaming exact dedup (dropDuplicatesWithinWatermark) under the oracle"),
     Q("q108_stream_ema", q108, Some(q108Sql),
