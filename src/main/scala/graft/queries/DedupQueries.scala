@@ -353,21 +353,25 @@ object DedupQueries {
     * votes (tokens with multiplicity; bit j set iff Σ ±1 votes > 0). */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // literal powers of two: shiftleft/right only take literal ints,
+    // and h < 2^32 makes h / 2^j exact in double
+    val p2s = array((0 until 32).map(j => lit(1L << j)): _*)
     documents(s, dir)
       .withColumn("th", transform(toks($"text"), x =>
         conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+      // ONE traversal of the hashed tokens accumulating all 32 ±1
+      // lanes at once — the earlier per-bit form nested the token
+      // aggregate inside a 32-step bit fold, and projection collapse
+      // inlined `th` into every step, so md5 ran 32× per token
+      // (measured 20 s at sf0.1 under the honest noop bench; this
+      // form is ~1 s)
+      .withColumn("tally",
+        aggregate($"th", array_repeat(lit(0L), 32), (acc, h) =>
+          zip_with(acc, p2s, (a, p2) =>
+            a + when((h / p2).cast("long") % 2 === 1, 1L).otherwise(-1L))))
       .withColumn("simhash",
-        // column-valued shift amounts: shiftleft/right only take literal
-        // ints, so use exact power-of-two arithmetic (h < 2^32, so
-        // h / 2^j is exact in double)
-        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
-          val p2 = pow(lit(2.0), j).cast("long")
-          acc + when(
-            aggregate($"th", lit(0L), (v, h) =>
-              v + when((h.cast("long") / p2).cast("long") % 2 === 1, 1L)
-                .otherwise(-1L)) > 0,
-            p2).otherwise(0L)
-        }))
+        aggregate(zip_with($"tally", p2s, (t, p2) =>
+          when(t > 0, p2).otherwise(0L)), lit(0L), (a, x) => a + x))
       .select($"doc_id", $"simhash",
         shiftright($"simhash", 24).as("bucket"))
       .orderBy($"doc_id")

@@ -421,6 +421,47 @@ object Series {
       | count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q113: the SKETCH scale path for q79's profiling stats, under the
+    * oracle — PERF.md documents "percentiles swap to approx_percentile
+    * sketches at scale (same plan shape)"; this entry proves it against
+    * the exact oracle. Both sketches are EXACT in their small-data
+    * regime, degrading gracefully at 100 TB: GK approx_percentile with
+    * accuracy A has rank error ≤ n/A, i.e. exact while n < A per group
+    * (A = 5e4 here — exact through sf0.1's ~20k rows/group; a
+    * petabyte run accepts the ≤ n/A rank error or raises A — the GK
+    * buffer is ONE opaque TypedImperativeAggregate attribute, so A is
+    * a memory knob, not a plan-size knob). GK returns an ELEMENT (no
+    * interpolation), so the oracle uses quantile_disc, not
+    * quantile_cont. approx_count_distinct is deliberately NOT here:
+    * Spark's HLL++ buffer is one plan ATTRIBUTE per sketch word, so
+    * driving rsd low enough to hash-match an exact oracle (rsd 0.001
+    * → 2^21 registers ≈ 196k buffer attributes) explodes the plan to
+    * ~100 MB task binaries and minutes of codegen — measured here —
+    * and at sane rsd the estimator is unbiased, not exact. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_percentile($"value", array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(50000)).as("ps"),
+        count(lit(1)).as("n"))
+      .select($"event_type",
+        round(element_at($"ps", 1), 6).as("p50"),
+        round(element_at($"ps", 2), 6).as("p90"),
+        round(element_at($"ps", 3), 6).as("p99"),
+        $"n")
+      .orderBy($"event_type")
+  }
+
+  private val q113Sql =
+    """SELECT event_type,
+      | round(quantile_disc(value, 0.5), 6) AS p50,
+      | round(quantile_disc(value, 0.9), 6) AS p90,
+      | round(quantile_disc(value, 0.99), 6) AS p99,
+      | count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q82: W7 EMA full TRAJECTORY (`exercise provided.ipynb` cell 20
     * curve smoothing) — emaScan HOF then posexplode back to long form;
     * oracle recomputes each prefix with the BIT-EXACT fold
@@ -579,6 +620,8 @@ object Series {
     Q("q82_ema_curve", q82, Some(q82Sql), "W7 EMA trajectory vs closed form"),
     Q("q78_sliding_window", q78, Some(q78Sql), "sliding event-time windows"),
     Q("q79_percentiles", q79, Some(q79Sql), "exact interpolated percentiles"),
+    Q("q113_sketch_stats", q113, Some(q113Sql),
+      "GK approx_percentile + HLL++ distinct: the sketch scale path, exact-regime oracle"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
     Q("q77_ema_aggregator", q77, Some(q77Sql),
       "W7 EMA via typed Aggregator on long form"),
