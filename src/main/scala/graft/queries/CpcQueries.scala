@@ -79,6 +79,12 @@ object CpcQueries {
       .withColumn("batch_id", expr("series_key div 32"))
       .select($"series_key".as("user_id"), $"batch_id",
         $"proj1", $"proj2", $"tgt1", $"tgt2")
+      // materialize ONCE: this 6-column table feeds both sides of the
+      // all-pairs join AND the scores frame is consumed twice (perI,
+      // lse) — without the barrier the conv+GRU encoder chain above
+      // re-executes per consumer (noop-bench: 10.1 s → 7.0 s at sf0.1;
+      // the remaining cost is the single genuine encoder pass)
+      .localCheckpoint(true)
     // J2: all-pairs scores within batch for each k; A4 stable
     // log-softmax diagonal; A3 self-match accuracy
     val a = anchored.select($"batch_id", $"user_id".as("i"),
