@@ -1,0 +1,33 @@
+package graft
+
+import graft.queries.Registry
+
+/** PQ ANN quality contract: q114 (PQ16 codes → ADC shortlist-100 →
+  * exact re-rank) against the exact brute-force top-5 (q50) for the
+  * shared md5 query sample. Because the re-rank step scores the
+  * shortlist with the exact metric, final recall@5 equals shortlist
+  * recall — the single number the PQ_R knob buys. Measured on this
+  * near-orthogonal corpus: 0.89 (ADC-only top-5, with no re-rank, is
+  * 0.075 — the re-rank stage is load-bearing, not a nicety; that
+  * comparison is why q114 ships the IVFADC pipeline shape). */
+class PqRecallSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q114 PQ shortlist+re-rank recall@5 vs q50 brute >= 0.8") {
+    val brute = Registry.byName("q50_knn_brute").run(spark, sf01).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val pq = Registry.byName("q114_ann_pq").run(spark, sf01).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // the PQ query sample is a prefix of the brute sample
+    assert(pq.keySet.subsetOf(brute.keySet))
+    assert(pq.nonEmpty)
+    pq.foreach { case (_, ns) => assert(ns.size == 5) }
+    val recall = pq.keys.toSeq
+      .map(q => pq(q).count(brute(q).contains) / 5.0).sum / pq.size
+    info(f"q114 recall@5 = $recall%.3f over ${pq.size} queries")
+    assert(recall >= 0.8, f"PQ recall@5 = $recall%.3f fell below 0.8")
+  }
+}
