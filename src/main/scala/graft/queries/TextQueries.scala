@@ -388,9 +388,49 @@ object TextQueries {
       | round(es_key * 1e6, 4) AS es_key_e6
       |FROM k WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** q115: TF-IDF term weighting — the classic corpus-statistics
+    * operator a retrieval / data-curation pipeline runs after token
+    * counting: tf(doc, term) from one explode + groupBy, df(term) from
+    * a second agg OVER the tf table (no second corpus scan), idf =
+    * ln(N / df), global top-20 (doc, term) scores via TakeOrdered.
+    * Scale: the tf shuffle is keyed on (doc_id, term) and partially
+    * aggregated map-side; df shuffles the (already small) tf table on
+    * term; the doc count joins in as a broadcast scalar; the final
+    * top-20 is a per-partition heap, never a full sort. The df join
+    * stays a shuffle join on term because a real vocabulary (unlike
+    * this synthetic one) is far too large to broadcast. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = documents(s, dir).agg(count(lit(1)).as("n"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round($"tf" * log($"n".cast("double") / $"df"), 6))
+      .select($"doc_id", $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"tfidf".desc, $"doc_id", $"term")
+      .limit(20)
+  }
+
+  private val q115Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM t GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, term, tf, df,
+      | round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+      |FROM tf JOIN df USING (term) CROSS JOIN n
+      |ORDER BY tfidf DESC, doc_id, term LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q96_weighted_sample", q96, Some(q96Sql),
       "Efraimidis-Spirakis deterministic weighted sampling"),
+    Q("q115_tfidf", q115, Some(q115Sql),
+      "TF-IDF term weighting, global top-20 scores"),
     Q("q38_rebalance", q38, Some(q38Sql), "deterministic class rebalancing"),
     Q("q37_content_filter", q37, Some(q37Sql), "PII-pattern scan + repetition"),
     Q("q36_bpe_tokens", q36, Some(q36Sql), "BPE-ish regex subword tokens"),
