@@ -381,7 +381,60 @@ object StreamingQueries {
       |WHERE p.sid < l.last_sid OR p.session_end + 1800000 < wm.w
       |ORDER BY p.user_id, session_start""".stripMargin
 
+  /** q116: STREAM-STREAM interval join under the oracle — the last
+    * §2.10 join class after q112's stream-static form: click events
+    * joined to purchase events of the same user within [click, click +
+    * 6 h], both sides real file streams with watermarks and a time-range
+    * condition (the canonical Spark stream-stream shape: the range bound
+    * is what lets the state store evict a buffered row once the other
+    * side's watermark passes its match window). An inner join emits
+    * each matched pair exactly once regardless of micro-batching, and
+    * the watermark delay EXCEEDS the corpus span (q107's trick), so no
+    * row can be dropped as late however the source batches — the sink
+    * holds exactly the batch join, which is what the oracle computes.
+    * At production scale the delay is set to the real lateness bound
+    * and buffered state is O(rate · (delay + range)), the documented
+    * cost of the operator. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q116") { scratch =>
+      val clicks = eventsStream(s, dir)
+        .filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+        .withWatermark("click_ts", "90 days")
+      val purchases = eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user_id"), $"event_id".as("purch_id"),
+          $"ts".as("purch_ts"), $"value")
+        .withWatermark("purch_ts", "90 days")
+      val joined = clicks.join(purchases,
+        $"user_id" === $"p_user_id" &&
+          $"purch_ts" >= $"click_ts" &&
+          $"purch_ts" <= $"click_ts" + expr("INTERVAL 6 HOURS"))
+      runToSink(s, joined, scratch)
+        .select($"user_id", $"click_id", $"purch_id",
+          floor((unix_micros($"purch_ts") - unix_micros($"click_ts"))
+            / lit(60000000.0)).cast("long").as("lag_min"),
+          round($"value", 4).as("purchase_value"))
+        .orderBy($"user_id", $"click_id", $"purch_id")
+    }
+  }
+
+  private val q116Sql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+      | CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0)
+      |   AS BIGINT) AS lag_min,
+      | round(p.value, 4) AS purchase_value
+      |FROM events c JOIN events p
+      | ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+      |ORDER BY c.user_id, click_id, purch_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q116_stream_join", q116, Some(q116Sql),
+      "§2.10 stream-stream interval join (click→purchase attribution) through real streams"),
     Q("q109_stream_timeout", q109, Some(q109Sql),
       "§2.10 EventTimeTimeout sessionizer through a real AvailableNow StreamingQuery"),
     Q("q103_stream_tumbling", q103, Some(q103Sql),
