@@ -90,6 +90,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
       GraftFunctions.bottomKBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      GraftFunctions.pqEncodeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
+      GraftFunctions.pqAdcBuilder))
   }
 }
 
@@ -97,6 +105,8 @@ object GraftFunctions {
   private val fftMagId = FunctionIdentifier("graft_fft_mag")
   private val dotId = FunctionIdentifier("graft_dot")
   private val bottomKId = FunctionIdentifier("graft_bottomk")
+  private val pqEncodeId = FunctionIdentifier("graft_pq_encode")
+  private val pqAdcId = FunctionIdentifier("graft_pq_adc")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -115,6 +125,12 @@ object GraftFunctions {
   private[expr] val bottomKBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_bottomk", 2, ch)
     BottomKAgg(ch(0), ch(1)).toAggregateExpression()
+  }
+  private[expr] val pqEncodeBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_pq_encode", 2, ch); PqEncodeExpr(ch(0), ch(1))
+  }
+  private[expr] val pqAdcBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_pq_adc", 2, ch); PqAdcExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -137,6 +153,18 @@ object GraftFunctions {
         new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
         bottomKBuilder)
     }
+    if (!registry.functionExists(pqEncodeId)) {
+      registry.registerFunction(
+        pqEncodeId,
+        new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+        pqEncodeBuilder)
+    }
+    if (!registry.functionExists(pqAdcId)) {
+      registry.registerFunction(
+        pqAdcId,
+        new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
+        pqAdcBuilder)
+    }
   }
 
   /** bottom-k sketch aggregate column (native TypedImperativeAggregate). */
@@ -154,5 +182,17 @@ object GraftFunctions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** PQ encode codes[m] = argmin_j round₉‖v_m − cb[m][j]‖² (native). */
+  def pqEncode(spark: SparkSession, v: Column, cb: Column): Column = {
+    register(spark)
+    call_function("graft_pq_encode", v, cb)
+  }
+
+  /** PQ asymmetric-distance score Σ_m lut[m][codes[m]] (native). */
+  def pqAdc(spark: SparkSession, codes: Column, lut: Column): Column = {
+    register(spark)
+    call_function("graft_pq_adc", codes, lut)
   }
 }

@@ -1,0 +1,135 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native product-quantization encode: codes[m] = argmin_j over the
+  * sub-space codebook of round₉(Σ(xᵢ−yᵢ)²), lowest j on ties — the
+  * exact argmin the q114 oracle computes. The HOF spelling (nested
+  * `transform` + `zip_with`/`aggregate` over M·K codewords) walks the
+  * interpreted-lambda machinery ~2k times per row and measured ~2 s
+  * per million distance evals; this is one primitive loop, no
+  * allocation beyond the output codes, codegen via static call.
+  * Rounding uses scala BigDecimal HALF_UP — the same routine Spark's
+  * `round(col, 9)` applies, so the native path is bit-compatible with
+  * the HOF spelling (PqRecallSpec pins the equivalence).
+  *
+  * Shapes: v ARRAY<DOUBLE> (the full vector), cb
+  * ARRAY<ARRAY<ARRAY<DOUBLE>>> (cb[m][j] = codeword j of sub-space m);
+  * sub-vector m of v is v[m·SUB .. m·SUB+SUB) with SUB = len(cb[m][j]).
+  */
+case class PqEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode requires ARRAY<DOUBLE>, ARRAY<ARRAY<ARRAY<DOUBLE>>>, " +
+          s"got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    PqEncodeExpr.compute(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, cb) => s"graft.expr.PqEncodeExpr.compute($v, $cb)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncodeExpr {
+  private def round9(d: Double): Double =
+    BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** static kernel: per sub-space argmin codeword by rounded squared
+    * L2, lowest codeword index on ties. */
+  def compute(v: ArrayData, cb: ArrayData): ArrayData = {
+    val m = cb.numElements()
+    val codes = new Array[Int](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cws = cb.getArray(mi)
+      val k = cws.numElements()
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      var sub = 0
+      while (j < k) {
+        val cw = cws.getArray(j)
+        sub = cw.numElements()
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = v.getDouble(off + i) - cw.getDouble(i)
+          d += diff * diff
+          i += 1
+        }
+        val dr = round9(d)
+        if (dr < bestD) { bestD = dr; best = j }
+        j += 1
+      }
+      codes(mi) = best
+      off += sub
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
+/** Native asymmetric-distance (ADC) scoring: Σ_m lut[m][codes[m]] —
+  * the per-pair work of a PQ scan reduced to M table lookups, as one
+  * primitive loop (the HOF spelling re-enters the lambda interpreter
+  * per sub-space). codes ARRAY<INT>, lut ARRAY<ARRAY<DOUBLE>>. */
+case class PqAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc requires ARRAY<INT>, ARRAY<ARRAY<DOUBLE>>, " +
+          s"got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    PqAdcExpr.compute(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.expr.PqAdcExpr.compute($c, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcExpr {
+  /** static kernel: Σ_m lut(m)(codes(m)), sequential order. */
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
+    val m = math.min(codes.numElements(), lut.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += lut.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+}

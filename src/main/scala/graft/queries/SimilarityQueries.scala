@@ -472,12 +472,19 @@ object SimilarityQueries {
 
   /** L2-normalized corpus: PQ quantizes UNIT vectors so squared
     * euclidean ordering ≡ cosine ordering (dist² = 2 − 2·cos) and the
-    * recall contract against q50's cosine brute force is metric-exact. */
+    * recall contract against q50's cosine brute force is metric-exact.
+    * The norm runs through the native graft_dot (bit-identical to the
+    * HOF fold, same sequential order) and the normalize is preceded by
+    * a rebalance of the one-file local scan — profiled at 0.87 s warm
+    * as a single-task interpreted fold, and q114 consumes this frame
+    * five times (encode, codebook, LUT, query vectors, re-rank). */
   private def unitVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"embedding".cast("array<double>").as("v0"))
-      .withColumn("nrm", ArrayOps.l2Norm($"v0"))
+      .withColumn("nrm",
+        sqrt(graft.expr.GraftFunctions.dot(s, $"v0", $"v0")))
       .select($"vec_id", transform($"v0", x => x / $"nrm").as("v"))
   }
 
@@ -510,34 +517,98 @@ object SimilarityQueries {
     * QK·PQ_M·PQ_K rows, shortlist QK·PQ_R rows); the corpus is touched
     * by one encode pass + one code-table pass — O(N·(K + QK)·M),
     * linear in N. PqRecallSpec pins recall vs q50. */
-  private def q114(s: SparkSession, dir: String): DataFrame = {
+  /** cb[m][j] nested into ONE broadcast row so encode and ADC are
+    * row-local HOFs over the corpus — the first cut exploded each
+    * vector into N·M·K joined rows through a shuffle + struct-min
+    * groupBy and measured 11.7 s at sf0.1; this shape removes every
+    * corpus shuffle before the shortlist window (codes really are
+    * "M table lookups per pair", the PQ contract). */
+  private def pqCodebookNested(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cb = pqCodebook(s, dir)
-    val e = unitVecs(s, dir)
-    val sv = e.select($"vec_id", subspaces($"v").as("x"))
-      .select($"vec_id", $"x.m".as("m"), $"x.sv".as("sv"))
-    val codes = sv.join(broadcast(cb), "m")
-      .groupBy($"vec_id", $"m")
-      .agg(min(struct(round(dist2($"sv", $"cw"), 9).as("d"), $"j".as("j")))
-        .as("best"))
-      .select($"vec_id", $"m", $"best.j".as("j"))
-    val lut = e.join(querySample(s, dir, ANN_QK), "vec_id")
+    pqCodebook(s, dir)
+      .groupBy($"m")
+      .agg(sort_array(collect_list(struct($"j", $"cw"))).as("js"))
+      .select($"m", transform($"js", x => x("cw")).as("cws"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct($"m", $"cws"))).as("ms"))
+      .select(transform($"ms", x => x("cws")).as("cb"))
+  }
+
+  /** (vec_id, codes) PQ code table via the native graft_pq_encode
+    * expression (one primitive loop per row). The corpus parquet is one
+    * tiny file locally → one scan partition, which would single-task
+    * the encode (256 distance evals per row); a narrow rebalance
+    * shuffle of compact (id, vector) rows is linear and trivially cheap
+    * next to the per-row encode arithmetic it parallelizes, and on a
+    * real multi-file corpus the scan already fans out. Plan-shape
+    * history at sf0.1: N·M·K exploded join + struct-min groupBy 11.7 s
+    * → row-local interpreted HOF argmin 6.5–10.4 s (an expansion-form
+    * |sv|²+|cw|²−2·graft_dot variant was SLOWER still, 9.6 s, because
+    * lambda-inlined subtrees re-evaluate the norm dots per codeword) →
+    * native expression ~1 s. PqRecallSpec pins the native path
+    * bit-equal to the HOF spelling below. */
+  private[graft] def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unitVecs(s, dir)
+      .crossJoin(broadcast(pqCodebookNested(s, dir)))
+      .withColumn("codes",
+        graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
+      .select($"vec_id", $"codes")
+  }
+
+  private[graft] def profUnitVecs(s: SparkSession, dir: String): DataFrame =
+    unitVecs(s, dir)
+
+  /** the interpreted-HOF spelling of the encode — kept as the
+    * equivalence yardstick for the native expression (PqRecallSpec). */
+  private[graft] def pqEncodeHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unitVecs(s, dir)
+      .crossJoin(broadcast(pqCodebookNested(s, dir)))
+      .withColumn("codes",
+        transform(sequence(lit(0), lit(PQ_M - 1)), m => {
+          val sv = slice($"v", m * PQ_SUB + lit(1), lit(PQ_SUB))
+          val ds = transform(element_at($"cb", m + 1),
+            cw => round(dist2(sv, cw), 9))
+          (array_position(ds, array_min(ds)) - 1).cast("int")
+        }))
+      .select($"vec_id", $"codes")
+  }
+
+  /** ADC shortlist: per-query nested LUT(m, j) broadcast against the
+    * code table, approx dist² = Σ_m LUT[m][code_m], keep PQ_R per
+    * query. */
+  private[graft] def pqShortlist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lut = unitVecs(s, dir).join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), subspaces($"v").as("x"))
       .select($"q_id", $"x.m".as("m"), $"x.sv".as("qsv"))
-      .join(broadcast(cb), "m")
+      .join(broadcast(pqCodebook(s, dir)), "m")
       .select($"q_id", $"m", $"j", dist2($"qsv", $"cw").as("qd"))
+      .groupBy($"q_id", $"m")
+      .agg(sort_array(collect_list(struct($"j", $"qd"))).as("js"))
+      .select($"q_id", $"m", transform($"js", x => x("qd")).as("qds"))
+      .groupBy($"q_id")
+      .agg(sort_array(collect_list(struct($"m", $"qds"))).as("ms"))
+      .select($"q_id", transform($"ms", x => x("qds")).as("lut"))
     val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
-    val shortlist = codes.join(broadcast(lut), Seq("m", "j"))
-      .groupBy($"q_id", $"vec_id")
-      .agg(round(sum($"qd"), 9).as("adist2"))
+    pqEncode(s, dir).crossJoin(broadcast(lut))
       .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist2",
+        round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
       .withColumn("ar", row_number().over(wa))
       .filter($"ar" <= PQ_R)
       .select($"q_id", $"vec_id")
+  }
+
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = unitVecs(s, dir)
     val qv = e.join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
-    broadcast(shortlist).join(e, "vec_id").join(broadcast(qv), "q_id")
+    broadcast(pqShortlist(s, dir)).join(e, "vec_id")
+      .join(broadcast(qv), "q_id")
       .withColumn("sim",
         round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
       .withColumn("rn", row_number().over(w))

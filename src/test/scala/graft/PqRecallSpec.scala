@@ -14,6 +14,18 @@ class PqRecallSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.01"
 
+  test("native graft_pq_encode equals the interpreted HOF spelling") {
+    import graft.queries.SimilarityQueries
+    val native = SimilarityQueries.pqEncode(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = SimilarityQueries.pqEncodeHof(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.nonEmpty && native.keySet == hof.keySet)
+    native.foreach { case (id, codes) =>
+      assert(codes == hof(id), s"codes diverge for vec_id $id")
+    }
+  }
+
   test("q114 PQ shortlist+re-rank recall@5 vs q50 brute >= 0.8") {
     val brute = Registry.byName("q50_knn_brute").run(spark, sf01).collect()
       .groupBy(_.getLong(0))
