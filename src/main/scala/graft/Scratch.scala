@@ -21,9 +21,19 @@ object Scratch {
     finally deleteRecursively(dir.toFile)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** shared by the test harness's shutdown hooks — one delete
+    * implementation in the tree, not three copies. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** create a temp dir that self-deletes on JVM exit. */
+  private[graft] def tempDirDeletedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(dir.toFile)))
+    dir.toString
   }
 }

@@ -40,7 +40,13 @@ object Tables {
     * parallel input instead of one task. */
   def checkpointPartitions(s: SparkSession, d: String): Int = {
     val eventRows: Long = eventRowCache.computeIfAbsent(d,
-      _ => s.read.parquet(s"$d/events.parquet").count())
+      _ => {
+        // same nanosAsLong guard as `events` — without it a FRESH
+        // session whose first events touch is this count would throw on
+        // the INT64 TIMESTAMP(NANOS) column during schema conversion
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$d/events.parquet").count()
+      })
     val target = math.max(1L, eventRows / 250000L)
     math.min(target, s.sparkContext.defaultParallelism.toLong).toInt
   }

@@ -621,7 +621,7 @@ object Series {
     Q("q78_sliding_window", q78, Some(q78Sql), "sliding event-time windows"),
     Q("q79_percentiles", q79, Some(q79Sql), "exact interpolated percentiles"),
     Q("q113_sketch_stats", q113, Some(q113Sql),
-      "GK approx_percentile + HLL++ distinct: the sketch scale path, exact-regime oracle"),
+      "GK approx_percentile: the sketch scale path, exact-regime oracle"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
     Q("q77_ema_aggregator", q77, Some(q77Sql),
       "W7 EMA via typed Aggregator on long form"),

@@ -186,18 +186,18 @@ object StreamingQueries {
 
   private val q104Sql =
     """WITH o AS (
-      | SELECT user_id, ts, value,
+      | SELECT user_id, ts, event_id, value,
       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       | FROM events),
       |f AS (
-      | SELECT user_id, ts, value,
+      | SELECT user_id, ts, event_id, value,
       |  CASE WHEN prev IS NULL
       |        OR epoch_us(ts) - epoch_us(prev) >= 1800000000
       |       THEN 1 ELSE 0 END AS new_s
       | FROM o),
       |sess AS (
       | SELECT user_id, ts, value,
-      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       | FROM f),
       |per AS (

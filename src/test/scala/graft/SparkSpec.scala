@@ -12,17 +12,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", {
-        val wh = java.nio.file.Files.createTempDirectory("graft_wh")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def del(f: java.io.File): Unit = {
-            val cs = f.listFiles(); if (cs != null) cs.foreach(del)
-            f.delete(): Unit
-          }
-          del(wh.toFile)
-        }))
-        wh.toString
-      })
+      .config("spark.sql.warehouse.dir", Scratch.tempDirDeletedOnExit("graft_wh"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -39,15 +29,5 @@ abstract class SparkSpec extends AnyFunSuite {
   /** temp dir for sink tests, deleted on JVM exit — repeated `sbt test`
     * runs must not accumulate orphans under /tmp (same discipline as
     * graft.Scratch on the query side). */
-  def tmpDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(del)
-        f.delete(): Unit
-      }
-      del(dir.toFile)
-    }))
-    dir.toString
-  }
+  def tmpDir(prefix: String): String = Scratch.tempDirDeletedOnExit(prefix)
 }
