@@ -130,6 +130,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("q114: every PQ join is broadcast; the native expressions are in the plan") {
+    val p = plan("q114_ann_pq")
+    // codebook, LUT, shortlist, and query-vector sides all broadcast —
+    // the corpus is never shuffled for a join (the only exchanges are
+    // the explicit rebalance repartition and the shortlist window)
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // encode and ADC run through the native expressions, not the
+    // interpreted HOF spelling (the 11.7 s → 4.8 s PERF.md history)
+    assert(p.contains("graft_pq_encode"), p.take(1500))
+    assert(p.contains("graft_pq_adc"), p.take(1500))
+  }
+
   test("q30: documents scan prunes to the two used columns") {
     val p = plan("q30_token_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
