@@ -204,4 +204,40 @@ class StreamingSpec extends SparkSpec {
     assert(approxEqual(got(1L).ema, batch(1L), 1e-12))
     assert(approxEqual(got(2L).ema, batch(2L), 1e-12))
   }
+
+  test("stream-stream interval join matches across micro-batches (q116 contract)") {
+    // q116's correctness argument says an inner join emits each matched
+    // pair exactly once regardless of batching — exercise the part the
+    // AvailableNow gate can't (one source file = one batch): clicks
+    // arrive in batch 1, purchases only in batch 2, so every match must
+    // come from buffered join state, not within-batch co-presence.
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[Event]
+    val purchMem = MemoryStream[Event]
+    val clicks = clicksMem.toDF()
+      .select($"user_id", $"ts".as("click_ts"), $"value".as("click_v"))
+      .withWatermark("click_ts", "90 days")
+    val purchases = purchMem.toDF()
+      .select($"user_id".as("p_user_id"), $"ts".as("purch_ts"),
+        $"value".as("purch_v"))
+      .withWatermark("purch_ts", "90 days")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user_id" &&
+        $"purch_ts" >= $"click_ts" &&
+        $"purch_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    clicksMem.addData(Event(1, ts(0), 1.0), Event(2, ts(5), 2.0))
+    q.processAllAvailable()
+    purchMem.addData(
+      Event(1, ts(10), 10.0), // matches user 1's click (+10 min)
+      Event(1, ts(45), 11.0), // out of range (+45 min) — no match
+      Event(2, ts(30), 12.0)) // matches user 2's click (+25 min)
+    q.processAllAvailable()
+    val got = spark.table("ssjoin")
+      .select($"user_id", $"purch_v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 10.0), (2L, 12.0)), got.toString)
+  }
 }
