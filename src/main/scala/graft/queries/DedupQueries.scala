@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -577,7 +578,60 @@ object DedupQueries {
        |FROM x GROUP BY s_lo, s_hi ORDER BY s_lo, s_hi""".stripMargin
   }
 
+  /** q117: the END-TO-END curation pipeline — the composition a real
+    * training-data run executes as one job, here as one declarative
+    * chain under one oracle: (1) quality gate (token/char floors, the
+    * q33 family), (2) exact-dup keep-first (md5 fingerprint, min
+    * doc_id survives — q40/q48's rule), (3) per-language budget cap
+    * (deterministic md5-ranked keep-K, q38's machinery), (4) corpus
+    * rollup. Scale: one scan; the dedup window shuffles on the
+    * fingerprint (bounded groups), the cap window on lang; everything
+    * before the windows is a pushed filter. The point of the gate is
+    * that the stages COMPOSE without materialization barriers —
+    * Catalyst plans the whole pipeline as one query. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
+    val wCap = Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("cap:"), $"doc_id".cast("string"))), $"doc_id")
+    documents(s, dir)
+      .withColumn("n_tok", size(split($"text", " ")))
+      .filter($"n_tok" >= 3 && $"n_chars" >= 20)
+      .withColumn("fp", md5($"text"))
+      .withColumn("rk", row_number().over(wFp))
+      .filter($"rk" === 1)
+      .withColumn("lrk", row_number().over(wCap))
+      .filter($"lrk" <= 50)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val q117Sql =
+    """WITH d AS (
+      | SELECT doc_id, lang, source, text,
+      |  len(string_split(text, ' ')) AS n_tok
+      | FROM documents
+      | WHERE len(string_split(text, ' ')) >= 3 AND n_chars >= 20),
+      |k AS (
+      | SELECT *, row_number() OVER (PARTITION BY md5(text)
+      |   ORDER BY doc_id) AS rk
+      | FROM d),
+      |c AS (
+      | SELECT *, row_number() OVER (PARTITION BY lang
+      |   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS lrk
+      | FROM k WHERE rk = 1)
+      |SELECT lang, source, count(*) AS n_docs,
+      | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      | CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM c WHERE lrk <= 50
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q117_curation_pipeline", q117, Some(q117Sql),
+      "end-to-end curation: quality gate + exact-dup keep-first + per-lang cap + rollup"),
     Q("q47_contamination", q47, Some(q47Sql),
       "cross-source near-dup leakage matrix"),
     Q("q46_sketch_similarity", q46, Some(q46Sql),
