@@ -143,6 +143,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_pq_adc"), p.take(1500))
   }
 
+  test("q117: the pushable half of the quality gate reaches the scan") {
+    // n_tok >= 3 is computed (not pushable); n_chars >= 20 is a plain
+    // column predicate and must land in PushedFilters
+    val p = plan("q117_curation_pipeline")
+    assert(p.contains("GreaterThanOrEqual(n_chars,20)"), p.take(1500))
+  }
+
+  test("q115: global top-20 runs as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q115_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("q30: documents scan prunes to the two used columns") {
     val p = plan("q30_token_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
