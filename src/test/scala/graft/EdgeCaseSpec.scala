@@ -52,4 +52,26 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(d == 10.0)
   }
+
+  test("pq_encode: argmin per sub-space, lowest codeword index on ties") {
+    graft.expr.GraftFunctions.register(spark)
+    // two sub-spaces of 1 dim, two codewords each; v = [1.0, 5.0]:
+    // m=0 → cw 0.0 vs 2.0, equidistant from 1.0 → tie broken to j=0;
+    // m=1 → cw 4.0 (d=1) beats cw 9.0 (d=16) → j=0... use 6.0 to get j=1
+    val codes = spark.sql(
+      """SELECT graft_pq_encode(array(1.0d, 5.0d),
+        |  array(array(array(0.0d), array(2.0d)),
+        |        array(array(9.0d), array(6.0d)))) AS c""".stripMargin)
+      .collect()(0).getSeq[Int](0)
+    assert(codes == Seq(0, 1), codes.toString)
+  }
+
+  test("pq_adc: sums lut[m][codes[m]] over min(codes, lut) length") {
+    graft.expr.GraftFunctions.register(spark)
+    val d = spark.sql(
+      """SELECT graft_pq_adc(array(1, 0, 1),
+        |  array(array(10.0d, 11.0d), array(20.0d, 21.0d))) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(d == 31.0, d.toString) // lut[0][1] + lut[1][0]; third code ignored
+  }
 }
