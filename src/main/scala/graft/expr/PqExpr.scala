@@ -121,13 +121,28 @@ case class PqAdcExpr(left: Expression, right: Expression)
 }
 
 object PqAdcExpr {
-  /** static kernel: Σ_m lut(m)(codes(m)), sequential order. */
+  /** static kernel: Σ_m lut(m)(codes(m)), sequential order. STRICT on
+    * shape: a sub-space-count mismatch or an out-of-range code means
+    * the code table and LUT were built with different PQ geometry — a
+    * construction bug that must fail the query, not return a plausible
+    * partial sum that silently ranks wrong neighbors (EdgeCaseSpec
+    * pins the error; graft_dot's min-length leniency is NOT copied
+    * here for exactly that reason). */
   def compute(codes: ArrayData, lut: ArrayData): Double = {
-    val m = math.min(codes.numElements(), lut.numElements())
+    val m = codes.numElements()
+    if (lut.numElements() != m)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: codes has $m sub-spaces but lut has ${lut.numElements()}")
     var s = 0.0
     var i = 0
     while (i < m) {
-      s += lut.getArray(i).getDouble(codes.getInt(i))
+      val row = lut.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $c out of range for lut sub-space $i " +
+            s"(${row.numElements()} codewords)")
+      s += row.getDouble(c)
       i += 1
     }
     s

@@ -585,8 +585,9 @@ object DedupQueries {
     * doc_id survives — q40/q48's rule), (3) per-language budget cap
     * (deterministic md5-ranked keep-K, q38's machinery), (4) corpus
     * rollup. Scale: one scan; the dedup window shuffles on the
-    * fingerprint (bounded groups), the cap window on lang; everything
-    * before the windows is a pushed filter. The point of the gate is
+    * fingerprint (bounded groups), the cap window on lang; the n_chars
+    * half of the quality gate pushes to the scan (PlanShapeSpec) while
+    * the computed n_tok half evaluates row-local. The point of the gate is
     * that the stages COMPOSE without materialization barriers —
     * Catalyst plans the whole pipeline as one query. */
   private def q117(s: SparkSession, dir: String): DataFrame = {

@@ -57,7 +57,7 @@ class EdgeCaseSpec extends SparkSpec {
     graft.expr.GraftFunctions.register(spark)
     // two sub-spaces of 1 dim, two codewords each; v = [1.0, 5.0]:
     // m=0 → cw 0.0 vs 2.0, equidistant from 1.0 → tie broken to j=0;
-    // m=1 → cw 4.0 (d=1) beats cw 9.0 (d=16) → j=0... use 6.0 to get j=1
+    // m=1 → cw 9.0 (d=16) loses to cw 6.0 (d=1) → j=1
     val codes = spark.sql(
       """SELECT graft_pq_encode(array(1.0d, 5.0d),
         |  array(array(array(0.0d), array(2.0d)),
@@ -66,12 +66,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(codes == Seq(0, 1), codes.toString)
   }
 
-  test("pq_adc: sums lut[m][codes[m]] over min(codes, lut) length") {
+  test("pq_adc: sums lut[m][codes[m]]; shape mismatch fails loudly") {
     graft.expr.GraftFunctions.register(spark)
     val d = spark.sql(
-      """SELECT graft_pq_adc(array(1, 0, 1),
+      """SELECT graft_pq_adc(array(1, 0),
         |  array(array(10.0d, 11.0d), array(20.0d, 21.0d))) AS d""".stripMargin)
       .collect()(0).getDouble(0)
-    assert(d == 31.0, d.toString) // lut[0][1] + lut[1][0]; third code ignored
+    assert(d == 31.0, d.toString) // lut[0][1] + lut[1][0]
+    // mismatched geometry (3 codes vs 2 lut sub-spaces) is a PQ
+    // construction bug — it must error, not return a partial sum that
+    // would silently rank wrong neighbors
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_adc(array(1, 0, 1),
+          |  array(array(10.0d, 11.0d), array(20.0d, 21.0d))) AS d""".stripMargin)
+        .collect()
+    }
+    assert(err.getMessage != null)
   }
 }

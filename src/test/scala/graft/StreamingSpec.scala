@@ -236,8 +236,11 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val got = spark.table("ssjoin")
       .select($"user_id", $"purch_v").collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      .map(r => (r.getLong(0), r.getDouble(1)))
     q.stop()
-    assert(got == Set((1L, 10.0), (2L, 12.0)), got.toString)
+    // exact row count, not a set compare — "exactly once" means a
+    // duplicate re-emission from buffered state must fail this
+    assert(got.length == 2, got.mkString(", "))
+    assert(got.toSet == Set((1L, 10.0), (2L, 12.0)), got.mkString(", "))
   }
 }
