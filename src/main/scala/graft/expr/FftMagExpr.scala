@@ -98,6 +98,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
       GraftFunctions.pqAdcBuilder))
+    e.injectOptimizerRule(_ => DotRewrite)
   }
 }
 
@@ -164,6 +165,13 @@ object GraftFunctions {
         pqAdcId,
         new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
         pqAdcBuilder)
+    }
+    // library-embedding path for the optimizer rule (the extensions
+    // path injects it at session build); extraOptimizations runs as
+    // the optimizer's final user-provided batch
+    if (!spark.experimental.extraOptimizations.contains(DotRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotRewrite
     }
   }
 
