@@ -258,17 +258,18 @@ object SimilarityQueries {
   /** per-cell assignment scores v·c − |c|²/2 (argmax ≡ argmin euclidean
     * distance), as ONE array — a chained conditional fold would
     * duplicate each score subtree exponentially (2^CELLS expression
-    * nodes) and hang Catalyst analysis. */
-  private def cellScoresCol(v: Column): Column =
+    * nodes) and hang Catalyst analysis. The dot runs through the native
+    * graft_dot (bit-identical to the HOF fold). */
+  private def cellScoresCol(s: SparkSession, v: Column): Column =
     array(centroids.map { c =>
       val cArr = array(c.map(x => lit(x.toDouble)): _*)
       val half = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-      ArrayOps.dot(v, cArr) - half
+      graft.expr.GraftFunctions.dot(s, v, cArr) - half
     }: _*)
 
   /** nearest-centroid cell id (first max wins via array_position). */
-  private def cellCol(v: Column): Column = {
-    val scores = cellScoresCol(v)
+  private def cellCol(s: SparkSession, v: Column): Column = {
+    val scores = cellScoresCol(s, v)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
@@ -310,12 +311,12 @@ object SimilarityQueries {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("cell", cellCol($"v"))
+      .withColumn("cell", cellCol(s, $"v"))
       .withColumn("vn", ArrayOps.l2Norm($"v"))
     var q = e.join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("c1"),
         $"vn".as("qn"))
-      .withColumn("s1", cellScoresCol($"qv"))
+      .withColumn("s1", cellScoresCol(s, $"qv"))
     for (r <- 2 to nprobe) {
       q = q.withColumn(s"s$r", transform(col(s"s${r - 1}"), (x, i) =>
           when(i === col(s"c${r - 1}"), lit(Double.NegativeInfinity))
@@ -578,9 +579,11 @@ object SimilarityQueries {
   /** ADC shortlist: per-query nested LUT(m, j) broadcast against the
     * code table, approx dist² = Σ_m LUT[m][code_m], keep PQ_R per
     * query. */
-  private[graft] def pqShortlist(s: SparkSession, dir: String): DataFrame = {
+  /** per-query nested ADC lookup table lut[m][j] = dist²(query
+    * sub-vector m, codeword j) — QK·M·K values, broadcast everywhere. */
+  private def pqLut(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lut = unitVecs(s, dir).join(querySample(s, dir, ANN_QK), "vec_id")
+    unitVecs(s, dir).join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), subspaces($"v").as("x"))
       .select($"q_id", $"x.m".as("m"), $"x.sv".as("qsv"))
       .join(broadcast(pqCodebook(s, dir)), "m")
@@ -591,6 +594,11 @@ object SimilarityQueries {
       .groupBy($"q_id")
       .agg(sort_array(collect_list(struct($"m", $"qds"))).as("ms"))
       .select($"q_id", transform($"ms", x => x("qds")).as("lut"))
+  }
+
+  private[graft] def pqShortlist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lut = pqLut(s, dir)
     val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
     pqEncode(s, dir).crossJoin(broadcast(lut))
       .filter($"vec_id" =!= $"q_id")
@@ -671,12 +679,158 @@ object SimilarityQueries {
        |SELECT q_id, rn, vec_id AS neighbor_id, sim FROM r
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  // ---- q118: IVFADC — IVF routing × PQ codes, the composed
+  // billion-scale ANN architecture -----------------------------------
+  // nprobe=4/R=50 measured combined recall@5 = 0.66 (cell-miss and
+  // shortlist truncation compound across the two approximations);
+  // 6/100 measures 0.86 while still scanning 6/16 inverted lists
+  // (PqRecallSpec pins the floor at 0.8)
+  private val IVFPQ_NPROBE = 6
+  private val IVFPQ_R = 100
+
+  /** q118: IVFADC — the production composition of q54's coarse
+    * quantizer and q114's PQ codes: each query probes its IVFPQ_NPROBE
+    * nearest cells (argmax-masking chain); ONLY vectors whose cell is
+    * probed get ADC-scored against the per-query LUT (≈ nprobe/CELLS
+    * of the corpus, vs q114's full code-table scan); the IVFPQ_R best
+    * re-rank exactly. At 100 TB this is the memory+compute story
+    * billion-scale ANN actually ships: inverted lists partition the
+    * code table, codes are PQ_M bytes/vector, raw vectors are touched
+    * only for the shortlist. Cells and codes are both assigned on UNIT
+    * vectors so the whole chain shares one metric space with q50's
+    * cosine ground truth (PqRecallSpec pins combined recall). */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = unitVecs(s, dir)
+    // corpus pass: cell + PQ codes, row-local (native expressions)
+    val enc = e.crossJoin(broadcast(pqCodebookNested(s, dir)))
+      .withColumn("codes", graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
+      .withColumn("cell", cellCol(s, $"v"))
+      .select($"vec_id", $"cell", $"codes")
+    // query side: nprobe cells via the q54 argmax-masking chain
+    var q = e.join(querySample(s, dir, ANN_QK), "vec_id")
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("c1", cellCol(s, $"qv"))
+      .withColumn("s1", cellScoresCol(s, $"qv"))
+    for (r <- 2 to IVFPQ_NPROBE) {
+      q = q.withColumn(s"s$r", transform(col(s"s${r - 1}"), (x, i) =>
+          when(i === col(s"c${r - 1}"), lit(Double.NegativeInfinity))
+            .otherwise(x)))
+        .withColumn(s"c$r",
+          (array_position(col(s"s$r"), array_max(col(s"s$r"))) - 1)
+            .cast("int"))
+    }
+    val probed = q.withColumn("cell",
+        explode(array((1 to IVFPQ_NPROBE).map(r => col(s"c$r")): _*)))
+      .select($"q_id", $"cell")
+    val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
+    val shortlist = enc.join(broadcast(probed), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(broadcast(pqLut(s, dir)), Seq("q_id"))
+      .withColumn("adist2",
+        round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
+      .withColumn("ar", row_number().over(wa))
+      .filter($"ar" <= IVFPQ_R)
+      .select($"q_id", $"vec_id")
+    val qv = e.join(querySample(s, dir, ANN_QK), "vec_id")
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(shortlist).join(e, "vec_id").join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q118Sql = {
+    val chain = (2 to IVFPQ_NPROBE).map { r =>
+      val keep = (1 until r).map(i => s"c$i").mkString(", ")
+      s"""p$r AS (SELECT q_id, qv, $keep, sm AS s$r,
+         |        CAST(list_position(sm, list_max(sm)) AS INT) - 1 AS c$r
+         |       FROM (SELECT *, list_transform(
+         |          list_zip(s${r - 1}, generate_series(1, len(s${r - 1}))),
+         |          z -> CASE WHEN z[2] = c${r - 1} + 1
+         |               THEN CAST('-infinity' AS DOUBLE)
+         |               ELSE CAST(z[1] AS DOUBLE) END) AS sm
+         |         FROM p${r - 1}))""".stripMargin
+    }.mkString(",\n")
+    val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, v0,
+       |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
+       |       FROM e0),
+       |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
+       |      FROM en),
+       |cbi AS (SELECT vec_id,
+       |         md5('q114cb:' || CAST(vec_id AS VARCHAR)) AS h
+       |        FROM embeddings ORDER BY h, vec_id LIMIT $PQ_K),
+       |cbv AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, v
+       |        FROM cbi JOIN e USING (vec_id)),
+       |ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+       |cb AS (SELECT j, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS cw
+       |       FROM cbv, ms),
+       |sv AS (SELECT vec_id, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS sv
+       |       FROM e, ms),
+       |cd AS (SELECT vec_id, m, j,
+       |        round(list_sum(list_transform(list_zip(sv, cw),
+       |          z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE))), 9) AS d
+       |       FROM sv JOIN cb USING (m)),
+       |codes AS (SELECT vec_id, m, j FROM
+       |          (SELECT vec_id, m, j, row_number() OVER
+       |            (PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM cd)
+       |          WHERE rn = 1),
+       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
+       |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
+       |        ${cellScoresSql("v")} AS s1
+       |       FROM e WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |$chain,
+       |probed AS (SELECT q_id, unnest($cells) AS cell
+       |           FROM p$IVFPQ_NPROBE),
+       |qs AS (SELECT vec_id AS q_id, m,
+       |        v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qsv
+       |       FROM e, ms WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |lut AS (SELECT q_id, m, j,
+       |         list_sum(list_transform(list_zip(qsv, cw),
+       |           z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE))) AS qd
+       |        FROM qs JOIN cb USING (m)),
+       |ad AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9) AS adist2
+       |       FROM codes c
+       |        JOIN bc ON c.vec_id = bc.vec_id
+       |        JOIN probed p ON bc.cell = p.cell
+       |        JOIN lut l ON p.q_id = l.q_id AND c.m = l.m AND c.j = l.j
+       |       WHERE c.vec_id <> p.q_id
+       |       GROUP BY p.q_id, c.vec_id),
+       |sl AS (SELECT q_id, vec_id FROM
+       |        (SELECT q_id, vec_id, row_number() OVER
+       |          (PARTITION BY q_id ORDER BY adist2, vec_id) AS ar
+       |         FROM ad)
+       |       WHERE ar <= $IVFPQ_R),
+       |qvec AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |         WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |rr AS (SELECT sl.q_id, sl.vec_id,
+       |        round(list_sum(list_transform(list_zip(qv, v),
+       |          z -> CAST(z[1] * z[2] AS DOUBLE))), 5) AS sim
+       |       FROM sl JOIN e USING (vec_id)
+       |        JOIN qvec ON sl.q_id = qvec.q_id),
+       |r AS (SELECT q_id, vec_id, sim,
+       |       row_number() OVER (PARTITION BY q_id
+       |                          ORDER BY sim DESC, vec_id) AS rn
+       |      FROM rr)
+       |SELECT q_id, rn, vec_id AS neighbor_id, sim FROM r
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q50_knn_brute", q50, Some(q50Sql), "brute-force cosine top-5 KNN"),
     Q("q51_ann_lsh", q51, Some(q51Sql), "random-hyperplane LSH ANN"),
     Q("q54_ann_ivf", q54, Some(q54Sql), "IVF nearest-centroid-cell ANN"),
     Q("q114_ann_pq", q114, Some(q114Sql),
       "product-quantization ADC ANN (sampled codebook, code-table scoring)"),
+    Q("q118_ann_ivfpq", q118, Some(q118Sql),
+      "IVFADC: IVF cell routing over PQ codes, ADC shortlist, exact re-rank"),
     Q("q52_centroid_stats", q52, Some(q52Sql), "per-label centroid stats"),
     Q("q53_embed_neardup", q53, Some(q53Sql),
       "embedding-cosine near-dup candidate ranking"))

@@ -26,20 +26,34 @@ class PqRecallSpec extends SparkSpec {
     }
   }
 
+  private lazy val brute: Map[Long, Set[Long]] =
+    Registry.byName("q50_knn_brute").run(spark, sf01).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+
+  private def recallAt5(queryName: String): Double = {
+    val ann = Registry.byName(queryName).run(spark, sf01).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // the ANN query sample is a prefix of the brute sample
+    assert(ann.keySet.subsetOf(brute.keySet))
+    assert(ann.nonEmpty)
+    ann.foreach { case (_, ns) => assert(ns.size == 5) }
+    ann.keys.toSeq.map(q => ann(q).count(brute(q).contains) / 5.0)
+      .sum / ann.size
+  }
+
   test("q114 PQ shortlist+re-rank recall@5 vs q50 brute >= 0.8") {
-    val brute = Registry.byName("q50_knn_brute").run(spark, sf01).collect()
-      .groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
-    val pq = Registry.byName("q114_ann_pq").run(spark, sf01).collect()
-      .groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
-    // the PQ query sample is a prefix of the brute sample
-    assert(pq.keySet.subsetOf(brute.keySet))
-    assert(pq.nonEmpty)
-    pq.foreach { case (_, ns) => assert(ns.size == 5) }
-    val recall = pq.keys.toSeq
-      .map(q => pq(q).count(brute(q).contains) / 5.0).sum / pq.size
-    info(f"q114 recall@5 = $recall%.3f over ${pq.size} queries")
+    val recall = recallAt5("q114_ann_pq")
+    info(f"q114 recall@5 = $recall%.3f")
     assert(recall >= 0.8, f"PQ recall@5 = $recall%.3f fell below 0.8")
+  }
+
+  test("q118 IVFADC (cells × codes) recall@5 vs q50 brute >= 0.8") {
+    // two stacked approximations (cell routing at nprobe=6, ADC
+    // shortlist at R=100) — measured 0.86; nprobe=4/R=50 was 0.66
+    val recall = recallAt5("q118_ann_ivfpq")
+    info(f"q118 recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"IVFADC recall@5 = $recall%.3f fell below 0.8")
   }
 }
