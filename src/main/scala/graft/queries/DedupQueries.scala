@@ -630,7 +630,66 @@ object DedupQueries {
       |FROM c WHERE lrk <= 50
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** q119: EDIT-DISTANCE fuzzy near-dup candidates — the remaining
+    * dedup family next to exact (q40), MinHash-LSH (q42), SimHash
+    * (q43), n-gram Jaccard (q45) and embedding-cosine (q53): classic
+    * fuzzy title/URL-style matching. Pair generation is BLOCKED on
+    * (first token, length÷32 band) — a hash join on the block key,
+    * never all-pairs — and the Levenshtein runs on a 64-char prefix,
+    * bounding per-pair cost at 64² regardless of document length.
+    * Both engines implement classic Levenshtein, so the distance is
+    * hash-exact cross-engine. The query side is a FIXED 256-doc
+    * md5-ranked probe sample (the q45/q50 lesson applied up front:
+    * the all-pairs blocked form measured 225 s at sf1 — block sizes
+    * grow ∝ N on a fixed first-token vocabulary, so full-side pairs
+    * grow ∝ N²; probe-sampled candidates measured 299 → 29.6k for
+    * 100× docs, linear as designed). At 100 TB the blocking key is
+    * additionally the standard fuzzy-dedup lever: more bands (first
+    * 2 tokens, finer length buckets) shrink blocks as N grows. */
+  private val FUZZY_PK = 256
+
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir)
+      .select($"doc_id", $"text")
+      .withColumn("tok1", element_at(split($"text", " "), 1))
+      .withColumn("lb", expr("length(text) div 32"))
+      .withColumn("pfx", substring($"text", 1, 64))
+      .select($"doc_id", $"tok1", $"lb", $"pfx")
+    val probeIds = documents(s, dir).select($"doc_id")
+      .withColumn("h", md5(concat(lit("q119:"), $"doc_id".cast("string"))))
+      .orderBy($"h", $"doc_id").limit(FUZZY_PK).select($"doc_id")
+    val a = d.join(probeIds, "doc_id")
+      .select($"tok1", $"lb", $"doc_id".as("probe_id"), $"pfx".as("pa"))
+    val b = d.select($"tok1", $"lb", $"doc_id".as("match_id"),
+      $"pfx".as("pb"))
+    broadcast(a).join(b, Seq("tok1", "lb"))
+      .filter($"probe_id" =!= $"match_id")
+      .withColumn("dist", levenshtein($"pa", $"pb"))
+      .filter($"dist" <= 16)
+      .select($"probe_id", $"match_id", $"dist")
+      .orderBy($"dist", $"probe_id", $"match_id")
+  }
+
+  private val q119Sql =
+    s"""WITH d AS (
+      | SELECT doc_id, string_split(text, ' ')[1] AS tok1,
+      |  length(text) // 32 AS lb, substr(text, 1, 64) AS pfx
+      | FROM documents),
+      |p AS (SELECT * FROM d WHERE doc_id IN
+      |  (SELECT doc_id FROM documents
+      |   ORDER BY md5('q119:' || CAST(doc_id AS VARCHAR)), doc_id
+      |   LIMIT $FUZZY_PK))
+      |SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
+      | levenshtein(a.pfx, b.pfx) AS dist
+      |FROM p a JOIN d b
+      | ON a.tok1 = b.tok1 AND a.lb = b.lb AND a.doc_id <> b.doc_id
+      |WHERE levenshtein(a.pfx, b.pfx) <= 16
+      |ORDER BY dist, probe_id, match_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q119_fuzzy_editdist", q119, Some(q119Sql),
+      "edit-distance fuzzy near-dup candidates (blocked prefix Levenshtein)"),
     Q("q117_curation_pipeline", q117, Some(q117Sql),
       "end-to-end curation: quality gate + exact-dup keep-first + per-lang cap + rollup"),
     Q("q47_contamination", q47, Some(q47Sql),
