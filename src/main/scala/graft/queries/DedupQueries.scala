@@ -637,8 +637,11 @@ object DedupQueries {
     * (first token, length÷32 band) — a hash join on the block key,
     * never all-pairs — and the Levenshtein runs on a 64-char prefix,
     * bounding per-pair cost at 64² regardless of document length.
-    * Both engines implement classic Levenshtein, so the distance is
-    * hash-exact cross-engine. The query side is a FIXED 256-doc
+    * Both engines implement classic Levenshtein, but DuckDB counts
+    * UTF-8 BYTES while Spark counts characters — identical only on
+    * ASCII text, which this corpus is (verified at sf0.01/sf0.1); a
+    * non-ASCII corpus would need the oracle's distance wrapped in a
+    * byte-normalizing transliteration. The query side is a FIXED 256-doc
     * md5-ranked probe sample (the q45/q50 lesson applied up front:
     * the all-pairs blocked form measured 225 s at sf1 — block sizes
     * grow ∝ N on a fixed first-token vocabulary, so full-side pairs

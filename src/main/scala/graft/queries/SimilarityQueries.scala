@@ -302,6 +302,37 @@ object SimilarityQueries {
   private def q54(s: SparkSession, dir: String): DataFrame =
     ivfAnn(s, dir, NPROBE)
 
+  /** append columns c2..c{nprobe} to a frame carrying (c1, s1) — the
+    * shared argmax-masking probe-cell chain (each step masks the
+    * previous argmax to −∞ and re-argmaxes). Used by q54 and q118. */
+  private def maskChain(q0: DataFrame, nprobe: Int): DataFrame = {
+    var q = q0
+    for (r <- 2 to nprobe) {
+      q = q.withColumn(s"s$r", transform(col(s"s${r - 1}"), (x, i) =>
+          when(i === col(s"c${r - 1}"), lit(Double.NegativeInfinity))
+            .otherwise(x)))
+        .withColumn(s"c$r",
+          (array_position(col(s"s$r"), array_max(col(s"s$r"))) - 1)
+            .cast("int"))
+    }
+    q
+  }
+
+  /** the same chain as oracle CTE text (one CTE per additional
+    * probe), shared by q54Sql ("q" prefix) and q118Sql ("p"). */
+  private def maskChainSql(prefix: String, nprobe: Int): String =
+    (2 to nprobe).map { r =>
+      val keep = (1 until r).map(i => s"c$i").mkString(", ")
+      s"""$prefix$r AS (SELECT q_id, qv, $keep, sm AS s$r,
+         |        CAST(list_position(sm, list_max(sm)) AS INT) - 1 AS c$r
+         |       FROM (SELECT *, list_transform(
+         |          list_zip(s${r - 1}, generate_series(1, len(s${r - 1}))),
+         |          z -> CASE WHEN z[2] = c${r - 1} + 1
+         |               THEN CAST('-infinity' AS DOUBLE)
+         |               ELSE CAST(z[1] AS DOUBLE) END) AS sm
+         |         FROM $prefix${r - 1}))""".stripMargin
+    }.mkString(",\n")
+
   /** parameterized IVF ANN — the nprobe nearest cells are found by
     * iteratively masking the argmax cell to −∞ (nprobe − 1 maskings;
     * an array-scores fold, never an exponential conditional chain).
@@ -313,18 +344,12 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("cell", cellCol(s, $"v"))
       .withColumn("vn", ArrayOps.l2Norm($"v"))
-    var q = e.join(querySample(s, dir, ANN_QK), "vec_id")
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("c1"),
-        $"vn".as("qn"))
-      .withColumn("s1", cellScoresCol(s, $"qv"))
-    for (r <- 2 to nprobe) {
-      q = q.withColumn(s"s$r", transform(col(s"s${r - 1}"), (x, i) =>
-          when(i === col(s"c${r - 1}"), lit(Double.NegativeInfinity))
-            .otherwise(x)))
-        .withColumn(s"c$r",
-          (array_position(col(s"s$r"), array_max(col(s"s$r"))) - 1)
-            .cast("int"))
-    }
+    val q = maskChain(
+      e.join(querySample(s, dir, ANN_QK), "vec_id")
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("c1"),
+          $"vn".as("qn"))
+        .withColumn("s1", cellScoresCol(s, $"qv")),
+      nprobe)
     val probed = q.withColumn("home", $"c1")
       .withColumn("cell",
         explode(array((1 to nprobe).map(r => col(s"c$r")): _*)))
@@ -343,18 +368,7 @@ object SimilarityQueries {
   }
 
   private lazy val q54Sql = {
-    // the same argmax-masking chain, one CTE per additional probe
-    val chain = (2 to NPROBE).map { r =>
-      val keep = (1 until r).map(i => s"c$i").mkString(", ")
-      s"""q$r AS (SELECT q_id, qv, $keep, sm AS s$r,
-         |        CAST(list_position(sm, list_max(sm)) AS INT) - 1 AS c$r
-         |       FROM (SELECT *, list_transform(
-         |          list_zip(s${r - 1}, generate_series(1, len(s${r - 1}))),
-         |          z -> CASE WHEN z[2] = c${r - 1} + 1
-         |               THEN CAST('-infinity' AS DOUBLE)
-         |               ELSE CAST(z[1] AS DOUBLE) END) AS sm
-         |         FROM q${r - 1}))""".stripMargin
-    }.mkString(",\n")
+    val chain = maskChainSql("q", NPROBE)
     val cells = (1 to NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
@@ -576,9 +590,6 @@ object SimilarityQueries {
       .select($"vec_id", $"codes")
   }
 
-  /** ADC shortlist: per-query nested LUT(m, j) broadcast against the
-    * code table, approx dist² = Σ_m LUT[m][code_m], keep PQ_R per
-    * query. */
   /** per-query nested ADC lookup table lut[m][j] = dist²(query
     * sub-vector m, codeword j) — QK·M·K values, broadcast everywhere. */
   private def pqLut(s: SparkSession, dir: String): DataFrame = {
@@ -596,6 +607,9 @@ object SimilarityQueries {
       .select($"q_id", transform($"ms", x => x("qds")).as("lut"))
   }
 
+  /** ADC shortlist: per-query nested LUT(m, j) broadcast against the
+    * code table, approx dist² = Σ_m LUT[m][code_m], keep PQ_R per
+    * query. */
   private[graft] def pqShortlist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lut = pqLut(s, dir)
@@ -625,8 +639,12 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rn")
   }
 
-  private lazy val q114Sql =
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+  /** shared oracle CTE text (no leading WITH): unit vectors, PQ
+    * codebook, code table, per-query ADC LUT — composed by BOTH
+    * q114Sql and q118Sql so the codebook sample seed, rounding, and
+    * argmin tie-break live in exactly one place. */
+  private lazy val pqPreambleSql: String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
        |           FROM embeddings),
        |en AS (SELECT vec_id, v0,
        |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
@@ -657,7 +675,10 @@ object SimilarityQueries {
        |lut AS (SELECT q_id, m, j,
        |         list_sum(list_transform(list_zip(qsv, cw),
        |           z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE))) AS qd
-       |        FROM qs JOIN cb USING (m)),
+       |        FROM qs JOIN cb USING (m))""".stripMargin
+
+  private lazy val q114Sql =
+    s"""WITH $pqPreambleSql,
        |ad AS (SELECT q_id, c.vec_id, round(sum(qd), 9) AS adist2
        |       FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
        |       GROUP BY q_id, c.vec_id),
@@ -707,19 +728,16 @@ object SimilarityQueries {
       .withColumn("codes", graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
       .withColumn("cell", cellCol(s, $"v"))
       .select($"vec_id", $"cell", $"codes")
-    // query side: nprobe cells via the q54 argmax-masking chain
-    var q = e.join(querySample(s, dir, ANN_QK), "vec_id")
+    // query vectors, built ONCE and shared by the probe chain and the
+    // exact re-rank (each duplicate subplan would re-run the corpus
+    // normalize pass — the re-execution class 295434a fixed for CPC)
+    val qv = e.join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-      .withColumn("c1", cellCol(s, $"qv"))
-      .withColumn("s1", cellScoresCol(s, $"qv"))
-    for (r <- 2 to IVFPQ_NPROBE) {
-      q = q.withColumn(s"s$r", transform(col(s"s${r - 1}"), (x, i) =>
-          when(i === col(s"c${r - 1}"), lit(Double.NegativeInfinity))
-            .otherwise(x)))
-        .withColumn(s"c$r",
-          (array_position(col(s"s$r"), array_max(col(s"s$r"))) - 1)
-            .cast("int"))
-    }
+    // nprobe cells via the shared q54 argmax-masking chain
+    val q = maskChain(
+      qv.withColumn("c1", cellCol(s, $"qv"))
+        .withColumn("s1", cellScoresCol(s, $"qv")),
+      IVFPQ_NPROBE)
     val probed = q.withColumn("cell",
         explode(array((1 to IVFPQ_NPROBE).map(r => col(s"c$r")): _*)))
       .select($"q_id", $"cell")
@@ -732,8 +750,6 @@ object SimilarityQueries {
       .withColumn("ar", row_number().over(wa))
       .filter($"ar" <= IVFPQ_R)
       .select($"q_id", $"vec_id")
-    val qv = e.join(querySample(s, dir, ANN_QK), "vec_id")
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(shortlist).join(e, "vec_id").join(broadcast(qv), "q_id")
       .withColumn("sim",
@@ -745,43 +761,9 @@ object SimilarityQueries {
   }
 
   private lazy val q118Sql = {
-    val chain = (2 to IVFPQ_NPROBE).map { r =>
-      val keep = (1 until r).map(i => s"c$i").mkString(", ")
-      s"""p$r AS (SELECT q_id, qv, $keep, sm AS s$r,
-         |        CAST(list_position(sm, list_max(sm)) AS INT) - 1 AS c$r
-         |       FROM (SELECT *, list_transform(
-         |          list_zip(s${r - 1}, generate_series(1, len(s${r - 1}))),
-         |          z -> CASE WHEN z[2] = c${r - 1} + 1
-         |               THEN CAST('-infinity' AS DOUBLE)
-         |               ELSE CAST(z[1] AS DOUBLE) END) AS sm
-         |         FROM p${r - 1}))""".stripMargin
-    }.mkString(",\n")
+    val chain = maskChainSql("p", IVFPQ_NPROBE)
     val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
-       |           FROM embeddings),
-       |en AS (SELECT vec_id, v0,
-       |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
-       |       FROM e0),
-       |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
-       |      FROM en),
-       |cbi AS (SELECT vec_id,
-       |         md5('q114cb:' || CAST(vec_id AS VARCHAR)) AS h
-       |        FROM embeddings ORDER BY h, vec_id LIMIT $PQ_K),
-       |cbv AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, v
-       |        FROM cbi JOIN e USING (vec_id)),
-       |ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
-       |cb AS (SELECT j, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS cw
-       |       FROM cbv, ms),
-       |sv AS (SELECT vec_id, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS sv
-       |       FROM e, ms),
-       |cd AS (SELECT vec_id, m, j,
-       |        round(list_sum(list_transform(list_zip(sv, cw),
-       |          z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE))), 9) AS d
-       |       FROM sv JOIN cb USING (m)),
-       |codes AS (SELECT vec_id, m, j FROM
-       |          (SELECT vec_id, m, j, row_number() OVER
-       |            (PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM cd)
-       |          WHERE rn = 1),
+    s"""WITH $pqPreambleSql,
        |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
        |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
        |        ${cellScoresSql("v")} AS s1
@@ -789,13 +771,6 @@ object SimilarityQueries {
        |$chain,
        |probed AS (SELECT q_id, unnest($cells) AS cell
        |           FROM p$IVFPQ_NPROBE),
-       |qs AS (SELECT vec_id AS q_id, m,
-       |        v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qsv
-       |       FROM e, ms WHERE vec_id IN ${sampleSql(ANN_QK)}),
-       |lut AS (SELECT q_id, m, j,
-       |         list_sum(list_transform(list_zip(qsv, cw),
-       |           z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE))) AS qd
-       |        FROM qs JOIN cb USING (m)),
        |ad AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9) AS adist2
        |       FROM codes c
        |        JOIN bc ON c.vec_id = bc.vec_id
