@@ -579,7 +579,75 @@ object Relational {
       |GROUP BY o_orderpriority, l_returnflag
       |ORDER BY o_orderpriority, l_returnflag""".stripMargin
 
+  /** q120: FUNNEL analysis — the ordered-step conversion operator an
+    * events warehouse runs constantly: per user, first `view`, then
+    * first `click` within 24 h OF THAT VIEW, then first `purchase`
+    * within 48 h of that click; per-stage user counts and mean lag
+    * from the previous stage. Each stage is a filter + per-user min
+    * aggregation joined to the previous stage's anchors — three
+    * user-keyed shuffles, no window over raw events, no self-join
+    * explosion; at 100 TB the event scan is pruned to (user_id,
+    * event_type, ts) and each stage's anchor table is one row per
+    * surviving user (monotonically shrinking). Window widths chosen
+    * on the measured corpus (24 h/48 h → 150→60→37 at sf0.01) so the
+    * funnel actually discriminates. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("vt"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"vt" && $"ts" <= $"vt" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("ct"), min($"vt").as("vt"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"ct" && $"ts" <= $"ct" + expr("INTERVAL 48 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("pt"), min($"ct").as("pct"))
+    def lagMin(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (unix_micros(a) - unix_micros(b)) / lit(60000000.0)
+    val s1 = v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), $"n_users",
+        lit(null).cast("double").as("avg_lag_min"))
+    val s2 = c.select(lagMin($"ct", $"vt").as("lag"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg($"lag"), 4).as("avg_lag_min"))
+      .select(lit("2_click").as("stage"), $"n_users", $"avg_lag_min")
+    val s3 = p.select(lagMin($"pt", $"pct").as("lag"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg($"lag"), 4).as("avg_lag_min"))
+      .select(lit("3_purchase").as("stage"), $"n_users", $"avg_lag_min")
+    s1.union(s2).union(s3).orderBy($"stage")
+  }
+
+  private val q120Sql =
+    """WITH v AS (
+      | SELECT user_id, min(ts) AS vt FROM events
+      | WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      | SELECT e.user_id, min(e.ts) AS ct, min(vt) AS vt
+      | FROM events e JOIN v USING (user_id)
+      | WHERE e.event_type = 'click' AND e.ts > vt
+      |  AND e.ts <= vt + INTERVAL 24 HOUR
+      | GROUP BY e.user_id),
+      |p AS (
+      | SELECT e.user_id, min(e.ts) AS pt, min(ct) AS pct
+      | FROM events e JOIN c USING (user_id)
+      | WHERE e.event_type = 'purchase' AND e.ts > ct
+      |  AND e.ts <= ct + INTERVAL 48 HOUR
+      | GROUP BY e.user_id)
+      |SELECT * FROM (
+      | SELECT '1_view' AS stage, count(*) AS n_users,
+      |  CAST(NULL AS DOUBLE) AS avg_lag_min FROM v
+      | UNION ALL
+      | SELECT '2_click', count(*),
+      |  round(avg((epoch_us(ct) - epoch_us(vt)) / 60000000.0), 4) FROM c
+      | UNION ALL
+      | SELECT '3_purchase', count(*),
+      |  round(avg((epoch_us(pt) - epoch_us(pct)) / 60000000.0), 4) FROM p)
+      |ORDER BY stage""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q120_funnel", q120, Some(q120Sql),
+      "ordered-step funnel: view→click(24h)→purchase(48h), counts + mean stage lag"),
     Q("q111_range_join", q111, Some(q111Sql),
       "binned interval join: points ⋈ 7-day windows, hash-keyed on the bin"),
     Q("q49_moments", q49, Some(q49Sql), "corr/covar/stddev/var per group"),
