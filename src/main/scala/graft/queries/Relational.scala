@@ -645,9 +645,102 @@ object Relational {
       |  round(avg((epoch_us(pt) - epoch_us(pct)) / 60000000.0), 4) FROM p)
       |ORDER BY stage""".stripMargin
 
+  /** q121: COHORT RETENTION — the signup-week × weeks-since-signup
+    * activity matrix, the second standard events-warehouse report
+    * next to q120's funnel. Cohort = week of the user's first signup;
+    * cell (cohort, k) = distinct users of that cohort active in week
+    * k; retention = cell ÷ cohort's week-0 cell. Week arithmetic is
+    * day-diff ÷ 7 over Monday-truncated dates on BOTH engines (both
+    * ISO weeks), so the division is exact. Scale: one per-user min
+    * (shuffle on user), one event↔cohort join (shuffle on user), one
+    * distinct-count per cell — cells are (weeks × weeks), tiny. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("first_signup"))
+      .select($"user_id",
+        date_trunc("week", $"first_signup").cast("date").as("cohort_week"))
+    val cells = ev.join(cohorts, "user_id")
+      .filter($"ts" >= $"cohort_week")
+      .withColumn("wk",
+        (datediff(date_trunc("week", $"ts").cast("date"), $"cohort_week")
+          / 7).cast("long"))
+      .groupBy($"cohort_week", $"wk")
+      .agg(countDistinct($"user_id").as("n_users"))
+    val base = cells.filter($"wk" === 0)
+      .select($"cohort_week", $"n_users".as("n0"))
+    cells.join(broadcast(base), "cohort_week")
+      .withColumn("retention",
+        round($"n_users".cast("double") / $"n0", 4))
+      .select($"cohort_week", $"wk", $"n_users", $"retention")
+      .orderBy($"cohort_week", $"wk")
+  }
+
+  private val q121Sql =
+    """WITH s AS (
+      | SELECT user_id,
+      |  CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      | FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (
+      | SELECT e.user_id, cohort_week,
+      |  datediff('day', cohort_week,
+      |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS wk
+      | FROM events e JOIN s USING (user_id)
+      | WHERE e.ts >= cohort_week),
+      |cell AS (
+      | SELECT cohort_week, wk, count(DISTINCT user_id) AS n_users
+      | FROM a GROUP BY cohort_week, wk),
+      |base AS (SELECT cohort_week, n_users AS n0 FROM cell WHERE wk = 0)
+      |SELECT c.cohort_week, c.wk, c.n_users,
+      | round(CAST(c.n_users AS DOUBLE) / n0, 4) AS retention
+      |FROM cell c JOIN base USING (cohort_week)
+      |ORDER BY cohort_week, wk""".stripMargin
+
+  /** q122: SESSION PATH TRANSITIONS — the event-type bigram (Markov
+    * transition) matrix: for each user's time-ordered stream, count
+    * consecutive (src → dst) event-type pairs and row-normalize into
+    * transition probabilities. One window pass (lead over the per-user
+    * ordering — the W11 machinery) + one groupBy on the 5×5 pair
+    * space; the normalizing sum is a window over that tiny aggregate.
+    * The (ts, event_id) tie-break makes the sequence, hence the
+    * counts, engine-exact. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("dst", lead($"event_type", 1).over(w))
+      .filter($"dst".isNotNull)
+      .groupBy($"event_type".as("src"), $"dst")
+      .agg(count(lit(1)).as("n"))
+    val ws = Window.partitionBy($"src")
+    pairs
+      .withColumn("p", round($"n".cast("double") / sum($"n").over(ws), 4))
+      .select($"src", $"dst", $"n", $"p")
+      .orderBy($"src", $"dst")
+  }
+
+  private val q122Sql =
+    """WITH o AS (
+      | SELECT user_id, event_type,
+      |  lead(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS dst
+      | FROM events),
+      |pairs AS (
+      | SELECT event_type AS src, dst, count(*) AS n
+      | FROM o WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n,
+      | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 4) AS p
+      |FROM pairs ORDER BY src, dst""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q120_funnel", q120, Some(q120Sql),
       "ordered-step funnel: view→click(24h)→purchase(48h), counts + mean stage lag"),
+    Q("q121_cohort_retention", q121, Some(q121Sql),
+      "signup-week cohort × weeks-since retention matrix"),
+    Q("q122_path_transitions", q122, Some(q122Sql),
+      "event-type Markov transition matrix (bigram counts + row-normalized p)"),
     Q("q111_range_join", q111, Some(q111Sql),
       "binned interval join: points ⋈ 7-day windows, hash-keyed on the bin"),
     Q("q49_moments", q49, Some(q49Sql), "corr/covar/stddev/var per group"),
