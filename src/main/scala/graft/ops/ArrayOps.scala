@@ -142,4 +142,14 @@ object ArrayOps {
   /** W10: matrix–vector product with a literal weight matrix (rows of W). */
   def matVec(w: Seq[Seq[Double]], x: Column): Column =
     array(w.map(row => dot(array(row.map(lit): _*), x)): _*)
+
+  /** matVec through the native graft_dot kernel — bit-identical to the
+    * HOF form (same left-fold order; DotExpr's documented contract)
+    * but one primitive loop per output row instead of dims interpreted
+    * lambda steps. The hot-path choice for wide literal layers (q97's
+    * 64×64 dense stack measured 36 s at sf1 on the HOF spelling). */
+  def matVec(s: org.apache.spark.sql.SparkSession, w: Seq[Seq[Double]],
+      x: Column): Column =
+    array(w.map(row =>
+      graft.expr.GraftFunctions.dot(s, array(row.map(lit): _*), x)): _*)
 }

@@ -320,10 +320,11 @@ object MlQueries {
   private lazy val nnB3: Seq[Double] = (0 until 2).map(j => mdw(s"b3:$j"))
 
   /** one dense layer: relu(W·x + b), identical left-fold sum order on
-    * both engines (ArrayOps.dot folds in index order; the oracle's
+    * both engines (the native dot folds in index order; the oracle's
     * list_sum does the same). */
-  private def dense(w: Seq[Seq[Double]], b: Seq[Double], x: org.apache.spark.sql.Column) =
-    zip_with(graft.ops.ArrayOps.matVec(w, x), array(b.map(lit): _*),
+  private def dense(s: SparkSession, w: Seq[Seq[Double]], b: Seq[Double],
+      x: org.apache.spark.sql.Column) =
+    zip_with(graft.ops.ArrayOps.matVec(s, w, x), array(b.map(lit): _*),
       (h, bias) => greatest(h + bias, lit(0.0)))
 
   private def q97(s: SparkSession, dir: String): DataFrame = {
@@ -331,11 +332,11 @@ object MlQueries {
     val e = embeddings(s, dir).select($"vec_id", $"label",
       $"embedding".cast("array<double>").as("v"))
     val scored = e
-      .withColumn("h1", dense(nnW1, nnB1, $"v"))
-      .withColumn("h2", dense(nnW2, nnB2, $"h1"))
-      .withColumn("l0", graft.ops.ArrayOps.dot(
+      .withColumn("h1", dense(s, nnW1, nnB1, $"v"))
+      .withColumn("h2", dense(s, nnW2, nnB2, $"h1"))
+      .withColumn("l0", graft.expr.GraftFunctions.dot(s,
         array(nnW3(0).map(lit): _*), $"h2") + lit(nnB3(0)))
-      .withColumn("l1", graft.ops.ArrayOps.dot(
+      .withColumn("l1", graft.expr.GraftFunctions.dot(s,
         array(nnW3(1).map(lit): _*), $"h2") + lit(nnB3(1)))
     // binary softmax: p1 = e^l1/(e^l0+e^l1) = 1/(1+e^(l0-l1))
     scored.select($"vec_id", $"label",
