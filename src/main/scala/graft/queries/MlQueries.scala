@@ -561,9 +561,10 @@ object MlQueries {
       when($"label" < 5, 1.0).otherwise(0.0).as("y"))
   }
 
-  /** logit under the broadcast one-row weight state. */
-  private def gdZ: org.apache.spark.sql.Column =
-    graft.ops.ArrayOps.dot(col("x"), col("w"))
+  /** logit under the broadcast one-row weight state (native dot —
+    * bit-identical fold order to the HOF form, per-row hot path). */
+  private def gdZ(s: SparkSession): org.apache.spark.sql.Column =
+    graft.expr.GraftFunctions.dot(s, col("x"), col("w"))
 
   /** stable BCE-with-logits, same identity as q67. */
   private def gdBce(zc: org.apache.spark.sql.Column,
@@ -577,7 +578,8 @@ object MlQueries {
     import train.sparkSession.implicits._
     (w, _) => {
       val g = train.crossJoin(broadcast(w))
-        .withColumn("err", lit(1.0) / (lit(1.0) + exp(-gdZ)) - $"y")
+        .withColumn("err",
+          lit(1.0) / (lit(1.0) + exp(-gdZ(train.sparkSession))) - $"y")
         .select($"err", posexplode($"x").as(Seq("dim", "xj")))
         .groupBy($"dim").agg(avg($"err" * $"xj").as("g"))
       g.crossJoin(broadcast(w))
@@ -592,7 +594,7 @@ object MlQueries {
     val d = gdData(s, dir)
     val train = d.filter($"vec_id" % 5 =!= 0)
     val test = d.filter($"vec_id" % 5 === 0)
-    def z = gdZ
+    def z = gdZ(s)
     def bce = gdBce _
     def lossRow(t: Int, w: DataFrame): DataFrame = {
       val tr = train.crossJoin(broadcast(w))
@@ -684,7 +686,7 @@ object MlQueries {
     val test = d.filter($"vec_id" % 5 === 0)
     def scoredAt(t: Int, w: DataFrame): DataFrame =
       test.crossJoin(broadcast(w)).select(lit(t).as("n_Epochs"),
-        round(gdZ, 6).as("score"), $"y", gdBce(gdZ, $"y").as("b"))
+        round(gdZ(s), 6).as("score"), $"y", gdBce(gdZ(s), $"y").as("b"))
     val w0: DataFrame = Seq(Tuple1(Seq.fill(GD_NF + 1)(0.0))).toDF("w")
     var scored = scoredAt(0, w0)
     IterativeState.epochsTraced(w0, GD_ITER)(gdStep(train)) {
@@ -771,15 +773,16 @@ object MlQueries {
     // quantize-then-cut epoch loop (graft.ops.IterativeState)
     val v = IterativeState.epochs(v0, PI_ITER) { (pv, _) =>
       val u = d.crossJoin(broadcast(pv))
-        .withColumn("s", graft.ops.ArrayOps.dot($"xc", $"pv"))
+        .withColumn("s", graft.expr.GraftFunctions.dot(s, $"xc", $"pv"))
         .select($"s", posexplode($"xc").as(Seq("dim", "xj")))
         .groupBy($"dim").agg(avg($"s" * $"xj").as("u"))
       u.agg(IterativeState.gather($"dim", $"u").as("uv"))
         .select(transform($"uv", x =>
-          round(x / sqrt(graft.ops.ArrayOps.dot($"uv", $"uv")), 9)).as("pv"))
+          round(x / sqrt(graft.expr.GraftFunctions.dot(s, $"uv", $"uv")), 9))
+          .as("pv"))
     }
     d.crossJoin(broadcast(v))
-      .withColumn("s", graft.ops.ArrayOps.dot($"xc", $"pv"))
+      .withColumn("s", graft.expr.GraftFunctions.dot(s, $"xc", $"pv"))
       .groupBy($"label")
       .agg(count(lit(1)).as("n"),
         round(avg($"s"), 4).as("avg_pc1"),

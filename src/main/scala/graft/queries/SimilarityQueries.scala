@@ -50,11 +50,13 @@ object SimilarityQueries {
     }
   }
 
-  /** sign-bucket id: Σ_p [dot(v, plane_p) > 0] · 2^p (row-local). */
-  private def bucketCol(v: Column): Column =
+  /** sign-bucket id: Σ_p [dot(v, plane_p) > 0] · 2^p (row-local,
+    * native dot — bit-identical to the HOF fold). */
+  private def bucketCol(s: SparkSession, v: Column): Column =
     planes.zipWithIndex.map { case (w, p) =>
       val wArr = array(w.map(x => lit(x.toDouble)): _*)
-      when(ArrayOps.dot(v, wArr) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(graft.expr.GraftFunctions.dot(s, v, wArr) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** same bucket id as a DuckDB expression over a DOUBLE[] column. */
@@ -98,7 +100,7 @@ object SimilarityQueries {
     // naive cosine-per-pair)
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("vn", ArrayOps.l2Norm($"v"))
+      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
     val q = e.join(querySample(s, dir, BRUTE_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"vn".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
@@ -163,8 +165,8 @@ object SimilarityQueries {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("bucket", bucketCol($"v"))
-      .withColumn("vn", ArrayOps.l2Norm($"v"))
+      .withColumn("bucket", bucketCol(s, $"v"))
+      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
     val q = e.join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket", $"vn".as("qn"))
       .withColumn("home", $"bucket")
@@ -212,7 +214,7 @@ object SimilarityQueries {
       .select($"label", $"embedding".cast("array<double>").as("v"))
     val norms = e.groupBy($"label")
       .agg(count(lit(1)).as("n"),
-        round(avg(ArrayOps.l2Norm($"v")), 5).as("avg_norm"))
+        round(avg(sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v"))), 5).as("avg_norm"))
     val cent = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
       .groupBy($"label", $"dim").agg(avg($"x").as("c"))
       .groupBy($"label").agg(round(sqrt(sum($"c" * $"c")), 5).as("centroid_norm"))
@@ -343,7 +345,7 @@ object SimilarityQueries {
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("cell", cellCol(s, $"v"))
-      .withColumn("vn", ArrayOps.l2Norm($"v"))
+      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
     val q = maskChain(
       e.join(querySample(s, dir, ANN_QK), "vec_id")
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("c1"),
@@ -412,8 +414,8 @@ object SimilarityQueries {
     import s.implicits._
     val e = emb
       .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("bucket", bucketCol($"v"))
-      .withColumn("vn", ArrayOps.l2Norm($"v"))
+      .withColumn("bucket", bucketCol(s, $"v"))
+      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
     val a = e.select($"label", $"bucket", $"vec_id".as("id_a"),
       $"v".as("va"), $"vn".as("na"))
     val b = e.select($"label", $"bucket", $"vec_id".as("id_b"),
@@ -436,7 +438,7 @@ object SimilarityQueries {
     import s.implicits._
     val e = emb
       .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("vn", ArrayOps.l2Norm($"v"))
+      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
     val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"),
       $"vn".as("na"))
     val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"),
