@@ -82,4 +82,13 @@ class ArrayOpsSpec extends SparkSpec {
       array(lit(3.0), lit(4.0))))
     assert(mv == Seq(3.0, 7.0))
   }
+
+  test("native matVec overload is bit-equal to the HOF spelling") {
+    // irrational-heavy values so any fold-order difference would show
+    val w = Seq(Seq(math.Pi, -math.E, 0.1), Seq(1e-7, math.sqrt(2), -3.7))
+    val x = array(lit(1.0 / 3.0), lit(-math.Pi), lit(2.5))
+    val hof = evalSeq(matVec(w, x))
+    val native = evalSeq(matVec(spark, w, x))
+    assert(native == hof, s"$native != $hof")
+  }
 }
