@@ -30,6 +30,15 @@ object ArrayOps {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** l2Norm through the native graft_dot kernel — bit-identical to the
+    * HOF form for arrays with NO null elements (the kernel reads
+    * primitive slots; a null element yields NULL in the HOF form but
+    * undefined bytes natively — DotExpr's documented contract). The
+    * hot-path choice for the embedding corpus, whose elements are
+    * non-null by construction. */
+  def l2Norm(s: org.apache.spark.sql.SparkSession, a: Column): Column =
+    sqrt(graft.expr.GraftFunctions.dot(s, a, a))
+
   /** cosine similarity — the similarity-search kernel. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -144,10 +153,13 @@ object ArrayOps {
     array(w.map(row => dot(array(row.map(lit): _*), x)): _*)
 
   /** matVec through the native graft_dot kernel — bit-identical to the
-    * HOF form (same left-fold order; DotExpr's documented contract)
-    * but one primitive loop per output row instead of dims interpreted
-    * lambda steps. The hot-path choice for wide literal layers (q97's
-    * 64×64 dense stack measured 36 s at sf1 on the HOF spelling). */
+    * HOF form for EQUAL-length, non-null inputs (same left-fold order;
+    * on a length mismatch the kernel sums over min length where the
+    * HOF form yields NULL — DotExpr's documented contract; layer
+    * widths here are fixed by the literal weights) but one primitive
+    * loop per output row instead of dims interpreted lambda steps. The
+    * hot-path choice for wide literal layers (q97's 64×64 dense stack
+    * measured 36 s at sf1 on the HOF spelling). */
   def matVec(s: org.apache.spark.sql.SparkSession, w: Seq[Seq[Double]],
       x: Column): Column =
     array(w.map(row =>

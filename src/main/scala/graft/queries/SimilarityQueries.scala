@@ -100,7 +100,7 @@ object SimilarityQueries {
     // naive cosine-per-pair)
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
     val q = e.join(querySample(s, dir, BRUTE_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"vn".as("qn"))
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
@@ -166,7 +166,7 @@ object SimilarityQueries {
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("bucket", bucketCol(s, $"v"))
-      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
     val q = e.join(querySample(s, dir, ANN_QK), "vec_id")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket", $"vn".as("qn"))
       .withColumn("home", $"bucket")
@@ -214,7 +214,7 @@ object SimilarityQueries {
       .select($"label", $"embedding".cast("array<double>").as("v"))
     val norms = e.groupBy($"label")
       .agg(count(lit(1)).as("n"),
-        round(avg(sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v"))), 5).as("avg_norm"))
+        round(avg(ArrayOps.l2Norm(s, $"v")), 5).as("avg_norm"))
     val cent = e.select($"label", posexplode($"v").as(Seq("dim", "x")))
       .groupBy($"label", $"dim").agg(avg($"x").as("c"))
       .groupBy($"label").agg(round(sqrt(sum($"c" * $"c")), 5).as("centroid_norm"))
@@ -345,7 +345,7 @@ object SimilarityQueries {
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("cell", cellCol(s, $"v"))
-      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
     val q = maskChain(
       e.join(querySample(s, dir, ANN_QK), "vec_id")
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"cell".as("c1"),
@@ -415,7 +415,7 @@ object SimilarityQueries {
     val e = emb
       .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("bucket", bucketCol(s, $"v"))
-      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
     val a = e.select($"label", $"bucket", $"vec_id".as("id_a"),
       $"v".as("va"), $"vn".as("na"))
     val b = e.select($"label", $"bucket", $"vec_id".as("id_b"),
@@ -438,7 +438,7 @@ object SimilarityQueries {
     import s.implicits._
     val e = emb
       .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("vn", sqrt(graft.expr.GraftFunctions.dot(s, $"v", $"v")))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
     val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"),
       $"vn".as("na"))
     val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"),
@@ -501,7 +501,7 @@ object SimilarityQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"embedding".cast("array<double>").as("v0"))
       .withColumn("nrm",
-        sqrt(graft.expr.GraftFunctions.dot(s, $"v0", $"v0")))
+        ArrayOps.l2Norm(s, $"v0"))
       .select($"vec_id", transform($"v0", x => x / $"nrm").as("v"))
   }
 
