@@ -98,6 +98,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
       GraftFunctions.pqAdcBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash32"),
+      GraftFunctions.simHashBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -108,6 +112,7 @@ object GraftFunctions {
   private val bottomKId = FunctionIdentifier("graft_bottomk")
   private val pqEncodeId = FunctionIdentifier("graft_pq_encode")
   private val pqAdcId = FunctionIdentifier("graft_pq_adc")
+  private val simHashId = FunctionIdentifier("graft_simhash32")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -132,6 +137,9 @@ object GraftFunctions {
   }
   private[expr] val pqAdcBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_pq_adc", 2, ch); PqAdcExpr(ch(0), ch(1))
+  }
+  private[expr] val simHashBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_simhash32", 1, ch); SimHashExpr(ch.head)
   }
 
   def register(spark: SparkSession): Unit = {
@@ -165,6 +173,12 @@ object GraftFunctions {
         pqAdcId,
         new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
         pqAdcBuilder)
+    }
+    if (!registry.functionExists(simHashId)) {
+      registry.registerFunction(
+        simHashId,
+        new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash32"),
+        simHashBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -202,5 +216,11 @@ object GraftFunctions {
   def pqAdc(spark: SparkSession, codes: Column, lut: Column): Column = {
     register(spark)
     call_function("graft_pq_adc", codes, lut)
+  }
+
+  /** 32-bit SimHash over an array of token hashes (native). */
+  def simHash32(spark: SparkSession, th: Column): Column = {
+    register(spark)
+    call_function("graft_simhash32", th)
   }
 }

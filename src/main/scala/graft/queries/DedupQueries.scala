@@ -354,28 +354,34 @@ object DedupQueries {
     * votes (tokens with multiplicity; bit j set iff Σ ±1 votes > 0). */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // literal powers of two: shiftleft/right only take literal ints,
-    // and h < 2^32 makes h / 2^j exact in double
-    val p2s = array((0 until 32).map(j => lit(1L << j)): _*)
+    // ONE native traversal of the hashed tokens (graft_simhash32):
+    // the earlier per-bit form nested the token aggregate inside a
+    // 32-step bit fold and md5 ran 32× per token (20 s at sf0.1 under
+    // the honest noop bench); the single-traversal HOF rewrite cut it
+    // to ~3 s but still walked the lambda interpreter 32× per token
+    // with a fresh 32-lane array per fold step (27 s at sf1); the
+    // native kernel is one primitive loop (q43HofTally keeps the HOF
+    // spelling as the EdgeCaseSpec equivalence yardstick)
     documents(s, dir)
       .withColumn("th", transform(toks($"text"), x =>
         conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
-      // ONE traversal of the hashed tokens accumulating all 32 ±1
-      // lanes at once — the earlier per-bit form nested the token
-      // aggregate inside a 32-step bit fold, and projection collapse
-      // inlined `th` into every step, so md5 ran 32× per token
-      // (measured 20 s at sf0.1 under the honest noop bench; this
-      // form is ~1 s)
-      .withColumn("tally",
-        aggregate($"th", array_repeat(lit(0L), 32), (acc, h) =>
-          zip_with(acc, p2s, (a, p2) =>
-            a + when((h / p2).cast("long") % 2 === 1, 1L).otherwise(-1L))))
-      .withColumn("simhash",
-        aggregate(zip_with($"tally", p2s, (t, p2) =>
-          when(t > 0, p2).otherwise(0L)), lit(0L), (a, x) => a + x))
+      .withColumn("simhash", graft.expr.GraftFunctions.simHash32(s, $"th"))
       .select($"doc_id", $"simhash",
         shiftright($"simhash", 24).as("bucket"))
       .orderBy($"doc_id")
+  }
+
+  /** the interpreted-HOF SimHash spelling — kept as the equivalence
+    * yardstick for the native graft_simhash32 (EdgeCaseSpec). */
+  private[graft] def simHashHof(th: Column): Column = {
+    // literal powers of two: shiftleft/right only take literal ints,
+    // and h < 2^32 makes h / 2^j exact in double
+    val p2s = array((0 until 32).map(j => lit(1L << j)): _*)
+    val tally = aggregate(th, array_repeat(lit(0L), 32), (acc, h) =>
+      zip_with(acc, p2s, (a, p2) =>
+        a + when((h / p2).cast("long") % 2 === 1, 1L).otherwise(-1L)))
+    aggregate(zip_with(tally, p2s, (t, p2) =>
+      when(t > 0, p2).otherwise(0L)), lit(0L), (a, x) => a + x)
   }
 
   private val q43Sql =

@@ -66,6 +66,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(codes == Seq(0, 1), codes.toString)
   }
 
+  test("simhash32: native kernel equals the HOF spelling on real docs") {
+    graft.expr.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val th = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("th", transform(split($"text", " "), x =>
+        conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
+    val both = th.select($"doc_id",
+        graft.expr.GraftFunctions.simHash32(spark, $"th").as("nat"),
+        graft.queries.DedupQueries.simHashHof($"th").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)} diverges")
+    }
+  }
+
   test("pq_adc: sums lut[m][codes[m]]; shape mismatch fails loudly") {
     graft.expr.GraftFunctions.register(spark)
     val d = spark.sql(
