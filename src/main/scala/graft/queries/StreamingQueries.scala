@@ -432,7 +432,92 @@ object StreamingQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
       |ORDER BY c.user_id, click_id, purch_id""".stripMargin
 
+  /** q123: STREAM-STREAM LEFT OUTER interval join under the oracle —
+    * the last §2.10 join mode after q116's inner form, and the one
+    * whose semantics a batch twin cannot fake: the null-extended row
+    * ("click with no purchase within 6 h") is emitted by the WATERMARK,
+    * not by a match — a buffered click is held in state until the
+    * global watermark passes click_ts + 6 h, and only then, still
+    * unmatched, emitted with nulls. Unlike q116 the watermark delay
+    * here must be FINITE (2 days): an end-of-corpus delay would mean
+    * the final watermark never passes any click's match window and no
+    * outer row ever fires. Determinism still holds because the file
+    * source delivers the whole corpus in ONE data batch (watermark is
+    * still at its initial value while that batch processes, so nothing
+    * is dropped late), and eviction + null-extension happen in the
+    * final no-data batches once the watermark jumps to
+    * min(max(click_ts), max(purch_ts)) − 2 days (ms floor — Spark
+    * tracks watermarks in ms, and with two watermarked inputs the
+    * global value is the MIN of the per-input ones, the default
+    * multipleWatermarkPolicy). So the sink holds exactly: the full
+    * inner join, plus a null-extended row for each unmatched click
+    * whose match window closed before that final watermark — clicks
+    * within 2 days + 6 h of end-of-stream stay buffered and are never
+    * emitted, and the oracle's NOT-EXISTS branch applies the same
+    * cutoff. At production scale the same plan runs continuously:
+    * state is O(rate · (delay + range)) per side and every attribution
+    * row — matched or abandoned — is emitted exactly once. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q123") { scratch =>
+      val clicks = eventsStream(s, dir)
+        .filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+        .withWatermark("click_ts", "2 days")
+      val purchases = eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user_id"), $"event_id".as("purch_id"),
+          $"ts".as("purch_ts"), $"value")
+        .withWatermark("purch_ts", "2 days")
+      val joined = clicks.join(purchases,
+        $"user_id" === $"p_user_id" &&
+          $"purch_ts" >= $"click_ts" &&
+          $"purch_ts" <= $"click_ts" + expr("INTERVAL 6 HOURS"),
+        "leftOuter")
+      runToSink(s, joined, scratch)
+        .select($"user_id", $"click_id", $"purch_id",
+          floor((unix_micros($"purch_ts") - unix_micros($"click_ts"))
+            / lit(60000000.0)).cast("long").as("lag_min"),
+          round($"value", 4).as("purchase_value"))
+        .orderBy($"user_id", $"click_id", $"purch_id")
+    }
+  }
+
+  private val q123Sql =
+    """WITH c AS (
+      | SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      | SELECT user_id, event_id, ts, value FROM events
+      | WHERE event_type = 'purchase'),
+      |wm AS (
+      | SELECT make_timestamp(least((SELECT epoch_ms(max(ts)) FROM c),
+      |                             (SELECT epoch_ms(max(ts)) FROM p)) * 1000)
+      |        - INTERVAL 2 DAY AS w),
+      |matched AS (
+      | SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+      |  CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0)
+      |    AS BIGINT) AS lag_min,
+      |  round(p.value, 4) AS purchase_value
+      | FROM c JOIN p
+      |  ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR),
+      |abandoned AS (
+      | SELECT c.user_id, c.event_id AS click_id,
+      |  CAST(NULL AS BIGINT) AS purch_id,
+      |  CAST(NULL AS BIGINT) AS lag_min,
+      |  CAST(NULL AS DOUBLE) AS purchase_value
+      | FROM c, wm
+      | WHERE c.ts + INTERVAL 6 HOUR < wm.w
+      |  AND NOT EXISTS (
+      |   SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR))
+      |SELECT * FROM matched UNION ALL SELECT * FROM abandoned
+      |ORDER BY user_id, click_id, purch_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q123_stream_outer_join", q123, Some(q123Sql),
+      "§2.10 stream-stream LEFT OUTER interval join (watermark-triggered null-extension)"),
     Q("q116_stream_join", q116, Some(q116Sql),
       "§2.10 stream-stream interval join (click→purchase attribution) through real streams"),
     Q("q109_stream_timeout", q109, Some(q109Sql),
