@@ -641,7 +641,10 @@ object DedupQueries {
     * (q43), n-gram Jaccard (q45) and embedding-cosine (q53): classic
     * fuzzy title/URL-style matching. Pair generation is BLOCKED on
     * (first token, length÷32 band) — a hash join on the block key,
-    * never all-pairs — and the Levenshtein runs on a 64-char prefix,
+    * never all-pairs, with each probe also offering its two ADJACENT
+    * length bands so boundary-straddling pairs are reachable
+    * (FuzzyRecallSpec pins recall ≥ 0.9 on a planted corpus) — and
+    * the Levenshtein runs on a 64-char prefix,
     * bounding per-pair cost at 64² regardless of document length.
     * Both engines implement classic Levenshtein, but DuckDB counts
     * UTF-8 BYTES while Spark counts characters — identical only on
@@ -657,18 +660,28 @@ object DedupQueries {
     * 2 tokens, finer length buckets) shrink blocks as N grows. */
   private val FUZZY_PK = 256
 
-  private def q119(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = documents(s, dir)
+  /** q119's candidate generator, factored out so FuzzyRecallSpec can
+    * drive the PRODUCTION blocking on a planted corpus. Probes join the
+    * corpus on (first token, length÷32 band), and each probe offers its
+    * HOME band plus both ADJACENT bands (`lb − 1, lb, lb + 1`): without
+    * the neighbors a true fuzzy pair whose lengths straddle a band
+    * boundary (63 vs 65 chars) is never a candidate — a few edits can
+    * always cross a fixed-width bucket edge, so the standard blocking
+    * recipe probes the neighbor buckets (3× the broadcast rows, same
+    * hash-join plan shape; the corpus side still carries one band per
+    * doc, so each true pair is generated at most once — no dedup step).
+    * `docs` needs (doc_id, text); `probeIds` a doc_id column. */
+  private[graft] def fuzzyCandidates(docs: DataFrame,
+      probeIds: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs
       .select($"doc_id", $"text")
       .withColumn("tok1", element_at(split($"text", " "), 1))
       .withColumn("lb", expr("length(text) div 32"))
       .withColumn("pfx", substring($"text", 1, 64))
       .select($"doc_id", $"tok1", $"lb", $"pfx")
-    val probeIds = documents(s, dir).select($"doc_id")
-      .withColumn("h", md5(concat(lit("q119:"), $"doc_id".cast("string"))))
-      .orderBy($"h", $"doc_id").limit(FUZZY_PK).select($"doc_id")
     val a = d.join(probeIds, "doc_id")
+      .withColumn("lb", explode(array($"lb" - 1, $"lb", $"lb" + 1)))
       .select($"tok1", $"lb", $"doc_id".as("probe_id"), $"pfx".as("pa"))
     val b = d.select($"tok1", $"lb", $"doc_id".as("match_id"),
       $"pfx".as("pb"))
@@ -677,6 +690,14 @@ object DedupQueries {
       .withColumn("dist", levenshtein($"pa", $"pb"))
       .filter($"dist" <= 16)
       .select($"probe_id", $"match_id", $"dist")
+  }
+
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probeIds = documents(s, dir).select($"doc_id")
+      .withColumn("h", md5(concat(lit("q119:"), $"doc_id".cast("string"))))
+      .orderBy($"h", $"doc_id").limit(FUZZY_PK).select($"doc_id")
+    fuzzyCandidates(documents(s, dir), probeIds)
       .orderBy($"dist", $"probe_id", $"match_id")
   }
 
@@ -692,7 +713,8 @@ object DedupQueries {
       |SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
       | levenshtein(a.pfx, b.pfx) AS dist
       |FROM p a JOIN d b
-      | ON a.tok1 = b.tok1 AND a.lb = b.lb AND a.doc_id <> b.doc_id
+      | ON a.tok1 = b.tok1 AND b.lb BETWEEN a.lb - 1 AND a.lb + 1
+      | AND a.doc_id <> b.doc_id
       |WHERE levenshtein(a.pfx, b.pfx) <= 16
       |ORDER BY dist, probe_id, match_id""".stripMargin
 
