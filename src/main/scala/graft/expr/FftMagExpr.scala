@@ -102,6 +102,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash32"),
       GraftFunctions.simHashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_byte_hist"),
+      new ExpressionInfo(classOf[ByteHistExpr].getName, "graft_byte_hist"),
+      GraftFunctions.byteHistBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -113,6 +117,7 @@ object GraftFunctions {
   private val pqEncodeId = FunctionIdentifier("graft_pq_encode")
   private val pqAdcId = FunctionIdentifier("graft_pq_adc")
   private val simHashId = FunctionIdentifier("graft_simhash32")
+  private val byteHistId = FunctionIdentifier("graft_byte_hist")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -140,6 +145,9 @@ object GraftFunctions {
   }
   private[expr] val simHashBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_simhash32", 1, ch); SimHashExpr(ch.head)
+  }
+  private[expr] val byteHistBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_byte_hist", 2, ch); ByteHistExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -179,6 +187,12 @@ object GraftFunctions {
         simHashId,
         new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash32"),
         simHashBuilder)
+    }
+    if (!registry.functionExists(byteHistId)) {
+      registry.registerFunction(
+        byteHistId,
+        new ExpressionInfo(classOf[ByteHistExpr].getName, "graft_byte_hist"),
+        byteHistBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -222,5 +236,11 @@ object GraftFunctions {
   def simHash32(spark: SparkSession, th: Column): Column = {
     register(spark)
     call_function("graft_simhash32", th)
+  }
+
+  /** normalized byte histogram of a BINARY payload (native decode). */
+  def byteHist(spark: SparkSession, payload: Column, buckets: Column): Column = {
+    register(spark)
+    call_function("graft_byte_hist", payload, buckets)
   }
 }

@@ -1,19 +1,24 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (builder brief): image/audio/video as
   * opaque BINARY payloads with typed metadata, plus decode /
   * feature-extract / frame-sample operators.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * DETERMINISTIC FAKE decode — a byte-histogram feature vector standing
-  * in for a real decoder. Everything around it (schema, binary columns,
-  * metadata struct, batch boundary, partitioning) is the real Spark
-  * plumbing a production decoder (JNI/codec UDF or mapPartitions batch)
-  * would plug into; swap the function body, keep the signature
-  * `BINARY → ARRAY<DOUBLE>`.
+  * The container has no image/audio codecs, so `decode` is a
+  * DETERMINISTIC SYNTHETIC decode — a byte-histogram feature vector
+  * standing in for a real decoder, as the native Catalyst expression
+  * `graft_byte_hist` (expr/ByteHistExpr; the round-2 Scala UDF is
+  * gone). Everything around it (schema, binary columns, metadata
+  * struct, batch boundary, partitioning) is the real Spark plumbing a
+  * production decoder (JNI/codec expression or mapPartitions batch)
+  * would plug into; swap the kernel, keep the signature
+  * `BINARY → ARRAY<DOUBLE>`. Because the synthetic byte algebra is
+  * ANSI-SQL-expressible, the whole decode → frame-explode → rollup
+  * pipeline runs under the DuckDB oracle (q80/q124) instead of a
+  * rows-only check.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver
   * collect); feature extraction is a row-local narrow map, so asset
@@ -40,10 +45,13 @@ object Multimodal {
         when(col("doc_id") % 2 === 0, lit(0)).otherwise(lit(16000))
           .as("sample_rate")).as("meta"))
 
-  /** STUB decoder: BINARY → ARRAY<DOUBLE>(HIST_BUCKETS) normalized
-    * byte histogram (byte mod HIST_BUCKETS). Replace with a real codec
-    * at the same signature. Null-safe; empty payload → zero vector. */
-  val decodeStub = udf((payload: Array[Byte]) => decodeKernel(payload))
+  /** Synthetic decoder: BINARY → ARRAY<DOUBLE>(HIST_BUCKETS) normalized
+    * byte histogram (byte mod HIST_BUCKETS), as the native
+    * `graft_byte_hist` expression — no UDF serialization boundary, stays
+    * inside whole-stage codegen. Replace the kernel with a real codec at
+    * the same signature. Null-safe; empty payload → zero vector. */
+  def decode(s: SparkSession, payload: Column): Column =
+    graft.expr.GraftFunctions.byteHist(s, payload, lit(HIST_BUCKETS))
 
   /** fixed-size frame sampling: payload → ARRAY<BINARY> of `frameLen`-
     * byte frames (last frame may be short) — video-frame/audio-window
@@ -83,15 +91,12 @@ object Multimodal {
     out.toDF("asset_id", "features")
   }
 
-  /** shared stub kernel (same math as decodeStub's UDF). */
-  private[ops] def decodeKernel(payload: Array[Byte]): Seq[Double] =
+  /** shared kernel — the SAME primitive loop the native expression
+    * runs, so the mapPartitions batch path and the column path agree
+    * bit-for-bit by construction (MultimodalSpec pins it). */
+  private[graft] def decodeKernel(payload: Array[Byte]): Seq[Double] =
     if (payload == null) null
-    else {
-      val hist = new Array[Double](HIST_BUCKETS)
-      payload.foreach(b => hist((b & 0xff) % HIST_BUCKETS) += 1.0)
-      val n = math.max(payload.length, 1).toDouble
-      hist.map(_ / n).toSeq
-    }
+    else graft.expr.ByteHistExpr.histogram(payload, HIST_BUCKETS).toSeq
 
   /** "resize" stub: truncate-or-zero-pad the payload to `targetLen`
     * bytes (real resample/resize plugs in at the same signature). */

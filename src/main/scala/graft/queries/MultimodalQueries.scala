@@ -20,7 +20,7 @@ object MultimodalQueries {
     import s.implicits._
     val assets = Multimodal.assetsFromDocuments(documents(s, dir))
     assets
-      .withColumn("features", Multimodal.decodeStub($"payload"))
+      .withColumn("features", Multimodal.decode(s, $"payload"))
       .withColumn("feat_norm", ArrayOps.l2Norm($"features"))
       .withColumn("n_frames", size(Multimodal.frameSample($"payload", 64)))
       .groupBy($"modality", $"source")
@@ -56,7 +56,69 @@ object MultimodalQueries {
        |FROM f GROUP BY modality, source
        |ORDER BY modality, source""".stripMargin
 
+  /** q124: the full multimodal pipeline the round-6 verdict asked to
+    * put under the oracle — decode applied PER FRAME: asset table →
+    * 64-byte frame sampling → posexplode (one row per frame, the
+    * video-frame/audio-window batch shape) → native `graft_byte_hist`
+    * decode of each frame → per (modality, frame_idx) rollup of frame
+    * sizes and feature norms. The byte algebra is exact in DuckDB
+    * (payload = UTF-8 bytes of ASCII text, so byte == codepoint), so
+    * this is a full hash-match gate on the frame plumbing, not a
+    * rows-only check. Scale: posexplode is a narrow per-row fan-out
+    * (no shuffle until the bounded (modality × frame_idx) agg);
+    * per-frame decode is one primitive pass inside codegen. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Multimodal.assetsFromDocuments(documents(s, dir))
+    assets
+      .select($"modality",
+        posexplode(Multimodal.frameSample($"payload", 64))
+          .as(Seq("frame_idx", "frame")))
+      .withColumn("flen", octet_length($"frame"))
+      .withColumn("fnorm",
+        ArrayOps.l2Norm(s, Multimodal.decode(s, $"frame")))
+      .groupBy($"modality", $"frame_idx")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum($"flen").cast("long").as("total_bytes"),
+        round(avg($"fnorm"), 6).as("avg_frame_norm"))
+      .orderBy($"modality", $"frame_idx")
+  }
+
+  private val q124Sql =
+    s"""WITH a AS (
+       | SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+       |   AS modality, text
+       | FROM documents),
+       |fr AS (
+       | SELECT modality,
+       |  unnest(generate_series(0,
+       |    greatest(CAST(ceil(len(text) / 64.0) AS BIGINT) - 1, 0)))
+       |    AS frame_idx,
+       |  text
+       | FROM a),
+       |fx AS (
+       | SELECT modality, CAST(frame_idx AS INT) AS frame_idx,
+       |  substr(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS frame
+       | FROM fr),
+       |fn AS (
+       | SELECT modality, frame_idx, len(frame) AS flen,
+       |  sqrt(CAST(list_sum(list_transform(
+       |    list_transform(generate_series(0, ${Multimodal.HIST_BUCKETS - 1}),
+       |      b -> CAST(len(list_filter(string_split(frame, ''),
+       |             c -> unicode(c) % ${Multimodal.HIST_BUCKETS} = b))
+       |           AS DOUBLE) / greatest(len(frame), 1)),
+       |    h -> h * h)) AS DOUBLE)) AS fnorm
+       | FROM fx)
+       |SELECT modality, frame_idx, count(*) AS n_frames,
+       | CAST(sum(flen) AS BIGINT) AS total_bytes,
+       | round(avg(fnorm), 6) AS avg_frame_norm
+       |FROM fn GROUP BY modality, frame_idx
+       |ORDER BY modality, frame_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q80_multimodal", q80, Some(q80Sql),
-      "binary payload + stub decode + frame rollup"))
+      "binary payload + native decode + frame rollup"),
+    Q("q124_frame_pipeline", q124, Some(q124Sql),
+      "per-frame decode pipeline: frame sample -> posexplode -> native byte-hist -> rollup"))
 }

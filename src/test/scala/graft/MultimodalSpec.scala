@@ -3,15 +3,15 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 
-/** Multimodal plumbing: binary schema, stub decode, frame sampling,
-  * resize — the batch shapes a real codec would plug into. */
+/** Multimodal plumbing: binary schema, native synthetic decode, frame
+  * sampling, resize — the batch shapes a real codec would plug into. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decodeStub: normalized byte histogram") {
+  test("decode (native graft_byte_hist): normalized byte histogram") {
     // "aab" → bytes 97,97,98 → buckets 97%16=1 (×2), 98%16=2 (×1)
     val feats = Seq("aab").toDF("t")
-      .select(Multimodal.decodeStub(encode($"t", "UTF-8")).as("f"))
+      .select(Multimodal.decode(spark, encode($"t", "UTF-8")).as("f"))
       .collect()(0).getSeq[Double](0)
     assert(feats.length == Multimodal.HIST_BUCKETS)
     assert(approxEqual(feats(1), 2.0 / 3))
@@ -37,20 +37,22 @@ class MultimodalSpec extends SparkSpec {
       Seq('a'.toByte, 'b'.toByte, 0.toByte, 0.toByte))
   }
 
-  test("decodeBatchedPartitions equals per-row UDF and respects batching") {
+  test("decodeBatchedPartitions equals the native column path exactly") {
     val docs = Seq.tabulate(10)(i => (i.toLong, s"payload-$i" * (i + 1)))
       .toDF("asset_id", "t")
       .select($"asset_id", encode($"t", "UTF-8").as("payload"))
     val viaBatch = Multimodal.decodeBatchedPartitions(docs, batchSize = 3)
       .orderBy($"asset_id").collect()
-    val viaUdf = docs
-      .select($"asset_id", Multimodal.decodeStub($"payload").as("features"))
+    val viaExpr = docs
+      .select($"asset_id", Multimodal.decode(spark, $"payload").as("features"))
       .orderBy($"asset_id").collect()
     assert(viaBatch.length == 10)
-    viaBatch.zip(viaUdf).foreach { case (b, u) =>
+    // both paths run the SAME kernel (ByteHistExpr.histogram), so the
+    // agreement contract is bit-equality, not approximate
+    viaBatch.zip(viaExpr).foreach { case (b, u) =>
       assert(b.getLong(0) == u.getLong(0))
       val bf = b.getSeq[Double](1); val uf = u.getSeq[Double](1)
-      bf.zip(uf).foreach { case (x, y) => assert(approxEqual(x, y, 1e-12)) }
+      bf.zip(uf).foreach { case (x, y) => assert(x == y) }
     }
   }
 
