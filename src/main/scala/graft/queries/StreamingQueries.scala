@@ -295,9 +295,10 @@ object StreamingQueries {
     * micro-batch holding that key; the FINAL row per key (the one with
     * total_events = the key's full count) carries the end-of-stream
     * EMA, which is batching-independent because the state folds events
-    * in (ms, value) order within each batch and a parquet file is
-    * atomic to one micro-batch. Oracle: list_reduce of the same
-    * α-blend over the same ordering. */
+    * in (ms, value) order within each batch and each micro-batch owns
+    * its own batch=<id> sink directory (appendBatchIdempotent — a
+    * retried batch overwrites itself rather than double-appending).
+    * Oracle: list_reduce of the same α-blend over the same ordering. */
   private def q108(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q108") { scratch =>
@@ -307,8 +308,8 @@ object StreamingQueries {
       val q = Streaming.emaPerKey(ev, alpha = 0.3).toDF()
         .writeStream
         .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Streaming.appendBatchIdempotent(out)(batch, id)
         }
         .option("checkpointLocation", scratch + "/ckpt")
         .trigger(Trigger.AvailableNow())

@@ -169,4 +169,17 @@ object Streaming {
           EmaOut(uid, sorted.size.toLong, st.n, st.ema)
       }
   }
+
+  /** Idempotent foreachBatch file sink: each micro-batch lands in its
+    * own `batch=<id>` subdirectory with mode OVERWRITE, so a RETRIED
+    * micro-batch (task failure after a partial write, or a restart
+    * replaying the last uncommitted batch — foreachBatch's documented
+    * at-least-once delivery) rewrites its own directory instead of
+    * appending a duplicate copy. Readers take the parent directory;
+    * the `batch` key surfaces as a partition column they may drop.
+    * This is the production-correct form of "append each update batch
+    * to files" (SinkSpec replays a batch and pins the invariant). */
+  def appendBatchIdempotent(out: String)(batch: DataFrame,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
 }

@@ -39,6 +39,25 @@ class SinkSpec extends SparkSpec {
       .collect()(0).getDouble(0) == 0.197)
   }
 
+  test("appendBatchIdempotent: a replayed micro-batch cannot double-append") {
+    // foreachBatch is at-least-once: a task failure or restart can
+    // re-deliver a batchId. The q108 sink keys each batch to its own
+    // overwritten subdirectory, so replay must leave the sink EXACTLY
+    // as one delivery would.
+    val out = tmpDir("graft_idem") + "/sink"
+    val sink = graft.streaming.Streaming.appendBatchIdempotent(out) _
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "ema")
+    val b1 = Seq((1L, 11.0)).toDF("user_id", "ema")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    sink(b1, 1L) // the retry
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3, "replayed batch duplicated rows")
+    // the batchId surfaces as a partition column readers may use or drop
+    assert(back.columns.contains("batch"))
+    assert(back.filter($"batch" === 1).count() == 1)
+  }
+
   test("JSON and ORC sinks round-trip the series frame (source breadth)") {
     val base = tmpDir("graft_fmt")
     val df = Seq(
