@@ -54,8 +54,23 @@ object PqEncodeExpr {
     BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** static kernel: per sub-space argmin codeword by rounded squared
-    * L2, lowest codeword index on ties. */
+    * L2, lowest codeword index on ties. STRICT on geometry, like
+    * PqAdcExpr: a vector shorter or longer than the codebook's M·SUB
+    * elements, or a null element (the type checker can't exclude
+    * containsNull = true inputs), means vector and codebook were built
+    * with different PQ geometry — a construction bug that must fail the
+    * query, not silently read out-of-range/garbage slots and rank
+    * wrong neighbors (round-6 ADVICE). */
   def compute(v: ArrayData, cb: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: null vector element at index $i — the " +
+            "input vector must be null-free")
+      i += 1
+    }
     val m = cb.numElements()
     val codes = new Array[Int](m)
     var mi = 0
@@ -70,8 +85,12 @@ object PqEncodeExpr {
       while (j < k) {
         val cw = cws.getArray(j)
         sub = cw.numElements()
+        if (off + sub > n)
+          throw new IllegalArgumentException(
+            s"graft_pq_encode: vector has $n elements but sub-space $mi " +
+              s"needs [${off}, ${off + sub}) — codebook/vector geometry mismatch")
         var d = 0.0
-        var i = 0
+        i = 0
         while (i < sub) {
           val diff = v.getDouble(off + i) - cw.getDouble(i)
           d += diff * diff
@@ -85,6 +104,10 @@ object PqEncodeExpr {
       off += sub
       mi += 1
     }
+    if (off != n)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has $n elements but the codebook's " +
+          s"sub-spaces cover only $off — codebook/vector geometry mismatch")
     new GenericArrayData(codes)
   }
 }

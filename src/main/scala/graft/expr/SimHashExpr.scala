@@ -15,7 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * sf1; this is one primitive loop with a stack tally. Bit-identical
   * to the HOF form for hashes in [0, 2³²) with no null elements (the
   * q43 pipeline guarantees both: first-8-hex md5 values of non-null
-  * tokens); EdgeCaseSpec pins the equivalence. */
+  * tokens); EdgeCaseSpec pins the equivalence. A null ELEMENT — which
+  * the type checker cannot exclude, because internal pipelines carry
+  * containsNull = true array types whose values are in fact never
+  * null — is a pipeline bug and throws IllegalArgumentException
+  * rather than reading an engine-representation-dependent slot
+  * (round-6 ADVICE). */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -45,6 +50,10 @@ object SimHashExpr {
     val n = th.numElements()
     var i = 0
     while (i < n) {
+      if (th.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_simhash32: null token hash at index $i — the input " +
+            "array must be null-free (hash the tokens null-safely upstream)")
       val h = th.getLong(i)
       var j = 0
       while (j < 32) {

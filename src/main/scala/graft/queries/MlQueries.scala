@@ -302,12 +302,8 @@ object MlQueries {
   private val NN_IN = 64
   private val NN_HID = 64
 
-  private def mdw(tag: String): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tag.getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    ((java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 999.0 - 0.5) * 0.25
-  }
+  private def mdw(tag: String): Double =
+    ((graft.ops.HashKeys.md5Prefix32(tag) % 1000).toDouble / 999.0 - 0.5) * 0.25
 
   private lazy val nnW1: Seq[Seq[Double]] =
     (0 until NN_HID).map(j => (0 until NN_IN).map(i => mdw(s"w1:$j:$i")))
@@ -417,12 +413,8 @@ object MlQueries {
 
   /** init centroid component, integer-exact across engines:
     * (first8hex(md5("km:c:d")) % 1000) / 999.0 * 2 − 1 ∈ [−1, 1). */
-  private def kmInitW(c: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"km:$c:$d".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    (java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 999.0 * 2.0 - 1.0
-  }
+  private def kmInitW(c: Int, d: Int): Double =
+    graft.ops.HashKeys.gridUniform(s"km:$c:$d")
 
   private def kmInitSql: String =
     s"""(SELECT list(r ORDER BY cell) AS m FROM (
@@ -748,12 +740,8 @@ object MlQueries {
 
   /** init component, integer-exact across engines (kmInitW formula,
     * tag "pi:d"): (first8hex(md5) % 1000) / 999.0 * 2 − 1. */
-  private def piInitW(d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"pi:$d".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
-    (java.lang.Long.parseLong(hex, 16) % 1000).toDouble / 999.0 * 2.0 - 1.0
-  }
+  private def piInitW(d: Int): Double =
+    graft.ops.HashKeys.gridUniform(s"pi:$d")
 
   private def q101(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -38,17 +38,13 @@ object SimilarityQueries {
   /** Deterministic pseudo-random hyperplanes in [-1, 1): weight(p, d) is
     * derived from md5("p:d") and rounded to 6 decimals so the SAME
     * literal appears in the Spark plan and the oracle SQL. */
-  private[queries] lazy val planes: Seq[Seq[BigDecimal]] = {
-    val mdig = java.security.MessageDigest.getInstance("MD5")
+  private[queries] lazy val planes: Seq[Seq[BigDecimal]] =
     (0 until PLANES).map { p =>
       (0 until DIM).map { d =>
-        val hex = mdig.digest(s"$p:$d".getBytes("UTF-8"))
-          .take(4).map(b => f"${b & 0xff}%02x").mkString
-        val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-        BigDecimal(u * 2.0 - 1.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        BigDecimal(graft.ops.HashKeys.unitUniform(s"$p:$d"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       }
     }
-  }
 
   /** sign-bucket id: Σ_p [dot(v, plane_p) > 0] · 2^p (row-local,
     * native dot — bit-identical to the HOF fold). */
@@ -245,17 +241,13 @@ object SimilarityQueries {
     * from md5 (same literal-sharing trick as the hyperplanes). A real
     * deployment trains these with KMeans (q65); literals keep the
     * assignment oracle-checkable. */
-  private[queries] lazy val centroids: Seq[Seq[BigDecimal]] = {
-    val mdig = java.security.MessageDigest.getInstance("MD5")
+  private[queries] lazy val centroids: Seq[Seq[BigDecimal]] =
     (0 until CELLS).map { c =>
       (0 until DIM).map { d =>
-        val hex = mdig.digest(s"c:$c:d:$d".getBytes("UTF-8"))
-          .take(4).map(b => f"${b & 0xff}%02x").mkString
-        val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-        BigDecimal(u * 2.0 - 1.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        BigDecimal(graft.ops.HashKeys.unitUniform(s"c:$c:d:$d"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       }
     }
-  }
 
   /** per-cell assignment scores v·c − |c|²/2 (argmax ≡ argmin euclidean
     * distance), as ONE array — a chained conditional fold would
@@ -509,7 +501,8 @@ object SimilarityQueries {
     * KMeans on a sample; a deterministic md5-ranked sample keeps the
     * oracle exact while staying data-distributed): codeword (m, j) =
     * sub-vector m of the j-th sample unit vector, j ordered by the
-    * sample hash. 64 rows total — broadcast everywhere it joins. */
+    * sample hash. PQ_M·PQ_K (= 256) rows total — broadcast everywhere
+    * it joins. */
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = embeddings(s, dir).select($"vec_id")
