@@ -653,7 +653,12 @@ object Relational {
     * day-diff ÷ 7 over Monday-truncated dates on BOTH engines (both
     * ISO weeks), so the division is exact. Scale: one per-user min
     * (shuffle on user), one event↔cohort join (shuffle on user), one
-    * distinct-count per cell — cells are (weeks × weeks), tiny. */
+    * distinct-count per cell — cells are (weeks × weeks), tiny, but
+    * the exact countDistinct inside each cell re-shuffles every
+    * (cell, user) pair; at 100 TB the standard swap is
+    * `approx_count_distinct(user_id, 0.01)` (HLL++, one pass, no
+    * expand), the same exact→sketch trade q79→q113 documents for
+    * percentiles — retention ratios tolerate 1% rsd by design. */
   private def q121(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
