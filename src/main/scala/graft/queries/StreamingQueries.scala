@@ -33,6 +33,30 @@ object StreamingQueries {
 
   private val GapMs = 30L * 60 * 1000
 
+  /** State-store partition count for the gate queries. A stateful
+    * streaming operator creates `spark.sql.shuffle.partitions` state
+    * store instances (×4 for a stream-stream join: two sides ×
+    * two index stores), and EACH instance pays a per-micro-batch
+    * maintenance/commit cost that is independent of the state it
+    * holds — so the partition count is a deployment knob that must
+    * track STATE VOLUME, not the session's batch shuffle width.
+    * Measured at sf0.1 `local[32]`: the stream-stream joins drop
+    * 7.2 s → 2.8 s (q116) and 6.8 s → 3.0 s (q123) going 32 → 8
+    * partitions, pure fixed overhead. At 100 TB the same knob goes the
+    * other way (hundreds of partitions sized so each holds a
+    * spillable state share); results are partition-count-independent
+    * either way (all gates are deterministic per-key folds or
+    * watermark-emitted aggregations), which is why the conf swap is
+    * safe. The session value is restored after each gate. */
+  private val StatePartitions = 8
+
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, StatePartitions).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** streaming read of the events parquet — same TIMESTAMP(NANOS)
     * handling as Tables.events, through the file STREAM source (schema
     * comes from one footer-only batch read; nanos surface as long and
@@ -54,13 +78,15 @@ object StreamingQueries {
   private def runToSink(s: SparkSession, agg: DataFrame,
       scratch: String): DataFrame = {
     val out = scratch + "/sink"
-    val q = agg.writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", scratch + "/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", scratch + "/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out)
   }
 
@@ -305,16 +331,18 @@ object StreamingQueries {
       val out = scratch + "/sink"
       val ev = eventsStream(s, dir)
         .select($"user_id", $"ts", $"value").as[Streaming.Event]
-      val q = Streaming.emaPerKey(ev, alpha = 0.3).toDF()
-        .writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          Streaming.appendBatchIdempotent(out)(batch, id)
-        }
-        .option("checkpointLocation", scratch + "/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = Streaming.emaPerKey(ev, alpha = 0.3).toDF()
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            Streaming.appendBatchIdempotent(out)(batch, id)
+          }
+          .option("checkpointLocation", scratch + "/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val sunk = s.read.parquet(out)
       val w = Window.partitionBy($"user_id").orderBy($"total_events".desc)
       sunk.withColumn("rn", row_number().over(w))
