@@ -106,6 +106,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_byte_hist"),
       new ExpressionInfo(classOf[ByteHistExpr].getName, "graft_byte_hist"),
       GraftFunctions.byteHistBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk_freq"),
+      new ExpressionInfo(classOf[TopKFreqAgg].getName, "graft_topk_freq"),
+      GraftFunctions.topKFreqBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -118,6 +122,7 @@ object GraftFunctions {
   private val pqAdcId = FunctionIdentifier("graft_pq_adc")
   private val simHashId = FunctionIdentifier("graft_simhash32")
   private val byteHistId = FunctionIdentifier("graft_byte_hist")
+  private val topKFreqId = FunctionIdentifier("graft_topk_freq")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -148,6 +153,10 @@ object GraftFunctions {
   }
   private[expr] val byteHistBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_byte_hist", 2, ch); ByteHistExpr(ch(0), ch(1))
+  }
+  private[expr] val topKFreqBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_topk_freq", 2, ch)
+    TopKFreqAgg(ch(0), ch(1)).toAggregateExpression()
   }
 
   def register(spark: SparkSession): Unit = {
@@ -193,6 +202,12 @@ object GraftFunctions {
         byteHistId,
         new ExpressionInfo(classOf[ByteHistExpr].getName, "graft_byte_hist"),
         byteHistBuilder)
+    }
+    if (!registry.functionExists(topKFreqId)) {
+      registry.registerFunction(
+        topKFreqId,
+        new ExpressionInfo(classOf[TopKFreqAgg].getName, "graft_topk_freq"),
+        topKFreqBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -242,5 +257,12 @@ object GraftFunctions {
   def byteHist(spark: SparkSession, payload: Column, buckets: Column): Column = {
     register(spark)
     call_function("graft_byte_hist", payload, buckets)
+  }
+
+  /** Space-Saving heavy-hitters summary (native TypedImperativeAggregate). */
+  def topKFreq(spark: SparkSession, key: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_topk_freq", key,
+      org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -426,7 +426,55 @@ object TextQueries {
       |FROM tf JOIN df USING (term) CROSS JOIN n
       |ORDER BY tfidf DESC, doc_id, term LIMIT 20""".stripMargin
 
+  /** q125: HEAVY HITTERS via the native Space-Saving aggregate — the
+    * per-language top-10 word bigrams through `graft_topk_freq`, the
+    * bounded-memory operator a 100 TB vocabulary scan needs (an exact
+    * per-key count shuffles the full key universe; the summary is O(k)
+    * per group with partial-aggregate merge). Oracle-gateable by the
+    * q113 exact-regime trick: bigram vocabulary per lang (~31² ≈ 960)
+    * is below k = 2048, so no partial buffer ever evicts, every err is
+    * 0, and the summary equals the exact groupBy counts the oracle
+    * computes; TopKFreqSpec pins the approximate regime (k ≪ distinct,
+    * planted Zipf stream) where the gate can't reach. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = documents(s, dir)
+      .select($"lang", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"lang", explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bigram"))
+    bigrams.groupBy($"lang")
+      .agg(graft.expr.GraftFunctions.topKFreq(s, $"bigram", 2048).as("hh"))
+      .select($"lang", posexplode($"hh").as(Seq("pos", "e")))
+      .filter($"pos" < 10)
+      .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+        $"e.key".as("bigram"), $"e.cnt".as("cnt"), $"e.err".as("err"))
+      .orderBy($"lang", $"rank")
+  }
+
+  private val q125Sql =
+    """WITH t AS (
+      | SELECT lang, string_split(text, ' ') AS tk FROM documents
+      | WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      | SELECT lang, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      | FROM t),
+      |c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |r AS (
+      | SELECT lang, bigram, cnt,
+      |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram)
+      |    AS rank
+      | FROM c)
+      |SELECT lang, CAST(rank AS INT) AS rank, bigram,
+      | CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+      |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q125_heavy_hitters", q125, Some(q125Sql),
+      "Space-Saving heavy hitters (native O(k) summary, exact-regime oracle)"),
     Q("q96_weighted_sample", q96, Some(q96Sql),
       "Efraimidis-Spirakis deterministic weighted sampling"),
     Q("q115_tfidf", q115, Some(q115Sql),

@@ -101,4 +101,62 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("pq_encode: geometry mismatch and null elements fail loudly") {
+    graft.expr.GraftFunctions.register(spark)
+    // vector shorter than the codebook's sub-space coverage: reading
+    // past the end must error, not encode garbage (round-6 ADVICE)
+    val short = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_encode(array(1.0d),
+          |  array(array(array(0.0d), array(2.0d)),
+          |        array(array(9.0d), array(6.0d)))) AS c""".stripMargin)
+        .collect()
+    }
+    assert(short.getMessage != null)
+    // vector longer than M·SUB: leftover elements are the same bug
+    val long = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_encode(array(1.0d, 5.0d, 7.0d),
+          |  array(array(array(0.0d), array(2.0d)),
+          |        array(array(9.0d), array(6.0d)))) AS c""".stripMargin)
+        .collect()
+    }
+    assert(long.getMessage != null)
+    // null ELEMENT (type checker can't exclude it): loud error, not
+    // an engine-representation-dependent read
+    val nul = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_pq_encode(array(1.0d, CAST(NULL AS DOUBLE)),
+          |  array(array(array(0.0d), array(2.0d)),
+          |        array(array(9.0d), array(6.0d)))) AS c""".stripMargin)
+        .collect()
+    }
+    assert(nul.getMessage != null)
+  }
+
+  test("simhash32: null token hash fails loudly (SQL surface)") {
+    graft.expr.GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_simhash32(array(1L, CAST(NULL AS BIGINT))) AS h")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("byte_hist: empty -> zero vector, null -> null, bad buckets fail") {
+    graft.expr.GraftFunctions.register(spark)
+    val z = spark.sql(
+      "SELECT graft_byte_hist(CAST('' AS BINARY), 4) AS h")
+      .collect()(0).getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0, 0.0, 0.0))
+    val n = spark.sql(
+      "SELECT graft_byte_hist(CAST(NULL AS BINARY), 4) AS h").collect()(0)
+    assert(n.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_byte_hist(CAST('ab' AS BINARY), 0) AS h")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

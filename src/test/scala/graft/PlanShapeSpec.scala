@@ -12,6 +12,18 @@ class PlanShapeSpec extends SparkSpec {
     Registry.byName(name).run(spark, sf)
       .queryExecution.executedPlan.toString
 
+  test("q125: heavy-hitter summary aggregates map-side before the shuffle") {
+    // the point of the O(k) Space-Saving summary at 100 TB: the
+    // exchange must carry partial summaries (<= k entries per group
+    // per partition), not raw bigram rows — i.e. an ObjectHashAggregate
+    // partial pass BELOW the shuffle, final above it
+    val p = plan("q125_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert("partial_graft_topk_freq".r.findAllIn(p).nonEmpty ||
+      ("ObjectHashAggregate.*partial".r.findAllIn(p).nonEmpty),
+      p.take(2000))
+  }
+
   test("q02: predicates push into the parquet scan") {
     val p = plan("q02_selective_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
