@@ -96,6 +96,50 @@ class StreamingSkewSpec extends SparkSpec {
       s"hot-key session count $hotSessions outside the bounded-state expectation")
   }
 
+  test("session_window agg (q104 shape) under a 50%-hot key matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = corpus(hot = true)
+    val maxT = rows.map(_.ts.getTime).max
+    // sentinel event on a throwaway key far past end-of-stream: with a
+    // 0-second watermark delay it advances the watermark beyond every
+    // real session's end, so the append-mode session_window agg emits
+    // ALL real sessions (the AvailableNow no-data-batch trick, driven
+    // here by data)
+    val sentinel = Event(999999L, new Timestamp(maxT + 10L * 86400000), 0.0)
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionAgg(
+        mem.toDF().select($"user_id", $"ts", $"value"),
+        gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("skew_sw")
+      .outputMode("append").start()
+    // with a 0-second watermark delay the batches must arrive in
+    // event-time order or the second batch is (correctly) dropped as
+    // late — the hot user's timeline runs far past the others', so a
+    // positional split would put early uniform events behind the
+    // watermark. Global time order is also the realistic arrival order.
+    val ordered = rows.sortBy(e => (e.ts.getTime, e.user_id, e.value))
+    val (a, b) = ordered.splitAt(ordered.size / 2)
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable()
+    mem.addData(sentinel); q.processAllAvailable()
+    val emitted = spark.table("skew_sw")
+      .filter($"user_id" =!= 999999L)
+      .select($"user_id", $"session_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // session_window merges on (start, end+gap) overlap — same session
+    // membership as the gap rule on this corpus (strict-gap boundary
+    // events don't occur: gaps are exactly 5 min or 2 h 5 min)
+    val batch = batchSessions(rows, 30L * 60 * 1000)
+      .toSeq.map(s => (s._1, s._4.toLong))
+    assert(emitted.sorted.toSeq == batch.sorted,
+      s"session_window skew divergence: ${emitted.length} vs ${batch.size}")
+    // hot key's state is bounded by its ACTIVE sessions: before the
+    // watermark passes, at most the sessions of one batch are open
+    val hotEmitted = emitted.count(_._1 == 0L)
+    assert(hotEmitted > 0 && hotEmitted < 300)
+  }
+
   test("hot-key and uniform corpora produce identical per-event work (timing documented, not asserted)") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 30L * 60 * 1000
