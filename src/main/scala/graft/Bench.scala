@@ -37,6 +37,11 @@ object Bench {
         spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("q105_stream_stateful")(
         spark, "/root/testdata/sf0.001").count()
+      // the stream-stream symmetric hash join is a third cold path
+      // (its own state-store format + join planner) — warm it too so
+      // the first join gate measured isn't carrying the JIT
+      SparkEntry.queries("q116_stream_join")(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q76,q44 times just those
     val only = sys.env.get("SPARK_GRAFT_ONLY")
