@@ -110,6 +110,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "graft_topk_freq"),
       GraftFunctions.topKFreqBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_cpc_encode"),
+      new ExpressionInfo(classOf[CpcEncodeExpr].getName, "graft_cpc_encode"),
+      GraftFunctions.cpcEncodeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_gru_scan"),
+      new ExpressionInfo(classOf[GruScanExpr].getName, "graft_gru_scan"),
+      GraftFunctions.gruScanBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -123,6 +131,8 @@ object GraftFunctions {
   private val simHashId = FunctionIdentifier("graft_simhash32")
   private val byteHistId = FunctionIdentifier("graft_byte_hist")
   private val topKFreqId = FunctionIdentifier("graft_topk_freq")
+  private val cpcEncodeId = FunctionIdentifier("graft_cpc_encode")
+  private val gruScanId = FunctionIdentifier("graft_gru_scan")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -157,6 +167,12 @@ object GraftFunctions {
   private[expr] val topKFreqBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_topk_freq", 2, ch)
     TopKFreqAgg(ch(0), ch(1)).toAggregateExpression()
+  }
+  private[expr] val cpcEncodeBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_cpc_encode", 5, ch); CpcEncodeExpr(ch)
+  }
+  private[expr] val gruScanBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_gru_scan", 2, ch); GruScanExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -208,6 +224,18 @@ object GraftFunctions {
         topKFreqId,
         new ExpressionInfo(classOf[TopKFreqAgg].getName, "graft_topk_freq"),
         topKFreqBuilder)
+    }
+    if (!registry.functionExists(cpcEncodeId)) {
+      registry.registerFunction(
+        cpcEncodeId,
+        new ExpressionInfo(classOf[CpcEncodeExpr].getName, "graft_cpc_encode"),
+        cpcEncodeBuilder)
+    }
+    if (!registry.functionExists(gruScanId)) {
+      registry.registerFunction(
+        gruScanId,
+        new ExpressionInfo(classOf[GruScanExpr].getName, "graft_gru_scan"),
+        gruScanBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -264,5 +292,34 @@ object GraftFunctions {
     register(spark)
     call_function("graft_topk_freq", key,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */
+  def cpcEncode(spark: SparkSession, v: Column, q: Column,
+      w: Seq[Seq[Seq[Double]]], bias: Seq[Double],
+      k2: Seq[Double]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, lit}
+    val wLit = array(w.map(o =>
+      array(o.map(c => array(c.map(lit): _*)): _*)): _*)
+    call_function("graft_cpc_encode", v, q, wLit,
+      array(bias.map(lit): _*), array(k2.map(lit): _*))
+  }
+
+  /** native Cho-GRU scan → final state (CpcExprs; bit-equal to the
+    * `aggregate` fold). Gate layout: per gate (z, r, h) the rows are
+    * [wv, b, U row 0, …, U row H−1]. */
+  def gruScan(spark: SparkSession, xs: Column,
+      w: graft.ops.Cpc.GruWeights): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, lit}
+    def gateLit(wv: Seq[Double], b: Seq[Double],
+        u: Seq[Seq[Double]]): Column =
+      array((Seq(wv, b) ++ u).map(row => array(row.map(lit): _*)): _*)
+    val wLit = array(
+      gateLit(w.wz, w.bz, w.uz),
+      gateLit(w.wr, w.br, w.ur),
+      gateLit(w.wh, w.bh, w.uh))
+    call_function("graft_gru_scan", xs, wLit)
   }
 }

@@ -47,16 +47,15 @@ object CpcQueries {
     // encoder, the reference W1 shape (`T_CPC.py:16-22`, TWO stacked
     // layers): P1×P2 16-channel one-hot fuse → Conv1d(16→2, k=3,
     // pad=1) channel mix → ReLU → collapse → second temporal
-    // Conv1d(k=3, pad=1) → ReLU
+    // Conv1d(k=3, pad=1) → ReLU — as the native `graft_cpc_encode`
+    // (one primitive loop per series; the HOF spelling walked the
+    // interpreted-lambda machinery per (t, o, c, d) and measured 2.4 s
+    // of q75's 5.0 s at sf0.1). CpcSpec pins the native kernel
+    // BIT-EQUAL to the HOF chain on real series, so the oracle hash is
+    // unchanged by construction.
     val encoded = series
-      .withColumn("fused16", ArrayOps.oneHotFuse($"v", $"q", 16))
-      .withColumn("enc",
-        Cpc.conv1dChannels($"fused16", encW, encBias))
-      .withColumn("z1", transform($"enc", ch =>
-        greatest(element_at(ch, 1), lit(0.0)) +
-          greatest(element_at(ch, 2), lit(0.0))))
-      .withColumn("z", ArrayOps.relu(
-        ArrayOps.conv1dSame($"z1", conv2Kernel)))
+      .withColumn("z", graft.expr.GraftFunctions.cpcEncode(
+        s, $"v", $"q", encW, encBias, conv2Kernel))
     // W4: deterministic anchor in [0.4L, L-K-1) via md5(user_id) —
     // seeded-random analogue that both engines could recompute
     val anchored = encoded
@@ -65,8 +64,10 @@ object CpcQueries {
           .cast("long"),
           greatest(($"series_len" * 0.6).cast("long") - K - 1, lit(1))).cast("int"))
       // W5: GRU over the prefix z[1..anchor+1]; context = final state
-      .withColumn("ctx", Cpc.gruScan(gru,
-        ArrayOps.prefix($"z", $"anchor" + 1)))
+      // (native graft_gru_scan — the aggregate-HOF fold re-entered the
+      // lambda interpreter per step × gate; CpcSpec pins bit-equality)
+      .withColumn("ctx", graft.expr.GraftFunctions.gruScan(s,
+        ArrayOps.prefix($"z", $"anchor" + 1), gru))
       // W10: scalar projection of the 2-d context per step k (literal W_k)
       .withColumn("proj1",
         element_at($"ctx", 1) * 0.9 + element_at($"ctx", 2) * -0.4)

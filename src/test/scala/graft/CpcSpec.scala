@@ -124,6 +124,65 @@ class CpcSpec extends SparkSpec {
     }
   }
 
+  test("native graft_cpc_encode and graft_gru_scan are BIT-EQUAL to the HOF chain on real series") {
+    // the q75 hot path: the native kernels replicate the HOF spelling's
+    // exact operation order (left-associative reduces seeded from the
+    // first term, 0.0·w products for empty one-hot lanes, Math.max
+    // relu, ((w·x)+b)+Σ gate linears), so the contract is ==, not ≈ —
+    // the same discipline as graft_simhash32 / the native matVec
+    val s = spark
+    val encW = {
+      var st = 2026L
+      def nxt(): Double = {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      }
+      Seq.fill(2)(Seq.fill(16)(Seq.fill(3)(nxt())))
+    }
+    val encBias = Seq(0.05, -0.05)
+    val k2 = Seq(0.3, 0.5, 0.2)
+    val gruW = Cpc.demoWeights(2)
+    val e = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .withColumn("quality", pmod(col("event_id"), lit(16)).cast("int"))
+    val series = graft.ops.SeriesOps.assemble(e, col("user_id"), col("ts"),
+      "v" -> (col("value") / 100.0), "q" -> col("quality"))
+      .filter(size(col("v")) >= 12)
+    val hofZ = series
+      .withColumn("fused16", graft.ops.ArrayOps.oneHotFuse(col("v"), col("q"), 16))
+      .withColumn("enc", Cpc.conv1dChannels(col("fused16"), encW, encBias))
+      .withColumn("z1", transform(col("enc"), ch =>
+        greatest(element_at(ch, 1), lit(0.0)) +
+          greatest(element_at(ch, 2), lit(0.0))))
+      .withColumn("z", graft.ops.ArrayOps.relu(
+        graft.ops.ArrayOps.conv1dSame(col("z1"), k2)))
+      .withColumn("ctx", Cpc.gruScan(gruW,
+        graft.ops.ArrayOps.prefix(col("z"), size(col("z")) / 2)))
+    val natZ = series
+      .withColumn("z", graft.expr.GraftFunctions.cpcEncode(
+        s, col("v"), col("q"), encW, encBias, k2))
+      .withColumn("ctx", graft.expr.GraftFunctions.gruScan(
+        s, graft.ops.ArrayOps.prefix(col("z"), size(col("z")) / 2), gruW))
+    val hof = hofZ.select(col("series_key"), col("z"), col("ctx"))
+      .orderBy(col("series_key")).collect()
+    val nat = natZ.select(col("series_key"), col("z"), col("ctx"))
+      .orderBy(col("series_key")).collect()
+    assert(hof.nonEmpty && hof.length == nat.length)
+    hof.zip(nat).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      val (za, zb) = (a.getSeq[Double](1), b.getSeq[Double](1))
+      assert(za.length == zb.length)
+      za.zip(zb).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y),
+          s"z diverges on key ${a.getLong(0)}: $x vs $y") }
+      val (ca, cb) = (a.getSeq[Double](2), b.getSeq[Double](2))
+      ca.zip(cb).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y),
+          s"ctx diverges on key ${a.getLong(0)}: $x vs $y") }
+    }
+  }
+
   test("conv1dChannels composes with oneHotFuse (reference encoder shape)") {
     // (value, quality) rows → 4-channel one-hot fuse → 4→2 channel conv
     val w = Seq.fill(2)(Seq.fill(4)(Seq(0.0, 1.0, 0.0))) // identity tap
