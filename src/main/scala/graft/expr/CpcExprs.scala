@@ -41,15 +41,41 @@ case class CpcEncodeExpr(children: Seq[Expression]) extends Expression {
   override def checkInputDataTypes(): TypeCheckResult = {
     if (children.length != 5)
       return TypeCheckResult.TypeCheckFailure("graft_cpc_encode takes 5 args")
-    val ok = children(0).dataType.isInstanceOf[ArrayType] &&
-      children(1).dataType.isInstanceOf[ArrayType] &&
-      children.drop(2).forall(_.foldable)
-    if (!ok) TypeCheckResult.TypeCheckFailure(
-      "graft_cpc_encode requires (ARRAY<DOUBLE>, ARRAY<INT>, literal w, " +
-        "literal bias, literal k2)")
-    else (children(0).dataType, children(1).dataType) match {
+    if (!children.drop(2).forall(_.foldable))
+      return TypeCheckResult.TypeCheckFailure(
+        "graft_cpc_encode: w, bias, k2 must be literals (weights are inputs)")
+    val d3 = ArrayType(ArrayType(ArrayType(DoubleType, false), false), false)
+    val d1 = ArrayType(DoubleType, false)
+    def sameShape(t: DataType, want: DataType): Boolean = (t, want) match {
+      case (ArrayType(a, _), ArrayType(b, _)) => sameShape(a, b)
+      case (a, b) => a == b
+    }
+    // fail ANALYSIS with a real message, not a per-row executor CCE
+    // (the registry's arity-check discipline)
+    (children(0).dataType, children(1).dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+        if (!sameShape(children(2).dataType, d3))
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_cpc_encode: w must be ARRAY<ARRAY<ARRAY<DOUBLE>>>, got " +
+              children(2).dataType.simpleString)
+        else if (!sameShape(children(3).dataType, d1) ||
+            !sameShape(children(4).dataType, d1))
+          TypeCheckResult.TypeCheckFailure(
+            "graft_cpc_encode: bias and k2 must be ARRAY<DOUBLE>")
+        else {
+          // shapes are foldable — validate bias/out-channel agreement
+          // at analysis too
+          val wv = children(2).eval().asInstanceOf[ArrayData]
+          val bv = children(3).eval().asInstanceOf[ArrayData]
+          if (wv == null || bv == null)
+            TypeCheckResult.TypeCheckFailure(
+              "graft_cpc_encode: w and bias must be non-null literals")
+          else if (bv.numElements() != wv.numElements())
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_cpc_encode: bias has ${bv.numElements()} entries but " +
+                s"w has ${wv.numElements()} output channels")
+          else TypeCheckResult.TypeCheckSuccess
+        }
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"graft_cpc_encode: v must be ARRAY<DOUBLE> and q ARRAY<INT>, " +
           s"got ${a.simpleString} / ${b.simpleString}")

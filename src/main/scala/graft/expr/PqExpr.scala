@@ -78,17 +78,27 @@ object PqEncodeExpr {
     while (mi < m) {
       val cws = cb.getArray(mi)
       val k = cws.numElements()
+      if (k == 0)
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: sub-space $mi has no codewords")
+      // ONE dimensionality per sub-space: a ragged codebook (codewords
+      // of different lengths inside one sub-space) would compare
+      // distances across different dimensionalities — reject it rather
+      // than rank on meaningless numbers
+      val sub = cws.getArray(0).numElements()
+      if (off + sub > n)
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: vector has $n elements but sub-space $mi " +
+            s"needs [${off}, ${off + sub}) — codebook/vector geometry mismatch")
       var best = 0
       var bestD = Double.PositiveInfinity
       var j = 0
-      var sub = 0
       while (j < k) {
         val cw = cws.getArray(j)
-        sub = cw.numElements()
-        if (off + sub > n)
+        if (cw.numElements() != sub)
           throw new IllegalArgumentException(
-            s"graft_pq_encode: vector has $n elements but sub-space $mi " +
-              s"needs [${off}, ${off + sub}) — codebook/vector geometry mismatch")
+            s"graft_pq_encode: ragged codebook — sub-space $mi codeword $j " +
+              s"has ${cw.numElements()} dims, expected $sub")
         var d = 0.0
         i = 0
         while (i < sub) {

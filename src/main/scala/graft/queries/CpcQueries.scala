@@ -20,10 +20,13 @@ import graft.ops.{ArrayOps, Cpc, Fft, Metrics, SeriesOps}
 object CpcQueries {
 
   private val K = 2
-  private lazy val gru = Cpc.demoWeights(2)
-  private val encBias = Seq(0.05, -0.05)
-  private val conv2Kernel = Seq(0.3, 0.5, 0.2)
-  private lazy val encW: Seq[Seq[Seq[Double]]] = {
+  // private[graft]: CpcSpec pins the native encoder bit-equal to the
+  // HOF chain on the PRODUCTION weights — a duplicated generator in
+  // the spec would keep passing on stale weights if these change
+  private[graft] lazy val gru = Cpc.demoWeights(2)
+  private[graft] val encBias = Seq(0.05, -0.05)
+  private[graft] val conv2Kernel = Seq(0.3, 0.5, 0.2)
+  private[graft] lazy val encW: Seq[Seq[Seq[Double]]] = {
     var st = 2026L
     def nxt(): Double = {
       st = st * 6364136223846793005L + 1442695040888963407L

@@ -47,13 +47,19 @@ object StreamingQueries {
     * spillable state share); results are partition-count-independent
     * either way (all gates are deterministic per-key folds or
     * watermark-emitted aggregations), which is why the conf swap is
-    * safe. The session value is restored after each gate. */
+    * safe. The session value is restored after each gate. A real
+    * deployment overrides the default via
+    * `spark.graft.streaming.statePartitions` (set it to the
+    * state-volume-sized count; it is used as given, no clamp). */
   private val StatePartitions = 8
 
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, StatePartitions).toString)
+    val target = s.conf.getOption("spark.graft.streaming.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.min(prev.toInt, StatePartitions))
+    s.conf.set(key, target.toString)
     try body finally s.conf.set(key, prev)
   }
 

@@ -131,17 +131,12 @@ class CpcSpec extends SparkSpec {
     // relu, ((w·x)+b)+Σ gate linears), so the contract is ==, not ≈ —
     // the same discipline as graft_simhash32 / the native matVec
     val s = spark
-    val encW = {
-      var st = 2026L
-      def nxt(): Double = {
-        st = st * 6364136223846793005L + 1442695040888963407L
-        ((st >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-      }
-      Seq.fill(2)(Seq.fill(16)(Seq.fill(3)(nxt())))
-    }
-    val encBias = Seq(0.05, -0.05)
-    val k2 = Seq(0.3, 0.5, 0.2)
-    val gruW = Cpc.demoWeights(2)
+    // the PRODUCTION q75 weights, not a copy — if CpcQueries ever
+    // regenerates them, this pin must follow
+    val encW = graft.queries.CpcQueries.encW
+    val encBias = graft.queries.CpcQueries.encBias
+    val k2 = graft.queries.CpcQueries.conv2Kernel
+    val gruW = graft.queries.CpcQueries.gru
     val e = graft.Tables.events(s, "/root/testdata/sf0.001")
       .withColumn("quality", pmod(col("event_id"), lit(16)).cast("int"))
     val series = graft.ops.SeriesOps.assemble(e, col("user_id"), col("ts"),
