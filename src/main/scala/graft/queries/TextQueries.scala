@@ -472,7 +472,151 @@ object TextQueries {
       | CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
       |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
 
+  /** q126: repetition-based QUALITY FILTER — the Gopher-family per-doc
+    * repetition metrics (Rae et al. 2021 §A1.1; RefinedWeb/Dolma run
+    * the same screens) with a keep/drop verdict per document, rolled
+    * up by source: top-bigram occurrence fraction (how much of the doc
+    * is one repeated word pair) and repeated-token ratio (1 − TTR).
+    * Drop rule: top_bg_frac > 0.05 OR rep_ratio > 0.6 (calibrated on
+    * this corpus: medians 0.033 / 0.54 — both sides of each screen are
+    * populated).
+    *
+    * Scale: one scan, all metrics row-local HOFs. The top-bigram count
+    * is a SORT-then-max-run-length fold — O(L log L) per doc — not the
+    * O(L²) distinct×filter spelling, because at 100 TB the corpus has
+    * million-token documents where L² is the difference between a scan
+    * and a stall. The oracle computes the same number relationally
+    * (unnest → GROUP BY doc,bigram → max(count)): semantics, not
+    * spelling, are what the gate pins. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .withColumn("bgs", when(size($"t") >= 2, expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .otherwise(expr("array()")))
+      // max run length in the sorted bigram array == max bigram count
+      .withColumn("top_bg_cnt", expr(
+        "aggregate(array_sort(bgs), " +
+          "named_struct('prev', '', 'run', 0, 'best', 0), " +
+          "(acc, x) -> named_struct(" +
+          "  'prev', x, " +
+          "  'run', if(x = acc.prev, acc.run + 1, 1), " +
+          "  'best', greatest(acc.best, if(x = acc.prev, acc.run + 1, 1))), " +
+          "acc -> acc.best)"))
+      .withColumn("top_bg_frac",
+        $"top_bg_cnt" / greatest(size($"bgs"), lit(1)).cast("double"))
+      .withColumn("rep_ratio",
+        lit(1.0) - size(array_distinct($"t")) / size($"t").cast("double"))
+      .withColumn("keep", $"top_bg_frac" <= 0.05 && $"rep_ratio" <= 0.6)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+        round(avg($"top_bg_frac"), 6).as("avg_top_bigram_frac"),
+        round(avg($"rep_ratio"), 6).as("avg_rep_token_ratio"),
+        sum(when($"keep", $"doc_id")).as("kept_checksum"))
+      .orderBy($"source")
+  }
+
+  private val q126Sql =
+    """WITH d AS (
+      | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      | SELECT doc_id, source, t,
+      |  CASE WHEN len(t) >= 2 THEN
+      |    list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i + 1])
+      |  ELSE [] END AS bgs
+      | FROM d),
+      |cnt AS (
+      | SELECT doc_id, max(c) AS top_bg_cnt FROM (
+      |  SELECT doc_id, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+      |  GROUP BY doc_id, b)
+      | GROUP BY doc_id),
+      |m AS (
+      | SELECT bg.doc_id, source,
+      |  coalesce(top_bg_cnt, 0) / CAST(greatest(len(bgs), 1) AS DOUBLE)
+      |    AS top_bg_frac,
+      |  1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS rep_ratio
+      | FROM bg LEFT JOIN cnt ON bg.doc_id = cnt.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN top_bg_frac > 0.05 OR rep_ratio > 0.6
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      | round(avg(top_bg_frac), 6) AS avg_top_bigram_frac,
+      | round(avg(rep_ratio), 6) AS avg_rep_token_ratio,
+      | CAST(sum(CASE WHEN top_bg_frac <= 0.05 AND rep_ratio <= 0.6
+      |   THEN doc_id END) AS BIGINT) AS kept_checksum
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  /** q127: DOMAIN-MIXTURE sampling — downsample each source to a target
+    * mixture weight (the Pile/Dolma "mixing" step; q38's uniform
+    * balance is the all-weights-equal special case). Weights are
+    * integers (w_g = 1 + src_idx mod 3); the kept count is
+    * n_keep_g = w_g · T with T = min_g ⌊n_g / w_g⌋ — the LARGEST total
+    * whose per-source counts are exactly proportional to the weights
+    * and feasible in every source. All-integer arithmetic: no
+    * cross-engine floor(float) boundary risk. Selection inside a
+    * source is the md5-rank contract shared with q19/q38/q96.
+    *
+    * Scale: one pass for counts (tiny, broadcast back), one window
+    * rank per source partition — no shuffle beyond the rank's
+    * hash-partition by source; at 100 TB the rank is the only
+    * per-row cost and T is a driver-side scalar. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir)
+      .withColumn("src_idx",
+        regexp_extract($"source", "src(\\d+)", 1).cast("int"))
+      .withColumn("w", (lit(1) + pmod($"src_idx", lit(3))).cast("long"))
+    val caps = d.groupBy($"source", $"w")
+      .agg(count(lit(1)).as("n_orig"))
+      .agg(min(floor($"n_orig" / $"w")).cast("long").as("t_units"))
+    val rk = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("mix:"), $"doc_id")), $"doc_id")
+    d.withColumn("rk", row_number().over(rk))
+      .crossJoin(broadcast(caps))
+      .groupBy($"source", $"w")
+      .agg(
+        count(lit(1)).as("n_orig"),
+        sum(when($"rk" <= $"w" * $"t_units", 1L).otherwise(0L))
+          .as("n_keep"),
+        sum(when($"rk" <= $"w" * $"t_units", $"doc_id")).as("kept_checksum"))
+      .withColumn("target_weight", $"w")
+      .select($"source", $"n_orig", $"target_weight", $"n_keep",
+        $"kept_checksum")
+      .orderBy($"source")
+  }
+
+  private val q127Sql =
+    """WITH d AS (
+      | SELECT doc_id, source,
+      |  1 + (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 3) AS w
+      | FROM documents),
+      |caps AS (
+      | SELECT min(n_orig // w) AS t_units FROM
+      |  (SELECT source, w, count(*) AS n_orig FROM d GROUP BY source, w)),
+      |r AS (
+      | SELECT doc_id, source, w,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(concat('mix:', CAST(doc_id AS VARCHAR))), doc_id)
+      |    AS rk
+      | FROM d)
+      |SELECT source, count(*) AS n_orig,
+      | CAST(w AS BIGINT) AS target_weight,
+      | CAST(sum(CASE WHEN rk <= w * t_units THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_keep,
+      | CAST(sum(CASE WHEN rk <= w * t_units THEN doc_id END) AS BIGINT)
+      |   AS kept_checksum
+      |FROM r CROSS JOIN caps GROUP BY source, w ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q126_repetition_filter", q126, Some(q126Sql),
+      "Gopher-style repetition quality filter (sort-fold top-bigram)"),
+    Q("q127_domain_mixture", q127, Some(q127Sql),
+      "domain-mixture sampling to integer target weights"),
     Q("q125_heavy_hitters", q125, Some(q125Sql),
       "Space-Saving heavy hitters (native O(k) summary, exact-regime oracle)"),
     Q("q96_weighted_sample", q96, Some(q96Sql),
