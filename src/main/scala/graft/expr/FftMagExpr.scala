@@ -118,6 +118,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_gru_scan"),
       new ExpressionInfo(classOf[GruScanExpr].getName, "graft_gru_scan"),
       GraftFunctions.gruScanBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      GraftFunctions.bloomAggBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      GraftFunctions.bloomContainsBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -133,6 +141,8 @@ object GraftFunctions {
   private val topKFreqId = FunctionIdentifier("graft_topk_freq")
   private val cpcEncodeId = FunctionIdentifier("graft_cpc_encode")
   private val gruScanId = FunctionIdentifier("graft_gru_scan")
+  private val bloomAggId = FunctionIdentifier("graft_bloom_agg")
+  private val bloomContainsId = FunctionIdentifier("graft_bloom_contains")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -173,6 +183,13 @@ object GraftFunctions {
   }
   private[expr] val gruScanBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_gru_scan", 2, ch); GruScanExpr(ch(0), ch(1))
+  }
+  private[expr] val bloomAggBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_bloom_agg", 3, ch)
+    BloomAgg(ch(0), ch(1), ch(2)).toAggregateExpression()
+  }
+  private[expr] val bloomContainsBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_bloom_contains", 2, ch); BloomContainsExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -237,6 +254,18 @@ object GraftFunctions {
         new ExpressionInfo(classOf[GruScanExpr].getName, "graft_gru_scan"),
         gruScanBuilder)
     }
+    if (!registry.functionExists(bloomAggId)) {
+      registry.registerFunction(
+        bloomAggId,
+        new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+        bloomAggBuilder)
+    }
+    if (!registry.functionExists(bloomContainsId)) {
+      registry.registerFunction(
+        bloomContainsId,
+        new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+        bloomContainsBuilder)
+    }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
     // the optimizer's final user-provided batch
@@ -292,6 +321,20 @@ object GraftFunctions {
     register(spark)
     call_function("graft_topk_freq", key,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** bloom-filter build aggregate (native; blob carries k + nbits). */
+  def bloomAgg(spark: SparkSession, key: Column, nbits: Long, k: Int): Column = {
+    register(spark)
+    call_function("graft_bloom_agg", key,
+      org.apache.spark.sql.functions.lit(nbits),
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** bloom-filter membership probe (native; geometry from the blob). */
+  def bloomContains(spark: SparkSession, bloom: Column, key: Column): Column = {
+    register(spark)
+    call_function("graft_bloom_contains", bloom, key)
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

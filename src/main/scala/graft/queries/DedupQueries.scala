@@ -718,7 +718,95 @@ object DedupQueries {
       |WHERE levenshtein(a.pfx, b.pfx) <= 16
       |ORDER BY dist, probe_id, match_id""".stripMargin
 
+  /** q128: BLOOM-FILTER DECONTAMINATION — screen the training corpus
+    * against a benchmark set with the native `graft_bloom_agg` /
+    * `graft_bloom_contains` pair: build one bloom over the benchmark's
+    * 3-token shingles (a deterministic ~5% md5 split stands in for the
+    * held-out suite), broadcast the blob, drop any corpus doc whose
+    * shingle probes hit. The error is one-sided BY DESIGN: a probe can
+    * false-positive (over-drop a clean doc; at this sizing —
+    * nbits = 2²⁴, k = 5, ~14 k inserted shingles at sf0.1 — the
+    * per-probe FP odds are ~10⁻¹², so the gate result equals the exact
+    * screen) but never false-negative: contamination always drops.
+    *
+    * Scale (the reason this operator exists next to q47's exact LSH
+    * matrix): the exact screen shuffles CORPUS-side shingles — at
+    * 100 TB that is the pipeline's dominant shuffle. Here the filter
+    * is built from the SMALL side only (benchmark suites are MBs; no
+    * distinct needed — bloom inserts are idempotent), broadcast once
+    * (~100 MB covers ~10⁸ benchmark shingles at 10 bits/key ≈ 1% FP),
+    * and the corpus pass is an embarrassingly parallel scan with ZERO
+    * corpus-side shuffle. Sizing rule is in the blob: nbits trades FP
+    * rate against partial-merge traffic (one blob per map partition
+    * reaches the final merge — size nbits to the benchmark, not the
+    * corpus). BloomSpec pins no-false-negatives, partition-layout
+    * independence of the blob, and the FP rate on an undersized
+    * filter; the oracle pins equality with the exact semi-join screen
+    * at gate sizing. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir)
+      .withColumn("hx",
+        substring(md5(concat(lit("bench:"), $"doc_id")), 1, 2))
+      .withColumn("t", toks($"text"))
+      .withColumn("shs", when(size($"t") >= 3, expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
+          "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+        .otherwise(expr("array()")))
+    // materialize the blob ONCE and embed it as a plan literal (the
+    // broadcast-scalar pattern of IterativeState): a crossJoin would
+    // copy the 2 MB blob into every joined UnsafeRow — measured 14.1 s
+    // vs 1.3 s at sf0.1 for the same semantics
+    // coalesce(8): each partial buffer is a full nbits/8-byte blob, so
+    // partial-agg traffic is partitions × blob size — right-size the
+    // build parallelism to the (small) benchmark side, not the corpus
+    val blob: Array[Byte] = d.filter($"hx" < "0d")
+      .select(explode($"shs").as("sh"))
+      .coalesce(8)
+      .agg(graft.expr.GraftFunctions
+        .bloomAgg(s, $"sh", 1L << 24, 5).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    d.filter($"hx" >= "0d")
+      .withColumn("hit", exists($"shs",
+        sh => graft.expr.GraftFunctions.bloomContains(s, lit(blob), sh)))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!$"hit", $"doc_id")).as("kept_checksum"))
+      .orderBy($"source")
+  }
+
+  private val q128Sql =
+    """WITH d AS (
+      | SELECT doc_id, source, string_split(text, ' ') AS t,
+      |  substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 2) AS hx
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, source, hx,
+      |  CASE WHEN len(t) >= 3 THEN
+      |    list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+      |  ELSE [] END AS shs
+      | FROM d),
+      |bench_sh AS (
+      | SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE hx < '0d'),
+      |corpus AS (SELECT doc_id, source, shs FROM sh WHERE hx >= '0d'),
+      |hit AS (
+      | SELECT DISTINCT c.doc_id
+      | FROM (SELECT doc_id, unnest(shs) AS sh FROM corpus) c
+      | JOIN bench_sh b ON c.sh = b.sh)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_dropped,
+      | CAST(sum(CASE WHEN h.doc_id IS NULL THEN corpus.doc_id END)
+      |   AS BIGINT) AS kept_checksum
+      |FROM corpus LEFT JOIN hit h ON corpus.doc_id = h.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q128_bloom_decontaminate", q128, Some(q128Sql),
+      "bloom-filter corpus decontamination (native agg, zero corpus shuffle)"),
     Q("q119_fuzzy_editdist", q119, Some(q119Sql),
       "edit-distance fuzzy near-dup candidates (blocked prefix Levenshtein)"),
     Q("q117_curation_pipeline", q117, Some(q117Sql),
