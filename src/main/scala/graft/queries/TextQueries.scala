@@ -612,7 +612,92 @@ object TextQueries {
       |   AS kept_checksum
       |FROM r CROSS JOIN caps GROUP BY source, w ORDER BY source""".stripMargin
 
+  /** q129: LM-PERPLEXITY quality scoring — the CCNet-family filter
+    * (Wenzek et al. 2020): score every document by its mean negative
+    * log-likelihood under an interpolated bigram language model and
+    * flag the worst tail. The LM here is corpus-self (p₂ = c(w₁w₂)/
+    * c(w₁), p₁ = c(w)/N; score = −ln(0.7·p₂ + 0.3·p₁) averaged over
+    * a doc's adjacent pairs; a production run would fit the counts on
+    * a held-out high-quality corpus — same plan, different input).
+    * Flag threshold 3.42 ≈ the corpus p80 (calibrated; both sides of
+    * the screen populated in every source).
+    *
+    * Scale: counts are two explode → groupBy passes with map-side
+    * partials (vocab and bigram tables ≪ corpus); scoring re-joins
+    * the pair stream to the two count tables — SHUFFLE joins on
+    * (w1, w2) and w by design, because a real LM's vocabulary/bigram
+    * tables don't broadcast (q115's rationale); then one groupBy doc
+    * and one tiny rollup. Every join key is the natural hash key; no
+    * join ever touches more than the pair stream. Interpolation
+    * means every scored pair EXISTS in both count tables (corpus-self
+    * guarantees c₁₂ ≥ 1), so the joins are inner with no null legs. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir).withColumn("t", toks($"text"))
+    val tok = d.select(explode($"t").as("w"))
+    val c1 = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    val pairs = d.filter(size($"t") >= 2)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> named_struct('w1', element_at(t, i), " +
+          "'w2', element_at(t, i + 1)))")).as("pr"))
+      .select($"doc_id", $"source", $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val c12 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val docNll = pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1a"),
+        Seq("w1"))
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "c1b"),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("nll", -log(lit(0.7) * $"c12" / $"c1a" +
+        lit(0.3) * $"c1b" / $"n"))
+      .groupBy($"doc_id", $"source")
+      .agg(avg($"nll").as("doc_nll"))
+    docNll.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"doc_nll"), 6).as("avg_nll"),
+        sum(when($"doc_nll" > 3.42, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when($"doc_nll" > 3.42, $"doc_id")).as("flagged_checksum"))
+      .orderBy($"source")
+  }
+
+  private val q129Sql =
+    """WITH d AS (
+      | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT unnest(t) AS w FROM d),
+      |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |n AS (SELECT count(*) AS n FROM tok),
+      |pairs AS (
+      | SELECT doc_id, source,
+      |  unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS pr
+      | FROM d WHERE len(t) >= 2),
+      |p AS (SELECT doc_id, source, pr.w1 AS w1, pr.w2 AS w2 FROM pairs),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+      |scored AS (
+      | SELECT doc_id, source,
+      |  -ln(0.7 * c12.c12 / c1a.c + 0.3 * c1b.c / n.n) AS nll
+      | FROM p JOIN c12 USING (w1, w2)
+      | JOIN c1 c1a ON c1a.w = p.w1
+      | JOIN c1 c1b ON c1b.w = p.w2
+      | CROSS JOIN n),
+      |docnll AS (
+      | SELECT doc_id, source, avg(nll) AS doc_nll
+      | FROM scored GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs,
+      | round(avg(doc_nll), 6) AS avg_nll,
+      | CAST(sum(CASE WHEN doc_nll > 3.42 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_flagged,
+      | CAST(sum(CASE WHEN doc_nll > 3.42 THEN doc_id END) AS BIGINT)
+      |   AS flagged_checksum
+      |FROM docnll GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q129_lm_perplexity", q129, Some(q129Sql),
+      "interpolated-bigram LM perplexity quality filter (CCNet-style)"),
     Q("q126_repetition_filter", q126, Some(q126Sql),
       "Gopher-style repetition quality filter (sort-fold top-bigram)"),
     Q("q127_domain_mixture", q127, Some(q127Sql),
