@@ -181,7 +181,13 @@ object BloomExpr {
     * probe bit (BE long layout: bit b of word w lives in blob byte
     * 4 + w·8 + (7 − b/8), bit b mod 8), no per-row allocation. */
   def contains(blob: Array[Byte], key: UTF8String): Boolean = {
-    if (blob.length < 12 || ((blob.length - 4) & 7) != 0)
+    // nbits must be the power of two the build enforced: a truncated
+    // blob would otherwise probe under a wrong mask and could answer
+    // a silent FALSE NEGATIVE — the one error direction this screen
+    // must never have
+    val payloadBits = (blob.length - 4).toLong << 3
+    if (blob.length < 12 || ((blob.length - 4) & 7) != 0 ||
+        (payloadBits & (payloadBits - 1)) != 0)
       throw new IllegalArgumentException(
         s"graft_bloom_contains: malformed bloom blob (${blob.length} bytes)" +
           " — not produced by graft_bloom_agg")
@@ -190,8 +196,7 @@ object BloomExpr {
     if (k < 1 || k > 16)
       throw new IllegalArgumentException(
         s"graft_bloom_contains: malformed bloom blob (k = $k)")
-    val nbits = (blob.length - 4).toLong << 3
-    val mask = nbits - 1L
+    val mask = payloadBits - 1L
     val h1 = XXH64.hashUnsafeBytes(
       key.getBaseObject, key.getBaseOffset, key.numBytes, Seed1)
     val h2 = XXH64.hashUnsafeBytes(

@@ -725,9 +725,11 @@ object DedupQueries {
     * held-out suite), broadcast the blob, drop any corpus doc whose
     * shingle probes hit. The error is one-sided BY DESIGN: a probe can
     * false-positive (over-drop a clean doc; at this sizing —
-    * nbits = 2²⁴, k = 5, ~14 k inserted shingles at sf0.1 — the
-    * per-probe FP odds are ~10⁻¹², so the gate result equals the exact
-    * screen) but never false-negative: contamination always drops.
+    * nbits = 2²⁶, k = 5 — the per-probe FP odds are ~10⁻¹⁵ at sf0.1's
+    * ~14 k inserted shingles and still ~10⁻¹⁰ at the sf1 replica's
+    * ~140 k, so the result equals the exact screen by real margin at
+    * every SF this repo runs, not dataset luck) but never
+    * false-negative: contamination always drops.
     *
     * Scale (the reason this operator exists next to q47's exact LSH
     * matrix): the exact screen shuffles CORPUS-side shingles — at
@@ -755,8 +757,8 @@ object DedupQueries {
         .otherwise(expr("array()")))
     // materialize the blob ONCE and embed it as a plan literal (the
     // broadcast-scalar pattern of IterativeState): a crossJoin would
-    // copy the 2 MB blob into every joined UnsafeRow — measured 14.1 s
-    // vs 1.3 s at sf0.1 for the same semantics
+    // copy the blob into every joined UnsafeRow — measured 14.1 s
+    // vs 2.6 s at sf0.1 for the same semantics (build job included)
     // coalesce(8): each partial buffer is a full nbits/8-byte blob, so
     // partial-agg traffic is partitions × blob size — right-size the
     // build parallelism to the (small) benchmark side, not the corpus
@@ -764,7 +766,7 @@ object DedupQueries {
       .select(explode($"shs").as("sh"))
       .coalesce(8)
       .agg(graft.expr.GraftFunctions
-        .bloomAgg(s, $"sh", 1L << 24, 5).as("bloom"))
+        .bloomAgg(s, $"sh", 1L << 26, 5).as("bloom"))
       .head().getAs[Array[Byte]](0)
     d.filter($"hx" >= "0d")
       .withColumn("hit", exists($"shs",

@@ -573,7 +573,7 @@ object TextQueries {
       .withColumn("w", (lit(1) + pmod($"src_idx", lit(3))).cast("long"))
     val caps = d.groupBy($"source", $"w")
       .agg(count(lit(1)).as("n_orig"))
-      .agg(min(floor($"n_orig" / $"w")).cast("long").as("t_units"))
+      .agg(min(expr("n_orig div w")).as("t_units"))
     val rk = org.apache.spark.sql.expressions.Window.partitionBy($"source")
       .orderBy(md5(concat(lit("mix:"), $"doc_id")), $"doc_id")
     d.withColumn("rk", row_number().over(rk))
