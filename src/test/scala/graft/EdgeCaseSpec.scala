@@ -159,4 +159,40 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("q126 sort-fold max-run-length equals brute-force max bigram count") {
+    // the O(L log L) fold the repetition filter runs per doc, pinned
+    // against the obvious O(L²) count on random token streams
+    // (deterministic LCG) plus the degenerate shapes
+    val foldExpr =
+      "aggregate(array_sort(bgs), " +
+        "named_struct('prev', '', 'run', 0, 'best', 0), " +
+        "(acc, x) -> named_struct(" +
+        "  'prev', x, " +
+        "  'run', if(x = acc.prev, acc.run + 1, 1), " +
+        "  'best', greatest(acc.best, if(x = acc.prev, acc.run + 1, 1))), " +
+        "acc -> acc.best)"
+    var st = 7L
+    def nxt(m: Int): Int = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33) % m) + m).toInt % m
+    }
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("a"), Seq("a", "a", "a")) ++
+        Seq.fill(40)(Seq.fill(2 + nxt(60))(s"w${nxt(5)}"))
+    val got = cases.zipWithIndex
+      .map { case (t, i) => (i, t.toArray) }.toDF("i", "t")
+      .withColumn("bgs", when(size($"t") >= 2, expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .otherwise(expr("array()")))
+      .withColumn("top", expr(foldExpr))
+      .select($"i", $"top").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      val bgs = t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val want = if (bgs.isEmpty) 0 else bgs.groupBy(identity).map(_._2.size).max
+      assert(got(i) == want, s"case $i: fold ${got(i)} != brute $want")
+    }
+  }
 }

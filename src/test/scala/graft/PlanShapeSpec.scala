@@ -172,4 +172,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       p.take(800))
   }
+
+  test("q128: the corpus probe plan is join-free (blob is a literal)") {
+    // the regression this locks: attaching the one-row bloom blob via
+    // crossJoin copies the multi-MB binary into every joined UnsafeRow
+    // — measured 14.1 s vs 2.6 s at sf0.1. The blob must enter the
+    // probe plan as a LITERAL; the only exchange is the source rollup
+    val p = plan("q128_bloom_decontaminate")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("graft_bloom_contains"), p.take(1500))
+  }
+
+  test("q126: single-scan rollup, no join, repetition fold row-local") {
+    val p = plan("q126_repetition_filter")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      p.take(1500))
+  }
+
+  test("q129: LM scoring joins are hash-keyed, never cartesian on the pair stream") {
+    // the only nested-loop join allowed is the broadcast of the
+    // one-row token-total scalar; the pair-stream joins must be
+    // hash-keyed (shuffle or broadcast — both fine; a real LM's
+    // tables shuffle)
+    val p = plan("q129_lm_perplexity")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashJoin|SortMergeJoin".r.findAllIn(p).nonEmpty, p.take(1500))
+  }
 }
