@@ -550,7 +550,88 @@ object StreamingQueries {
       |SELECT * FROM matched UNION ALL SELECT * FROM abandoned
       |ORDER BY user_id, click_id, purch_id""".stripMargin
 
+  /** q130: STREAMING-INGEST DECONTAMINATION — q128's bloom screen as
+    * the shape a production pipeline actually runs it: the benchmark
+    * filter is built ONCE in batch (small side), then newly-arriving
+    * corpus documents stream through a stateless
+    * `graft_bloom_contains` filter into the cleaned-corpus sink. The
+    * one §2.10 operator class the other ten gates don't cover: a
+    * stateless transform (no watermark, no state store — per-batch
+    * filtering with a plan-literal filter blob), and the first gate
+    * composing a native graft expression inside a StreamingQuery.
+    * Scale: the stream side never shuffles (filter + project only);
+    * re-pointing the filter at a refreshed benchmark is a stream
+    * restart with a new literal, state-free by construction. The
+    * sink-side rollup (per-source kept count + checksum) matches the
+    * exact batch screen's kept set — FP margin per q128. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shingleExpr =
+      "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+    // batch-side build, identical to q128's benchmark split
+    val blob: Array[Byte] = graft.Tables.documents(s, dir)
+      .withColumn("hx",
+        substring(md5(concat(lit("bench:"), $"doc_id")), 1, 2))
+      .filter($"hx" < "0d")
+      .withColumn("t", split($"text", " "))
+      .withColumn("shs",
+        when(size($"t") >= 3, expr(shingleExpr)).otherwise(expr("array()")))
+      .select(explode($"shs").as("sh"))
+      .coalesce(8)
+      .agg(graft.expr.GraftFunctions
+        .bloomAgg(s, $"sh", 1L << 26, 5).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    graft.Scratch.withScratchDir("graft_q130") { scratch =>
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(sch).option("basePath", dir)
+        .parquet(s"$dir/{documents}.parquet")
+      val cleaned = docs
+        .withColumn("hx",
+          substring(md5(concat(lit("bench:"), $"doc_id")), 1, 2))
+        .filter($"hx" >= "0d")
+        .withColumn("t", split($"text", " "))
+        .withColumn("shs",
+          when(size($"t") >= 3, expr(shingleExpr)).otherwise(expr("array()")))
+        .filter(!exists($"shs",
+          sh => graft.expr.GraftFunctions.bloomContains(s, lit(blob), sh)))
+        .select($"doc_id", $"source")
+      runToSink(s, cleaned, scratch)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"doc_id").as("kept_checksum"))
+        .orderBy($"source")
+    }
+  }
+
+  private val q130Sql =
+    """WITH d AS (
+      | SELECT doc_id, source, string_split(text, ' ') AS t,
+      |  substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 2) AS hx
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, source, hx,
+      |  CASE WHEN len(t) >= 3 THEN
+      |    list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+      |  ELSE [] END AS shs
+      | FROM d),
+      |bench_sh AS (
+      | SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE hx < '0d'),
+      |corpus AS (SELECT doc_id, source, shs FROM sh WHERE hx >= '0d'),
+      |hit AS (
+      | SELECT DISTINCT c.doc_id
+      | FROM (SELECT doc_id, unnest(shs) AS sh FROM corpus) c
+      | JOIN bench_sh b ON c.sh = b.sh)
+      |SELECT source, count(*) AS n_kept,
+      | CAST(sum(corpus.doc_id) AS BIGINT) AS kept_checksum
+      |FROM corpus LEFT JOIN hit h ON corpus.doc_id = h.doc_id
+      |WHERE h.doc_id IS NULL
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q130_stream_decontaminate", q130, Some(q130Sql),
+      "§2.10 streaming-ingest bloom screen (stateless transform, native expr in a StreamingQuery)"),
     Q("q123_stream_outer_join", q123, Some(q123Sql),
       "§2.10 stream-stream LEFT OUTER interval join (watermark-triggered null-extension)"),
     Q("q116_stream_join", q116, Some(q116Sql),
