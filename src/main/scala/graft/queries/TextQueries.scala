@@ -695,7 +695,69 @@ object TextQueries {
       |   AS flagged_checksum
       |FROM docnll GROUP BY source ORDER BY source""".stripMargin
 
+  /** q131: SHARD PACKING — assign documents to fixed-token-budget
+    * training shards (B = 4096), the step between curation and
+    * tokenized training: per language, docs in deterministic md5
+    * order, shard(doc) = ⌊cum_tokens_before / B⌋ (streaming next-fit
+    * by start offset: shards fill in order, a doc starts in the shard
+    * where its offset lands, no doc is split). All-integer window
+    * arithmetic — the assignment is exact cross-engine; the rollup's
+    * placement checksum Σ(shard·doc_id) pins EVERY doc's shard, not
+    * just the counts.
+    *
+    * Scale: one shuffle by lang + an in-partition sort for the
+    * cumulative sum. A single language's running sum is inherently
+    * sequential — at 100 TB the lever is hierarchical packing (pack
+    * within buckets of the md5 key space, then offset each bucket by
+    * the preceding buckets' shard count — two window passes, same
+    * assignment), which keeps the sort bounded per bucket. The
+    * test-SF form is the one-level special case. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 4096L
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("pack:"), $"doc_id")), $"doc_id")
+    documents(s, dir)
+      .withColumn("n_tok", size(toks($"text")).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum($"n_tok").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("shard", expr(s"cum_before div ${B}L"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        (max($"shard") + 1L).as("n_shards"),
+        round(sum($"n_tok") / ((max($"shard") + 1L) * B).cast("double"), 6)
+          .as("fill_ratio"),
+        sum($"shard" * $"doc_id").as("placement_checksum"))
+      .orderBy($"lang")
+  }
+
+  private val q131Sql =
+    """WITH d AS (
+      | SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      | FROM documents),
+      |o AS (
+      | SELECT doc_id, lang, n_tok,
+      |  coalesce(sum(n_tok) OVER (PARTITION BY lang
+      |    ORDER BY md5(concat('pack:', CAST(doc_id AS VARCHAR))), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS cum_before
+      | FROM d),
+      |sh AS (SELECT doc_id, lang, n_tok, cum_before // 4096 AS shard FROM o)
+      |SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      | CAST(max(shard) + 1 AS BIGINT) AS n_shards,
+      | round(sum(n_tok) / CAST((max(shard) + 1) * 4096 AS DOUBLE), 6)
+      |   AS fill_ratio,
+      | CAST(sum(shard * doc_id) AS BIGINT) AS placement_checksum
+      |FROM sh GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q131_shard_packing", q131, Some(q131Sql),
+      "fixed-token-budget shard packing (deterministic next-fit)"),
     Q("q129_lm_perplexity", q129, Some(q129Sql),
       "interpolated-bigram LM perplexity quality filter (CCNet-style)"),
     Q("q126_repetition_filter", q126, Some(q126Sql),
