@@ -745,30 +745,50 @@ object DedupQueries {
     * independence of the blob, and the FP rate on an undersized
     * filter; the oracle pins equality with the exact semi-join screen
     * at gate sizing. */
+  /** ONE definition of the q128/q130 decontamination screen: the
+    * benchmark split predicate, shingle spelling, and bloom geometry.
+    * q130 (the streaming-ingest form of the same screen) builds from
+    * these too — retuning the screen retunes both gates together. */
+  private[queries] object BloomScreen {
+    /** benchmark split: md5("bench:"+doc_id) first-2-hex < "0d" ≈ 5%. */
+    def withBenchSplit(d: DataFrame): DataFrame =
+      d.withColumn("hx",
+        substring(md5(concat(lit("bench:"), col("doc_id"))), 1, 2))
+    val BenchMax = "0d"
+    /** 3-token shingles over column `t` (empty below 3 tokens). */
+    val ShingleExpr: String =
+      "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+    def withShingles(d: DataFrame): DataFrame =
+      d.withColumn("t", split(col("text"), " "))
+        .withColumn("shs", when(size(col("t")) >= 3, expr(ShingleExpr))
+          .otherwise(expr("array()")))
+    val NBits = 1L << 26
+    val K = 5
+    /** build the benchmark filter and materialize it ONCE as a blob
+      * for plan-literal embedding (the IterativeState broadcast-scalar
+      * pattern): a crossJoin would copy the blob into every joined
+      * UnsafeRow — measured 14.1 s vs 2.6 s at sf0.1 for the same
+      * semantics (build job included). coalesce(8): each partial
+      * buffer is a full nbits/8-byte blob, so partial-agg traffic is
+      * partitions × blob size — right-size the build parallelism to
+      * the (small) benchmark side, not the corpus. */
+    def benchBlob(s: SparkSession, dir: String): Array[Byte] =
+      withShingles(withBenchSplit(documents(s, dir))
+        .filter(col("hx") < BenchMax))
+        .select(explode(col("shs")).as("sh"))
+        .coalesce(8)
+        .agg(graft.expr.GraftFunctions
+          .bloomAgg(s, col("sh"), NBits, K).as("bloom"))
+        .head().getAs[Array[Byte]](0)
+  }
+
   private def q128(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = documents(s, dir)
-      .withColumn("hx",
-        substring(md5(concat(lit("bench:"), $"doc_id")), 1, 2))
-      .withColumn("t", toks($"text"))
-      .withColumn("shs", when(size($"t") >= 3, expr(
-        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
-          "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
-        .otherwise(expr("array()")))
-    // materialize the blob ONCE and embed it as a plan literal (the
-    // broadcast-scalar pattern of IterativeState): a crossJoin would
-    // copy the blob into every joined UnsafeRow — measured 14.1 s
-    // vs 2.6 s at sf0.1 for the same semantics (build job included)
-    // coalesce(8): each partial buffer is a full nbits/8-byte blob, so
-    // partial-agg traffic is partitions × blob size — right-size the
-    // build parallelism to the (small) benchmark side, not the corpus
-    val blob: Array[Byte] = d.filter($"hx" < "0d")
-      .select(explode($"shs").as("sh"))
-      .coalesce(8)
-      .agg(graft.expr.GraftFunctions
-        .bloomAgg(s, $"sh", 1L << 26, 5).as("bloom"))
-      .head().getAs[Array[Byte]](0)
-    d.filter($"hx" >= "0d")
+    val blob = BloomScreen.benchBlob(s, dir)
+    BloomScreen.withShingles(
+        BloomScreen.withBenchSplit(documents(s, dir))
+          .filter($"hx" >= BloomScreen.BenchMax))
       .withColumn("hit", exists($"shs",
         sh => graft.expr.GraftFunctions.bloomContains(s, lit(blob), sh)))
       .groupBy($"source")

@@ -67,15 +67,25 @@ object StreamingQueries {
     * handling as Tables.events, through the file STREAM source (schema
     * comes from one footer-only batch read; nanos surface as long and
     * become microsecond timestamps). */
+  /** streaming read of a single-file testdata table. The testdata
+    * table is one FILE; FileStreamSource force-sets basePath to the
+    * path unless it is a glob, and then rejects it for not being a
+    * directory — so feed it a one-file GLOB plus an explicit
+    * directory basePath (schema comes from one footer-only batch
+    * read). */
+  private def tableStream(s: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val sch = s.read.parquet(s"$dir/$name.parquet").schema
+    s.readStream.schema(sch).option("basePath", dir)
+      .parquet(s"$dir/{$name}.parquet")
+  }
+
+  /** events through the file stream source — same TIMESTAMP(NANOS)
+    * handling as Tables.events (nanos surface as long and become
+    * microsecond timestamps). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = s.read.parquet(s"$dir/events.parquet").schema
-    // the testdata table is a single FILE; FileStreamSource force-sets
-    // basePath to the path unless it is a glob, and then rejects it for
-    // not being a directory — so feed it a one-file GLOB plus an
-    // explicit directory basePath
-    s.readStream.schema(sch).option("basePath", dir)
-      .parquet(s"$dir/{events}.parquet")
+    tableStream(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -566,33 +576,14 @@ object StreamingQueries {
     * exact batch screen's kept set — FP margin per q128. */
   private def q130(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shingleExpr =
-      "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
-        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
-    // batch-side build, identical to q128's benchmark split
-    val blob: Array[Byte] = graft.Tables.documents(s, dir)
-      .withColumn("hx",
-        substring(md5(concat(lit("bench:"), $"doc_id")), 1, 2))
-      .filter($"hx" < "0d")
-      .withColumn("t", split($"text", " "))
-      .withColumn("shs",
-        when(size($"t") >= 3, expr(shingleExpr)).otherwise(expr("array()")))
-      .select(explode($"shs").as("sh"))
-      .coalesce(8)
-      .agg(graft.expr.GraftFunctions
-        .bloomAgg(s, $"sh", 1L << 26, 5).as("bloom"))
-      .head().getAs[Array[Byte]](0)
+    val screen = DedupQueries.BloomScreen
+    // batch-side build — ONE definition of the screen, shared with
+    // q128 (split predicate, shingles, geometry all from BloomScreen)
+    val blob: Array[Byte] = screen.benchBlob(s, dir)
     graft.Scratch.withScratchDir("graft_q130") { scratch =>
-      val sch = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(sch).option("basePath", dir)
-        .parquet(s"$dir/{documents}.parquet")
-      val cleaned = docs
-        .withColumn("hx",
-          substring(md5(concat(lit("bench:"), $"doc_id")), 1, 2))
-        .filter($"hx" >= "0d")
-        .withColumn("t", split($"text", " "))
-        .withColumn("shs",
-          when(size($"t") >= 3, expr(shingleExpr)).otherwise(expr("array()")))
+      val cleaned = screen.withShingles(
+          screen.withBenchSplit(tableStream(s, dir, "documents"))
+            .filter($"hx" >= screen.BenchMax))
         .filter(!exists($"shs",
           sh => graft.expr.GraftFunctions.bloomContains(s, lit(blob), sh)))
         .select($"doc_id", $"source")

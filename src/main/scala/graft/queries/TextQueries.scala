@@ -488,6 +488,19 @@ object TextQueries {
     * and a stall. The oracle computes the same number relationally
     * (unnest → GROUP BY doc,bigram → max(count)): semantics, not
     * spelling, are what the gate pins. */
+  /** max run length in the sorted bigram array == max bigram count.
+    * private[graft]: EdgeCaseSpec pins THIS string against a
+    * brute-force count — a copied string in the spec would keep
+    * passing on a stale fold if the production spelling changed. */
+  private[graft] val TopBigramFoldExpr: String =
+    "aggregate(array_sort(bgs), " +
+      "named_struct('prev', '', 'run', 0, 'best', 0), " +
+      "(acc, x) -> named_struct(" +
+      "  'prev', x, " +
+      "  'run', if(x = acc.prev, acc.run + 1, 1), " +
+      "  'best', greatest(acc.best, if(x = acc.prev, acc.run + 1, 1))), " +
+      "acc -> acc.best)"
+
   private def q126(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)
@@ -496,15 +509,7 @@ object TextQueries {
         "transform(sequence(1, size(t) - 1), " +
           "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
         .otherwise(expr("array()")))
-      // max run length in the sorted bigram array == max bigram count
-      .withColumn("top_bg_cnt", expr(
-        "aggregate(array_sort(bgs), " +
-          "named_struct('prev', '', 'run', 0, 'best', 0), " +
-          "(acc, x) -> named_struct(" +
-          "  'prev', x, " +
-          "  'run', if(x = acc.prev, acc.run + 1, 1), " +
-          "  'best', greatest(acc.best, if(x = acc.prev, acc.run + 1, 1))), " +
-          "acc -> acc.best)"))
+      .withColumn("top_bg_cnt", expr(TopBigramFoldExpr))
       .withColumn("top_bg_frac",
         $"top_bg_cnt" / greatest(size($"bgs"), lit(1)).cast("double"))
       .withColumn("rep_ratio",

@@ -161,17 +161,11 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("q126 sort-fold max-run-length equals brute-force max bigram count") {
-    // the O(L log L) fold the repetition filter runs per doc, pinned
-    // against the obvious O(L²) count on random token streams
-    // (deterministic LCG) plus the degenerate shapes
-    val foldExpr =
-      "aggregate(array_sort(bgs), " +
-        "named_struct('prev', '', 'run', 0, 'best', 0), " +
-        "(acc, x) -> named_struct(" +
-        "  'prev', x, " +
-        "  'run', if(x = acc.prev, acc.run + 1, 1), " +
-        "  'best', greatest(acc.best, if(x = acc.prev, acc.run + 1, 1))), " +
-        "acc -> acc.best)"
+    // the O(L log L) fold the repetition filter runs per doc — the
+    // PRODUCTION string, not a copy — pinned against the obvious
+    // O(L²) count on random token streams (deterministic LCG) plus
+    // the degenerate shapes
+    val foldExpr = graft.queries.TextQueries.TopBigramFoldExpr
     var st = 7L
     def nxt(m: Int): Int = {
       st = st * 6364136223846793005L + 1442695040888963407L

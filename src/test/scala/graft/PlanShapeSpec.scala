@@ -197,6 +197,11 @@ class PlanShapeSpec extends SparkSpec {
     // tables shuffle)
     val p = plan("q129_lm_perplexity")
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert("HashJoin|SortMergeJoin".r.findAllIn(p).nonEmpty, p.take(1500))
+    // all THREE pair-stream joins (bigram counts, w1 unigram, w2
+    // unigram) hash-keyed; the only nested-loop is the one-row
+    // token-total scalar
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p).size >= 3, p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
 }
