@@ -793,7 +793,54 @@ object SimilarityQueries {
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** q132: SEMANTIC-DEDUP APPLY — the embedding-space counterpart of
+    * q48's text-dedup APPLY (the SemDedup recipe, Abbas et al. 2023):
+    * within each (label, sign-bucket) block, any vector whose cosine
+    * to a LOWER-id vector reaches τ = 0.30 is dropped (greedy min-id
+    * survivor, q48's rule); report the per-label keep/drop rollup
+    * with a survivor checksum. q53 ranks the candidate pairs; this is
+    * the decision a pipeline actually ships.
+    *
+    * Scale: identical to q53's posture — pairs exist only inside
+    * (label, bucket) blocks (SkewSpec bounds the block sizes), the
+    * drop set is a bucket-local anti-join, no all-pairs term. At
+    * production scale the bucket count grows with N (documented at
+    * bucketCol), keeping blocks ~constant. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select($"label", $"vec_id")
+    val dropped = q53Pairs(s, embeddings(s, dir))
+      .filter($"cos" >= 0.30)
+      .select($"id_b".as("vec_id")).distinct()
+    e.join(dropped.withColumn("is_dropped", lit(true)),
+        Seq("vec_id"), "left")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"is_dropped".isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"is_dropped".isNull, $"vec_id")).as("kept_checksum"))
+      .orderBy($"label")
+  }
+
+  private lazy val q132Sql =
+    s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |bk AS (SELECT label, vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+       |dropped AS (
+       | SELECT DISTINCT c.vec_id
+       | FROM bk a JOIN bk c ON a.label = c.label AND a.bucket = c.bucket
+       |  AND a.vec_id < c.vec_id
+       | WHERE round(list_cosine_similarity(a.v, c.v), 5) >= 0.30)
+       |SELECT label, count(*) AS n_vecs,
+       | CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_kept,
+       | CAST(sum(CASE WHEN d.vec_id IS NULL THEN e.vec_id END) AS BIGINT)
+       |   AS kept_checksum
+       |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+       |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q132_semantic_dedup", q132, Some(q132Sql),
+      "SemDedup APPLY: bucket-blocked embedding dedup keep/drop rollup"),
     Q("q50_knn_brute", q50, Some(q50Sql), "brute-force cosine top-5 KNN"),
     Q("q51_ann_lsh", q51, Some(q51Sql), "random-hyperplane LSH ANN"),
     Q("q54_ann_ivf", q54, Some(q54Sql), "IVF nearest-centroid-cell ANN"),
