@@ -66,8 +66,15 @@ object SeqQueries {
         $"series_len".as("n"),
         round(element_at($"mag", 1), 4).as("mag0"),
         round(element_at($"mag", 2), 4).as("mag1"),
+        // energy via Parseval (Σ|FFT|²/n = Σv²), reported as an exact
+        // integer of 1e-4 units: values are exact 2-decimal numbers,
+        // so the TRUE energy is an exact multiple of 1e-4 — any
+        // decimal rounding puts it ON the boundary and the two
+        // engines' float noise (FFT ~1e-9 vs exact sum) lands on
+        // opposite sides (bit one user at sf0.1); integer units give
+        // a 0.5 margin against a 1e-5 error
         round(ArrayOps.arraySum(zip_with($"mag", $"mag", (a, _) => a * a)) /
-          size($"mag").cast("double"), 2).as("energy"))
+          size($"mag").cast("double") * 1e4).cast("long").as("energy_e4"))
       .orderBy($"user_id")
   }
 
@@ -82,7 +89,7 @@ object SeqQueries {
       | round(sqrt(
       |   pow(sum(value * cos(2 * pi() * j / n)), 2) +
       |   pow(sum(value * sin(2 * pi() * j / n)), 2)), 4) AS mag1,
-      | round(sum(value * value), 2) AS energy
+      | CAST(round(sum(value * value) * 1e4) AS BIGINT) AS energy_e4
       |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** q72: W2 GRU scan — hidden-2 GRU over each user's value series
