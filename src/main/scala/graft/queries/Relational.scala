@@ -28,7 +28,16 @@ object Relational {
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        // DECIMAL arithmetic for the discounted sum: price and
+        // discount are exact 2-decimal values, so the true sum is an
+        // exact multiple of 1e-4 and can sit exactly ON the 2-dp
+        // rounding half-grid — double fold-order noise then lands the
+        // two engines on opposite sides (the q71 failure class).
+        // Exact decimal sums on both sides are boundary-free; the
+        // final cast to double is of an already-rounded exact value.
+        round(sum($"l_extendedprice".cast("decimal(18,4)") *
+          (lit(BigDecimal(1)) - $"l_discount".cast("decimal(18,4)"))), 2)
+          .cast("double").as("sum_disc_price"),
         round(avg($"l_quantity"), 6).as("avg_qty"),
         round(avg($"l_extendedprice"), 4).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -39,7 +48,9 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity), 2) AS sum_qty,
       | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |   (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+      |   AS sum_disc_price,
       | round(avg(l_quantity), 6) AS avg_qty,
       | round(avg(l_extendedprice), 4) AS avg_price,
       | count(*) AS count_order
@@ -58,12 +69,17 @@ object Relational {
           $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
           $"l_discount".between(0.04, 0.08) && $"l_quantity" < 25)
       .agg(
-        round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        // decimal for the same structural-boundary reason as q01's
+        // sum_disc_price (price·discount is exact at 1e-4)
+        round(sum($"l_extendedprice".cast("decimal(18,4)") *
+          $"l_discount".cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
   private val q02Sql =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |   CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
       | count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
