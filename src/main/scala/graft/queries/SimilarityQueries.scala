@@ -794,12 +794,16 @@ object SimilarityQueries {
   }
 
   /** q132: SEMANTIC-DEDUP APPLY — the embedding-space counterpart of
-    * q48's text-dedup APPLY (the SemDedup recipe, Abbas et al. 2023):
+    * q48's text-dedup APPLY (the SemDedup family, Abbas et al. 2023):
     * within each (label, sign-bucket) block, any vector whose cosine
-    * to a LOWER-id vector reaches τ = 0.30 is dropped (greedy min-id
-    * survivor, q48's rule); report the per-label keep/drop rollup
-    * with a survivor checksum. q53 ranks the candidate pairs; this is
-    * the decision a pipeline actually ships.
+    * to ANY lower-id vector reaches τ = 0.30 is dropped — a
+    * single-pass min-id screen, deliberately transitive-blind (a
+    * dropped vector still justifies dropping its own near-dups;
+    * strictly MORE aggressive than sequential greedy selection, and
+    * embarrassingly parallel where greedy is inherently sequential).
+    * Report the per-label keep/drop rollup with a survivor checksum.
+    * q53 ranks the candidate pairs; this is the decision a pipeline
+    * actually ships.
     *
     * Scale: identical to q53's posture — pairs exist only inside
     * (label, bucket) blocks (SkewSpec bounds the block sizes), the
