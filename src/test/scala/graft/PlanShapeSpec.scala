@@ -190,6 +190,13 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q131: shard packing is join-free — one window pass, pruned scan") {
+    val p = plan("q131_shard_packing")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      p.take(1500))
+  }
+
   test("q129: LM scoring joins are hash-keyed, never cartesian on the pair stream") {
     // the only nested-loop join allowed is the broadcast of the
     // one-row token-total scalar; the pair-stream joins must be
