@@ -636,20 +636,27 @@ object TextQueries {
     * join ever touches more than the pair stream. Interpolation
     * means every scored pair EXISTS in both count tables (corpus-self
     * guarantees c₁₂ ≥ 1), so the joins are inner with no null legs. */
-  private def q129(s: SparkSession, dir: String): DataFrame = {
+  /** per-doc mean NLL under the interpolated bigram LM, carrying the
+    * requested grouping columns — shared by q129 (per-source rollup)
+    * and q133 (per-language quantile split): ONE definition of the LM
+    * so the two gates can't drift apart. */
+  private def docNllFrame(s: SparkSession, dir: String,
+      carry: Seq[String]): DataFrame = {
     import s.implicits._
     val d = documents(s, dir).withColumn("t", toks($"text"))
     val tok = d.select(explode($"t").as("w"))
     val c1 = tok.groupBy($"w").agg(count(lit(1)).as("c"))
     val n = tok.agg(count(lit(1)).as("n"))
+    val carryCols = carry.map(col)
     val pairs = d.filter(size($"t") >= 2)
-      .select($"doc_id", $"source", explode(expr(
+      .select(($"doc_id" +: carryCols) :+ explode(expr(
         "transform(sequence(1, size(t) - 1), " +
           "i -> named_struct('w1', element_at(t, i), " +
-          "'w2', element_at(t, i + 1)))")).as("pr"))
-      .select($"doc_id", $"source", $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+          "'w2', element_at(t, i + 1)))")).as("pr"): _*)
+      .select(($"doc_id" +: carryCols) :+ $"pr.w1".as("w1") :+
+        $"pr.w2".as("w2"): _*)
     val c12 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val docNll = pairs
+    pairs
       .join(c12, Seq("w1", "w2"))
       .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1a"),
         Seq("w1"))
@@ -658,9 +665,13 @@ object TextQueries {
       .crossJoin(broadcast(n))
       .withColumn("nll", -log(lit(0.7) * $"c12" / $"c1a" +
         lit(0.3) * $"c1b" / $"n"))
-      .groupBy($"doc_id", $"source")
+      .groupBy(($"doc_id" +: carryCols): _*)
       .agg(avg($"nll").as("doc_nll"))
-    docNll.groupBy($"source")
+  }
+
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docNllFrame(s, dir, Seq("source")).groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg($"doc_nll"), 6).as("avg_nll"),
@@ -760,7 +771,69 @@ object TextQueries {
       | CAST(sum(shard * doc_id) AS BIGINT) AS placement_checksum
       |FROM sh GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q133: PERPLEXITY-QUANTILE SPLIT — CCNet's head/middle/tail step:
+    * rank every document by its LM NLL (q129's model, one shared
+    * definition) WITHIN its language and cut into terciles; the
+    * buckets drive downstream sampling (train mostly on head, retain
+    * some tail for diversity). NTILE is an exact integer function of
+    * the rank, and the rank order is made total by the doc_id
+    * tiebreak — so the split is exact cross-engine even though the
+    * NLL scores are floats (ties in round(nll, 9) resolve by id on
+    * both sides).
+    *
+    * Scale: q129's count/join passes plus one rank window per
+    * language — the window shuffles (doc_id, lang, doc_nll) only. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(round($"doc_nll", 9).asc, $"doc_id")
+    docNllFrame(s, dir, Seq("lang"))
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy($"lang", $"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"doc_nll"), 6).as("avg_nll"),
+        sum($"doc_id").as("docs_checksum"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  private val q133Sql =
+    """WITH d AS (
+      | SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT unnest(t) AS w FROM d),
+      |c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |n AS (SELECT count(*) AS n FROM tok),
+      |pairs AS (
+      | SELECT doc_id, lang,
+      |  unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS pr
+      | FROM d WHERE len(t) >= 2),
+      |p AS (SELECT doc_id, lang, pr.w1 AS w1, pr.w2 AS w2 FROM pairs),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+      |scored AS (
+      | SELECT doc_id, lang,
+      |  -ln(0.7 * c12.c12 / c1a.c + 0.3 * c1b.c / n.n) AS nll
+      | FROM p JOIN c12 USING (w1, w2)
+      | JOIN c1 c1a ON c1a.w = p.w1
+      | JOIN c1 c1b ON c1b.w = p.w2
+      | CROSS JOIN n),
+      |docnll AS (
+      | SELECT doc_id, lang, avg(nll) AS doc_nll
+      | FROM scored GROUP BY doc_id, lang),
+      |b AS (
+      | SELECT doc_id, lang, doc_nll,
+      |  ntile(3) OVER (PARTITION BY lang
+      |    ORDER BY round(doc_nll, 9), doc_id) AS bucket
+      | FROM docnll)
+      |SELECT lang, CAST(bucket AS INT) AS bucket,
+      | count(*) AS n_docs,
+      | round(avg(doc_nll), 6) AS avg_nll,
+      | CAST(sum(doc_id) AS BIGINT) AS docs_checksum
+      |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q133_perplexity_split", q133, Some(q133Sql),
+      "CCNet head/middle/tail perplexity terciles per language"),
     Q("q131_shard_packing", q131, Some(q131Sql),
       "fixed-token-budget shard packing (deterministic next-fit)"),
     Q("q129_lm_perplexity", q129, Some(q129Sql),

@@ -211,4 +211,13 @@ class PlanShapeSpec extends SparkSpec {
       .findAllIn(p).size >= 3, p.take(2000))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
+
+  test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
+    // shares docNllFrame with q129, so the same join constraints hold;
+    // the only addition is a single ntile window partitioned by lang
+    val p = plan("q133_perplexity_split")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+    assert("Window".r.findAllIn(p).size == 1, p.take(2000))
+  }
 }
