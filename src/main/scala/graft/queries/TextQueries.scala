@@ -617,29 +617,26 @@ object TextQueries {
       |   AS kept_checksum
       |FROM r CROSS JOIN caps GROUP BY source, w ORDER BY source""".stripMargin
 
-  /** q129: LM-PERPLEXITY quality scoring — the CCNet-family filter
-    * (Wenzek et al. 2020): score every document by its mean negative
-    * log-likelihood under an interpolated bigram language model and
-    * flag the worst tail. The LM here is corpus-self (p₂ = c(w₁w₂)/
-    * c(w₁), p₁ = c(w)/N; score = −ln(0.7·p₂ + 0.3·p₁) averaged over
-    * a doc's adjacent pairs; a production run would fit the counts on
-    * a held-out high-quality corpus — same plan, different input).
-    * Flag threshold 3.42 ≈ the corpus p80 (calibrated; both sides of
-    * the screen populated in every source).
+  /** per-doc mean NLL under the interpolated bigram LM, carrying the
+    * requested grouping columns — shared by q129 (per-source rollup)
+    * and q133 (per-language quantile split): ONE definition of the LM
+    * so the two gates can't drift apart. The LM is corpus-self
+    * (p₂ = c(w₁w₂)/c(w₁), p₁ = c(w)/N; score = −ln(0.7·p₂ + 0.3·p₁)
+    * averaged over a doc's adjacent pairs; a production run would fit
+    * the counts on a held-out high-quality corpus — same plan,
+    * different input). Docs with fewer than 2 tokens have no pairs
+    * and thus NO score — they are absent from this frame, and both
+    * consumers inherit that restriction.
     *
     * Scale: counts are two explode → groupBy passes with map-side
     * partials (vocab and bigram tables ≪ corpus); scoring re-joins
     * the pair stream to the two count tables — SHUFFLE joins on
     * (w1, w2) and w by design, because a real LM's vocabulary/bigram
-    * tables don't broadcast (q115's rationale); then one groupBy doc
-    * and one tiny rollup. Every join key is the natural hash key; no
-    * join ever touches more than the pair stream. Interpolation
-    * means every scored pair EXISTS in both count tables (corpus-self
-    * guarantees c₁₂ ≥ 1), so the joins are inner with no null legs. */
-  /** per-doc mean NLL under the interpolated bigram LM, carrying the
-    * requested grouping columns — shared by q129 (per-source rollup)
-    * and q133 (per-language quantile split): ONE definition of the LM
-    * so the two gates can't drift apart. */
+    * tables don't broadcast (q115's rationale); then one groupBy doc.
+    * Every join key is the natural hash key; no join ever touches
+    * more than the pair stream. Interpolation means every scored pair
+    * EXISTS in both count tables (corpus-self guarantees c₁₂ ≥ 1), so
+    * the joins are inner with no null legs. */
   private def docNllFrame(s: SparkSession, dir: String,
       carry: Seq[String]): DataFrame = {
     import s.implicits._
@@ -669,6 +666,12 @@ object TextQueries {
       .agg(avg($"nll").as("doc_nll"))
   }
 
+  /** q129: LM-PERPLEXITY quality scoring — the CCNet-family filter
+    * (Wenzek et al. 2020): score every document by its mean NLL under
+    * the interpolated bigram LM (docNllFrame) and flag the worst
+    * tail per source. Flag threshold 3.42 ≈ the corpus p80
+    * (calibrated; both sides of the screen populated in every
+    * source). */
   private def q129(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docNllFrame(s, dir, Seq("source")).groupBy($"source")
@@ -772,21 +775,28 @@ object TextQueries {
       |FROM sh GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q133: PERPLEXITY-QUANTILE SPLIT — CCNet's head/middle/tail step:
-    * rank every document by its LM NLL (q129's model, one shared
+    * rank every scored document (= every doc with ≥ 2 tokens, the
+    * docNllFrame restriction) by its LM NLL (q129's model, one shared
     * definition) WITHIN its language and cut into terciles; the
     * buckets drive downstream sampling (train mostly on head, retain
     * some tail for diversity). NTILE is an exact integer function of
     * the rank, and the rank order is made total by the doc_id
-    * tiebreak — so the split is exact cross-engine even though the
-    * NLL scores are floats (ties in round(nll, 9) resolve by id on
-    * both sides).
+    * tiebreak: ties in round(doc_nll, 6) resolve by id on both sides.
+    *
+    * The rank key is DELIBERATELY coarse (1e-6 grid, ~1000× wider
+    * than cross-engine float noise on an avg of ~100 log terms ≈
+    * 1e-14): a fine grid puts real scores within noise of a half-step
+    * and a 1-ulp disagreement then flips a doc across the rounding
+    * boundary — the q71 structural-boundary class. Coarsening widens
+    * tie groups (resolved deterministically by doc_id) instead of
+    * leaving discrete cliffs near every score.
     *
     * Scale: q129's count/join passes plus one rank window per
     * language — the window shuffles (doc_id, lang, doc_nll) only. */
   private def q133(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
-      .orderBy(round($"doc_nll", 9).asc, $"doc_id")
+      .orderBy(round($"doc_nll", 6).asc, $"doc_id")
     docNllFrame(s, dir, Seq("lang"))
       .withColumn("bucket", ntile(3).over(w))
       .groupBy($"lang", $"bucket")
@@ -823,7 +833,7 @@ object TextQueries {
       |b AS (
       | SELECT doc_id, lang, doc_nll,
       |  ntile(3) OVER (PARTITION BY lang
-      |    ORDER BY round(doc_nll, 9), doc_id) AS bucket
+      |    ORDER BY round(doc_nll, 6), doc_id) AS bucket
       | FROM docnll)
       |SELECT lang, CAST(bucket AS INT) AS bucket,
       | count(*) AS n_docs,

@@ -213,10 +213,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
-    // shares docNllFrame with q129, so the same join constraints hold;
-    // the only addition is a single ntile window partitioned by lang
+    // shares docNllFrame with q129, so q129's join locks are asserted
+    // here too (3 hash-keyed pair-stream joins, the broadcast-N BNLJ
+    // slot); the only addition is a single ntile window
     val p = plan("q133_perplexity_split")
     assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 3, p.take(2000))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
     assert("Window".r.findAllIn(p).size == 1, p.take(2000))
   }
