@@ -826,7 +826,86 @@ object DedupQueries {
       |FROM corpus LEFT JOIN hit h ON corpus.doc_id = h.doc_id
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q134: SUB-DOCUMENT SEGMENT DEDUP — the paragraph-level dedup step
+    * of Dolma/RefinedWeb, in the boundary-less form of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * with no paragraph delimiters in the corpus, cut each doc's token
+    * stream into consecutive fixed-size segments (K = 3 tokens at test
+    * vocabulary; ~50 in production), hash each segment, and keep only
+    * the FIRST occurrence of each distinct segment corpus-wide
+    * (keep-first = min (doc_id, seg_idx), packed into one integer so
+    * the survivor is a plain `min`). Reported per source: how many
+    * segments/tokens survive, i.e. how much boilerplate the step
+    * strips. All-integer output → exact oracle.
+    *
+    * Scale: one explode pass (segment stream ~ corpus size), one
+    * md5-key groupBy with map-side partial min (the survivor table is
+    * |distinct segments|, not |occurrences|), one shuffle join back on
+    * the digest. A boilerplate mega-segment (same 3-gram in 10^9 docs)
+    * makes a hot hash key on the join side — AQE skew-split handles
+    * it, and the groupBy side is immune (partial min). n_docs is an
+    * exact countDistinct; at 100 TB swap approx_count_distinct(rsd)
+    * the way q113/q121 document. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 3
+    val segs = documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .filter(size($"t") >= 1)
+      .select($"doc_id", $"source", posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $K), " +
+          s"j -> named_struct('seg', concat_ws(' ', slice(t, j*$K + 1, $K)), " +
+          s"'ntok', size(slice(t, j*$K + 1, $K))))")))
+      .select($"doc_id", $"source", md5($"col.seg").as("h"),
+        $"col.ntok".as("ntok"),
+        ($"doc_id" * lit(1048576L) + $"pos").as("occ_key"))
+    val firsts = segs.groupBy($"h").agg(min($"occ_key").as("first_key"))
+    segs.join(firsts, Seq("h"))
+      .withColumn("kept", $"occ_key" === $"first_key")
+      .groupBy($"source")
+      .agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("segs_total"),
+        sum(when($"kept", 1L).otherwise(0L)).as("segs_kept"),
+        sum($"ntok").cast("long").as("tokens_total"),
+        sum(when($"kept", $"ntok").otherwise(0)).cast("long")
+          .as("tokens_kept"),
+        sum(when($"kept", 0L).otherwise($"doc_id")).as("removed_checksum"))
+      .orderBy($"source")
+  }
+
+  private val q134Sql =
+    """WITH d AS (
+      | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      | WHERE len(string_split(text, ' ')) >= 1),
+      |segsraw AS (
+      | SELECT doc_id, source,
+      |  unnest(list_transform(generate_series(0, CAST((len(t) - 1) // 3 AS INT)),
+      |    j -> struct_pack(seg_idx := j,
+      |      seg := array_to_string(t[j*3+1 : j*3+3], ' '),
+      |      ntok := len(t[j*3+1 : j*3+3])))) AS sg
+      | FROM d),
+      |segs AS (
+      | SELECT doc_id, source, md5(sg.seg) AS h, sg.ntok AS ntok,
+      |  doc_id * 1048576 + sg.seg_idx AS occ_key
+      | FROM segsraw),
+      |firsts AS (SELECT h, min(occ_key) AS first_key FROM segs GROUP BY h)
+      |SELECT source,
+      | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      | CAST(count(*) AS BIGINT) AS segs_total,
+      | CAST(sum(CASE WHEN occ_key = first_key THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS segs_kept,
+      | CAST(sum(ntok) AS BIGINT) AS tokens_total,
+      | CAST(sum(CASE WHEN occ_key = first_key THEN ntok ELSE 0 END) AS BIGINT)
+      |   AS tokens_kept,
+      | CAST(sum(CASE WHEN occ_key = first_key THEN 0 ELSE doc_id END) AS BIGINT)
+      |   AS removed_checksum
+      |FROM segs JOIN firsts USING (h)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q134_segment_dedup", q134, Some(q134Sql),
+      "sub-document segment dedup (Lee et al. keep-first, Dolma paragraph analogue)"),
     Q("q128_bloom_decontaminate", q128, Some(q128Sql),
       "bloom-filter corpus decontamination (native agg, zero corpus shuffle)"),
     Q("q119_fuzzy_editdist", q119, Some(q119Sql),

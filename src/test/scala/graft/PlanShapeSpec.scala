@@ -212,6 +212,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("q134: segment dedup joins hash-keyed with a partial-agg survivor table") {
+    // the survivor table must be built by a partial-then-final min on
+    // the digest (exchange carries <= |distinct segs| rows, never the
+    // occurrence stream twice), and the join back must be hash-keyed
+    // on h — never a cartesian/BNLJ
+    val p = plan("q134_segment_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 1, p.take(2000))
+    assert("partial_min\\(occ_key".r.findAllIn(p).nonEmpty, p.take(2000))
+  }
+
   test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
     // shares docNllFrame with q129, so q129's join locks are asserted
     // here too (3 hash-keyed pair-stream joins, the broadcast-N BNLJ
