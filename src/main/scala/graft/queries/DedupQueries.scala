@@ -833,35 +833,42 @@ object DedupQueries {
     * stream into consecutive fixed-size segments (K = 3 tokens at test
     * vocabulary; ~50 in production), hash each segment, and keep only
     * the FIRST occurrence of each distinct segment corpus-wide
-    * (keep-first = min (doc_id, seg_idx), packed into one integer so
-    * the survivor is a plain `min`). Reported per source: how many
-    * segments/tokens survive, i.e. how much boilerplate the step
-    * strips. All-integer output → exact oracle.
+    * (keep-first = lexicographic min(struct(doc_id, seg_idx)) — no
+    * packed-integer key, so no bound on segments per doc). Reported
+    * per source: how many segments/tokens survive, i.e. how much
+    * boilerplate the step strips. All-integer output → exact oracle.
+    * An empty-text doc contributes one ''-segment (split of '' is
+    * [''], identically on both engines), deduped like any other.
     *
-    * Scale: one explode pass (segment stream ~ corpus size), one
-    * md5-key groupBy with map-side partial min (the survivor table is
-    * |distinct segments|, not |occurrences|), one shuffle join back on
-    * the digest. A boilerplate mega-segment (same 3-gram in 10^9 docs)
-    * makes a hot hash key on the join side — AQE skew-split handles
-    * it, and the groupBy side is immune (partial min). n_docs is an
-    * exact countDistinct; at 100 TB swap approx_count_distinct(rsd)
-    * the way q113/q121 document. */
+    * Scale: the corpus is tokenized/hashed ONCE — the segment stream
+    * (digest + ints, no text) is materialized behind a localCheckpoint
+    * barrier (q75's double-consumption pattern; without it both the
+    * survivor aggregate and the join probe re-scan and re-md5 the
+    * parquet), then consumed twice: one md5-key groupBy with map-side
+    * partial min (the survivor table is |distinct segments|, not
+    * |occurrences|), one shuffle join back on the digest. A
+    * boilerplate mega-segment (same 3-gram in 10^9 docs) makes a hot
+    * hash key on the join side — AQE skew-split handles it, and the
+    * groupBy side is immune (partial min). n_docs is an exact
+    * countDistinct; at 100 TB swap approx_count_distinct(rsd) the way
+    * q113/q121 document. */
   private def q134(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val K = 3
     val segs = documents(s, dir)
       .withColumn("t", toks($"text"))
-      .filter(size($"t") >= 1)
       .select($"doc_id", $"source", posexplode(expr(
         s"transform(sequence(0, (size(t) - 1) div $K), " +
           s"j -> named_struct('seg', concat_ws(' ', slice(t, j*$K + 1, $K)), " +
           s"'ntok', size(slice(t, j*$K + 1, $K))))")))
       .select($"doc_id", $"source", md5($"col.seg").as("h"),
-        $"col.ntok".as("ntok"),
-        ($"doc_id" * lit(1048576L) + $"pos").as("occ_key"))
-    val firsts = segs.groupBy($"h").agg(min($"occ_key").as("first_key"))
+        $"col.ntok".as("ntok"), $"pos".as("seg_idx"))
+      .localCheckpoint()
+    val firsts = segs.groupBy($"h")
+      .agg(min(struct($"doc_id", $"seg_idx")).as("fo"))
     segs.join(firsts, Seq("h"))
-      .withColumn("kept", $"occ_key" === $"first_key")
+      .withColumn("kept",
+        $"doc_id" === $"fo.doc_id" && $"seg_idx" === $"fo.seg_idx")
       .groupBy($"source")
       .agg(
         countDistinct($"doc_id").as("n_docs"),
@@ -876,8 +883,7 @@ object DedupQueries {
 
   private val q134Sql =
     """WITH d AS (
-      | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-      | WHERE len(string_split(text, ' ')) >= 1),
+      | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       |segsraw AS (
       | SELECT doc_id, source,
       |  unnest(list_transform(generate_series(0, CAST((len(t) - 1) // 3 AS INT)),
@@ -887,19 +893,21 @@ object DedupQueries {
       | FROM d),
       |segs AS (
       | SELECT doc_id, source, md5(sg.seg) AS h, sg.ntok AS ntok,
-      |  doc_id * 1048576 + sg.seg_idx AS occ_key
+      |  sg.seg_idx AS seg_idx
       | FROM segsraw),
-      |firsts AS (SELECT h, min(occ_key) AS first_key FROM segs GROUP BY h)
+      |firsts AS (
+      | SELECT h, min(struct_pack(d := doc_id, i := seg_idx)) AS fo
+      | FROM segs GROUP BY h)
       |SELECT source,
       | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
       | CAST(count(*) AS BIGINT) AS segs_total,
-      | CAST(sum(CASE WHEN occ_key = first_key THEN 1 ELSE 0 END) AS BIGINT)
-      |   AS segs_kept,
+      | CAST(sum(CASE WHEN doc_id = fo.d AND seg_idx = fo.i
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS segs_kept,
       | CAST(sum(ntok) AS BIGINT) AS tokens_total,
-      | CAST(sum(CASE WHEN occ_key = first_key THEN ntok ELSE 0 END) AS BIGINT)
-      |   AS tokens_kept,
-      | CAST(sum(CASE WHEN occ_key = first_key THEN 0 ELSE doc_id END) AS BIGINT)
-      |   AS removed_checksum
+      | CAST(sum(CASE WHEN doc_id = fo.d AND seg_idx = fo.i
+      |   THEN ntok ELSE 0 END) AS BIGINT) AS tokens_kept,
+      | CAST(sum(CASE WHEN doc_id = fo.d AND seg_idx = fo.i
+      |   THEN 0 ELSE doc_id END) AS BIGINT) AS removed_checksum
       |FROM segs JOIN firsts USING (h)
       |GROUP BY source ORDER BY source""".stripMargin
 

@@ -212,17 +212,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
-  test("q134: segment dedup joins hash-keyed with a partial-agg survivor table") {
-    // the survivor table must be built by a partial-then-final min on
-    // the digest (exchange carries <= |distinct segs| rows, never the
-    // occurrence stream twice), and the join back must be hash-keyed
-    // on h — never a cartesian/BNLJ
+  test("q134: segment dedup tokenizes once, survivor table partial-aggs") {
+    // the corpus must be tokenized/hashed ONCE: the segment stream is
+    // materialized behind a localCheckpoint barrier, so the final plan
+    // reads the checkpointed RDD on both consumers and has NO parquet
+    // re-scan; the survivor table is a partial-then-final struct-min
+    // on the digest and the join back is hash-keyed — never a
+    // cartesian/BNLJ
     val p = plan("q134_segment_dedup")
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
       .findAllIn(p).size >= 1, p.take(2000))
-    assert("partial_min\\(occ_key".r.findAllIn(p).nonEmpty, p.take(2000))
+    assert("partial_min\\(struct".r.findAllIn(p).nonEmpty, p.take(2000))
+    assert(!p.contains("Scan parquet"), p.take(2000))
   }
 
   test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
