@@ -565,7 +565,14 @@ object MlQueries {
 
   /** ONE full-batch GD epoch (shared by q100's loss curve and q106's
     * trained trajectory): per-dim gradient as a keyed partial
-    * aggregation, 9 dp quantized weight rebuild. */
+    * aggregation, 6 dp quantized weight rebuild. The quantization grid
+    * is 6 dp, not 9, because the gradient is a full-corpus avg whose
+    * cross-engine summation-order noise (~1e-14) sits only ~4 orders
+    * below a 5e-10 half-step — the q133 rank-grid rationale; 1e-6 is
+    * still ~3 orders below the ~1e-3 update scale, so the trajectory
+    * is unaffected. Row-local fixed-order sums (kmAssign, dist2,
+    * graft_pq_adc) keep the 9 dp convention — their fold order is
+    * pinned, so their noise is 0-to-1e-15. */
   private def gdStep(train: DataFrame): (DataFrame, Int) => DataFrame = {
     import train.sparkSession.implicits._
     (w, _) => {
@@ -576,7 +583,7 @@ object MlQueries {
         .groupBy($"dim").agg(avg($"err" * $"xj").as("g"))
       g.crossJoin(broadcast(w))
         .select($"dim",
-          round(element_at($"w", $"dim" + 1) - lit(GD_LR) * $"g", 9).as("wj"))
+          round(element_at($"w", $"dim" + 1) - lit(GD_LR) * $"g", 6).as("wj"))
         .agg(IterativeState.gather($"dim", $"wj").as("w"))
     }
   }
@@ -625,7 +632,7 @@ object MlQueries {
        |   FROM tr CROSS JOIN w${t - 1})
        |  CROSS JOIN generate_series(1, ${GD_NF + 1}) s$t(dim) GROUP BY dim),
        |w$t AS (SELECT list(wj ORDER BY dim) AS w FROM (
-       |   SELECT dim, round(w[dim] - $GD_LR * g, 9) AS wj
+       |   SELECT dim, round(w[dim] - $GD_LR * g, 6) AS wj
        |   FROM g$t CROSS JOIN w${t - 1}))""".stripMargin
   }.mkString(",\n")
 
@@ -747,10 +754,11 @@ object MlQueries {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-    // per-dim mean (9 dp) as a one-row broadcast array — the centering
+    // per-dim mean (6 dp — full-corpus avg, so the gdStep coarse-grid
+    // rationale applies) as a one-row broadcast array — the centering
     // vector; same (dim)-keyed partial-agg shape as the update step
     val c = e.select(posexplode($"v").as(Seq("dim", "x")))
-      .groupBy($"dim").agg(round(avg($"x"), 9).as("m"))
+      .groupBy($"dim").agg(round(avg($"x"), 6).as("m"))
       .agg(IterativeState.gather($"dim", $"m").as("c"))
       .localCheckpoint(true)
     val d = e.crossJoin(broadcast(c))
@@ -766,7 +774,7 @@ object MlQueries {
         .groupBy($"dim").agg(avg($"s" * $"xj").as("u"))
       u.agg(IterativeState.gather($"dim", $"u").as("uv"))
         .select(transform($"uv", x =>
-          round(x / sqrt(graft.expr.GraftFunctions.dot(s, $"uv", $"uv")), 9))
+          round(x / sqrt(graft.expr.GraftFunctions.dot(s, $"uv", $"uv")), 6))
           .as("pv"))
     }
     d.crossJoin(broadcast(v))
@@ -786,14 +794,14 @@ object MlQueries {
          |   SELECT xc, $dotSql AS s FROM d CROSS JOIN p${t - 1})
          |  CROSS JOIN generate_series(1, $PI_DIM) s$t(dim) GROUP BY dim),
          |p$t AS (SELECT list_transform(uv, x ->
-         |    round(x / sqrt(list_sum(list_transform(uv, y -> y * y))), 9))
+         |    round(x / sqrt(list_sum(list_transform(uv, y -> y * y))), 6))
          |    AS pv
          |   FROM (SELECT list(u ORDER BY dim) AS uv FROM u$t))""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |c AS (SELECT list(m ORDER BY dim) AS c FROM (
-       |   SELECT dim, round(avg(v[dim]), 9) AS m
+       |   SELECT dim, round(avg(v[dim]), 6) AS m
        |   FROM e CROSS JOIN generate_series(1, $PI_DIM) sc(dim)
        |   GROUP BY dim)),
        |d AS (SELECT vec_id, label,
