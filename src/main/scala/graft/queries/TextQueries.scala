@@ -841,7 +841,126 @@ object TextQueries {
       | CAST(sum(doc_id) AS BIGINT) AS docs_checksum
       |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  /** q135: PII REDACTION APPLY — the scrubbing transform every public
+    * LLM corpus ships through (C4 strips lines with "bad" tokens; the
+    * Dolma / RefinedWeb pipelines regex-scrub emails / phone numbers /
+    * IP addresses and replace them with placeholder tokens). q37 is the
+    * detection SCAN (per-source hit counts); q135 is the DECISION — the
+    * rewritten corpus — which is the half a pipeline actually persists.
+    *
+    * The synthetic corpus contains no natural PII (lowercase word-salad,
+    * no digits or '@'), so the query first derives a PLANTED frame: an
+    * md5-selected quarter of the docs gets two appended email addresses
+    * (exercising replace-ALL semantics), a quarter a phone number, a
+    * quarter a dotted-quad IP, a quarter left untouched — the same
+    * deterministic derivation on both engines, so detection counts and
+    * the redacted text are exactly comparable. Redaction = three chained
+    * replace-alls (email → ip → phone, fixed order mirrored in the
+    * oracle); the gate pins the exact redacted BYTES via an md5-prefix
+    * checksum, not just the counts.
+    *
+    * Scale (100 TB): one corpus scan, row-local codegen'd regex
+    * (RegExpExtractAll / RegExpReplace compile the pattern once per
+    * task — the per-row cost is the RE2/Java automaton over the doc,
+    * linear in chars), no shuffle of text anywhere: only the per-source
+    * counter/checksum rollup exchanges, under partial aggregation. The
+    * regexes are RE2-compatible (no backreferences / lookaround), the
+    * class every engine's linear-time matcher accepts. */
+  private[graft] val PiiEmail = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PiiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[graft] val PiiPhone = "555-[0-9]{4}"
+
+  /** the redaction chain (fixed order: email → ip → phone, each a
+    * replace-ALL; the oracle mirrors the same order with RE2 'g'). */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiEmail, "<EMAIL>"),
+        PiiIp, "<IP>"),
+      PiiPhone, "<PHONE>")
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = $"doc_id".cast("string")
+    val sel = conv(substr(md5(concat(lit("q135:"), ds)), lit(1), lit(8)),
+      16, 10).cast("long") % 4
+    val planted =
+      when(sel === 0, concat($"text",
+        lit(" contact user"), ds, lit("@mail.example.com or user"), ds,
+        lit("b@alt.example.org now")))
+        .when(sel === 1, concat($"text",
+          lit(" call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" today")))
+        .when(sel === 2, concat($"text",
+          lit(" from 10."), ($"doc_id" % 256).cast("string"), lit("."),
+          (($"doc_id" * 7 + 13) % 256).cast("string"), lit("."),
+          (($"doc_id" * 11 + 5) % 256).cast("string"), lit(" logged")))
+        .otherwise($"text")
+    documents(s, dir)
+      .select($"doc_id", $"source", planted.as("planted"))
+      .withColumn("emails",
+        size(regexp_extract_all($"planted", lit(PiiEmail), lit(0))))
+      .withColumn("ips",
+        size(regexp_extract_all($"planted", lit(PiiIp), lit(0))))
+      .withColumn("phones",
+        size(regexp_extract_all($"planted", lit(PiiPhone), lit(0))))
+      .withColumn("red", redactPii($"planted"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"emails" + $"ips" + $"phones" > 0, 1L).otherwise(0L))
+          .as("pii_docs"),
+        sum($"emails".cast("long")).as("emails"),
+        sum($"ips".cast("long")).as("ips"),
+        sum($"phones".cast("long")).as("phones"),
+        sum((length($"planted") - length($"red")).cast("long"))
+          .as("chars_redacted"),
+        sum(conv(substr(md5($"red"), lit(1), lit(8)), 16, 10).cast("long"))
+          .as("red_checksum"))
+      .orderBy($"source")
+  }
+
+  private val q135Sql =
+    s"""WITH p AS (
+      | SELECT doc_id, source,
+      |  CASE CAST(concat('0x', substr(md5(concat('q135:',
+      |        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4
+      |   WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |     || '@mail.example.com or user' || CAST(doc_id AS VARCHAR)
+      |     || 'b@alt.example.org now'
+      |   WHEN 1 THEN text || ' call 555-'
+      |     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      |   WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |     || '.' || CAST((doc_id * 7 + 13) % 256 AS VARCHAR)
+      |     || '.' || CAST((doc_id * 11 + 5) % 256 AS VARCHAR) || ' logged'
+      |   ELSE text END AS planted
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, source, planted,
+      |  len(regexp_extract_all(planted, '$PiiEmail')) AS emails,
+      |  len(regexp_extract_all(planted, '$PiiIp')) AS ips,
+      |  len(regexp_extract_all(planted, '$PiiPhone')) AS phones,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(planted, '$PiiEmail', '<EMAIL>', 'g'),
+      |      '$PiiIp', '<IP>', 'g'),
+      |    '$PiiPhone', '<PHONE>', 'g') AS red
+      | FROM p)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN emails + ips + phones > 0 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS pii_docs,
+      | CAST(sum(emails) AS BIGINT) AS emails,
+      | CAST(sum(ips) AS BIGINT) AS ips,
+      | CAST(sum(phones) AS BIGINT) AS phones,
+      | CAST(sum(length(planted) - length(red)) AS BIGINT)
+      |   AS chars_redacted,
+      | CAST(sum(CAST(concat('0x', substr(md5(red), 1, 8)) AS BIGINT))
+      |   AS BIGINT) AS red_checksum
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q135_pii_redact", q135, Some(q135Sql),
+      "PII redaction APPLY: planted email/phone/IP scrub, byte-exact"),
     Q("q133_perplexity_split", q133, Some(q133Sql),
       "CCNet head/middle/tail perplexity terciles per language"),
     Q("q131_shard_packing", q131, Some(q131Sql),

@@ -189,4 +189,24 @@ class EdgeCaseSpec extends SparkSpec {
       assert(got(i) == want, s"case $i: fold ${got(i)} != brute $want")
     }
   }
+
+  test("q135 redaction chain: replace-ALL, fixed order, byte-exact") {
+    import graft.queries.TextQueries
+    val cases = Seq(
+      // two emails in one doc — replace-ALL must hit both
+      ("mail a@b.com and c.d@e-f.org end", "mail <EMAIL> and <EMAIL> end"),
+      // dotted quad; the email pass must not have eaten it
+      ("from 10.0.255.7 logged", "from <IP> logged"),
+      ("call 555-0042 today", "call <PHONE> today"),
+      // all three in one doc, interleaved
+      ("x a@b.de y 1.2.3.4 z 555-9999 w", "x <EMAIL> y <IP> z <PHONE> w"),
+      // no PII: text flows through untouched
+      ("plain words only", "plain words only"),
+      // '555-123' (3 digits) is NOT a phone; '1.2.3' is NOT an ip
+      ("near 555-123 and 1.2.3 miss", "near 555-123 and 1.2.3 miss"))
+    val got = cases.map(_._1).toDF("s")
+      .select(TextQueries.redactPii($"s").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString(" | "))
+  }
 }

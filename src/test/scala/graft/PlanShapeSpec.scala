@@ -24,6 +24,20 @@ class PlanShapeSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q135: join-free single scan, counters aggregate map-side") {
+    // the redaction pipeline must be one corpus pass: no join anywhere,
+    // and the per-source rollup partial-aggregates BELOW the exchange so
+    // only (source, counters) rows cross the wire — never document text
+    val p = plan("q135_pii_redact")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      p.take(2000))
+    // the exchange carries the group-by hash partitioning, not text
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exch.contains("planted") && !exch.contains("red#"), exch)
+  }
+
   test("q02: predicates push into the parquet scan") {
     val p = plan("q02_selective_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
