@@ -38,6 +38,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exch.contains("planted") && !exch.contains("red#"), exch)
   }
 
+  test("q136: join-free day pairing, histogram partial-aggregates map-side") {
+    // the shifted-union replaces a day-over-day self-join: the plan must
+    // have NO join node, and the first (type, day, bucket) count must
+    // partial-aggregate below its exchange so only histogram cells cross
+    // the wire — never raw event rows
+    val p = plan("q136_drift_monitor")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      p.take(2000))
+    // the events scan is pruned to the three columns the monitor reads
+    val scan = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(scan.contains("event_type") && scan.contains("value")
+      && !scan.contains("props"), scan)
+  }
+
   test("q02: predicates push into the parquet scan") {
     val p = plan("q02_selective_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
