@@ -146,11 +146,54 @@ case class BloomContainsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bloom_any(bloom BINARY, tokens ARRAY<STRING>)` → BOOLEAN —
+  * true iff ANY 3-token shingle of `tokens` probes positive against a
+  * `graft_bloom_agg` blob. Semantically identical to
+  * `exists(shingles(tokens), sh -> graft_bloom_contains(bloom, sh))`
+  * with `concat_ws(' ', …)` shingling (BloomSpec pins the
+  * equivalence), but one primitive loop per document: the HOF
+  * spelling materializes the full shingle array and pays an
+  * interpreted lambda dispatch per element — the same cost class
+  * `graft_simhash32` and `graft_cpc_encode` replaced. Shingle bytes
+  * are assembled with the SAME separator as the build side, so probe
+  * and build can never disagree on the key encoding. Null token
+  * elements throw (the corpus tokenizer never produces them; silently
+  * skipping would change the screened shingle set). Short docs
+  * (< 3 tokens) have no shingles → false. */
+case class BloomAnyExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_any requires (BINARY, ARRAY<STRING>), got " +
+          s"${a.simpleString}, ${b.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_any"
+
+  override protected def nullSafeEval(bloom: Any, toks: Any): Any =
+    BloomExpr.anyShingle(bloom.asInstanceOf[Array[Byte]],
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t) => s"graft.expr.BloomExpr.anyShingle($b, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomAnyExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object BloomExpr {
   // two fixed XXH64 seeds for the double-hashing scheme; part of the
   // blob contract (a filter built with these probes with these)
   private val Seed1 = 0x9E3779B97F4A7C15L
   private val Seed2 = 0xC2B2AE3D27D4EB4FL
+
+  private val ShingleSep = UTF8String.fromString(" ")
 
   /** set the k probe bits of `key` in `words` (nbits = words.length·64,
     * power of two — positions are masked, never mod'd). */
@@ -181,10 +224,39 @@ object BloomExpr {
     * probe bit (BE long layout: bit b of word w lives in blob byte
     * 4 + w·8 + (7 − b/8), bit b mod 8), no per-row allocation. */
   def contains(blob: Array[Byte], key: UTF8String): Boolean = {
-    // nbits must be the power of two the build enforced: a truncated
-    // blob would otherwise probe under a wrong mask and could answer
-    // a silent FALSE NEGATIVE — the one error direction this screen
-    // must never have
+    val k = validateBlob(blob)
+    probe(blob, key, k, (((blob.length - 4).toLong) << 3) - 1L)
+  }
+
+  /** ANY-3-token-shingle probe — see BloomAnyExpr. Validates the blob
+    * geometry ONCE per call (not per shingle), then runs the window
+    * loop with the same byte assembly as `concat_ws(' ', …)`. */
+  def anyShingle(blob: Array[Byte],
+      toks: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val k = validateBlob(blob)
+    val mask = (((blob.length - 4).toLong) << 3) - 1L
+    val n = toks.numElements()
+    var i = 0
+    while (i + 2 < n) {
+      if (toks.isNullAt(i) || toks.isNullAt(i + 1) || toks.isNullAt(i + 2))
+        throw new IllegalArgumentException(
+          "graft_bloom_any: null token element — the non-null token " +
+            "contract mirrors graft_simhash32 (silently skipping would " +
+            "change the screened shingle set)")
+      val sh = UTF8String.concatWs(ShingleSep,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1),
+        toks.getUTF8String(i + 2))
+      if (probe(blob, sh, k, mask)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** geometry check — nbits must be the power of two the build
+    * enforced: a truncated blob would otherwise probe under a wrong
+    * mask and could answer a silent FALSE NEGATIVE — the one error
+    * direction this screen must never have. Returns k. */
+  private def validateBlob(blob: Array[Byte]): Int = {
     val payloadBits = (blob.length - 4).toLong << 3
     if (blob.length < 12 || ((blob.length - 4) & 7) != 0 ||
         (payloadBits & (payloadBits - 1)) != 0)
@@ -196,7 +268,11 @@ object BloomExpr {
     if (k < 1 || k > 16)
       throw new IllegalArgumentException(
         s"graft_bloom_contains: malformed bloom blob (k = $k)")
-    val mask = payloadBits - 1L
+    k
+  }
+
+  private def probe(blob: Array[Byte], key: UTF8String, k: Int,
+      mask: Long): Boolean = {
     val h1 = XXH64.hashUnsafeBytes(
       key.getBaseObject, key.getBaseOffset, key.numBytes, Seed1)
     val h2 = XXH64.hashUnsafeBytes(

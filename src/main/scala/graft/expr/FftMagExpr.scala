@@ -126,6 +126,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
       GraftFunctions.bloomContainsBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_any"),
+      new ExpressionInfo(classOf[BloomAnyExpr].getName, "graft_bloom_any"),
+      GraftFunctions.bloomAnyBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -143,6 +147,7 @@ object GraftFunctions {
   private val gruScanId = FunctionIdentifier("graft_gru_scan")
   private val bloomAggId = FunctionIdentifier("graft_bloom_agg")
   private val bloomContainsId = FunctionIdentifier("graft_bloom_contains")
+  private val bloomAnyId = FunctionIdentifier("graft_bloom_any")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -190,6 +195,9 @@ object GraftFunctions {
   }
   private[expr] val bloomContainsBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_bloom_contains", 2, ch); BloomContainsExpr(ch(0), ch(1))
+  }
+  private[expr] val bloomAnyBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_bloom_any", 2, ch); BloomAnyExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -266,6 +274,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
         bloomContainsBuilder)
     }
+    if (!registry.functionExists(bloomAnyId)) {
+      registry.registerFunction(
+        bloomAnyId,
+        new ExpressionInfo(classOf[BloomAnyExpr].getName, "graft_bloom_any"),
+        bloomAnyBuilder)
+    }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
     // the optimizer's final user-provided batch
@@ -335,6 +349,13 @@ object GraftFunctions {
   def bloomContains(spark: SparkSession, bloom: Column, key: Column): Column = {
     register(spark)
     call_function("graft_bloom_contains", bloom, key)
+  }
+
+  /** any-3-token-shingle bloom probe over a token array (native; one
+    * primitive loop per doc — the screen's hot path). */
+  def bloomAny(spark: SparkSession, bloom: Column, toks: Column): Column = {
+    register(spark)
+    call_function("graft_bloom_any", bloom, toks)
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

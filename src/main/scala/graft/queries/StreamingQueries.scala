@@ -581,11 +581,10 @@ object StreamingQueries {
     // q128 (split predicate, shingles, geometry all from BloomScreen)
     val blob: Array[Byte] = screen.benchBlob(s, dir)
     graft.Scratch.withScratchDir("graft_q130") { scratch =>
-      val cleaned = screen.withShingles(
-          screen.withBenchSplit(tableStream(s, dir, "documents"))
-            .filter($"hx" >= screen.BenchMax))
-        .filter(!exists($"shs",
-          sh => graft.expr.GraftFunctions.bloomContains(s, lit(blob), sh)))
+      val cleaned = screen.withBenchSplit(tableStream(s, dir, "documents"))
+        .filter($"hx" >= screen.BenchMax)
+        .filter(!graft.expr.GraftFunctions
+          .bloomAny(s, lit(blob), split($"text", " ")))
         .select($"doc_id", $"source")
       runToSink(s, cleaned, scratch)
         .groupBy($"source")

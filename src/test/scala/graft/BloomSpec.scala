@@ -66,6 +66,57 @@ class BloomSpec extends SparkSpec {
     assert(blob(3) == 3.toByte && blob(0) == 0.toByte)
   }
 
+  test("graft_bloom_any ≡ exists(3-shingles, graft_bloom_contains)") {
+    // the native any-shingle probe must keep the HOF spelling's exact
+    // semantics: same shingle bytes (concat_ws ' '), same short-doc
+    // (< 3 tokens) false, same short-circuit OR — on a corpus where
+    // some docs contain planted filter members and most don't
+    val member = Seq("alpha beta gamma", "delta epsilon zeta")
+    val blob = buildBlob(member, 1L << 16, 5, 4)
+    var nxt = 12345
+    def tok(): String = { nxt = nxt * 1103515245 + 12345; s"w${(nxt >>> 16) % 50}" }
+    val docs: Seq[String] =
+      Seq("", "one", "one two", "alpha beta gamma tail",
+        "head alpha beta gamma", "x alpha beta y gamma z") ++
+        Seq.tabulate(60) { i =>
+          val base = Seq.fill(3 + (i % 9))(tok()).mkString(" ")
+          if (i % 7 == 0) s"$base delta epsilon zeta" else base
+        }
+    val shingleExpr = "transform(sequence(1, greatest(size(t) - 2, 0)), " +
+      "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+      "element_at(t, i + 2)))"
+    val got = docs.zipWithIndex.map { case (d, i) => (i, d) }
+      .toDF("i", "text")
+      .withColumn("t", split($"text", " "))
+      .withColumn("hof", when(size($"t") >= 3, exists(expr(shingleExpr),
+        sh => GraftFunctions.bloomContains(spark, lit(blob), sh)))
+        .otherwise(lit(false)))
+      .withColumn("native", GraftFunctions.bloomAny(spark, lit(blob), $"t"))
+      .select($"i", $"hof", $"native").collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"doc ${r.getInt(0)}: hof ${r.getBoolean(1)} != native ${r.getBoolean(2)}")
+    }
+    // planted members actually probe true (the equivalence isn't
+    // vacuously all-false)
+    assert(got.count(_.getBoolean(2)) >= 10)
+  }
+
+  test("graft_bloom_any: null token element throws, null inputs → null") {
+    val blob = buildBlob(Seq("a b c"), 1L << 10, 3, 1)
+    intercept[Exception] {
+      Seq(1).toDF("x")
+        .withColumn("hit", GraftFunctions.bloomAny(spark, lit(blob),
+          array(lit("a"), lit(null).cast("string"), lit("c"), lit("d"))))
+        .collect()
+    }
+    val r = Seq(1).toDF("x")
+      .withColumn("hit", GraftFunctions.bloomAny(spark, lit(blob),
+        lit(null).cast("array<string>")))
+      .select($"hit").collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("malformed blob and bad literals fail loudly") {
     intercept[Exception] {
       Seq("x").toDF("s")

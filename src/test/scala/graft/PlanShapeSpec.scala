@@ -210,7 +210,7 @@ class PlanShapeSpec extends SparkSpec {
     // probe plan as a LITERAL; the only exchange is the source rollup
     val p = plan("q128_bloom_decontaminate")
     assert(!p.contains("Join"), p.take(1500))
-    assert(p.contains("graft_bloom_contains"), p.take(1500))
+    assert(p.contains("graft_bloom_any"), p.take(1500))
   }
 
   test("q126: single-scan rollup, no join, repetition fold row-local") {
