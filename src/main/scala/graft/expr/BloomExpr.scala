@@ -195,6 +195,14 @@ object BloomExpr {
 
   private val ShingleSep = UTF8String.fromString(" ")
 
+  /** shingle window width of the decontamination screen — the ONE
+    * definition both sides consume: BloomScreen.ShingleExpr (the
+    * build-side SQL spelling) derives its window arithmetic from this
+    * constant, and the native probe loop below iterates it, so a
+    * retune can never desynchronize build and probe (the silent
+    * false-negative direction the blob validator exists to prevent). */
+  val ShingleWidth = 3
+
   /** set the k probe bits of `key` in `words` (nbits = words.length·64,
     * power of two — positions are masked, never mod'd). */
   def setBits(words: Array[Long], key: UTF8String, k: Int): Unit = {
@@ -228,25 +236,33 @@ object BloomExpr {
     probe(blob, key, k, (((blob.length - 4).toLong) << 3) - 1L)
   }
 
-  /** ANY-3-token-shingle probe — see BloomAnyExpr. Validates the blob
-    * geometry ONCE per call (not per shingle), then runs the window
-    * loop with the same byte assembly as `concat_ws(' ', …)`. */
+  /** ANY-ShingleWidth-token-shingle probe — see BloomAnyExpr.
+    * Validates the blob geometry ONCE per call (not per shingle), then
+    * runs the window loop with the same byte assembly as
+    * `concat_ws(' ', …)`. The window buffer is hoisted and passed to
+    * the Java varargs concatWs directly (no per-shingle allocation
+    * beyond what the 3-arg varargs call already paid). */
   def anyShingle(blob: Array[Byte],
       toks: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
     val k = validateBlob(blob)
     val mask = (((blob.length - 4).toLong) << 3) - 1L
+    val w = ShingleWidth
     val n = toks.numElements()
+    val buf = new Array[UTF8String](w)
     var i = 0
-    while (i + 2 < n) {
-      if (toks.isNullAt(i) || toks.isNullAt(i + 1) || toks.isNullAt(i + 2))
-        throw new IllegalArgumentException(
-          "graft_bloom_any: null token element — the non-null token " +
-            "contract mirrors graft_simhash32 (silently skipping would " +
-            "change the screened shingle set)")
-      val sh = UTF8String.concatWs(ShingleSep,
-        toks.getUTF8String(i), toks.getUTF8String(i + 1),
-        toks.getUTF8String(i + 2))
-      if (probe(blob, sh, k, mask)) return true
+    while (i + w <= n) {
+      var j = 0
+      while (j < w) {
+        if (toks.isNullAt(i + j))
+          throw new IllegalArgumentException(
+            "graft_bloom_any: null token element — the non-null token " +
+              "contract mirrors graft_simhash32 (silently skipping would " +
+              "change the screened shingle set)")
+        buf(j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      if (probe(blob, UTF8String.concatWs(ShingleSep, buf: _*), k, mask))
+        return true
       i += 1
     }
     false

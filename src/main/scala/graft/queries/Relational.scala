@@ -802,6 +802,12 @@ object Relational {
     val p = $"c_cur" / $"n_cur"
     val q = $"c_prev" / $"n_prev"
     val m = (p + q) / 2
+    // NaN guard relies on `when` SHORT-CIRCUITING per row: on a
+    // c_cur = 0 row the log(p/m) branch (log(0) = -Inf, 0·-Inf = NaN)
+    // is never evaluated — CaseWhen only computes the branch it takes.
+    // The 0-count side of a bucket contributes exactly 0 to JSD, which
+    // is the limit value (x·ln x → 0); the DuckDB twin's CASE WHEN has
+    // the same semantics, so the hash gate pins this.
     g.withColumn("term",
         when($"c_cur" > 0, lit(0.5) * p * log(p / m)).otherwise(0.0) +
           when($"c_prev" > 0, lit(0.5) * q * log(q / m)).otherwise(0.0))

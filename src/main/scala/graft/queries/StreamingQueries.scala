@@ -584,7 +584,7 @@ object StreamingQueries {
       val cleaned = screen.withBenchSplit(tableStream(s, dir, "documents"))
         .filter($"hx" >= screen.BenchMax)
         .filter(!graft.expr.GraftFunctions
-          .bloomAny(s, lit(blob), split($"text", " ")))
+          .bloomAny(s, lit(blob), screen.tokens($"text")))
         .select($"doc_id", $"source")
       runToSink(s, cleaned, scratch)
         .groupBy($"source")
