@@ -13,16 +13,30 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects unless the legacy nanosAsLong conf is on.
-    * Read it as long nanos, then surface a proper TimestampType `ts`
-    * (microsecond precision — the generator's sub-micro digits are 0). */
+  /** events.parquet has shipped with two `ts` physical layouts across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (readable only as
+    * long nanos under the legacy nanosAsLong conf) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (surfacing as
+    * TIMESTAMP_NTZ). Read with the legacy conf on (harmless for
+    * micros) and normalize whatever arrives to one session-tz
+    * TimestampType column, so every query sees the same `ts`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(s.read.parquet(s"$d/events.parquet"))
+  }
+
+  /** Schema-sensitive `ts` normalization (shared with the streaming
+    * source): long nanos → microsecond TimestampType (integer `div`,
+    * NOT `/` — double division loses precision at 1e18 ns); NTZ (or
+    * any timestamp flavor) → session-tz timestamp, a value-identical
+    * relabel under the project-wide UTC session timezone. */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = s.read.parquet(s"$d/events.parquet")
-    // integer `div`, NOT `/`: double division loses precision at 1e18 ns
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private val eventRowCache =
