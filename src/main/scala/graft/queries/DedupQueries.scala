@@ -749,7 +749,7 @@ object DedupQueries {
     * benchmark split predicate, shingle spelling, and bloom geometry.
     * q130 (the streaming-ingest form of the same screen) builds from
     * these too — retuning the screen retunes both gates together. */
-  private[queries] object BloomScreen {
+  private[graft] object BloomScreen {
     /** benchmark split: md5("bench:"+doc_id) first-2-hex < "0d" ≈ 5%. */
     def withBenchSplit(d: DataFrame): DataFrame =
       d.withColumn("hx",
