@@ -724,31 +724,69 @@ object TextQueries {
     * placement checksum Σ(shard·doc_id) pins EVERY doc's shard, not
     * just the counts.
     *
-    * Scale: one shuffle by lang + an in-partition sort for the
-    * cumulative sum. A single language's running sum is inherently
-    * sequential — at 100 TB the lever is hierarchical packing (pack
-    * within buckets of the md5 key space, then offset each bucket by
-    * the preceding buckets' shard count — two window passes, same
-    * assignment), which keeps the sort bounded per bucket. The
-    * test-SF form is the one-level special case. */
+    * Scale: the assignment is computed HIERARCHICALLY — the
+    * distributed prefix-sum: bucket every doc by the leading hex
+    * digit of its md5 order key (the bucket prefix respects the
+    * global (md5, doc_id) order by construction), run the token
+    * cumsum per (lang, bucket) — a bounded in-partition sort, 1/16th
+    * of a language each — then rebuild the GLOBAL running offset by
+    * adding each bucket's preceding-buckets token total (a 16-row-
+    * per-lang rollup, broadcast back). cum_before = bucket_offset +
+    * local_cum is bit-identical to the one-window flat form (the
+    * offset decomposition is exact integer arithmetic), so the
+    * assignment — and the oracle — are unchanged while no single
+    * task ever sorts more than a bucket. ShardPackSpec pins per-doc
+    * equality of the two forms; the flat spelling survives below as
+    * the spec's reference. */
+  private val PackB = 4096L
+
+  /** per-doc (lang, doc_id, n_tok, shard) under streaming next-fit —
+    * `hierarchical` picks the bounded two-level prefix-sum or the
+    * one-window reference form (spec-only). */
+  private[graft] def packShards(s: SparkSession, dir: String,
+      hierarchical: Boolean): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(s, dir)
+      .withColumn("pkey", md5(concat(lit("pack:"), $"doc_id")))
+      .withColumn("n_tok", size(toks($"text")).cast("long"))
+    val withCum =
+      if (!hierarchical) {
+        val w = Window.partitionBy($"lang").orderBy($"pkey", $"doc_id")
+        d.withColumn("cum_before",
+          coalesce(sum($"n_tok").over(w.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      } else {
+        val bkt = d.withColumn("bkt", substring($"pkey", 1, 1))
+        val wLocal = Window.partitionBy($"lang", $"bkt")
+          .orderBy($"pkey", $"doc_id")
+        val local = bkt.withColumn("lcum",
+          coalesce(sum($"n_tok").over(wLocal.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        // 16 rows per lang: bucket token totals → exclusive prefix sum
+        val offs = bkt.groupBy($"lang", $"bkt")
+          .agg(sum($"n_tok").as("btok"))
+          .withColumn("boff",
+            coalesce(sum($"btok").over(Window.partitionBy($"lang")
+              .orderBy($"bkt").rowsBetween(
+                Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"lang", $"bkt", $"boff")
+        local.join(broadcast(offs), Seq("lang", "bkt"))
+          .withColumn("cum_before", $"boff" + $"lcum")
+      }
+    withCum.withColumn("shard", expr(s"cum_before div ${PackB}L"))
+      .select($"lang", $"doc_id", $"n_tok", $"shard")
+  }
+
   private def q131(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val B = 4096L
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
-      .orderBy(md5(concat(lit("pack:"), $"doc_id")), $"doc_id")
-    documents(s, dir)
-      .withColumn("n_tok", size(toks($"text")).cast("long"))
-      .withColumn("cum_before",
-        coalesce(sum($"n_tok").over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .withColumn("shard", expr(s"cum_before div ${B}L"))
+    packShards(s, dir, hierarchical = true)
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"n_tok").as("total_tokens"),
         (max($"shard") + 1L).as("n_shards"),
-        round(sum($"n_tok") / ((max($"shard") + 1L) * B).cast("double"), 6)
+        round(sum($"n_tok") / ((max($"shard") + 1L) * PackB).cast("double"), 6)
           .as("fill_ratio"),
         sum($"shard" * $"doc_id").as("placement_checksum"))
       .orderBy($"lang")

@@ -220,9 +220,16 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1500))
   }
 
-  test("q131: shard packing is join-free — one window pass, pruned scan") {
+  test("q131: hierarchical packing — bucket-bounded windows, broadcast offsets") {
     val p = plan("q131_shard_packing")
-    assert(!p.contains("Join"), p.take(1500))
+    // the per-doc cumsum window partitions by (lang, bkt) — no task
+    // ever sorts more than one bucket of one language
+    assert("hashpartitioning\\(lang#\\d+, bkt#\\d+".r
+      .findFirstIn(p).isDefined, p.take(2000))
+    // the 16-row-per-lang bucket-offset table joins back as a
+    // BROADCAST hash join — the doc stream never shuffles for it
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
       p.take(1500))
   }

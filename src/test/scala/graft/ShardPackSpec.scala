@@ -1,0 +1,40 @@
+package graft
+
+import graft.queries.TextQueries
+
+/** Pins for q131's hierarchical shard packing: the bounded two-level
+  * prefix-sum (per-(lang, md5-hex-bucket) cumsum + bucket token
+  * offsets) must produce the EXACT per-doc assignment of the flat
+  * one-window reference form — the offset decomposition is integer
+  * arithmetic, so equality is bitwise, not approximate. Verified on
+  * real corpora at two SFs so bucket boundaries actually fall inside
+  * shards (the case where a naive per-bucket restart would diverge).
+  */
+class ShardPackSpec extends SparkSpec {
+
+  private def assignments(dir: String, hierarchical: Boolean) =
+    TextQueries.packShards(spark, dir, hierarchical)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"hierarchical == flat per-doc shard assignment at $sf") {
+      val dir = s"/root/testdata/$sf"
+      val flat = assignments(dir, hierarchical = false)
+      val hier = assignments(dir, hierarchical = true)
+      assert(hier.size == flat.size, s"${hier.size} vs ${flat.size}")
+      val diffs = flat.collect {
+        case (k, v) if hier(k) != v => (k, v, hier(k))
+      }
+      assert(diffs.isEmpty, s"first diverging docs: ${diffs.take(5).toSeq}")
+      // the equality must be non-vacuous: some language must span
+      // multiple buckets AND multiple shards, so a bucket boundary
+      // lands mid-shard somewhere
+      val shardsPerLang = flat.groupBy(_._1._1)
+        .map { case (l, m) => l -> m.values.map(_._2).toSet.size }
+      assert(shardsPerLang.values.exists(_ > 1),
+        s"degenerate corpus: one shard per lang ($shardsPerLang)")
+    }
+  }
+}
