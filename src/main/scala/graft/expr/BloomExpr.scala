@@ -196,12 +196,21 @@ object BloomExpr {
   private val ShingleSep = UTF8String.fromString(" ")
 
   /** shingle window width of the decontamination screen — the ONE
-    * definition both sides consume: BloomScreen.ShingleExpr (the
-    * build-side SQL spelling) derives its window arithmetic from this
-    * constant, and the native probe loop below iterates it, so a
-    * retune can never desynchronize build and probe (the silent
-    * false-negative direction the blob validator exists to prevent). */
-  val ShingleWidth = 3
+    * definition both sides consume: BloomScreen.ShingleExpr / .ShingleSql
+    * (the build-side and oracle spellings) derive their window
+    * arithmetic from this constant, and the native probe loop below
+    * iterates it, so a retune can never desynchronize build and probe
+    * (the silent false-negative direction the blob validator exists
+    * to prevent).
+    *
+    * 8, not 3: decontamination screens on LONG n-grams (Lee et al.
+    * 2022 use 13-grams; Brown et al. 2020 likewise screen on 13-gram
+    * overlap) precisely because short n-grams collide on common
+    * phrasing — on this corpus's ~30-word vocabulary a 3-gram screen
+    * "contaminates" 84% of the corpus while width ≥ 5 isolates
+    * exactly the genuine near-copies of benchmark docs. Docs shorter
+    * than the width carry no shingles and always pass. */
+  val ShingleWidth = 8
 
   /** set the k probe bits of `key` in `words` (nbits = words.length·64,
     * power of two — positions are masked, never mod'd). */

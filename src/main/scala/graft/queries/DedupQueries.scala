@@ -772,6 +772,20 @@ object DedupQueries {
       s"transform(sequence(1, size(t) - ${ShingleW - 1}), " +
         s"i -> concat_ws(' ', $parts))"
     }
+    /** DuckDB spelling of the same shingle list over a
+      * string_split column `t` — interpolated into the q128/q130/q138
+      * oracles so a width retune can never desynchronize the gates
+      * from the native probe loop. Continuation lines must not start
+      * with `||` (outer stripMargin would eat the first pipe). */
+    val ShingleSql: String = {
+      val parts = (0 until ShingleW)
+        .map(o => if (o == 0) "t[i]" else s"t[i + $o]")
+        .mkString(" || ' ' || ")
+      s"CASE WHEN len(t) >= $ShingleW THEN\n" +
+        s"    list_transform(generate_series(1, len(t) - ${ShingleW - 1}),\n" +
+        s"      i -> $parts)\n" +
+        s"  ELSE [] END"
+    }
     def withShingles(d: DataFrame): DataFrame =
       d.withColumn("t", tokens(col("text")))
         .withColumn("shs", when(size(col("t")) >= ShingleW, expr(ShingleExpr))
@@ -835,17 +849,14 @@ object DedupQueries {
       .orderBy($"source")
   }
 
-  private val q128Sql =
-    """WITH d AS (
+  private lazy val q128Sql =
+    s"""WITH d AS (
       | SELECT doc_id, source, string_split(text, ' ') AS t,
       |  substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 2) AS hx
       | FROM documents),
       |sh AS (
       | SELECT doc_id, source, hx,
-      |  CASE WHEN len(t) >= 3 THEN
-      |    list_transform(generate_series(1, len(t) - 2),
-      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
-      |  ELSE [] END AS shs
+      |  ${BloomScreen.ShingleSql} AS shs
       | FROM d),
       |bench_sh AS (
       | SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE hx < '0d'),

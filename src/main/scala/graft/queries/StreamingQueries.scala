@@ -633,17 +633,14 @@ object StreamingQueries {
     }
   }
 
-  private val q130Sql =
-    """WITH d AS (
+  private lazy val q130Sql =
+    s"""WITH d AS (
       | SELECT doc_id, source, string_split(text, ' ') AS t,
       |  substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 2) AS hx
       | FROM documents),
       |sh AS (
       | SELECT doc_id, source, hx,
-      |  CASE WHEN len(t) >= 3 THEN
-      |    list_transform(generate_series(1, len(t) - 2),
-      |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
-      |  ELSE [] END AS shs
+      |  ${DedupQueries.BloomScreen.ShingleSql} AS shs
       | FROM d),
       |bench_sh AS (
       | SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE hx < '0d'),

@@ -638,9 +638,16 @@ object TextQueries {
     * EXISTS in both count tables (corpus-self guarantees c₁₂ ≥ 1), so
     * the joins are inner with no null legs. */
   private def docNllFrame(s: SparkSession, dir: String,
+      carry: Seq[String]): DataFrame =
+    docNllFrameOf(s, documents(s, dir), carry)
+
+  /** same LM over an arbitrary corpus frame (doc_id, text, carry…) —
+    * q138's curation DAG fits the LM on the docs that SURVIVE its
+    * upstream screens, not the raw table. */
+  private def docNllFrameOf(s: SparkSession, docs: DataFrame,
       carry: Seq[String]): DataFrame = {
     import s.implicits._
-    val d = documents(s, dir).withColumn("t", toks($"text"))
+    val d = docs.withColumn("t", toks($"text"))
     val tok = d.select(explode($"t").as("w"))
     val c1 = tok.groupBy($"w").agg(count(lit(1)).as("c"))
     val n = tok.agg(count(lit(1)).as("n"))
@@ -744,10 +751,17 @@ object TextQueries {
     * `hierarchical` picks the bounded two-level prefix-sum or the
     * one-window reference form (spec-only). */
   private[graft] def packShards(s: SparkSession, dir: String,
+      hierarchical: Boolean): DataFrame =
+    packShardsOf(documents(s, dir), hierarchical)
+
+  /** same packing over an arbitrary corpus frame (lang, doc_id, text)
+    * — q138 packs the post-redaction survivor set. */
+  private[graft] def packShardsOf(docs: DataFrame,
       hierarchical: Boolean): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val d = documents(s, dir)
+    val d = docs
       .withColumn("pkey", md5(concat(lit("pack:"), $"doc_id")))
       .withColumn("n_tok", size(toks($"text")).cast("long"))
     val withCum =
@@ -917,25 +931,56 @@ object TextQueries {
         PiiIp, "<IP>"),
       PiiPhone, "<PHONE>")
 
-  private def q135(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ds = $"doc_id".cast("string")
+  /** DuckDB spelling of `redactPii` over column expression `c`. */
+  private[graft] def redactSqlOf(c: String): String =
+    s"""regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace($c, '$PiiEmail', '<EMAIL>', 'g'),
+       |      '$PiiIp', '<IP>', 'g'),
+       |    '$PiiPhone', '<PHONE>', 'g')""".stripMargin
+
+  /** deterministic PII planting (md5-keyed quarter each of email /
+    * phone / IP / untouched) — ONE definition shared by q135's gate
+    * and q138's curation DAG, Spark and SQL sides. */
+  private[graft] def plantPii(text: Column, docId: Column): Column = {
+    val ds = docId.cast("string")
     val sel = conv(substr(md5(concat(lit("q135:"), ds)), lit(1), lit(8)),
       16, 10).cast("long") % 4
-    val planted =
-      when(sel === 0, concat($"text",
-        lit(" contact user"), ds, lit("@mail.example.com or user"), ds,
-        lit("b@alt.example.org now")))
-        .when(sel === 1, concat($"text",
-          lit(" call 555-"),
-          lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" today")))
-        .when(sel === 2, concat($"text",
-          lit(" from 10."), ($"doc_id" % 256).cast("string"), lit("."),
-          (($"doc_id" * 7 + 13) % 256).cast("string"), lit("."),
-          (($"doc_id" * 11 + 5) % 256).cast("string"), lit(" logged")))
-        .otherwise($"text")
+    when(sel === 0, concat(text,
+      lit(" contact user"), ds, lit("@mail.example.com or user"), ds,
+      lit("b@alt.example.org now")))
+      .when(sel === 1, concat(text,
+        lit(" call 555-"),
+        lpad((docId % 10000).cast("string"), 4, "0"), lit(" today")))
+      .when(sel === 2, concat(text,
+        lit(" from 10."), (docId % 256).cast("string"), lit("."),
+        ((docId * 7 + 13) % 256).cast("string"), lit("."),
+        ((docId * 11 + 5) % 256).cast("string"), lit(" logged")))
+      .otherwise(text)
+  }
+
+  /** DuckDB spelling of `plantPii` (same md5 key, same appends).
+    * NOTE: no continuation line may start with `||` — this fragment
+    * is interpolated into outer stripMargin strings, which would eat
+    * the first pipe and leave a bitwise-or. */
+  private[graft] val PlantPiiSql: String =
+    """CASE CAST(concat('0x', substr(md5(concat('q135:',
+      |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4
+      | WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |   '@mail.example.com or user' || CAST(doc_id AS VARCHAR) ||
+      |   'b@alt.example.org now'
+      | WHEN 1 THEN text || ' call 555-' ||
+      |   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      | WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |   '.' || CAST((doc_id * 7 + 13) % 256 AS VARCHAR) ||
+      |   '.' || CAST((doc_id * 11 + 5) % 256 AS VARCHAR) || ' logged'
+      | ELSE text END""".stripMargin
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     documents(s, dir)
-      .select($"doc_id", $"source", planted.as("planted"))
+      .select($"doc_id", $"source",
+        plantPii($"text", $"doc_id").as("planted"))
       .withColumn("emails",
         size(regexp_extract_all($"planted", lit(PiiEmail), lit(0))))
       .withColumn("ips",
@@ -961,28 +1006,14 @@ object TextQueries {
   private val q135Sql =
     s"""WITH p AS (
       | SELECT doc_id, source,
-      |  CASE CAST(concat('0x', substr(md5(concat('q135:',
-      |        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4
-      |   WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-      |     || '@mail.example.com or user' || CAST(doc_id AS VARCHAR)
-      |     || 'b@alt.example.org now'
-      |   WHEN 1 THEN text || ' call 555-'
-      |     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
-      |   WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-      |     || '.' || CAST((doc_id * 7 + 13) % 256 AS VARCHAR)
-      |     || '.' || CAST((doc_id * 11 + 5) % 256 AS VARCHAR) || ' logged'
-      |   ELSE text END AS planted
+      |  $PlantPiiSql AS planted
       | FROM documents),
       |r AS (
       | SELECT doc_id, source, planted,
       |  len(regexp_extract_all(planted, '$PiiEmail')) AS emails,
       |  len(regexp_extract_all(planted, '$PiiIp')) AS ips,
       |  len(regexp_extract_all(planted, '$PiiPhone')) AS phones,
-      |  regexp_replace(
-      |    regexp_replace(
-      |      regexp_replace(planted, '$PiiEmail', '<EMAIL>', 'g'),
-      |      '$PiiIp', '<IP>', 'g'),
-      |    '$PiiPhone', '<PHONE>', 'g') AS red
+      |  ${redactSqlOf("planted")} AS red
       | FROM p)
       |SELECT source, count(*) AS n_docs,
       | CAST(sum(CASE WHEN emails + ips + phones > 0 THEN 1 ELSE 0 END)
@@ -996,7 +1027,253 @@ object TextQueries {
       |   AS BIGINT) AS red_checksum
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q138: the FULL CURATION DAG — every pipeline stage the engine
+  // ships, composed end-to-end in dependency order, with a per-stage
+  // funnel rollup under the hash gate. The single most user-facing
+  // artifact: a team adopting the engine runs exactly this DAG over
+  // raw crawl shards. Stages (each reusing the standalone gate's ONE
+  // definition — screen geometry, thresholds, LM, regexes, rank keys):
+  //   1 ingest           bench-split corpus side, q135 PII plant at
+  //                      the door (so redaction is measurably real)
+  //   2 decontaminated   q128/q130 bloom screen (plan-literal blob;
+  //                      oracle = exact shingle anti-join)
+  //   3 repetition_filtered  q126 Gopher screens
+  //   4 ppl_tail_dropped q129 LM FIT ON THE SURVIVORS + q133 tercile
+  //                      cut: worst tercile per lang dropped (docs
+  //                      with < 2 tokens carry no score and drop too)
+  //   5 exact_deduped    q40/q48 keep-first by md5(text)
+  //   6 pii_redacted     q135 redaction; token counts RECOMPUTED on
+  //                      the redacted text; checksum = Σ md5-first8
+  //                      of the redacted bytes (byte-exact proof)
+  //   7 mixture_sampled  q127 integer-exact proportional targets
+  //   8 sharded          q131 hierarchical packing; checksum =
+  //                      Σ(shard·doc_id) pins every doc's shard
+  //
+  // Scale: the spine is localCheckpointed after stages 3, 4 and 6 —
+  // the LM joins and every downstream stage read materialized
+  // survivors, so no rollup branch re-runs an upstream stage's scan.
+  // Stage order is the cost argument from the pipeline literature:
+  // cheap row-local screens (2, 3) run before the join-heavy LM (4),
+  // which runs before the shuffling stages (5, 7, 8) — each stage
+  // shrinks the corpus the next one pays for.
+  // ---------------------------------------------------------------
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val screen = DedupQueries.BloomScreen
+    val blob = screen.benchBlob(s, dir)
+    // the testdata table is ONE parquet file → one scan partition, and
+    // every row-local stage (plant, tokenize, 8-gram probe, Gopher
+    // fold, redaction regexes) would run single-task stacked end to
+    // end. Fan the ingest out to the session's shuffle width and
+    // checkpoint — production ingest is many files (q130's fixture
+    // argument); every later stage and rollup reads the materialized
+    // fan-out instead of re-running upstream row-local work.
+    val d1 = screen.withBenchSplit(documents(s, dir))
+      .filter($"hx" >= screen.BenchMax)
+      .select($"doc_id", $"lang", $"source",
+        plantPii($"text", $"doc_id").as("text"))
+      .withColumn("t", toks($"text"))
+      .withColumn("n_tok", size($"t").cast("long"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .localCheckpoint(true)
+    val d2 = d1.filter(!graft.expr.GraftFunctions
+      .bloomAny(s, lit(blob), $"t"))
+      .localCheckpoint(true)
+    val d3 = d2
+      .withColumn("bgs", when(size($"t") >= 2, expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .otherwise(expr("array()")))
+      .withColumn("top_bg_frac", expr(TopBigramFoldExpr) /
+        greatest(size($"bgs"), lit(1)).cast("double"))
+      .withColumn("rep_ratio",
+        lit(1.0) - size(array_distinct($"t")) / size($"t").cast("double"))
+      .filter($"top_bg_frac" <= 0.05 && $"rep_ratio" <= 0.6)
+      .select($"doc_id", $"lang", $"source", $"text", $"n_tok")
+      .localCheckpoint(true)
+    val keep4 = docNllFrameOf(s, d3, Seq("lang"))
+      .withColumn("tc", ntile(3).over(Window.partitionBy($"lang")
+        .orderBy(round($"doc_nll", 6), $"doc_id")))
+      .filter($"tc" <= 2).select($"doc_id")
+    val d4 = d3.join(keep4, "doc_id").localCheckpoint(true)
+    val d5 = d4.withColumn("mn",
+        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"mn").drop("mn")
+    val d6 = d5.withColumn("red", redactPii($"text"))
+      .select($"doc_id", $"lang", $"source", $"red",
+        size(toks($"red")).cast("long").as("rn_tok"))
+      .localCheckpoint(true)
+    val mw = d6.withColumn("w",
+      (lit(1) + pmod(regexp_extract($"source", "src(\\d+)", 1).cast("int"),
+        lit(3))).cast("long"))
+    val caps = mw.groupBy($"source", $"w").agg(count(lit(1)).as("n_orig"))
+      .agg(min(expr("n_orig div w")).as("t_units"))
+    val d7 = mw.withColumn("rk", row_number().over(Window
+        .partitionBy($"source")
+        .orderBy(md5(concat(lit("mix:"), $"doc_id")), $"doc_id")))
+      .crossJoin(broadcast(caps))
+      .filter($"rk" <= $"w" * $"t_units")
+      .select($"doc_id", $"lang", $"source", $"red", $"rn_tok")
+    val packed = packShardsOf(
+      d7.select($"lang", $"doc_id", $"red".as("text")),
+      hierarchical = true)
+    def roll(i: Int, name: String, df: DataFrame,
+        tok: Column, ck: Column): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(tok).cast("long").as("n_tokens"),
+          sum(ck).cast("long").as("checksum"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+          $"n_docs", $"n_tokens", $"checksum")
+    val redCk = conv(substr(md5($"red"), lit(1), lit(8)), 16, 10)
+      .cast("long")
+    roll(1, "ingest", d1, $"n_tok", $"doc_id")
+      .unionAll(roll(2, "decontaminated", d2, $"n_tok", $"doc_id"))
+      .unionAll(roll(3, "repetition_filtered", d3, $"n_tok", $"doc_id"))
+      .unionAll(roll(4, "ppl_tail_dropped", d4, $"n_tok", $"doc_id"))
+      .unionAll(roll(5, "exact_deduped", d5, $"n_tok", $"doc_id"))
+      .unionAll(roll(6, "pii_redacted", d6, $"rn_tok", redCk))
+      .unionAll(roll(7, "mixture_sampled", d7, $"rn_tok", $"doc_id"))
+      .unionAll(roll(8, "sharded", packed, $"n_tok", $"shard" * $"doc_id"))
+      .orderBy($"stage_idx")
+  }
+
+  private lazy val q138Sql = {
+    val shingles = DedupQueries.BloomScreen.ShingleSql
+    s"""WITH raw AS (
+       | SELECT doc_id, lang, source, text,
+       |  substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 2) AS hx
+       | FROM documents),
+       |bench_sh AS MATERIALIZED (
+       | SELECT DISTINCT unnest($shingles) AS sh
+       | FROM (SELECT string_split(text, ' ') AS t FROM raw
+       |       WHERE hx < '0d')),
+       |d1 AS MATERIALIZED (
+       | SELECT doc_id, lang, source, $PlantPiiSql AS text
+       | FROM raw WHERE hx >= '0d'),
+       |d1t AS MATERIALIZED (
+       | SELECT doc_id, lang, source, text, string_split(text, ' ') AS t,
+       |  len(string_split(text, ' ')) AS n_tok
+       | FROM d1),
+       |hit AS (
+       | SELECT DISTINCT c.doc_id FROM (
+       |  SELECT doc_id, unnest($shingles) AS sh FROM d1t) c
+       | JOIN bench_sh b ON c.sh = b.sh),
+       |d2 AS MATERIALIZED (
+       | SELECT d.* FROM d1t d LEFT JOIN hit h ON d.doc_id = h.doc_id
+       | WHERE h.doc_id IS NULL),
+       |bg AS (
+       | SELECT doc_id, t, CASE WHEN len(t) >= 2 THEN
+       |   list_transform(generate_series(1, len(t) - 1),
+       |     i -> t[i] || ' ' || t[i + 1]) ELSE [] END AS bgs
+       | FROM d2),
+       |cnt AS (
+       | SELECT doc_id, max(c) AS top_bg_cnt FROM (
+       |  SELECT doc_id, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+       |  GROUP BY doc_id, b)
+       | GROUP BY doc_id),
+       |d3 AS MATERIALIZED (
+       | SELECT d.doc_id, d.lang, d.source, d.text, d.t, d.n_tok
+       | FROM d2 d JOIN bg ON d.doc_id = bg.doc_id
+       | LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+       | WHERE coalesce(top_bg_cnt, 0)
+       |    / CAST(greatest(len(bgs), 1) AS DOUBLE) <= 0.05
+       |  AND 1.0 - len(list_distinct(d.t)) / CAST(len(d.t) AS DOUBLE)
+       |    <= 0.6),
+       |tok AS (SELECT unnest(t) AS w FROM d3),
+       |c1 AS MATERIALIZED (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM tok),
+       |pairs AS MATERIALIZED (
+       | SELECT doc_id, lang, pr.w1 AS w1, pr.w2 AS w2 FROM (
+       |  SELECT doc_id, lang,
+       |   unnest(list_transform(generate_series(1, len(t) - 1),
+       |     i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS pr
+       |  FROM d3 WHERE len(t) >= 2)),
+       |c12 AS MATERIALIZED (
+       | SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+       |nq AS (
+       | SELECT doc_id, lang, avg(nll) AS doc_nll FROM (
+       |  SELECT p.doc_id, p.lang,
+       |   -ln(0.7 * c12.c12 / c1a.c + 0.3 * c1b.c / nn.n) AS nll
+       |  FROM pairs p JOIN c12 USING (w1, w2)
+       |  JOIN c1 c1a ON c1a.w = p.w1
+       |  JOIN c1 c1b ON c1b.w = p.w2
+       |  CROSS JOIN nn)
+       | GROUP BY doc_id, lang),
+       |k4 AS (
+       | SELECT doc_id, ntile(3) OVER (PARTITION BY lang
+       |   ORDER BY round(doc_nll, 6), doc_id) AS tc
+       | FROM nq),
+       |d4 AS MATERIALIZED (
+       | SELECT d.* FROM d3 d JOIN k4 ON d.doc_id = k4.doc_id
+       | WHERE k4.tc <= 2),
+       |d5 AS MATERIALIZED (
+       | SELECT * FROM (
+       |  SELECT d.*, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+       |  FROM d4 d)
+       | WHERE doc_id = mn),
+       |d6 AS MATERIALIZED (
+       | SELECT doc_id, lang, source,
+       |  ${redactSqlOf("text")} AS red
+       | FROM d5),
+       |d6t AS MATERIALIZED (
+       | SELECT *, len(string_split(red, ' ')) AS rn_tok FROM d6),
+       |mw AS (
+       | SELECT *, 1 + (CAST(regexp_extract(source, 'src(\\d+)', 1)
+       |   AS INT) % 3) AS w
+       | FROM d6t),
+       |caps AS (
+       | SELECT min(n_orig // w) AS t_units FROM
+       |  (SELECT source, w, count(*) AS n_orig FROM mw GROUP BY source, w)),
+       |rk AS (
+       | SELECT *, row_number() OVER (PARTITION BY source
+       |   ORDER BY md5(concat('mix:', CAST(doc_id AS VARCHAR))), doc_id)
+       |   AS rk
+       | FROM mw),
+       |d7 AS MATERIALIZED (
+       | SELECT doc_id, lang, source, red, rn_tok
+       | FROM rk CROSS JOIN caps WHERE rk <= w * t_units),
+       |o8 AS (
+       | SELECT doc_id, lang, rn_tok,
+       |  coalesce(sum(rn_tok) OVER (PARTITION BY lang
+       |    ORDER BY md5(concat('pack:', CAST(doc_id AS VARCHAR))), doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cum_before
+       | FROM d7)
+       |SELECT * FROM (
+       | SELECT 1 AS stage_idx, 'ingest' AS stage, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS checksum FROM d1t
+       | UNION ALL
+       | SELECT 2, 'decontaminated', count(*), CAST(sum(n_tok) AS BIGINT),
+       |  CAST(sum(doc_id) AS BIGINT) FROM d2
+       | UNION ALL
+       | SELECT 3, 'repetition_filtered', count(*),
+       |  CAST(sum(n_tok) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM d3
+       | UNION ALL
+       | SELECT 4, 'ppl_tail_dropped', count(*),
+       |  CAST(sum(n_tok) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM d4
+       | UNION ALL
+       | SELECT 5, 'exact_deduped', count(*),
+       |  CAST(sum(n_tok) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM d5
+       | UNION ALL
+       | SELECT 6, 'pii_redacted', count(*), CAST(sum(rn_tok) AS BIGINT),
+       |  CAST(sum(CAST(concat('0x', substr(md5(red), 1, 8)) AS BIGINT))
+       |    AS BIGINT) FROM d6t
+       | UNION ALL
+       | SELECT 7, 'mixture_sampled', count(*), CAST(sum(rn_tok) AS BIGINT),
+       |  CAST(sum(doc_id) AS BIGINT) FROM d7
+       | UNION ALL
+       | SELECT 8, 'sharded', count(*), CAST(sum(rn_tok) AS BIGINT),
+       |  CAST(sum((cum_before // 4096) * doc_id) AS BIGINT) FROM o8)
+       |ORDER BY stage_idx""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q138_curation_dag", q138, Some(q138Sql),
+      "full curation DAG: screen→gopher→LM tercile→dedup→redact→mix→pack funnel"),
     Q("q135_pii_redact", q135, Some(q135Sql),
       "PII redaction APPLY: planted email/phone/IP scrub, byte-exact"),
     Q("q133_perplexity_split", q133, Some(q133Sql),

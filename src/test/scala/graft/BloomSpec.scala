@@ -66,29 +66,38 @@ class BloomSpec extends SparkSpec {
     assert(blob(3) == 3.toByte && blob(0) == 0.toByte)
   }
 
-  test("graft_bloom_any ≡ exists(3-shingles, graft_bloom_contains)") {
+  test("graft_bloom_any ≡ exists(W-shingles, graft_bloom_contains)") {
     // the native any-shingle probe must keep the HOF spelling's exact
     // semantics: same shingle bytes (concat_ws ' '), same short-doc
-    // (< 3 tokens) false, same short-circuit OR — on a corpus where
-    // some docs contain planted filter members and most don't
-    val member = Seq("alpha beta gamma", "delta epsilon zeta")
-    val blob = buildBlob(member, 1L << 16, 5, 4)
+    // (< ShingleWidth tokens) false, same short-circuit OR — on a
+    // corpus where some docs contain planted filter members and most
+    // don't. The whole test derives from ShingleWidth so a width
+    // retune retunes the pin with it.
+    val w = graft.expr.BloomExpr.ShingleWidth
+    val m1 = (1 to w).map(i => s"alpha$i").mkString(" ")
+    val m2 = (1 to w).map(i => s"delta$i").mkString(" ")
+    val blob = buildBlob(Seq(m1, m2), 1L << 16, 5, 4)
     var nxt = 12345
     def tok(): String = { nxt = nxt * 1103515245 + 12345; s"w${(nxt >>> 16) % 50}" }
+    val shortDoc = (1 to w - 1).map(i => s"s$i").mkString(" ")
+    // m1 with one token swapped: every window misses by one position
+    val offByOne = (1 to w).map(i => if (i == w / 2) "zz" else s"alpha$i")
+      .mkString(" ")
     val docs: Seq[String] =
-      Seq("", "one", "one two", "alpha beta gamma tail",
-        "head alpha beta gamma", "x alpha beta y gamma z") ++
+      Seq("", "one", shortDoc, s"$m1 tail", s"head $m1", offByOne) ++
         Seq.tabulate(60) { i =>
-          val base = Seq.fill(3 + (i % 9))(tok()).mkString(" ")
-          if (i % 7 == 0) s"$base delta epsilon zeta" else base
+          val base = Seq.fill(w + (i % 9))(tok()).mkString(" ")
+          if (i % 7 == 0) s"$base $m2" else base
         }
-    val shingleExpr = "transform(sequence(1, greatest(size(t) - 2, 0)), " +
-      "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
-      "element_at(t, i + 2)))"
+    val parts = (0 until w)
+      .map(o => s"element_at(t, i + $o)").mkString(", ")
+    val shingleExpr =
+      s"transform(sequence(1, greatest(size(t) - ${w - 1}, 0)), " +
+        s"i -> concat_ws(' ', $parts))"
     val got = docs.zipWithIndex.map { case (d, i) => (i, d) }
       .toDF("i", "text")
       .withColumn("t", split($"text", " "))
-      .withColumn("hof", when(size($"t") >= 3, exists(expr(shingleExpr),
+      .withColumn("hof", when(size($"t") >= w, exists(expr(shingleExpr),
         sh => GraftFunctions.bloomContains(spark, lit(blob), sh)))
         .otherwise(lit(false)))
       .withColumn("native", GraftFunctions.bloomAny(spark, lit(blob), $"t"))
@@ -105,9 +114,12 @@ class BloomSpec extends SparkSpec {
   test("graft_bloom_any: null token element throws, null inputs → null") {
     val blob = buildBlob(Seq("a b c"), 1L << 10, 3, 1)
     intercept[Exception] {
+      // enough tokens to form at least one probe window, null inside
+      val toks = (lit("a") +: lit(null).cast("string") +:
+        (1 to graft.expr.BloomExpr.ShingleWidth).map(i => lit(s"t$i"))): Seq[_root_.org.apache.spark.sql.Column]
       Seq(1).toDF("x")
         .withColumn("hit", GraftFunctions.bloomAny(spark, lit(blob),
-          array(lit("a"), lit(null).cast("string"), lit("c"), lit("d"))))
+          array(toks: _*)))
         .collect()
     }
     val r = Seq(1).toDF("x")
