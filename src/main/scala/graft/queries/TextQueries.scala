@@ -771,7 +771,13 @@ object TextQueries {
           coalesce(sum($"n_tok").over(w.rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
       } else {
+        // materialize the slim digest stream ONCE (the q134 move):
+        // the local-cumsum and bucket-offset branches both consume it,
+        // and without the barrier each branch re-runs the parquet
+        // scan + tokenize (measured 7.8 s vs 1.9 s at sf1)
         val bkt = d.withColumn("bkt", substring($"pkey", 1, 1))
+          .select($"lang", $"bkt", $"pkey", $"doc_id", $"n_tok")
+          .localCheckpoint(true)
         val wLocal = Window.partitionBy($"lang", $"bkt")
           .orderBy($"pkey", $"doc_id")
         val local = bkt.withColumn("lcum",

@@ -411,11 +411,16 @@ object TrajectoryQueries {
 
   private def q137(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // materialize the blended reps once — 20 GD epochs + scoring all
+    // materialize the blended reps once — 12 GD epochs + scoring all
     // read this table; without the barrier the DFT/assembly chain
-    // re-executes per epoch (the q88 checkpoint rationale)
+    // re-executes per epoch (the q88 checkpoint rationale). Fan out
+    // to the session's shuffle width, NOT checkpointPartitions: every
+    // epoch is a full-table aggregation whose map parallelism is the
+    // checkpoint's partition count (4 partitions at sf1 throttled the
+    // 12 gradient passes; q88's tiny-fit rationale doesn't apply)
     val u = gridData(s, dir)
-      .repartition(checkpointPartitions(s, dir)).localCheckpoint(true)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .localCheckpoint(true)
     val rawTrain = u.filter($"user_id" % 5 =!= 0)
     // per-cell TRAIN z-stats as two gathered arrays; zero-variance
     // dims (bias, padding) pass through unscaled in zscore below

@@ -230,7 +230,10 @@ class PlanShapeSpec extends SparkSpec {
     // BROADCAST hash join — the doc stream never shuffles for it
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+    // the slim digest stream is materialized ONCE behind a
+    // localCheckpoint (the q134 move): both window branches read the
+    // checkpointed RDD, and no parquet re-scan appears above it
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
       p.take(1500))
   }
 
