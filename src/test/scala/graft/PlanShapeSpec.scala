@@ -237,6 +237,28 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q137: keyed GD grid — broadcast state joins, no cartesian") {
+    val p = plan("q137_gd_probe_grid")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the 9-row weight state and z-stats ride BROADCAST joins into
+    // the scoring pass — the corpus never shuffles for model state
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // grid table + per-epoch states are checkpointed: the final plan
+    // reads materialized RDDs, no parquet re-scan of the rep chain
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      p.take(1500))
+  }
+
+  test("q138: DAG rollups read the checkpointed spine, no cartesian") {
+    val p = plan("q138_curation_dag")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // every rollup branch reads a localCheckpointed stage (the only
+    // parquet scan in the whole DAG happens once, below the d1
+    // barrier), so no branch re-runs upstream row-local work
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      p.take(1500))
+  }
+
   test("q129: LM scoring joins are hash-keyed, never cartesian on the pair stream") {
     // the only nested-loop join allowed is the broadcast of the
     // one-row token-total scalar; the pair-stream joins must be

@@ -69,6 +69,31 @@ class TrajectorySpec extends SparkSpec {
     assert(nn4 > lr4 - 0.05, s"NN head underperforms LR at epoch 4: $nn4 vs $lr4")
   }
 
+  test("q137: GD grid agrees with the Spark ML protocol it replaces") {
+    val gd = Registry.byName("q137_gd_probe_grid").run(spark, sf01)
+      .collect().map(r => ((r.getString(1), r.getString(2), r.getInt(0)),
+        r.getDouble(4))).toMap
+    assert(gd.size == 18) // 3 models x {0,2,4} x {GD_LogReg, ScoreThreshold}
+    val ml = Registry.byName("q88_unsup_trajectory").run(spark, sf01)
+      .collect().map(r => ((r.getString(1), r.getString(2), r.getInt(0)),
+        r.getDouble(4))).toMap
+    for (m <- Seq("T_CPC", "TS_CPC", "S_CPC"); e <- Seq(0, 2, 4)) {
+      // the probe-free slice is IDENTICAL protocol in both queries —
+      // exact agreement, not approximate
+      assert(gd((m, "ScoreThreshold", e)) == ml((m, "ScoreThreshold", e)),
+        s"$m/$e threshold: ${gd((m, "ScoreThreshold", e))} vs " +
+          s"${ml((m, "ScoreThreshold", e))}")
+      // the trained probes solve the same convex problem two ways
+      // (LBFGS-with-regularization vs converged standardized GD):
+      // rank statistics on ~30 test users may differ by a few swapped
+      // pairs, never by a qualitatively different fit
+      assert(math.abs(gd((m, "GD_LogReg", e)) -
+        ml((m, "LogisticRegression", e))) < 0.08,
+        s"$m/$e GD ${gd((m, "GD_LogReg", e))} vs " +
+          s"ML ${ml((m, "LogisticRegression", e))}")
+    }
+  }
+
   test("q91: PCA scatter separates the classes in latent space") {
     val df = Registry.byName("q91_pca_scatter").run(spark, sf01)
     val cents = df.collect()
