@@ -488,6 +488,12 @@ object TextQueries {
     * and a stall. The oracle computes the same number relationally
     * (unnest → GROUP BY doc,bigram → max(count)): semantics, not
     * spelling, are what the gate pins. */
+  /** Gopher screen thresholds (Rae et al. 2021 §A1.1, calibrated on
+    * this corpus — q126's doc): ONE definition consumed by q126 and
+    * q138's stage 3, Spark and SQL sides. */
+  private val GopherTopBgMax = 0.05
+  private val GopherRepMax = 0.6
+
   /** max run length in the sorted bigram array == max bigram count.
     * private[graft]: EdgeCaseSpec pins THIS string against a
     * brute-force count — a copied string in the spec would keep
@@ -514,7 +520,8 @@ object TextQueries {
         $"top_bg_cnt" / greatest(size($"bgs"), lit(1)).cast("double"))
       .withColumn("rep_ratio",
         lit(1.0) - size(array_distinct($"t")) / size($"t").cast("double"))
-      .withColumn("keep", $"top_bg_frac" <= 0.05 && $"rep_ratio" <= 0.6)
+      .withColumn("keep",
+        $"top_bg_frac" <= GopherTopBgMax && $"rep_ratio" <= GopherRepMax)
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -525,8 +532,8 @@ object TextQueries {
       .orderBy($"source")
   }
 
-  private val q126Sql =
-    """WITH d AS (
+  private lazy val q126Sql =
+    s"""WITH d AS (
       | SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       |bg AS (
       | SELECT doc_id, source, t,
@@ -548,11 +555,13 @@ object TextQueries {
       |  1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS rep_ratio
       | FROM bg LEFT JOIN cnt ON bg.doc_id = cnt.doc_id)
       |SELECT source, count(*) AS n_docs,
-      | CAST(sum(CASE WHEN top_bg_frac > 0.05 OR rep_ratio > 0.6
+      | CAST(sum(CASE WHEN top_bg_frac > $GopherTopBgMax
+      |   OR rep_ratio > $GopherRepMax
       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
       | round(avg(top_bg_frac), 6) AS avg_top_bigram_frac,
       | round(avg(rep_ratio), 6) AS avg_rep_token_ratio,
-      | CAST(sum(CASE WHEN top_bg_frac <= 0.05 AND rep_ratio <= 0.6
+      | CAST(sum(CASE WHEN top_bg_frac <= $GopherTopBgMax
+      |   AND rep_ratio <= $GopherRepMax
       |   THEN doc_id END) AS BIGINT) AS kept_checksum
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
@@ -570,19 +579,48 @@ object TextQueries {
     * rank per source partition — no shuffle beyond the rank's
     * hash-partition by source; at 100 TB the rank is the only
     * per-row cost and T is a driver-side scalar. */
-  private def q127(s: SparkSession, dir: String): DataFrame = {
+  /** the mixture-sampling contract — ONE definition consumed by q127
+    * and q138's stage 7: integer weights w = 1 + src_idx mod 3, the
+    * largest exactly-proportional feasible total t_units =
+    * min_g ⌊n_g / w⌋, md5("mix:") rank within source. Adds (w, rk,
+    * t_units) to `d`; a doc is kept iff rk <= w * t_units. */
+  private def withMixture(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    val d = documents(s, dir)
-      .withColumn("src_idx",
-        regexp_extract($"source", "src(\\d+)", 1).cast("int"))
-      .withColumn("w", (lit(1) + pmod($"src_idx", lit(3))).cast("long"))
-    val caps = d.groupBy($"source", $"w")
+    val mw = d.withColumn("w",
+      (lit(1) + pmod(regexp_extract($"source", "src(\\d+)", 1).cast("int"),
+        lit(3))).cast("long"))
+    val caps = mw.groupBy($"source", $"w")
       .agg(count(lit(1)).as("n_orig"))
       .agg(min(expr("n_orig div w")).as("t_units"))
     val rk = org.apache.spark.sql.expressions.Window.partitionBy($"source")
       .orderBy(md5(concat(lit("mix:"), $"doc_id")), $"doc_id")
-    d.withColumn("rk", row_number().over(rk))
+    mw.withColumn("rk", row_number().over(rk))
       .crossJoin(broadcast(caps))
+  }
+
+  /** DuckDB spelling of `withMixture` over source table `src` with
+    * carried columns `cols`: emits mw/caps/mrk CTE text (consume
+    * `mrk CROSS JOIN caps`, keep rule rk <= w * t_units). */
+  private def mixtureSqlCtes(src: String, cols: String): String =
+    s"""mw AS (
+       | SELECT $cols,
+       |  1 + (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 3)
+       |    AS w
+       | FROM $src),
+       |caps AS (
+       | SELECT min(n_orig // w) AS t_units FROM
+       |  (SELECT source, w, count(*) AS n_orig FROM mw
+       |   GROUP BY source, w)),
+       |mrk AS (
+       | SELECT *, row_number() OVER (PARTITION BY source
+       |   ORDER BY md5(concat('mix:', CAST(doc_id AS VARCHAR))), doc_id)
+       |   AS rk
+       | FROM mw)""".stripMargin
+
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withMixture(documents(s, dir))
       .groupBy($"source", $"w")
       .agg(
         count(lit(1)).as("n_orig"),
@@ -595,27 +633,15 @@ object TextQueries {
       .orderBy($"source")
   }
 
-  private val q127Sql =
-    """WITH d AS (
-      | SELECT doc_id, source,
-      |  1 + (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 3) AS w
-      | FROM documents),
-      |caps AS (
-      | SELECT min(n_orig // w) AS t_units FROM
-      |  (SELECT source, w, count(*) AS n_orig FROM d GROUP BY source, w)),
-      |r AS (
-      | SELECT doc_id, source, w,
-      |  row_number() OVER (PARTITION BY source
-      |    ORDER BY md5(concat('mix:', CAST(doc_id AS VARCHAR))), doc_id)
-      |    AS rk
-      | FROM d)
+  private lazy val q127Sql =
+    s"""WITH ${mixtureSqlCtes("documents", "doc_id, source")}
       |SELECT source, count(*) AS n_orig,
       | CAST(w AS BIGINT) AS target_weight,
       | CAST(sum(CASE WHEN rk <= w * t_units THEN 1 ELSE 0 END) AS BIGINT)
       |   AS n_keep,
       | CAST(sum(CASE WHEN rk <= w * t_units THEN doc_id END) AS BIGINT)
       |   AS kept_checksum
-      |FROM r CROSS JOIN caps GROUP BY source, w ORDER BY source""".stripMargin
+      |FROM mrk CROSS JOIN caps GROUP BY source, w ORDER BY source""".stripMargin
 
   /** per-doc mean NLL under the interpolated bigram LM, carrying the
     * requested grouping columns — shared by q129 (per-source rollup)
@@ -812,8 +838,8 @@ object TextQueries {
       .orderBy($"lang")
   }
 
-  private val q131Sql =
-    """WITH d AS (
+  private lazy val q131Sql =
+    s"""WITH d AS (
       | SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
       | FROM documents),
       |o AS (
@@ -823,11 +849,11 @@ object TextQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |    AS cum_before
       | FROM d),
-      |sh AS (SELECT doc_id, lang, n_tok, cum_before // 4096 AS shard FROM o)
+      |sh AS (SELECT doc_id, lang, n_tok, cum_before // $PackB AS shard FROM o)
       |SELECT lang, count(*) AS n_docs,
       | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
       | CAST(max(shard) + 1 AS BIGINT) AS n_shards,
-      | round(sum(n_tok) / CAST((max(shard) + 1) * 4096 AS DOUBLE), 6)
+      | round(sum(n_tok) / CAST((max(shard) + 1) * $PackB AS DOUBLE), 6)
       |   AS fill_ratio,
       | CAST(sum(shard * doc_id) AS BIGINT) AS placement_checksum
       |FROM sh GROUP BY lang ORDER BY lang""".stripMargin
@@ -1096,7 +1122,7 @@ object TextQueries {
         greatest(size($"bgs"), lit(1)).cast("double"))
       .withColumn("rep_ratio",
         lit(1.0) - size(array_distinct($"t")) / size($"t").cast("double"))
-      .filter($"top_bg_frac" <= 0.05 && $"rep_ratio" <= 0.6)
+      .filter($"top_bg_frac" <= GopherTopBgMax && $"rep_ratio" <= GopherRepMax)
       .select($"doc_id", $"lang", $"source", $"text", $"n_tok")
       .localCheckpoint(true)
     val keep4 = docNllFrameOf(s, d3, Seq("lang"))
@@ -1111,15 +1137,7 @@ object TextQueries {
       .select($"doc_id", $"lang", $"source", $"red",
         size(toks($"red")).cast("long").as("rn_tok"))
       .localCheckpoint(true)
-    val mw = d6.withColumn("w",
-      (lit(1) + pmod(regexp_extract($"source", "src(\\d+)", 1).cast("int"),
-        lit(3))).cast("long"))
-    val caps = mw.groupBy($"source", $"w").agg(count(lit(1)).as("n_orig"))
-      .agg(min(expr("n_orig div w")).as("t_units"))
-    val d7 = mw.withColumn("rk", row_number().over(Window
-        .partitionBy($"source")
-        .orderBy(md5(concat(lit("mix:"), $"doc_id")), $"doc_id")))
-      .crossJoin(broadcast(caps))
+    val d7 = withMixture(d6)
       .filter($"rk" <= $"w" * $"t_units")
       .select($"doc_id", $"lang", $"source", $"red", $"rn_tok")
     val packed = packShardsOf(
@@ -1185,9 +1203,9 @@ object TextQueries {
        | FROM d2 d JOIN bg ON d.doc_id = bg.doc_id
        | LEFT JOIN cnt ON d.doc_id = cnt.doc_id
        | WHERE coalesce(top_bg_cnt, 0)
-       |    / CAST(greatest(len(bgs), 1) AS DOUBLE) <= 0.05
+       |    / CAST(greatest(len(bgs), 1) AS DOUBLE) <= $GopherTopBgMax
        |  AND 1.0 - len(list_distinct(d.t)) / CAST(len(d.t) AS DOUBLE)
-       |    <= 0.6),
+       |    <= $GopherRepMax),
        |tok AS (SELECT unnest(t) AS w FROM d3),
        |c1 AS MATERIALIZED (SELECT w, count(*) AS c FROM tok GROUP BY w),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM tok),
@@ -1226,21 +1244,10 @@ object TextQueries {
        | FROM d5),
        |d6t AS MATERIALIZED (
        | SELECT *, len(string_split(red, ' ')) AS rn_tok FROM d6),
-       |mw AS (
-       | SELECT *, 1 + (CAST(regexp_extract(source, 'src(\\d+)', 1)
-       |   AS INT) % 3) AS w
-       | FROM d6t),
-       |caps AS (
-       | SELECT min(n_orig // w) AS t_units FROM
-       |  (SELECT source, w, count(*) AS n_orig FROM mw GROUP BY source, w)),
-       |rk AS (
-       | SELECT *, row_number() OVER (PARTITION BY source
-       |   ORDER BY md5(concat('mix:', CAST(doc_id AS VARCHAR))), doc_id)
-       |   AS rk
-       | FROM mw),
+       |${mixtureSqlCtes("d6t", "doc_id, lang, source, red, rn_tok")},
        |d7 AS MATERIALIZED (
        | SELECT doc_id, lang, source, red, rn_tok
-       | FROM rk CROSS JOIN caps WHERE rk <= w * t_units),
+       | FROM mrk CROSS JOIN caps WHERE rk <= w * t_units),
        |o8 AS (
        | SELECT doc_id, lang, rn_tok,
        |  coalesce(sum(rn_tok) OVER (PARTITION BY lang
@@ -1273,7 +1280,7 @@ object TextQueries {
        |  CAST(sum(doc_id) AS BIGINT) FROM d7
        | UNION ALL
        | SELECT 8, 'sharded', count(*), CAST(sum(rn_tok) AS BIGINT),
-       |  CAST(sum((cum_before // 4096) * doc_id) AS BIGINT) FROM o8)
+       |  CAST(sum((cum_before // $PackB) * doc_id) AS BIGINT) FROM o8)
        |ORDER BY stage_idx""".stripMargin
   }
 

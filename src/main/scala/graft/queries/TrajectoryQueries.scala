@@ -237,8 +237,12 @@ object TrajectoryQueries {
               org.apache.spark.ml.functions.vector_to_array($"probability"), 2)
               .as("score"), $"label")
         case _ => // ScoreThreshold: first channel of the variant slice
+          // 6-dp rounded — the IDENTICAL spelling as q137's
+          // probe-free slice, so TrajectorySpec's exact-equality pin
+          // between the two queries is structural, not luck
           test.filter($"n_Epochs" === e)
-            .select(element_at(feats(model), 1).as("score"), $"label")
+            .select(round(element_at(feats(model), 1), 6).as("score"),
+              $"label")
       }
       scored.select(lit(e).as("n_Epochs"), lit(model).as("Model"),
         lit(cls).as("Classification"), $"score", $"label")
@@ -378,8 +382,8 @@ object TrajectoryQueries {
   // unstandardized probe at any stable lr is still bias-dominated
   // after convergence-budget steps — measured: AUC trajectories that
   // FALL with rep epoch while the probe-free threshold rises. With
-  // standardization the 20-step GD grid reproduces q88's Spark ML LR
-  // cells to ~0.01 AUC. Zero-variance dims (bias, padding) pass
+  // standardization the converged GD grid (GridIter steps) reproduces
+  // q88's Spark ML LR cells to ~0.01 AUC. Zero-variance dims (bias, padding) pass
   // through unscaled; stats round to 6 dp (full-corpus avgs — the
   // gdStep coarse-grid rationale).
   // ---------------------------------------------------------------
@@ -450,8 +454,8 @@ object TrajectoryQueries {
     // one epoch = ONE aggregation: the 7 per-dim gradients are seven
     // avg() columns of a single groupBy (partial-aggregable, one
     // shuffle) — the posexplode→per-dim-groupBy→gather spelling costs
-    // a second shuffle per epoch and measured 22.5 s for the 20-epoch
-    // grid at sf0.1; this form re-measures at a third of that. The
+    // a second shuffle per epoch and measured 22.5 s for the grid at
+    // sf0.1; this form re-measures at a third of that. The
     // state array rides the group key (constant per cell, so grouping
     // by it is free and keeps both engines' spelling identical).
     val wN = IterativeState.epochs(w0, GridIter) { (w, _) =>
@@ -483,13 +487,13 @@ object TrajectoryQueries {
 
   private lazy val q137Sql = {
     // xz = standardized features; MATERIALIZED keeps DuckDB from
-    // re-inlining the O(n²)-DFT blend into each of the 20 GD steps
+    // re-inlining the O(n²)-DFT blend into each of the GridIter GD steps
     val dotSql =
       s"list_sum(list_transform(generate_series(1, $GridDim), " +
         "i -> xz[i] * w[i]))"
     // every w$t is MATERIALIZED: an inlined CTE chain re-expands the
-    // upstream per reference, and 20 nested steps over the O(n²)-DFT
-    // blend would otherwise grind DuckDB — materialization makes each
+    // upstream per reference, and a dozen nested steps over the
+    // O(n²)-DFT blend would otherwise grind DuckDB — materialization makes each
     // 9-row state computed exactly once (same single-aggregation
     // epoch as the Spark side: seven avg() gradient columns, the
     // state array riding the group key).
@@ -541,8 +545,10 @@ object TrajectoryQueries {
        | FROM te t JOIN st ON t.n_Epochs = st.n_Epochs
        |   AND t.Model = st.Model),
        |w0 AS (SELECT e.n_Epochs, m.Model,
-       |        CAST([0, 0, 0, 0, 0, 0, 0] AS DOUBLE[]) AS w
-       |       FROM (VALUES (0), (2), (4)) e(n_Epochs) CROSS JOIN md m),
+       |        CAST([${Seq.fill(GridDim)(0).mkString(", ")}] AS DOUBLE[])
+       |          AS w
+       |       FROM (VALUES ${(0 to Epochs by 2).map(e => s"($e)").mkString(", ")})
+       |        e(n_Epochs) CROSS JOIN md m),
        |$steps,
        |sc AS (
        | SELECT t.n_Epochs, t.Model, 'GD_LogReg' AS Classification,

@@ -235,6 +235,12 @@ class PlanShapeSpec extends SparkSpec {
     // checkpointed RDD, and no parquet re-scan appears above it
     assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
       p.take(1500))
+    // and the digest IS slim: the checkpointed rows carry the pack
+    // key + counts, never the document text (the pre-checkpoint
+    // select pruned it — a wide column slipping in would silently
+    // inflate the one full-corpus materialization q131 performs)
+    val rddLine = p.linesIterator.find(_.contains("Scan ExistingRDD")).get
+    assert(rddLine.contains("n_tok") && !rddLine.contains("text"), rddLine)
   }
 
   test("q137: keyed GD grid — broadcast state joins, no cartesian") {
