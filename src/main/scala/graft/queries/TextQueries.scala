@@ -821,7 +821,7 @@ object TextQueries {
           .withColumn("cum_before", $"boff" + $"lcum")
       }
     withCum.withColumn("shard", expr(s"cum_before div ${PackB}L"))
-      .select($"lang", $"doc_id", $"n_tok", $"shard")
+      .select($"lang", $"doc_id", $"n_tok", $"shard", $"cum_before")
   }
 
   private def q131(s: SparkSession, dir: String): DataFrame = {
@@ -857,6 +857,55 @@ object TextQueries {
       |   AS fill_ratio,
       | CAST(sum(shard * doc_id) AS BIGINT) AS placement_checksum
       |FROM sh GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q139: SHARD MANIFEST — the per-shard index a training data
+    * loader actually consumes at 100 TB: for every (lang, shard),
+    * the doc count, token sum, and the layout checksum
+    * Σ(offset_in_shard · doc_id), where offset_in_shard =
+    * cum_before − shard·B is exact integer arithmetic off q131's
+    * assignment (a doc's in-shard start under back-to-back next-fit
+    * layout). q131 reports the per-language rollup; the manifest is
+    * the shard-granular artifact (which docs, in which order, at
+    * which token offsets) that makes the packing consumable — every
+    * doc's exact position is pinned, so a loader built against this
+    * manifest reads byte-identical shards on both engines.
+    *
+    * Scale: one pass over packShards' output (the hierarchical
+    * prefix-sum — no new shuffle beyond its bounded windows) + a
+    * (lang, shard)-keyed partial aggregation; manifest rows ≈
+    * total_tokens / B, tiny relative to the corpus. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    packShards(s, dir, hierarchical = true)
+      .withColumn("off", $"cum_before" - $"shard" * PackB)
+      .groupBy($"lang", $"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("shard_tokens"),
+        min($"doc_id").as("min_doc_id"),
+        sum($"off" * $"doc_id").as("layout_checksum"))
+      .orderBy($"lang", $"shard")
+  }
+
+  private lazy val q139Sql =
+    s"""WITH d AS (
+      | SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      | FROM documents),
+      |o AS (
+      | SELECT doc_id, lang, n_tok,
+      |  coalesce(sum(n_tok) OVER (PARTITION BY lang
+      |    ORDER BY md5(concat('pack:', CAST(doc_id AS VARCHAR))), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS cum_before
+      | FROM d),
+      |sh AS (SELECT doc_id, lang, n_tok, cum_before // $PackB AS shard,
+      |        cum_before % $PackB AS off
+      |       FROM o)
+      |SELECT lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+      | CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+      | CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      | CAST(sum(off * doc_id) AS BIGINT) AS layout_checksum
+      |FROM sh GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
 
   /** q133: PERPLEXITY-QUANTILE SPLIT — CCNet's head/middle/tail step:
     * rank every scored document (= every doc with ≥ 2 tokens, the
@@ -1293,6 +1342,8 @@ object TextQueries {
       "CCNet head/middle/tail perplexity terciles per language"),
     Q("q131_shard_packing", q131, Some(q131Sql),
       "fixed-token-budget shard packing (deterministic next-fit)"),
+    Q("q139_shard_manifest", q139, Some(q139Sql),
+      "per-shard manifest: doc counts, token sums, in-shard layout checksum"),
     Q("q129_lm_perplexity", q129, Some(q129Sql),
       "interpolated-bigram LM perplexity quality filter (CCNet-style)"),
     Q("q126_repetition_filter", q126, Some(q126Sql),
