@@ -18,6 +18,29 @@ class ShardPackSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
 
+  test("q139 manifest aggregates exactly to q131's per-language rollup") {
+    import graft.queries.Registry
+    val dir = "/root/testdata/sf0.01"
+    val manifest = Registry.byName("q139_shard_manifest").run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rollup = Registry.byName("q131_shard_packing").run(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val byLang = manifest.groupBy(_._1)
+    assert(byLang.keySet == rollup.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val (nDocs, totTok, nShards) = rollup(lang)
+      assert(rows.map(_._3).sum == nDocs, s"$lang doc count")
+      assert(rows.map(_._4).sum == totTok, s"$lang token sum")
+      assert(rows.map(_._2).max + 1 == nShards, s"$lang shard count")
+      // next-fit leaves no empty shards: ids are contiguous 0..n-1
+      assert(rows.map(_._2).sorted.sameElements(0L until nShards),
+        s"$lang shard ids not contiguous")
+    }
+  }
+
   for (sf <- Seq("sf0.001", "sf0.01")) {
     test(s"hierarchical == flat per-doc shard assignment at $sf") {
       val dir = s"/root/testdata/$sf"
