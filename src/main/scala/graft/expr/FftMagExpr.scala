@@ -130,6 +130,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_bloom_any"),
       new ExpressionInfo(classOf[BloomAnyExpr].getName, "graft_bloom_any"),
       GraftFunctions.bloomAnyBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_agg"),
+      new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_agg"),
+      GraftFunctions.hllAggBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -148,6 +152,7 @@ object GraftFunctions {
   private val bloomAggId = FunctionIdentifier("graft_bloom_agg")
   private val bloomContainsId = FunctionIdentifier("graft_bloom_contains")
   private val bloomAnyId = FunctionIdentifier("graft_bloom_any")
+  private val hllAggId = FunctionIdentifier("graft_hll_agg")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -198,6 +203,10 @@ object GraftFunctions {
   }
   private[expr] val bloomAnyBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_bloom_any", 2, ch); BloomAnyExpr(ch(0), ch(1))
+  }
+  private[expr] val hllAggBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_hll_agg", 2, ch)
+    HllAgg(ch(0), ch(1)).toAggregateExpression()
   }
 
   def register(spark: SparkSession): Unit = {
@@ -280,6 +289,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[BloomAnyExpr].getName, "graft_bloom_any"),
         bloomAnyBuilder)
     }
+    if (!registry.functionExists(hllAggId)) {
+      registry.registerFunction(
+        hllAggId,
+        new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_agg"),
+        hllAggBuilder)
+    }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
     // the optimizer's final user-provided batch
@@ -356,6 +371,14 @@ object GraftFunctions {
   def bloomAny(spark: SparkSession, bloom: Column, toks: Column): Column = {
     register(spark)
     call_function("graft_bloom_any", bloom, toks)
+  }
+
+  /** HLL distinct-count aggregate (native TypedImperativeAggregate;
+    * EXACT below 2^p distinct values — the sparse regime). */
+  def hllDistinct(spark: SparkSession, key: Column, p: Int): Column = {
+    register(spark)
+    call_function("graft_hll_agg", key,
+      org.apache.spark.sql.functions.lit(p))
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

@@ -35,7 +35,7 @@ object DedupQueries {
         element_at(t, i + 2))))
 
   private val K = 8          // MinHash signature length
-  private val BANDS = 4      // bands of rows R = K / BANDS = 2
+  private[queries] val BANDS = 4 // bands of rows R = K / BANDS = 2
 
   /** affine MinHash lanes h_i(x) = (a_i·x + b_i) mod P over ONE 32-bit
     * md5 base hash per shingle — the standard universal-hash family, and
@@ -50,12 +50,18 @@ object DedupQueries {
 
   /** docs with their shingle sets and K-lane MinHash signature columns
     * sig0..sig7 plus BANDS band-key columns. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = documents(s, dir)
-      .withColumn("t", toks($"text"))
-      .filter(size($"t") >= 3)
-      .withColumn("sh", shingles($"t"))
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(documents(s, dir))
+
+  /** the same signature pipeline over an ARBITRARY (doc_id, text, …)
+    * frame — every stage is a deterministic per-row expression, so it
+    * runs unchanged on a STREAMING frame (q140 banding newly-arriving
+    * docs at ingest) or a filtered split. */
+  private[queries] def signaturesOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", shingles(col("t")))
       // one md5 per shingle; lanes are pure arithmetic over this
       .withColumn("hx", transform(col("sh"), x =>
         conv(substring(md5(x), 1, 8), 16, 10).cast("long")))
@@ -70,8 +76,9 @@ object DedupQueries {
     }.drop("hx")
   }
 
-  /** shared oracle CTE producing the same signatures in DuckDB. */
-  private val sigSqlCte: String = {
+  /** shared oracle CTE producing the same signatures in DuckDB
+    * (package-visible: q140's streaming-ingest oracle reuses it). */
+  private[queries] val sigSqlCte: String = {
     val sigExprs = lanes.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hx, x -> ($a * x + $b) % $P)) AS sig$i"
     }.mkString(",\n ")
@@ -134,6 +141,28 @@ object DedupQueries {
        |SELECT doc_id, len(sh) AS n_shingles, $sigCols, band0, band3
        |FROM bandq ORDER BY doc_id""".stripMargin
   }
+
+  /** ONE definition of the q140 ingest split: which documents count as
+    * "newly arriving" (streamed through the at-ingest near-dup screen)
+    * vs "already indexed" (the batch-built corpus band index). Same
+    * deterministic-md5-split idiom as BloomScreen's benchmark split;
+    * ix < NewMax ≈ 1/3 of the corpus is "new". */
+  private[queries] object IngestSplit {
+    val NewMax = "55"
+    /** first-2-hex of md5("ingest:"+doc_id) as column `ix`. */
+    def withIx(d: DataFrame): DataFrame =
+      d.withColumn("ix",
+        substring(md5(concat(lit("ingest:"), col("doc_id"))), 1, 2))
+    /** the same split key in DuckDB. */
+    val IxSql = "substr(md5(concat('ingest:', CAST(doc_id AS VARCHAR))), 1, 2)"
+  }
+
+  /** DuckDB spelling of the exploded (doc_id, band_idx, band_key) band
+    * table over `bandq` — shared by the q42/q44 oracles' inline unions
+    * and q140's streaming-ingest oracle. */
+  private[queries] val bandUnionSql: String = (0 until BANDS)
+    .map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM bandq")
+    .mkString("\n UNION ALL\n ")
 
   /** Verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.7) — the shared
     * LSH pipeline behind q42/q44/q47. The band self-join carries ONLY

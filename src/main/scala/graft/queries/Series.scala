@@ -432,12 +432,12 @@ object Series {
     * buffer is ONE opaque TypedImperativeAggregate attribute, so A is
     * a memory knob, not a plan-size knob). GK returns an ELEMENT (no
     * interpolation), so the oracle uses quantile_disc, not
-    * quantile_cont. approx_count_distinct is deliberately NOT here:
-    * Spark's HLL++ buffer is one plan ATTRIBUTE per sketch word, so
-    * driving rsd low enough to hash-match an exact oracle (rsd 0.001
-    * → 2^21 registers ≈ 196k buffer attributes) explodes the plan to
-    * ~100 MB task binaries and minutes of codegen — measured here —
-    * and at sane rsd the estimator is unbiased, not exact. */
+    * quantile_cont. Spark's approx_count_distinct is NOT usable the
+    * same way (its HLL++ buffer is one plan ATTRIBUTE per sketch
+    * word — driving rsd low enough to hash-match explodes the plan to
+    * ~100 MB task binaries, measured here); the engine ships its OWN
+    * opaque-buffer HLL instead — `graft_hll_agg`, gated under q141 in
+    * its sparse-exact regime. */
   private def q113(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     events(s, dir)
@@ -459,6 +459,48 @@ object Series {
       | round(quantile_disc(value, 0.5), 6) AS p50,
       | round(quantile_disc(value, 0.9), 6) AS p90,
       | round(quantile_disc(value, 0.99), 6) AS p99,
+      | count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q141: DISTINCT-COUNT SKETCHES under the full oracle — the native
+    * `graft_hll_agg` (HllExpr) in its SPARSE-EXACT regime: every
+    * grouped key here is bounded BY CONSTRUCTION below the 2^p
+    * cutover (user buckets mod 512/2048, the ~30 distinct event
+    * days), so the sketch returns the exact distinct count at every
+    * SF and the gate is COUNT(DISTINCT) in DuckDB — the same
+    * exact-regime trick as q113's GK percentiles. This closes the
+    * documented approx_count_distinct exclusion (q113 note): the
+    * sketch lives in ONE opaque buffer, so precision is a memory
+    * knob, not a plan-size knob.
+    *
+    * Scale: exact countDistinct shuffles every (group, value) pair —
+    * the dominant shuffle of a 100 TB profiling pass; the HLL form is
+    * one-pass partial-aggregable (map tasks emit one small buffer per
+    * group, reducers merge), and past the sparse regime it degrades
+    * to ±1.04/√m estimation instead of failing (HllSpec pins dense
+    * accuracy on planted cardinalities and partition-layout
+    * independence in both regimes). */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.GraftFunctions
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        GraftFunctions.hllDistinct(s, ($"user_id" % 512).cast("long"), 12)
+          .as("nd_user_bucket"),
+        GraftFunctions.hllDistinct(s, ($"user_id" % 2048).cast("long"), 12)
+          .as("nd_user_wide"),
+        GraftFunctions.hllDistinct(s, date_format($"ts", "yyyy-MM-dd"), 12)
+          .as("nd_day"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  private val q141Sql =
+    """SELECT event_type,
+      | count(DISTINCT user_id % 512) AS nd_user_bucket,
+      | count(DISTINCT user_id % 2048) AS nd_user_wide,
+      | count(DISTINCT strftime(ts, '%Y-%m-%d')) AS nd_day,
       | count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -620,6 +662,8 @@ object Series {
     Q("q82_ema_curve", q82, Some(q82Sql), "W7 EMA trajectory vs closed form"),
     Q("q78_sliding_window", q78, Some(q78Sql), "sliding event-time windows"),
     Q("q79_percentiles", q79, Some(q79Sql), "exact interpolated percentiles"),
+    Q("q141_hll_distinct", q141, Some(q141Sql),
+      "native graft_hll_agg distinct-count sketch, sparse-exact regime under the oracle"),
     Q("q113_sketch_stats", q113, Some(q113Sql),
       "GK approx_percentile: the sketch scale path, exact-regime oracle"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),

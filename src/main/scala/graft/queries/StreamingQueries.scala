@@ -655,7 +655,107 @@ object StreamingQueries {
       |WHERE h.doc_id IS NULL
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q140: STREAMING NEAR-DUP DEDUP-AT-INGEST — the production "dedup
+    * the new crawl against the indexed corpus" shape, the last
+    * batch-gated pipeline stage (q42's MinHash-LSH) without a
+    * streaming twin. The corpus band index (doc_id, band_idx,
+    * band_key) and the corpus shingle lookup are built ONCE in batch
+    * from the already-indexed split (IngestSplit, ix ≥ NewMax) and
+    * frozen (localCheckpoint) so micro-batches never re-run the
+    * signature pipeline; newly-arriving documents stream through the
+    * IDENTICAL signature pipeline (signaturesOf — every stage a
+    * deterministic per-row expression, so the batch and stream
+    * spellings cannot diverge), band-join against the static index,
+    * and are exact-Jaccard-verified IN-STREAM, so the emitted record
+    * (doc_id, corpus_id, jaccard) is an actionable drop/keep decision
+    * at ingest, not a candidate for a later job.
+    *
+    * Scale: the stream side shuffles only its own MICRO-BATCH (bands
+    * + that batch's shingle arrays), never the corpus; at 100 TB the
+    * corpus band index is bucketed by band_key (and the shingle
+    * lookup by corpus_id) so the per-batch stream-static joins are
+    * shuffle-free on the static side — the same co-location move as
+    * the batch pipeline's slim-band projection. A multi-band match
+    * emits one identical row per matching band (stateless — no
+    * in-stream dropDuplicates state); the sink-side distinct is the
+    * compaction a production sink table runs anyway.
+    * Ref behavior: reference near-dup semantics per q42
+    * (minhash/verify); ingest topology per q130's multi-file source. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = DedupQueries.IngestSplit
+    val nBands = DedupQueries.BANDS
+    def bandStructs(
+        c: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"), c(s"band$b").as("band_key"))): _*))
+    graft.Scratch.withScratchDir("graft_q140") { scratch =>
+      // batch side: the indexed corpus — slim band index + shingle
+      // lookup, computed once and frozen
+      val corpusSigs = split.withIx(
+          DedupQueries.signaturesOf(graft.Tables.documents(s, dir)))
+        .filter($"ix" >= split.NewMax)
+        .select(($"doc_id".as("corpus_id") +: $"sh".as("sh_b") +:
+          (0 until nBands).map(b => col(s"band$b"))): _*)
+        .localCheckpoint(true)
+      val corpusBands = corpusSigs
+        .select($"corpus_id", bandStructs(col).as("band"))
+        .select($"corpus_id", $"band.band_idx", $"band.band_key")
+      val corpusSh = corpusSigs.select($"corpus_id", $"sh_b")
+      // stream side: new docs through the same signature pipeline
+      val newBands = split.withIx(
+          DedupQueries.signaturesOf(multiFileStream(s, dir, "documents")))
+        .filter($"ix" < split.NewMax)
+        .select($"doc_id", $"sh", bandStructs(col).as("band"))
+        .select($"doc_id", $"sh", $"band.band_idx", $"band.band_key")
+      val scored = newBands
+        .join(corpusBands, Seq("band_idx", "band_key"))
+        .join(corpusSh, "corpus_id")
+        .withColumn("inter",
+          size(array_intersect($"sh", $"sh_b")).cast("double"))
+        .withColumn("jaccard", round(
+          $"inter" / (size($"sh") + size($"sh_b") - $"inter"), 6))
+        .filter($"jaccard" >= 0.7)
+        .select($"doc_id", $"corpus_id", $"jaccard")
+      runToSink(s, scored, scratch)
+        .distinct()
+        .orderBy($"doc_id", $"corpus_id")
+    }
+  }
+
+  private lazy val q140Sql =
+    s"""WITH ${DedupQueries.sigSqlCte},
+      |bands AS (
+      | ${DedupQueries.bandUnionSql}),
+      |ix AS (
+      | SELECT doc_id, ${DedupQueries.IngestSplit.IxSql} AS ix
+      | FROM documents),
+      |newb AS (
+      | SELECT b.doc_id, b.band_idx, b.band_key
+      | FROM bands b JOIN ix USING (doc_id)
+      | WHERE ix < '${DedupQueries.IngestSplit.NewMax}'),
+      |corpb AS (
+      | SELECT b.doc_id, b.band_idx, b.band_key
+      | FROM bands b JOIN ix USING (doc_id)
+      | WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+      |cand AS (
+      | SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id
+      | FROM newb n JOIN corpb c
+      |   ON n.band_idx = c.band_idx AND n.band_key = c.band_key),
+      |ver AS (
+      | SELECT cand.doc_id AS doc_id, cand.corpus_id AS corpus_id,
+      |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+      |   6) AS jaccard
+      | FROM cand
+      | JOIN shq sa ON sa.doc_id = cand.doc_id
+      | JOIN shq sb ON sb.doc_id = cand.corpus_id)
+      |SELECT doc_id, corpus_id, jaccard FROM ver
+      |WHERE jaccard >= 0.7 ORDER BY doc_id, corpus_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q140_stream_ingest_dedup", q140, Some(q140Sql),
+      "§2.10 streaming near-dup dedup-at-ingest: new docs' MinHash bands stream-static-joined against the batch corpus band index, exact-Jaccard verified in-stream"),
     Q("q130_stream_decontaminate", q130, Some(q130Sql),
       "§2.10 streaming-ingest bloom screen (stateless transform, native expr in a StreamingQuery)"),
     Q("q123_stream_outer_join", q123, Some(q123Sql),
