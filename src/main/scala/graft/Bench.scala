@@ -62,7 +62,14 @@ object Bench {
         spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("q138_curation_dag")(
         spark, "/root/testdata/sf0.001").count()
-    } catch { case _: Throwable => () }
+    } catch { case t: Throwable =>
+      // a silent warmup failure would put ~8 s of one-time JIT back
+      // into the first measured entries with no signal — make
+      // anomalous bench rounds attributable (stderr, outside the
+      // parsed JSON tail)
+      System.err.println("[bench] WARMUP FAILED — cold-codegen timings " +
+        s"likely: ${t.getClass.getName}: ${t.getMessage}")
+    }
     // local iteration aid: SPARK_GRAFT_ONLY=q76,q44 times just those
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -90,10 +97,33 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // short ids must stay unique — a collision would silently
+    // overwrite a timing at JSON-parse time
+    val ids = results.map { case (k, _) => shortId(k) }
+    require(ids.distinct.size == ids.size,
+      s"duplicate bench short ids: ${ids.diff(ids.distinct).distinct.mkString(",")}")
     val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // fixture_sec: one-time stream-replica build cost (excluded from
+    // per-query timings by the warmup — reported so the amortization
+    // is auditable, per ADVICE r9)
+    val fixtureSec =
+      graft.queries.StreamingQueries.fixtureBuildNanos.get() / 1e9
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"fixture_sec":${fmt(fixtureSec)},"sf":"$sfDir"}"""
+    println(line)
+    // persist a copy the driver (or a debugging human) can always
+    // find, independent of stdout-tail truncation
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("tmp"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("tmp/bench_self.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
+    // re-print as the VERY LAST stdout act (after spark.stop): the
+    // driver parses only the output tail, and r1–r9 all recorded
+    // parsed:null — test the last-line-placement hypothesis
+    println(line)
   }
 }

@@ -11,11 +11,22 @@ import org.apache.spark.sql.expressions.Window
   * oracle-checkable in ANSI SQL and computable without collecting scores:
   *   AUC = (Σ_{i: y=1} rank(s_i) − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
   * with average ranks for ties. Scale note: ranks are computed on the
-  * DISTINCT-score table (usually ≪ rows); the global window over distinct
-  * scores is the only single-partition step and can be swapped for a
-  * two-pass range-partitioned rank at extreme cardinality.
+  * DISTINCT-score table (usually ≪ rows), and the UNGROUPED path
+  * computes them with a two-phase bucketed cumsum (uniform score
+  * buckets → per-bucket totals → exclusive bucket offsets via a tiny
+  * triangular join, broadcast back → within-bucket window) — NO
+  * unpartitioned window anywhere (PlanShapeSpec locks this), so a
+  * global AUC over a high-cardinality score column never serializes
+  * onto one task. The decomposition is the q131 prefix-sum trick
+  * applied to ranks: bucket offsets are exact integer sums, so the
+  * ranks — and the gated q60/q62 hashes — are bit-identical to the
+  * one-window form.
   */
 object Metrics {
+
+  /** buckets of the ungrouped two-phase rank — offsets table is 1024
+    * rows (broadcast), per-bucket sort is |distinct scores|/~1024. */
+  private val RankBuckets = 1024
 
   /** ROC-AUC of `score` against binary `label` (0/1), optionally grouped
     * by `groupCols`. Returns groupCols + (auc, n_pos, n_neg). */
@@ -28,11 +39,42 @@ object Metrics {
     // per distinct score: row count and positive count
     val grouped = base.groupBy((gCols :+ col("s")): _*)
       .agg(count(lit(1)).as("c"), sum(col("y")).as("pos_c"))
-    val w = (if (gNames.isEmpty) Window.partitionBy()
-             else Window.partitionBy(gCols: _*))
-      .orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grouped.withColumn("cum_before",
-      coalesce(sum(col("c")).over(w), lit(0L)))
+    val withCum =
+      if (gNames.nonEmpty) {
+        val w = Window.partitionBy(gCols: _*)
+          .orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+        grouped.withColumn("cum_before",
+          coalesce(sum(col("c")).over(w), lit(0L)))
+      } else {
+        // ungrouped: bucket distinct scores into uniform [lo, hi]
+        // ranges (width_bucket is monotone, and a tie group — one
+        // distinct s — can never straddle buckets), so the global
+        // cumsum decomposes into broadcast bucket offsets + a
+        // PARTITIONED within-bucket window
+        val mm = grouped.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+        val withB = grouped.crossJoin(broadcast(mm))
+          .withColumn("b",
+            when(col("s").isNull, lit(0L)) // nulls sort first
+              .when(col("lo") < col("hi"), expr(
+                s"width_bucket(CAST(s AS DOUBLE), CAST(lo AS DOUBLE), " +
+                  s"CAST(hi AS DOUBLE), $RankBuckets)"))
+              .otherwise(lit(1L)))
+          .drop("lo", "hi")
+        // exclusive prefix offsets over ≤ RankBuckets+2 bucket totals:
+        // a triangular self-join, not a window — nothing in this plan
+        // runs unpartitioned
+        val bTotals = withB.groupBy(col("b")).agg(sum(col("c")).as("bc"))
+        val bOffs = bTotals.as("x")
+          .join(bTotals.as("y"), col("y.b") < col("x.b"), "left")
+          .groupBy(col("x.b"))
+          .agg(coalesce(sum(col("y.bc")), lit(0L)).as("b_off"))
+        val wb = Window.partitionBy(col("b")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        withB.join(broadcast(bOffs), "b")
+          .withColumn("cum_before",
+            col("b_off") + coalesce(sum(col("c")).over(wb), lit(0L)))
+      }
+    val ranked = withCum
       // average rank of the tie group = rows before + (size+1)/2
       .withColumn("avg_rank", col("cum_before") + (col("c") + 1) / 2.0)
     val aggCols = Seq(

@@ -90,16 +90,30 @@ object StreamingQueries {
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** cumulative wall-clock spent building stream-source replicas this
+    * JVM — Bench reports it as its own JSON field so the one-time
+    * ingest-layout cost is auditable, not silently amortized away. */
+  private[graft] val fixtureBuildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** path of the multi-file replica of `dir`'s `name` table (built on
-    * first use; package-visible so specs can count its files). */
+    * first use; package-visible so specs can count its files). The
+    * memo key includes the source file's (mtime, length): testdata is
+    * regenerated between rounds, so a long-lived session must rebuild
+    * rather than silently stream a stale copy. */
   private[graft] def streamFixtureDir(s: SparkSession, dir: String,
-      name: String): String =
-    fixtureCache.computeIfAbsent(s"$dir/$name", _ => {
+      name: String): String = {
+    val src = new java.io.File(s"$dir/$name.parquet")
+    val key = s"$dir/$name:${src.lastModified}:${src.length}"
+    fixtureCache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit(s"graft_mf_$name")
       s.read.parquet(s"$dir/$name.parquet").repartition(StreamFiles)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      fixtureBuildNanos.addAndGet(System.nanoTime() - t0)
       s"$out/$name.parquet"
     })
+  }
 
   /** stream a table through the multi-file replica, so the stateless
     * per-file pipeline actually parallelizes like production ingest. */

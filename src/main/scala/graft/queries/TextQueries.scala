@@ -758,12 +758,13 @@ object TextQueries {
     * just the counts.
     *
     * Scale: the assignment is computed HIERARCHICALLY — the
-    * distributed prefix-sum: bucket every doc by the leading hex
-    * digit of its md5 order key (the bucket prefix respects the
-    * global (md5, doc_id) order by construction), run the token
-    * cumsum per (lang, bucket) — a bounded in-partition sort, 1/16th
-    * of a language each — then rebuild the GLOBAL running offset by
-    * adding each bucket's preceding-buckets token total (a 16-row-
+    * distributed prefix-sum: bucket every doc by the leading P hex
+    * chars of its md5 order key (the bucket prefix respects the
+    * global (md5, doc_id) order by construction; P = packShardsOf's
+    * prefixLen, so no task sorts more than N/16^P of a language),
+    * run the token cumsum per (lang, bucket) — a bounded
+    * in-partition sort — then rebuild the GLOBAL running offset by
+    * adding each bucket's preceding-buckets token total (a 16^P-row-
     * per-lang rollup, broadcast back). cum_before = bucket_offset +
     * local_cum is bit-identical to the one-window flat form (the
     * offset decomposition is exact integer arithmetic), so the
@@ -781,12 +782,22 @@ object TextQueries {
     packShardsOf(documents(s, dir), hierarchical)
 
   /** same packing over an arbitrary corpus frame (lang, doc_id, text)
-    * — q138 packs the post-redaction survivor set. */
+    * — q138 packs the post-redaction survivor set.
+    *
+    * `prefixLen` (hierarchical path only) is the bucket fan-out knob:
+    * bucket key = first P hex chars of the md5 order key, so no task
+    * ever sorts more than N/16^P of a language's corpus (P=1 → 16
+    * buckets, P=2 → 256, …). The decomposition is exact integer
+    * arithmetic at ANY P — the offset table just grows to 16^P rows
+    * per language (still a broadcast-size rollup through P=3) — so
+    * retuning fan-out for a 100 TB language can never change the
+    * assignment (ShardPackSpec pins P=1 ≡ P=2 ≡ flat per-doc). */
   private[graft] def packShardsOf(docs: DataFrame,
-      hierarchical: Boolean): DataFrame = {
+      hierarchical: Boolean, prefixLen: Int = 1): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen $prefixLen")
     val d = docs
       .withColumn("pkey", md5(concat(lit("pack:"), $"doc_id")))
       .withColumn("n_tok", size(toks($"text")).cast("long"))
@@ -801,7 +812,7 @@ object TextQueries {
         // the local-cumsum and bucket-offset branches both consume it,
         // and without the barrier each branch re-runs the parquet
         // scan + tokenize (measured 7.8 s vs 1.9 s at sf1)
-        val bkt = d.withColumn("bkt", substring($"pkey", 1, 1))
+        val bkt = d.withColumn("bkt", substring($"pkey", 1, prefixLen))
           .select($"lang", $"bkt", $"pkey", $"doc_id", $"n_tok")
           .localCheckpoint(true)
         val wLocal = Window.partitionBy($"lang", $"bkt")

@@ -157,6 +157,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("q60: global AUC rank has NO unpartitioned window (bucketed two-phase)") {
+    // the 100 TB contract of the ungrouped rank-sum path: distinct
+    // scores bucket into uniform ranges, offsets broadcast back, and
+    // the only window left partitions by bucket — a global AUC can
+    // never serialize the rank onto one task
+    val exec = Registry.byName("q60_roc_auc").run(spark, sf)
+      .queryExecution.executedPlan
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val wins = flatten(exec).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the within-bucket window:\n" +
+      exec.toString.take(1200))
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unpartitioned window in the global AUC plan"))
+  }
+
   test("q106: the whole GD trajectory is scored by ONE grouped AUC job") {
     // one Window node in the entire plan — the rank-sum AUC over the
     // scored UNION; a per-epoch collect/rank would multiply this

@@ -12,11 +12,27 @@ import graft.queries.TextQueries
   */
 class ShardPackSpec extends SparkSpec {
 
-  private def assignments(dir: String, hierarchical: Boolean) =
-    TextQueries.packShards(spark, dir, hierarchical)
+  private def assignments(dir: String, hierarchical: Boolean,
+      prefixLen: Int = 1) =
+    TextQueries.packShardsOf(
+        spark.read.parquet(s"$dir/documents.parquet"), hierarchical, prefixLen)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
+
+  test("data precondition: no document exceeds the shard budget") {
+    // the shard-id contiguity assertion below (and q131's fill_ratio)
+    // assume next-fit never SKIPS a shard, which holds iff every doc
+    // fits one shard (n_tok <= PackB) — assert it explicitly so a
+    // regenerated corpus that violates it fails HERE, not as a
+    // mysterious contiguity failure
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val mx = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select(max(size(split(col("text"), " ")))).head().getInt(0)
+      assert(mx <= 4096, s"$sf max n_tok $mx exceeds PackB")
+    }
+  }
 
   test("q139 manifest aggregates exactly to q131's per-language rollup") {
     import graft.queries.Registry
@@ -59,5 +75,15 @@ class ShardPackSpec extends SparkSpec {
       assert(shardsPerLang.values.exists(_ > 1),
         s"degenerate corpus: one shard per lang ($shardsPerLang)")
     }
+  }
+
+  test("bucket fan-out is a free knob: P=2 (256 buckets) == P=1 == flat") {
+    // the 100 TB retune — narrower per-task sorts via a longer bucket
+    // prefix — must be assignment-invariant (exact integer offset
+    // decomposition at any P)
+    val dir = "/root/testdata/sf0.01"
+    val flat = assignments(dir, hierarchical = false)
+    val p2 = assignments(dir, hierarchical = true, prefixLen = 2)
+    assert(p2 == flat, "P=2 assignment diverges from flat")
   }
 }
