@@ -1150,11 +1150,33 @@ object TextQueries {
   // which runs before the shuffling stages (5, 7, 8) — each stage
   // shrinks the corpus the next one pays for.
   // ---------------------------------------------------------------
-  private def q138(s: SparkSession, dir: String): DataFrame = {
+  /** one curation stage: the q138 rollup's inputs plus the stage's
+    * own materialization wall-clock (meaningful only when the DAG is
+    * built with `materializeAll` — q142's operational record). */
+  private final case class DagStage(idx: Int, name: String,
+      df: DataFrame, tok: Column, ck: Column, buildSec: Double)
+
+  /** the 8-stage curation DAG in dependency order — ONE definition
+    * shared by q138 (hash-gated funnel) and q142 (per-stage metrics
+    * into the sink). `materializeAll = false` keeps the economical
+    * spine (checkpoints at d1/d2/d3/d4/d6 only, where branch reuse
+    * demands a barrier); `true` checkpoints EVERY stage so each
+    * stage's wall-clock is its own materialization, not a lazy
+    * fragment of a downstream job. Both modes compute identical
+    * rows — checkpoint placement never changes assignment. */
+  private def curationStages(s: SparkSession, dir: String,
+      materializeAll: Boolean): Seq[DagStage] = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val screen = DedupQueries.BloomScreen
     val blob = screen.benchBlob(s, dir)
+    // spine = true: the q138 economics — stages whose output several
+    // branches (or the join-heavy LM) re-read get a barrier
+    def built(df: DataFrame, spine: Boolean): (DataFrame, Double) = {
+      val t = System.nanoTime()
+      val out = if (spine || materializeAll) df.localCheckpoint(true) else df
+      (out, (System.nanoTime() - t) / 1e9)
+    }
     // the testdata table is ONE parquet file → one scan partition, and
     // every row-local stage (plant, tokenize, 8-gram probe, Gopher
     // fold, redaction regexes) would run single-task stacked end to
@@ -1162,18 +1184,17 @@ object TextQueries {
     // checkpoint — production ingest is many files (q130's fixture
     // argument); every later stage and rollup reads the materialized
     // fan-out instead of re-running upstream row-local work.
-    val d1 = screen.withBenchSplit(documents(s, dir))
+    val (d1, s1) = built(screen.withBenchSplit(documents(s, dir))
       .filter($"hx" >= screen.BenchMax)
       .select($"doc_id", $"lang", $"source",
         plantPii($"text", $"doc_id").as("text"))
       .withColumn("t", toks($"text"))
       .withColumn("n_tok", size($"t").cast("long"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      .localCheckpoint(true)
-    val d2 = d1.filter(!graft.expr.GraftFunctions
-      .bloomAny(s, lit(blob), $"t"))
-      .localCheckpoint(true)
-    val d3 = d2
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt),
+      spine = true)
+    val (d2, s2) = built(d1.filter(!graft.expr.GraftFunctions
+      .bloomAny(s, lit(blob), $"t")), spine = true)
+    val (d3, s3) = built(d2
       .withColumn("bgs", when(size($"t") >= 2, expr(
         "transform(sequence(1, size(t) - 1), " +
           "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
@@ -1183,47 +1204,93 @@ object TextQueries {
       .withColumn("rep_ratio",
         lit(1.0) - size(array_distinct($"t")) / size($"t").cast("double"))
       .filter($"top_bg_frac" <= GopherTopBgMax && $"rep_ratio" <= GopherRepMax)
-      .select($"doc_id", $"lang", $"source", $"text", $"n_tok")
-      .localCheckpoint(true)
-    val keep4 = docNllFrameOf(s, d3, Seq("lang"))
-      .withColumn("tc", ntile(3).over(Window.partitionBy($"lang")
-        .orderBy(round($"doc_nll", 6), $"doc_id")))
-      .filter($"tc" <= 2).select($"doc_id")
-    val d4 = d3.join(keep4, "doc_id").localCheckpoint(true)
-    val d5 = d4.withColumn("mn",
+      .select($"doc_id", $"lang", $"source", $"text", $"n_tok"),
+      spine = true)
+    val (d4, s4) = built({
+      val keep4 = docNllFrameOf(s, d3, Seq("lang"))
+        .withColumn("tc", ntile(3).over(Window.partitionBy($"lang")
+          .orderBy(round($"doc_nll", 6), $"doc_id")))
+        .filter($"tc" <= 2).select($"doc_id")
+      d3.join(keep4, "doc_id")
+    }, spine = true)
+    val (d5, s5) = built(d4.withColumn("mn",
         min($"doc_id").over(Window.partitionBy(md5($"text"))))
-      .filter($"doc_id" === $"mn").drop("mn")
-    val d6 = d5.withColumn("red", redactPii($"text"))
+      .filter($"doc_id" === $"mn").drop("mn"), spine = false)
+    val (d6, s6) = built(d5.withColumn("red", redactPii($"text"))
       .select($"doc_id", $"lang", $"source", $"red",
-        size(toks($"red")).cast("long").as("rn_tok"))
-      .localCheckpoint(true)
-    val d7 = withMixture(d6)
+        size(toks($"red")).cast("long").as("rn_tok")), spine = true)
+    val (d7, s7) = built(withMixture(d6)
       .filter($"rk" <= $"w" * $"t_units")
-      .select($"doc_id", $"lang", $"source", $"red", $"rn_tok")
-    val packed = packShardsOf(
+      .select($"doc_id", $"lang", $"source", $"red", $"rn_tok"),
+      spine = false)
+    val (packed, s8) = built(packShardsOf(
       d7.select($"lang", $"doc_id", $"red".as("text")),
-      hierarchical = true)
-    def roll(i: Int, name: String, df: DataFrame,
-        tok: Column, ck: Column): DataFrame =
-      df.agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(tok).cast("long").as("n_tokens"),
-          sum(ck).cast("long").as("checksum"))
-        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
-          $"n_docs", $"n_tokens", $"checksum")
+      hierarchical = true), spine = false)
     val redCk = conv(substr(md5($"red"), lit(1), lit(8)), 16, 10)
       .cast("long")
-    roll(1, "ingest", d1, $"n_tok", $"doc_id")
-      .unionAll(roll(2, "decontaminated", d2, $"n_tok", $"doc_id"))
-      .unionAll(roll(3, "repetition_filtered", d3, $"n_tok", $"doc_id"))
-      .unionAll(roll(4, "ppl_tail_dropped", d4, $"n_tok", $"doc_id"))
-      .unionAll(roll(5, "exact_deduped", d5, $"n_tok", $"doc_id"))
-      .unionAll(roll(6, "pii_redacted", d6, $"rn_tok", redCk))
-      .unionAll(roll(7, "mixture_sampled", d7, $"rn_tok", $"doc_id"))
-      .unionAll(roll(8, "sharded", packed, $"n_tok", $"shard" * $"doc_id"))
+    Seq(
+      DagStage(1, "ingest", d1, $"n_tok", $"doc_id", s1),
+      DagStage(2, "decontaminated", d2, $"n_tok", $"doc_id", s2),
+      DagStage(3, "repetition_filtered", d3, $"n_tok", $"doc_id", s3),
+      DagStage(4, "ppl_tail_dropped", d4, $"n_tok", $"doc_id", s4),
+      DagStage(5, "exact_deduped", d5, $"n_tok", $"doc_id", s5),
+      DagStage(6, "pii_redacted", d6, $"rn_tok", redCk, s6),
+      DagStage(7, "mixture_sampled", d7, $"rn_tok", $"doc_id", s7),
+      DagStage(8, "sharded", packed, $"n_tok", $"shard" * $"doc_id", s8))
+  }
+
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def roll(st: DagStage): DataFrame =
+      st.df.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(st.tok).cast("long").as("n_tokens"),
+          sum(st.ck).cast("long").as("checksum"))
+        .select(lit(st.idx).as("stage_idx"), lit(st.name).as("stage"),
+          $"n_docs", $"n_tokens", $"checksum")
+    curationStages(s, dir, materializeAll = false)
+      .map(roll).reduce(_.unionAll(_))
       .orderBy($"stage_idx")
   }
 
-  private lazy val q138Sql = {
+  /** q142: DAG OBSERVABILITY — the per-stage operational record a
+    * production run of the q138 DAG emits into the metrics sink
+    * (q99's pattern): every stage appends (stage_idx, stage, n_docs,
+    * n_tokens, build_sec), where build_sec is the stage's OWN
+    * materialization wall-clock (materializeAll mode — each stage is
+    * checkpointed, so its cost is attributed to it, not to whichever
+    * downstream job first forces it). Rows and tokens make the
+    * funnel's selectivity operable (alert when a stage's drop rate
+    * moves); build_sec makes its cost operable. The GATE reads back
+    * the deterministic columns from the sink (build_sec stays in the
+    * sink artifact — wall-clock is not cross-engine reproducible);
+    * the oracle re-derives the funnel from the same CTE chain as
+    * q138, minus the checksums.
+    *
+    * Scale: identical to q138 (the stages ARE q138's), plus one
+    * 1-row append per stage — the sink write is driver-side-free
+    * (each rollup is a partial-aggregated job whose single-row
+    * result writes straight to parquet). */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q142") { scratch =>
+      val sink = scratch + "/stage_metrics"
+      curationStages(s, dir, materializeAll = true).foreach { st =>
+        st.df.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(st.tok).cast("long").as("n_tokens"))
+          .select(lit(st.idx).as("stage_idx"), lit(st.name).as("stage"),
+            $"n_docs", $"n_tokens",
+            round(lit(st.buildSec), 3).as("build_sec"))
+          .write.mode("append").parquet(sink)
+      }
+      s.read.parquet(sink)
+        .select($"stage_idx", $"stage", $"n_docs", $"n_tokens")
+        .orderBy($"stage_idx")
+    }
+  }
+
+  /** the DuckDB CTE chain of the curation DAG (through o8) — shared
+    * by the q138 and q142 oracles so the two gates can never drift. */
+  private lazy val dagSqlWith = {
     val shingles = DedupQueries.BloomScreen.ShingleSql
     s"""WITH raw AS (
        | SELECT doc_id, lang, source, text,
@@ -1314,7 +1381,11 @@ object TextQueries {
        |    ORDER BY md5(concat('pack:', CAST(doc_id AS VARCHAR))), doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |    AS cum_before
-       | FROM d7)
+       | FROM d7)""".stripMargin
+  }
+
+  private lazy val q138Sql =
+    s"""$dagSqlWith
        |SELECT * FROM (
        | SELECT 1 AS stage_idx, 'ingest' AS stage, count(*) AS n_docs,
        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -1342,9 +1413,37 @@ object TextQueries {
        | SELECT 8, 'sharded', count(*), CAST(sum(rn_tok) AS BIGINT),
        |  CAST(sum((cum_before // $PackB) * doc_id) AS BIGINT) FROM o8)
        |ORDER BY stage_idx""".stripMargin
-  }
+
+  private lazy val q142Sql =
+    s"""$dagSqlWith
+       |SELECT * FROM (
+       | SELECT 1 AS stage_idx, 'ingest' AS stage, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d1t
+       | UNION ALL
+       | SELECT 2, 'decontaminated', count(*), CAST(sum(n_tok) AS BIGINT)
+       |  FROM d2
+       | UNION ALL
+       | SELECT 3, 'repetition_filtered', count(*),
+       |  CAST(sum(n_tok) AS BIGINT) FROM d3
+       | UNION ALL
+       | SELECT 4, 'ppl_tail_dropped', count(*),
+       |  CAST(sum(n_tok) AS BIGINT) FROM d4
+       | UNION ALL
+       | SELECT 5, 'exact_deduped', count(*),
+       |  CAST(sum(n_tok) AS BIGINT) FROM d5
+       | UNION ALL
+       | SELECT 6, 'pii_redacted', count(*), CAST(sum(rn_tok) AS BIGINT)
+       |  FROM d6t
+       | UNION ALL
+       | SELECT 7, 'mixture_sampled', count(*), CAST(sum(rn_tok) AS BIGINT)
+       |  FROM d7
+       | UNION ALL
+       | SELECT 8, 'sharded', count(*), CAST(sum(rn_tok) AS BIGINT) FROM o8)
+       |ORDER BY stage_idx""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q142_dag_metrics", q142, Some(q142Sql),
+      "per-stage operational metrics of the q138 DAG (rows/tokens/build_sec into the metrics sink; deterministic columns gated)"),
     Q("q138_curation_dag", q138, Some(q138Sql),
       "full curation DAG: screen→gopher→LM tercile→dedup→redact→mix→pack funnel"),
     Q("q135_pii_redact", q135, Some(q135Sql),
