@@ -705,10 +705,12 @@ object StreamingQueries {
         struct(lit(b).as("band_idx"), c(s"band$b").as("band_key"))): _*))
     graft.Scratch.withScratchDir("graft_q140") { scratch =>
       // batch side: the indexed corpus — slim band index + shingle
-      // lookup, computed once and frozen
-      val corpusSigs = split.withIx(
-          DedupQueries.signaturesOf(graft.Tables.documents(s, dir)))
-        .filter($"ix" >= split.NewMax)
+      // lookup, computed once and frozen. Split filter BELOW the
+      // signature pipeline: the md5-per-shingle work runs only on the
+      // corpus two-thirds
+      val corpusSigs = DedupQueries.signaturesOf(
+          split.withIx(graft.Tables.documents(s, dir))
+            .filter($"ix" >= split.NewMax))
         .select(($"doc_id".as("corpus_id") +: $"sh".as("sh_b") +:
           (0 until nBands).map(b => col(s"band$b"))): _*)
         .localCheckpoint(true)
@@ -717,9 +719,10 @@ object StreamingQueries {
         .select($"corpus_id", $"band.band_idx", $"band.band_key")
       val corpusSh = corpusSigs.select($"corpus_id", $"sh_b")
       // stream side: new docs through the same signature pipeline
-      val newBands = split.withIx(
-          DedupQueries.signaturesOf(multiFileStream(s, dir, "documents")))
-        .filter($"ix" < split.NewMax)
+      // (split filter first — only the new third pays the hashing)
+      val newBands = DedupQueries.signaturesOf(
+          split.withIx(multiFileStream(s, dir, "documents"))
+            .filter($"ix" < split.NewMax))
         .select($"doc_id", $"sh", bandStructs(col).as("band"))
         .select($"doc_id", $"sh", $"band.band_idx", $"band.band_key")
       val scored = newBands
