@@ -134,6 +134,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_hll_agg"),
       new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_agg"),
       GraftFunctions.hllAggBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_sketch"),
+      GraftFunctions.hllSketchBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
+      GraftFunctions.hllMergeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimateExpr].getName, "graft_hll_estimate"),
+      GraftFunctions.hllEstimateBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -153,6 +165,9 @@ object GraftFunctions {
   private val bloomContainsId = FunctionIdentifier("graft_bloom_contains")
   private val bloomAnyId = FunctionIdentifier("graft_bloom_any")
   private val hllAggId = FunctionIdentifier("graft_hll_agg")
+  private val hllSketchId = FunctionIdentifier("graft_hll_sketch")
+  private val hllMergeId = FunctionIdentifier("graft_hll_merge")
+  private val hllEstimateId = FunctionIdentifier("graft_hll_estimate")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -207,6 +222,17 @@ object GraftFunctions {
   private[expr] val hllAggBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_hll_agg", 2, ch)
     HllAgg(ch(0), ch(1)).toAggregateExpression()
+  }
+  private[expr] val hllSketchBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_hll_sketch", 2, ch)
+    HllSketchAgg(ch(0), ch(1)).toAggregateExpression()
+  }
+  private[expr] val hllMergeBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_hll_merge", 1, ch)
+    HllMergeAgg(ch(0)).toAggregateExpression()
+  }
+  private[expr] val hllEstimateBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_hll_estimate", 1, ch); HllEstimateExpr(ch(0))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -295,6 +321,24 @@ object GraftFunctions {
         new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_agg"),
         hllAggBuilder)
     }
+    if (!registry.functionExists(hllSketchId)) {
+      registry.registerFunction(
+        hllSketchId,
+        new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_sketch"),
+        hllSketchBuilder)
+    }
+    if (!registry.functionExists(hllMergeId)) {
+      registry.registerFunction(
+        hllMergeId,
+        new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
+        hllMergeBuilder)
+    }
+    if (!registry.functionExists(hllEstimateId)) {
+      registry.registerFunction(
+        hllEstimateId,
+        new ExpressionInfo(classOf[HllEstimateExpr].getName, "graft_hll_estimate"),
+        hllEstimateBuilder)
+    }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
     // the optimizer's final user-provided batch
@@ -379,6 +423,26 @@ object GraftFunctions {
     register(spark)
     call_function("graft_hll_agg", key,
       org.apache.spark.sql.functions.lit(p))
+  }
+
+  /** re-mergeable HLL sketch aggregate → BINARY blob (the warehouse
+    * rollup surface: persist per-partition sketches, merge later). */
+  def hllSketch(spark: SparkSession, key: Column, p: Int): Column = {
+    register(spark)
+    call_function("graft_hll_sketch", key,
+      org.apache.spark.sql.functions.lit(p))
+  }
+
+  /** union of stored HLL sketch blobs → BINARY (composes: day→week→…). */
+  def hllMerge(spark: SparkSession, sketch: Column): Column = {
+    register(spark)
+    call_function("graft_hll_merge", sketch)
+  }
+
+  /** distinct-count estimate of a sketch blob (exact while sparse). */
+  def hllEstimate(spark: SparkSession, sketch: Column): Column = {
+    register(spark)
+    call_function("graft_hll_estimate", sketch)
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

@@ -175,35 +175,13 @@ case class HllAgg(
   override def eval(buf: HllBuf): Any = buf.estimate
 
   /** [p: byte][mode: byte] + sparse [n: int][hashes: longs] or dense
-    * [registers: 2^p bytes] — both big-endian. */
-  override def serialize(buf: HllBuf): Array[Byte] =
-    if (buf.dense == null) {
-      val n = buf.sparse.size
-      val bb = java.nio.ByteBuffer.allocate(2 + 4 + 8 * n)
-      bb.put(buf.p.toByte).put(0.toByte).putInt(n)
-      val it = buf.sparse.iterator()
-      while (it.hasNext) bb.putLong(it.next())
-      bb.array()
-    } else {
-      val bb = java.nio.ByteBuffer.allocate(2 + buf.m)
-      bb.put(buf.p.toByte).put(1.toByte).put(buf.dense)
-      bb.array()
-    }
+    * [registers: 2^p bytes] — the same blob the re-mergeable sketch
+    * surface (`graft_hll_sketch`) emits, so shuffle buffers and
+    * stored sketches can never disagree on layout. */
+  override def serialize(buf: HllBuf): Array[Byte] = HllExpr.toBlob(buf)
 
-  override def deserialize(bytes: Array[Byte]): HllBuf = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val buf = new HllBuf(bb.get().toInt)
-    if (bb.get() == 0.toByte) {
-      val n = bb.getInt()
-      var i = 0
-      while (i < n) { buf.sparse.add(bb.getLong()); i += 1 }
-    } else {
-      buf.dense = new Array[Byte](buf.m)
-      bb.get(buf.dense)
-      buf.sparse = null
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): HllBuf =
+    HllExpr.fromBlob(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): HllAgg =
     copy(mutableAggBufferOffset = o)
@@ -218,4 +196,201 @@ object HllExpr {
   /** fixed hash seed — part of the sketch contract (mergeable buffers
     * must hash identically). */
   private[expr] val Seed = 0x51ED270B12345678L
+
+  /** codegen entry for `graft_hll_estimate`. */
+  def estimateBlob(blob: Array[Byte]): Long = fromBlob(blob).estimate
+
+  /** blob form shared by HllAgg's shuffle buffers and the
+    * re-mergeable sketch surface: [p: byte][mode: byte] + sparse
+    * [n: int][hashes: longs] | dense [registers: 2^p bytes]. */
+  private[expr] def toBlob(buf: HllBuf): Array[Byte] =
+    if (buf.dense == null) {
+      val n = buf.sparse.size
+      val bb = java.nio.ByteBuffer.allocate(2 + 4 + 8 * n)
+      bb.put(buf.p.toByte).put(0.toByte).putInt(n)
+      val it = buf.sparse.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    } else {
+      val bb = java.nio.ByteBuffer.allocate(2 + buf.m)
+      bb.put(buf.p.toByte).put(1.toByte).put(buf.dense)
+      bb.array()
+    }
+
+  /** parse a blob back to a buffer; malformed blobs throw rather than
+    * estimating wrong (the bloom-blob validator discipline). */
+  private[expr] def fromBlob(bytes: Array[Byte]): HllBuf = {
+    if (bytes.length < 2)
+      throw new IllegalArgumentException(
+        s"graft_hll: malformed sketch blob (${bytes.length} bytes)")
+    val p = bytes(0).toInt
+    if (p < 4 || p > 16)
+      throw new IllegalArgumentException(
+        s"graft_hll: malformed sketch blob (p = $p)")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.get()
+    val mode = bb.get()
+    val buf = new HllBuf(p)
+    if (mode == 0.toByte) {
+      val n = bb.getInt()
+      if (bytes.length != 6 + 8L * n)
+        throw new IllegalArgumentException(
+          s"graft_hll: sparse blob length ${bytes.length} != ${6 + 8L * n}")
+      var i = 0
+      while (i < n) { buf.sparse.add(bb.getLong()); i += 1 }
+    } else if (mode == 1.toByte) {
+      if (bytes.length != 2 + buf.m)
+        throw new IllegalArgumentException(
+          s"graft_hll: dense blob length ${bytes.length} != ${2 + buf.m}")
+      buf.dense = new Array[Byte](buf.m)
+      bb.get(buf.dense)
+      buf.sparse = null
+    } else throw new IllegalArgumentException(
+      s"graft_hll: malformed sketch blob (mode = $mode)")
+    buf
+  }
+}
+
+/** `graft_hll_sketch(key, p)` → BINARY — the RE-MERGEABLE form of
+  * `graft_hll_agg`: same buffer, same hashes, but the output is the
+  * serialized sketch instead of the estimate. This is the warehouse
+  * rollup surface (the Datasketches deployment pattern): persist one
+  * small sketch per (entity, day) partition, then answer
+  * week/month/all-time distinct counts by MERGING stored sketches
+  * (`graft_hll_merge`) instead of rescanning raw data — at 100 TB
+  * the only practical spelling of "distinct users this quarter".
+  * Sparse blobs stay exact under union, so rolled-up estimates in
+  * the sparse regime are exact too (the q144 gate). */
+case class HllSketchAgg(
+    child: Expression,
+    pExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuf] {
+
+  private lazy val inner = HllAgg(child, pExpr)
+
+  override def children: Seq[Expression] = Seq(child, pExpr)
+  override def checkInputDataTypes(): TypeCheckResult =
+    inner.checkInputDataTypes()
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_sketch"
+
+  override def createAggregationBuffer(): HllBuf =
+    inner.createAggregationBuffer()
+  override def update(buf: HllBuf, input: InternalRow): HllBuf =
+    inner.update(buf, input)
+  override def merge(b1: HllBuf, b2: HllBuf): HllBuf = { b1.mergeIn(b2); b1 }
+  override def eval(buf: HllBuf): Any = HllExpr.toBlob(buf)
+  override def serialize(buf: HllBuf): Array[Byte] = HllExpr.toBlob(buf)
+  override def deserialize(bytes: Array[Byte]): HllBuf =
+    HllExpr.fromBlob(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = newChildren(0), pExpr = newChildren(1))
+}
+
+/** `graft_hll_merge(sketch BINARY)` → BINARY — aggregate UNION of
+  * stored `graft_hll_sketch` blobs (sparse∪sparse stays sparse-exact
+  * until cutover; anything∪dense is register max). Null inputs are
+  * skipped (a partition with no sketch contributes nothing). The
+  * merged output is itself a sketch — rollups compose
+  * (day → week → month without touching raw data). */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuf] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case a => TypeCheckResult.TypeCheckFailure(
+        s"graft_hll_merge requires BINARY, got ${a.simpleString}")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_merge"
+
+  /** p is unknown until the first sketch arrives — an empty buffer
+    * is a 0-entry sparse set at a sentinel precision, replaced on
+    * first merge. */
+  override def createAggregationBuffer(): HllBuf = new HllBuf(0)
+
+  private def mergeBlob(buf: HllBuf, blob: Array[Byte]): HllBuf = {
+    val o = HllExpr.fromBlob(blob)
+    if (buf.p == 0) o
+    else if (buf.p != o.p)
+      throw new IllegalArgumentException(
+        s"graft_hll_merge: mixed precisions (p=${buf.p} vs p=${o.p})")
+    else { buf.mergeIn(o); buf }
+  }
+
+  override def update(buf: HllBuf, input: InternalRow): HllBuf = {
+    val v = child.eval(input)
+    if (v == null) buf else mergeBlob(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(b1: HllBuf, b2: HllBuf): HllBuf =
+    if (b2.p == 0) b1
+    else if (b1.p == 0) b2
+    else if (b1.p != b2.p)
+      throw new IllegalArgumentException(
+        s"graft_hll_merge: mixed precisions (p=${b1.p} vs p=${b2.p})")
+    else { b1.mergeIn(b2); b1 }
+
+  override def eval(buf: HllBuf): Any =
+    HllExpr.toBlob(if (buf.p == 0) new HllBuf(12) else buf)
+
+  override def serialize(buf: HllBuf): Array[Byte] =
+    if (buf.p == 0) Array[Byte](0, 0) else HllExpr.toBlob(buf)
+  override def deserialize(bytes: Array[Byte]): HllBuf =
+    if (bytes.length == 2 && bytes(0) == 0.toByte) new HllBuf(0)
+    else HllExpr.fromBlob(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = newChildren(0))
+}
+
+/** `graft_hll_estimate(sketch BINARY)` → BIGINT — the distinct-count
+  * estimate of a stored/merged sketch (exact while sparse). */
+case class HllEstimateExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case a => TypeCheckResult.TypeCheckFailure(
+        s"graft_hll_estimate requires BINARY, got ${a.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hll_estimate"
+
+  override protected def nullSafeEval(blob: Any): Any =
+    HllExpr.fromBlob(blob.asInstanceOf[Array[Byte]]).estimate
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.expr.HllExpr.estimateBlob($b)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HllEstimateExpr = copy(child = newChild)
 }

@@ -504,6 +504,46 @@ object Series {
       | count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q144: SKETCH ROLLUP under the oracle — the warehouse deployment
+    * shape of the HLL surface: one small `graft_hll_sketch` blob per
+    * (event_type, day) partition (what a 100 TB pipeline PERSISTS),
+    * then the all-time distinct count answered by MERGING the stored
+    * sketches (`graft_hll_merge` → `graft_hll_estimate`) — never by
+    * rescanning raw events. Sparse blobs stay exact under union, so
+    * the rolled-up estimate equals COUNT(DISTINCT) exactly in this
+    * regime and the full hash gate applies; HllSpec pins the
+    * merge-vs-direct equivalence generally.
+    *
+    * Scale: the daily layer shuffles (type, day)-keyed partial
+    * buffers (≤ 8·2^p bytes each); the rollup layer moves ~30 blobs
+    * per type. The raw-rescan spelling this replaces shuffles every
+    * (type, user) pair of the whole history every time the question
+    * is asked. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.GraftFunctions
+    val daily = events(s, dir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(
+        GraftFunctions.hllSketch(s, ($"user_id" % 512).cast("long"), 12)
+          .as("sk"),
+        count(lit(1)).as("n"))
+    daily.groupBy($"event_type")
+      .agg(
+        GraftFunctions.hllEstimate(s,
+          GraftFunctions.hllMerge(s, $"sk")).as("nd_user_bucket"),
+        count(lit(1)).as("n_days"),
+        sum($"n").as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  private val q144Sql =
+    """SELECT event_type,
+      | count(DISTINCT user_id % 512) AS nd_user_bucket,
+      | count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+      | count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q82: W7 EMA full TRAJECTORY (`exercise provided.ipynb` cell 20
     * curve smoothing) — emaScan HOF then posexplode back to long form;
     * oracle recomputes each prefix with the BIT-EXACT fold
@@ -664,6 +704,8 @@ object Series {
     Q("q79_percentiles", q79, Some(q79Sql), "exact interpolated percentiles"),
     Q("q141_hll_distinct", q141, Some(q141Sql),
       "native graft_hll_agg distinct-count sketch, sparse-exact regime under the oracle"),
+    Q("q144_hll_rollup", q144, Some(q144Sql),
+      "persisted per-day HLL sketches merged to all-time distinct counts (graft_hll_sketch/merge/estimate)"),
     Q("q113_sketch_stats", q113, Some(q113Sql),
       "GK approx_percentile: the sketch scale path, exact-regime oracle"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),

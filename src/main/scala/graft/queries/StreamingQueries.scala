@@ -770,7 +770,57 @@ object StreamingQueries {
       |SELECT doc_id, corpus_id, jaccard FROM ver
       |WHERE jaccard >= 0.7 ORDER BY doc_id, corpus_id""".stripMargin
 
+  /** q143: STREAMING DISTINCT-COUNT (windowed DAU) — the native HLL
+    * aggregate inside a watermarked streaming window: per (1-day
+    * window, event_type), the distinct active-user-bucket count via
+    * `graft_hll_agg` — the streaming DAU counter every ingest
+    * pipeline dashboards. Exercises the one aggregate class the
+    * other streaming gates don't: a TypedImperativeAggregate whose
+    * OPAQUE buffer rides the state store across micro-batches
+    * (serialize/deserialize between batches — the same blob the
+    * batch shuffle uses). Keys are bounded by construction
+    * (user_id mod 512 < 2^p), so the emitted counts are
+    * sparse-exact and the oracle is batch COUNT(DISTINCT) under the
+    * q103 watermark cutoff.
+    *
+    * Scale: state per (window, type) is ONE ≤ 8·2^p-byte buffer —
+    * bounded regardless of event volume; the exact streaming
+    * spelling (dropDuplicates on (window, type, user) then count)
+    * holds per-user state instead. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q143") { scratch =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "2 days")
+        .groupBy(window($"ts", "1 day").as("win"), $"event_type")
+        .agg(
+          graft.expr.GraftFunctions.hllDistinct(
+            s, ($"user_id" % 512).cast("long"), 12).as("dau_bucket"),
+          count(lit(1)).as("n"))
+        .select($"win.start".as("bucket"), $"event_type",
+          $"dau_bucket", $"n")
+      runToSink(s, agg, scratch).orderBy($"bucket", $"event_type")
+    }
+  }
+
+  private val q143Sql =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |w AS (
+      | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |  event_type,
+      |  count(DISTINCT user_id % 512) AS dau_bucket,
+      |  count(*) AS n
+      | FROM events GROUP BY bucket, event_type)
+      |SELECT bucket, event_type, dau_bucket, n
+      |FROM w, m
+      |WHERE bucket + INTERVAL 1 DAY
+      |      <= make_timestamp(epoch_ms(mx) * 1000)
+      |         - INTERVAL 2 DAY
+      |ORDER BY bucket, event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q143_stream_hll_dau", q143, Some(q143Sql),
+      "§2.10 streaming windowed distinct count: native HLL buffer through the state store (sparse-exact, watermarked)"),
     Q("q140_stream_ingest_dedup", q140, Some(q140Sql),
       "§2.10 streaming near-dup dedup-at-ingest: new docs' MinHash bands stream-static-joined against the batch corpus band index, exact-Jaccard verified in-stream"),
     Q("q130_stream_decontaminate", q130, Some(q130Sql),

@@ -68,6 +68,54 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("sketch/merge/estimate rollup equals the direct aggregate") {
+    import spark.implicits._
+    // the warehouse shape: per-partition sketches, merged later, must
+    // answer exactly what one direct pass answers — in BOTH regimes
+    // (sparse: union of exact sets; dense: register max is the same
+    // lattice join the shuffle merge uses)
+    for (n <- Seq(2000L, 50000L)) {
+      val d = spark.range(n).select($"id", ($"id" % 7).as("g"))
+      val direct = d.agg(hll($"id")).head().getLong(0)
+      val rolled = d.groupBy($"g")
+        .agg(GraftFunctions.hllSketch(spark, $"id", 12).as("sk"))
+        .agg(GraftFunctions.hllEstimate(spark,
+          GraftFunctions.hllMerge(spark, $"sk")).as("nd"))
+        .head().getLong(0)
+      assert(rolled == direct, s"n=$n rolled=$rolled direct=$direct")
+    }
+  }
+
+  test("merged sketches stay re-mergeable (day -> week -> total composes)") {
+    import spark.implicits._
+    val d = spark.range(3000).select($"id",
+      ($"id" % 30).as("day"), ($"id" % 30 / 7).cast("long").as("wk"))
+    val daily = d.groupBy($"day", $"wk")
+      .agg(GraftFunctions.hllSketch(spark, $"id", 12).as("sk"))
+    val weekly = daily.groupBy($"wk")
+      .agg(GraftFunctions.hllMerge(spark, $"sk").as("sk"))
+    val total = weekly
+      .agg(GraftFunctions.hllEstimate(spark,
+        GraftFunctions.hllMerge(spark, $"sk")).as("nd"))
+      .head().getLong(0)
+    assert(total == 3000L, s"two-level rollup $total")
+  }
+
+  test("malformed blobs and mixed precisions are rejected") {
+    import spark.implicits._
+    intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("sk")
+        .agg(GraftFunctions.hllMerge(spark, col("sk"))).head()
+    }
+    intercept[Exception] {
+      val a = spark.range(10)
+        .agg(GraftFunctions.hllSketch(spark, col("id"), 10).as("sk"))
+      val b = spark.range(10)
+        .agg(GraftFunctions.hllSketch(spark, col("id"), 12).as("sk"))
+      a.unionAll(b).agg(GraftFunctions.hllMerge(spark, col("sk"))).head()
+    }
+  }
+
   test("argument validation: p out of range / non-literal rejected") {
     import spark.implicits._
     val d = spark.range(4)
