@@ -152,7 +152,10 @@ case class HllAgg(
 
   override def createAggregationBuffer(): HllBuf = new HllBuf(p)
 
-  private val hashOf: Any => Long = child.dataType match {
+  // lazy: resolved only at execution — constructing the node with a
+  // not-yet-resolved child (analyzer transforms) must not touch
+  // child.dataType
+  private lazy val hashOf: Any => Long = child.dataType match {
     case StringType => v => {
       val u = v.asInstanceOf[UTF8String]
       XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes,
