@@ -51,10 +51,19 @@ object Metrics {
         // distinct s — can never straddle buckets), so the global
         // cumsum decomposes into broadcast bucket offsets + a
         // PARTITIONED within-bucket window
-        val mm = grouped.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+        // bounds over REAL scores only: max() returns NaN when any is
+        // present (NaN sorts above all doubles), and a NaN hi would
+        // null every width_bucket below
+        val mm = grouped.filter(!col("s").cast("double").isNaN)
+          .agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
         val withB = grouped.crossJoin(broadcast(mm))
           .withColumn("b",
             when(col("s").isNull, lit(0L)) // nulls sort first
+              // NaN sorts after every double in Spark ordering — pin
+              // it past the last real bucket, never a null bucket
+              // (which would silently DROP the row at the offsets join)
+              .when(col("s").cast("double").isNaN,
+                lit((RankBuckets + 2).toLong))
               .when(col("lo") < col("hi"), expr(
                 s"width_bucket(CAST(s AS DOUBLE), CAST(lo AS DOUBLE), " +
                   s"CAST(hi AS DOUBLE), $RankBuckets)"))

@@ -209,4 +209,17 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2), got.mkString(" | "))
   }
+
+  test("global AUC: NaN scores rank last (bucketed path keeps every row)") {
+    // the bucketed two-phase rank must not DROP a NaN score via a
+    // null width_bucket: NaN pins past the last real bucket, matching
+    // Spark's ordering (NaN above all doubles). Ranks 1..4 with NaN
+    // 4th: rank_sum⁺ = 2 + 4, AUC = (6 − 3) / 4 = 0.75
+    val d = Seq((0.1, 0), (0.2, 1), (0.3, 0), (Double.NaN, 1))
+      .toDF("score", "y")
+    val r = graft.ops.Metrics.rocAuc(d, $"score", $"y").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L,
+      s"n_pos=${r.getLong(1)} n_neg=${r.getLong(2)}")
+    assert(math.abs(r.getDouble(0) - 0.75) < 1e-12, s"auc=${r.getDouble(0)}")
+  }
 }
