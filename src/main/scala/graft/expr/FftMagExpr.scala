@@ -146,6 +146,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_hll_estimate"),
       new ExpressionInfo(classOf[HllEstimateExpr].getName, "graft_hll_estimate"),
       GraftFunctions.hllEstimateBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv_sketch"),
+      GraftFunctions.kmvSketchBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "graft_kmv_merge"),
+      GraftFunctions.kmvMergeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimateExpr].getName, "graft_kmv_estimate"),
+      GraftFunctions.kmvEstimateBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_intersect"),
+      new ExpressionInfo(classOf[KmvIntersectExpr].getName, "graft_kmv_intersect"),
+      GraftFunctions.kmvIntersectBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_union_est"),
+      new ExpressionInfo(classOf[KmvUnionEstExpr].getName, "graft_kmv_union_est"),
+      GraftFunctions.kmvUnionEstBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -168,6 +188,11 @@ object GraftFunctions {
   private val hllSketchId = FunctionIdentifier("graft_hll_sketch")
   private val hllMergeId = FunctionIdentifier("graft_hll_merge")
   private val hllEstimateId = FunctionIdentifier("graft_hll_estimate")
+  private val kmvSketchId = FunctionIdentifier("graft_kmv_sketch")
+  private val kmvMergeId = FunctionIdentifier("graft_kmv_merge")
+  private val kmvEstimateId = FunctionIdentifier("graft_kmv_estimate")
+  private val kmvIntersectId = FunctionIdentifier("graft_kmv_intersect")
+  private val kmvUnionEstId = FunctionIdentifier("graft_kmv_union_est")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -233,6 +258,23 @@ object GraftFunctions {
   }
   private[expr] val hllEstimateBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_hll_estimate", 1, ch); HllEstimateExpr(ch(0))
+  }
+  private[expr] val kmvSketchBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kmv_sketch", 2, ch)
+    KmvSketchAgg(ch(0), ch(1)).toAggregateExpression()
+  }
+  private[expr] val kmvMergeBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kmv_merge", 1, ch)
+    KmvMergeAgg(ch(0)).toAggregateExpression()
+  }
+  private[expr] val kmvEstimateBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kmv_estimate", 1, ch); KmvEstimateExpr(ch(0))
+  }
+  private[expr] val kmvIntersectBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kmv_intersect", 2, ch); KmvIntersectExpr(ch(0), ch(1))
+  }
+  private[expr] val kmvUnionEstBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kmv_union_est", 2, ch); KmvUnionEstExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -339,6 +381,36 @@ object GraftFunctions {
         new ExpressionInfo(classOf[HllEstimateExpr].getName, "graft_hll_estimate"),
         hllEstimateBuilder)
     }
+    if (!registry.functionExists(kmvSketchId)) {
+      registry.registerFunction(
+        kmvSketchId,
+        new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv_sketch"),
+        kmvSketchBuilder)
+    }
+    if (!registry.functionExists(kmvMergeId)) {
+      registry.registerFunction(
+        kmvMergeId,
+        new ExpressionInfo(classOf[KmvMergeAgg].getName, "graft_kmv_merge"),
+        kmvMergeBuilder)
+    }
+    if (!registry.functionExists(kmvEstimateId)) {
+      registry.registerFunction(
+        kmvEstimateId,
+        new ExpressionInfo(classOf[KmvEstimateExpr].getName, "graft_kmv_estimate"),
+        kmvEstimateBuilder)
+    }
+    if (!registry.functionExists(kmvIntersectId)) {
+      registry.registerFunction(
+        kmvIntersectId,
+        new ExpressionInfo(classOf[KmvIntersectExpr].getName, "graft_kmv_intersect"),
+        kmvIntersectBuilder)
+    }
+    if (!registry.functionExists(kmvUnionEstId)) {
+      registry.registerFunction(
+        kmvUnionEstId,
+        new ExpressionInfo(classOf[KmvUnionEstExpr].getName, "graft_kmv_union_est"),
+        kmvUnionEstBuilder)
+    }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
     // the optimizer's final user-provided batch
@@ -443,6 +515,38 @@ object GraftFunctions {
   def hllEstimate(spark: SparkSession, sketch: Column): Column = {
     register(spark)
     call_function("graft_hll_estimate", sketch)
+  }
+
+  /** re-mergeable KMV/theta sketch aggregate → BINARY blob (EXACT set
+    * algebra below k distinct values — the retention/overlap surface). */
+  def kmvSketch(spark: SparkSession, key: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_kmv_sketch", key,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** aggregate set-union of stored KMV sketch blobs → BINARY. */
+  def kmvMerge(spark: SparkSession, sketch: Column): Column = {
+    register(spark)
+    call_function("graft_kmv_merge", sketch)
+  }
+
+  /** distinct-count estimate of a KMV blob (exact while untrimmed). */
+  def kmvEstimate(spark: SparkSession, sketch: Column): Column = {
+    register(spark)
+    call_function("graft_kmv_estimate", sketch)
+  }
+
+  /** estimated |A ∩ B| of two KMV blobs — the op HLL cannot do. */
+  def kmvIntersect(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_kmv_intersect", a, b)
+  }
+
+  /** estimated |A ∪ B| of two KMV blobs (pairwise, for join outputs). */
+  def kmvUnionEst(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_kmv_union_est", a, b)
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

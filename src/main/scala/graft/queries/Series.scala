@@ -544,6 +544,77 @@ object Series {
       | count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q145: RETENTION / AUDIENCE-OVERLAP via the KMV theta sketch — the
+    * set-algebra question HLL structurally cannot answer: "of the users
+    * active on day D, how many came back on D+1?" is a sketch
+    * INTERSECTION. One `graft_kmv_sketch` blob per day (KmvExpr; k
+    * smallest distinct hashes = a uniform sample of the id space),
+    * consecutive-day pairs join the ~30-row daily table to itself, and
+    * every dashboard number — actives, retained, new, churned, either —
+    * reads from the two blobs (`graft_kmv_estimate` /
+    * `graft_kmv_intersect` / `graft_kmv_union_est`).
+    *
+    * Gate regime: user buckets mod 512 are bounded BY CONSTRUCTION
+    * below k = 1024 at every SF, so the sketches stay untrimmed (=
+    * complete hash sets), every estimate is EXACT, and the oracle is
+    * plain COUNT(DISTINCT) set algebra in DuckDB (the q141 exact-regime
+    * trick). Past k the same plan degrades to ~1/√(k−2) relative error
+    * (KmvSpec pins planted-cardinality accuracy both regimes).
+    *
+    * Scale story: exact retention is a self-join of (day, user)
+    * distinct pairs — two full shuffles of the busiest fact table per
+    * question, per day-pair. This plan aggregates the raw table ONCE
+    * into ≤ 8k-byte daily blobs; the pair join moves ~30 rows; adding
+    * a question (7-day retention, weekly overlap) re-joins blobs, not
+    * raw history. Ref behavior: pandas set ops on collected frames
+    * (`unsupervised.py:509` uniques); this is the 100 TB spelling. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.GraftFunctions
+    val daily = events(s, dir)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(GraftFunctions.kmvSketch(s, ($"user_id" % 512).cast("long"), 1024)
+        .as("sk"))
+    val a = daily.select($"day", $"sk".as("sk_a"))
+    val b = daily.select($"day".as("next_day"), $"sk".as("sk_b"))
+    a.join(b, to_date($"next_day") === date_add(to_date($"day"), 1))
+      .select($"day", $"next_day",
+        GraftFunctions.kmvEstimate(s, $"sk_a").as("active_d"),
+        GraftFunctions.kmvEstimate(s, $"sk_b").as("active_next"),
+        GraftFunctions.kmvIntersect(s, $"sk_a", $"sk_b").as("retained"),
+        GraftFunctions.kmvUnionEst(s, $"sk_a", $"sk_b").as("active_either"))
+      .withColumn("new_users", $"active_next" - $"retained")
+      .withColumn("retention_rate",
+        floor($"retained" * 10000.0 / $"active_d" + 0.5) / 10000.0)
+      .orderBy($"day")
+  }
+
+  private val q145Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+      |         user_id % 512 AS ub
+      |  FROM events),
+      |d AS (SELECT day, count(*) AS active FROM du GROUP BY day),
+      |pairs AS (
+      |  SELECT a.day AS day, b.day AS next_day,
+      |         a.active AS active_d, b.active AS active_next
+      |  FROM d a JOIN d b
+      |    ON CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY),
+      |ret AS (
+      |  SELECT a.day AS day, count(*) AS retained
+      |  FROM du a JOIN du b ON a.ub = b.ub
+      |   AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+      |  GROUP BY a.day)
+      |SELECT p.day, p.next_day, p.active_d, p.active_next,
+      | COALESCE(r.retained, 0) AS retained,
+      | p.active_d + p.active_next - COALESCE(r.retained, 0)
+      |   AS active_either,
+      | p.active_next - COALESCE(r.retained, 0) AS new_users,
+      | floor(COALESCE(r.retained, 0) * 10000.0 / p.active_d + 0.5)
+      |   / 10000.0 AS retention_rate
+      |FROM pairs p LEFT JOIN ret r ON r.day = p.day
+      |ORDER BY p.day""".stripMargin
+
   /** q82: W7 EMA full TRAJECTORY (`exercise provided.ipynb` cell 20
     * curve smoothing) — emaScan HOF then posexplode back to long form;
     * oracle recomputes each prefix with the BIT-EXACT fold
@@ -706,6 +777,8 @@ object Series {
       "native graft_hll_agg distinct-count sketch, sparse-exact regime under the oracle"),
     Q("q144_hll_rollup", q144, Some(q144Sql),
       "persisted per-day HLL sketches merged to all-time distinct counts (graft_hll_sketch/merge/estimate)"),
+    Q("q145_kmv_retention", q145, Some(q145Sql),
+      "day-over-day retention via KMV theta-sketch intersection (graft_kmv_*), exact-regime oracle"),
     Q("q113_sketch_stats", q113, Some(q113Sql),
       "GK approx_percentile: the sketch scale path, exact-regime oracle"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
