@@ -818,7 +818,73 @@ object StreamingQueries {
       |         - INTERVAL 2 DAY
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** q146: STREAMING TRENDING ITEMS (windowed heavy hitters) — the
+    * native Space-Saving summary (`graft_topk_freq`, TopKFreqExpr)
+    * inside a watermarked 1-day streaming window: per day, the top-5
+    * most frequent item keys (the `props` payload key), i.e. the
+    * "trending now" panel every ingest dashboard runs next to the DAU
+    * counter (q143). Completes the sketch-through-the-state-store
+    * family: bloom (q130 membership), HLL (q143 distinct), Space-
+    * Saving (frequency) — each an opaque TypedImperativeAggregate
+    * buffer that rides the state store across micro-batches.
+    *
+    * Gate regime: the item domain is 100 distinct keys by
+    * construction, below the summary's k = 256 capacity, so no
+    * counter ever evicts, every err is 0, and the emitted top-5
+    * equals the exact per-day counts (the q125 trick) — oracle'd
+    * with the identical cnt DESC, key tie-break under the q103
+    * watermark cutoff.
+    *
+    * Scale: state per window is ONE O(k) summary regardless of event
+    * volume; the exact streaming spelling keys state by (window,
+    * item) — unbounded in the item domain — and still needs a
+    * per-window sort at read time. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q146") { scratch =>
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "2 days")
+        .groupBy(window($"ts", "1 day").as("win"))
+        .agg(
+          graft.expr.GraftFunctions.topKFreq(s,
+            regexp_extract($"props", "\"k\": (\\d+)", 1), 256).as("hh"),
+          count(lit(1)).as("n"))
+        .select($"win.start".as("bucket"), $"hh", $"n")
+      runToSink(s, agg, scratch)
+        .select($"bucket", $"n", posexplode($"hh").as(Seq("pos", "e")))
+        .filter($"pos" < 5)
+        .select($"bucket", ($"pos" + 1).cast("int").as("rank"),
+          $"e.key".as("item"), $"e.cnt".as("cnt"), $"e.err".as("err"),
+          $"n")
+        .orderBy($"bucket", $"rank")
+    }
+  }
+
+  private val q146Sql =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |e AS (
+      | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |        regexp_extract(props, '"k": (\d+)', 1) AS item
+      | FROM events),
+      |c AS (SELECT bucket, item, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |tot AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n
+      |        FROM c GROUP BY 1),
+      |r AS (
+      | SELECT bucket, item, cnt,
+      |  row_number() OVER (PARTITION BY bucket ORDER BY cnt DESC, item)
+      |    AS rank
+      | FROM c)
+      |SELECT r.bucket, CAST(r.rank AS INT) AS rank, r.item,
+      | CAST(r.cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err, tot.n
+      |FROM r JOIN tot USING (bucket), m
+      |WHERE rank <= 5
+      |  AND r.bucket + INTERVAL 1 DAY
+      |      <= make_timestamp(epoch_ms(mx) * 1000) - INTERVAL 2 DAY
+      |ORDER BY r.bucket, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q146_stream_trending", q146, Some(q146Sql),
+      "§2.10 streaming windowed heavy hitters: native Space-Saving summary through the state store (exact-regime, watermarked)"),
     Q("q143_stream_hll_dau", q143, Some(q143Sql),
       "§2.10 streaming windowed distinct count: native HLL buffer through the state store (sparse-exact, watermarked)"),
     Q("q140_stream_ingest_dedup", q140, Some(q140Sql),
