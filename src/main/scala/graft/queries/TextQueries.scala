@@ -1441,7 +1441,168 @@ object TextQueries {
        | SELECT 8, 'sharded', count(*), CAST(sum(rn_tok) AS BIGINT) FROM o8)
        |ORDER BY stage_idx""".stripMargin
 
+  /** q147: CORPUS SNAPSHOT DIFF — dataset versioning: given two
+    * snapshots of the corpus, report per (source, status) what was
+    * ADDED, REMOVED, CHANGED (same doc_id, different content hash) and
+    * UNCHANGED — the audit table every managed-dataset release pipeline
+    * publishes next to the new snapshot (what changed since v1?).
+    * Snapshots derive deterministically from `documents` (md5 split:
+    * one hex bucket absent from A = "added in B", one absent from B =
+    * "removed", one rewritten in B = "changed"), so both engines build
+    * byte-identical inputs.
+    *
+    * Scale posture: the diff is ONE full-outer hash join on doc_id
+    * where each side carries only (doc_id, source, 32-byte content
+    * hash) — text is hashed at scan time and never rides the shuffle;
+    * at 100 TB both snapshots bucket by doc_id (BucketingSpec's
+    * co-located join) and the diff becomes a zero-shuffle sort-merge.
+    * Ref behavior: the reference versions nothing (notebooks overwrite
+    * CSVs in place); this is the operation that makes a 100 TB corpus
+    * release auditable. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = documents(s, dir).select($"doc_id", $"text", $"source",
+      substring(md5($"doc_id".cast("string")), 32, 1).as("h"))
+    val snapA = d.filter($"h" =!= "0")
+      .select($"doc_id", $"source", md5($"text").as("chash_a"))
+    val snapB = d.filter($"h" =!= "1")
+      .select($"doc_id", $"source",
+        md5(when($"h" === "f", concat($"text", lit(" v2")))
+          .otherwise($"text")).as("chash_b"))
+    snapA.as("a").join(snapB.as("b"), $"a.doc_id" === $"b.doc_id",
+        "full_outer")
+      .select(
+        coalesce($"a.source", $"b.source").as("source"),
+        coalesce($"a.doc_id", $"b.doc_id").as("doc_id"),
+        when($"chash_a".isNull, "added")
+          .when($"chash_b".isNull, "removed")
+          .when($"chash_a" =!= $"chash_b", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"source", $"status")
+  }
+
+  private val q147Sql =
+    """WITH d AS (
+      | SELECT doc_id, text, source,
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) AS h
+      | FROM documents),
+      |a AS (SELECT doc_id, source, md5(text) AS ca FROM d WHERE h <> '0'),
+      |b AS (
+      | SELECT doc_id, source,
+      |  md5(CASE WHEN h = 'f' THEN text || ' v2' ELSE text END) AS cb
+      | FROM d WHERE h <> '1'),
+      |j AS (
+      | SELECT COALESCE(a.source, b.source) AS source,
+      |        COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |        CASE WHEN ca IS NULL THEN 'added'
+      |             WHEN cb IS NULL THEN 'removed'
+      |             WHEN ca <> cb THEN 'changed'
+      |             ELSE 'unchanged' END AS status
+      | FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+      | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
+
+  /** q148: ONE-PASS COLUMN PROFILER — the data-quality report every
+    * ingestion run publishes before a snapshot is accepted: per column
+    * of `documents`, null count, distinct count, numeric min/max, and
+    * mean string length, computed in ONE aggregation over ONE scan
+    * (21 agg expressions side by side), then unpivoted to the long
+    * (col_name, metric…) report via `stack` on the single result row.
+    * Distinct counts ride the native HLL at p=16 — sparse-EXACT to
+    * 65,536 distinct values, which covers every profiled column at the
+    * gate SFs (the q141 regime; past it the same report degrades to
+    * ±0.4% estimates instead of failing).
+    *
+    * Scale posture: the naive spelling runs one query per column ×
+    * metric — k scans of a 100 TB table; this plan is one scan, one
+    * partial-aggregable reduce (every metric here — sums, min/max,
+    * HLL buffers — merges map-side), and the unpivot touches one row.
+    * Ref behavior: pandas `df.describe()`/`nunique` on collected
+    * frames; this is the scaled spelling. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.GraftFunctions
+    def nNull(c: Column) = sum(when(c.isNull, 1L).otherwise(0L))
+    def avgLen(c: Column) =
+      floor(avg(length(c)) * 10000 + 0.5) / 10000.0
+    val agg = documents(s, dir).agg(
+      nNull($"doc_id").as("nn_doc_id"),
+      GraftFunctions.hllDistinct(s, $"doc_id", 16).as("nd_doc_id"),
+      min($"doc_id").cast("double").as("mn_doc_id"),
+      max($"doc_id").cast("double").as("mx_doc_id"),
+      nNull($"n_chars").as("nn_n_chars"),
+      GraftFunctions.hllDistinct(s, $"n_chars", 16).as("nd_n_chars"),
+      min($"n_chars").cast("double").as("mn_n_chars"),
+      max($"n_chars").cast("double").as("mx_n_chars"),
+      nNull($"text").as("nn_text"),
+      GraftFunctions.hllDistinct(s, $"text", 16).as("nd_text"),
+      avgLen($"text").as("al_text"),
+      nNull($"lang").as("nn_lang"),
+      GraftFunctions.hllDistinct(s, $"lang", 16).as("nd_lang"),
+      avgLen($"lang").as("al_lang"),
+      nNull($"source").as("nn_source"),
+      GraftFunctions.hllDistinct(s, $"source", 16).as("nd_source"),
+      avgLen($"source").as("al_source"))
+    agg.select(expr(
+      """stack(5,
+        | 'doc_id',  nn_doc_id,  nd_doc_id,  mn_doc_id, mx_doc_id,
+        |   CAST(NULL AS DOUBLE),
+        | 'n_chars', nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars,
+        |   CAST(NULL AS DOUBLE),
+        | 'text',    nn_text,    nd_text,    CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), al_text,
+        | 'lang',    nn_lang,    nd_lang,    CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), al_lang,
+        | 'source',  nn_source,  nd_source,  CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), al_source)
+        | AS (col_name, n_nulls, n_distinct, min_num, max_num, avg_len)
+        |""".stripMargin))
+      .orderBy($"col_name")
+  }
+
+  private val q148Sql =
+    """SELECT 'doc_id' AS col_name,
+      | CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+      | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+      | CAST(min(doc_id) AS DOUBLE) AS min_num,
+      | CAST(max(doc_id) AS DOUBLE) AS max_num,
+      | CAST(NULL AS DOUBLE) AS avg_len
+      |FROM documents
+      |UNION ALL SELECT 'n_chars',
+      | CAST(count(*) - count(n_chars) AS BIGINT),
+      | CAST(count(DISTINCT n_chars) AS BIGINT),
+      | CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+      | CAST(NULL AS DOUBLE)
+      |FROM documents
+      |UNION ALL SELECT 'text',
+      | CAST(count(*) - count(text) AS BIGINT),
+      | CAST(count(DISTINCT text) AS BIGINT),
+      | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      | floor(avg(length(text)) * 10000 + 0.5) / 10000
+      |FROM documents
+      |UNION ALL SELECT 'lang',
+      | CAST(count(*) - count(lang) AS BIGINT),
+      | CAST(count(DISTINCT lang) AS BIGINT),
+      | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      | floor(avg(length(lang)) * 10000 + 0.5) / 10000
+      |FROM documents
+      |UNION ALL SELECT 'source',
+      | CAST(count(*) - count(source) AS BIGINT),
+      | CAST(count(DISTINCT source) AS BIGINT),
+      | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      | floor(avg(length(source)) * 10000 + 0.5) / 10000
+      |FROM documents
+      |ORDER BY col_name""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q148_column_profiler", q148, Some(q148Sql),
+      "one-scan data-quality profile: nulls/distinct/min/max/avg-len per column, HLL sparse-exact"),
+    Q("q147_snapshot_diff", q147, Some(q147Sql),
+      "corpus snapshot diff: added/removed/changed/unchanged audit rollup (hash-only full-outer join)"),
     Q("q142_dag_metrics", q142, Some(q142Sql),
       "per-stage operational metrics of the q138 DAG (rows/tokens/build_sec into the metrics sink; deterministic columns gated)"),
     Q("q138_curation_dag", q138, Some(q138Sql),
