@@ -166,6 +166,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_kmv_union_est"),
       new ExpressionInfo(classOf[KmvUnionEstExpr].getName, "graft_kmv_union_est"),
       GraftFunctions.kmvUnionEstBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZorderExpr].getName, "graft_zorder"),
+      GraftFunctions.zorderBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -193,6 +197,7 @@ object GraftFunctions {
   private val kmvEstimateId = FunctionIdentifier("graft_kmv_estimate")
   private val kmvIntersectId = FunctionIdentifier("graft_kmv_intersect")
   private val kmvUnionEstId = FunctionIdentifier("graft_kmv_union_est")
+  private val zorderId = FunctionIdentifier("graft_zorder")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -275,6 +280,9 @@ object GraftFunctions {
   }
   private[expr] val kmvUnionEstBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_kmv_union_est", 2, ch); KmvUnionEstExpr(ch(0), ch(1))
+  }
+  private[expr] val zorderBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_zorder", 2, ch); ZorderExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -410,6 +418,12 @@ object GraftFunctions {
         kmvUnionEstId,
         new ExpressionInfo(classOf[KmvUnionEstExpr].getName, "graft_kmv_union_est"),
         kmvUnionEstBuilder)
+    }
+    if (!registry.functionExists(zorderId)) {
+      registry.registerFunction(
+        zorderId,
+        new ExpressionInfo(classOf[ZorderExpr].getName, "graft_zorder"),
+        zorderBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -547,6 +561,12 @@ object GraftFunctions {
   def kmvUnionEst(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_kmv_union_est", a, b)
+  }
+
+  /** Morton/Z-order interleave of two bounded dims (layout key). */
+  def zorder(spark: SparkSession, x: Column, y: Column): Column = {
+    register(spark)
+    call_function("graft_zorder", x, y)
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

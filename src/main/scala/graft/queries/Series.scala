@@ -615,6 +615,61 @@ object Series {
       |FROM pairs p LEFT JOIN ret r ON r.day = p.day
       |ORDER BY p.day""".stripMargin
 
+  /** q149: Z-ORDER LAYOUT KEY under the oracle — the data-layout
+    * primitive (`graft_zorder`, ZorderExpr) that makes 100 TB
+    * multi-dimensional file skipping work: events mapped to an
+    * 11-bit × 11-bit (user-bucket, value-bucket) grid, interleaved to
+    * a Morton key, and rolled up per 64×64 TILE (z >> 12 — one right
+    * shift strips the low 6 bits of BOTH dims at once). The per-tile
+    * min/max columns ARE the point: they are the bounding boxes a
+    * z-ordered file layout gives every file, and the gate pins them
+    * tight (≤ 63 per dim by construction) — a 2-D range predicate
+    * prunes tiles/files by box intersection instead of scanning
+    * everything a 1-D sort leaves interleaved. ZorderSpec quantifies
+    * the effect (chunked bounding-box audit, z-sort vs time-sort) and
+    * pins bit-exactness of the interleave; the oracle reproduces the
+    * magic-number dilation chain in pure SQL. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.GraftFunctions
+    val e = events(s, dir).select(
+      ($"user_id" % 2048).as("x"),
+      (floor($"value").cast("long") % 2048).as("y"))
+    e.select($"x", $"y",
+        GraftFunctions.zorder(s, $"x", $"y").as("z"))
+      .groupBy(shiftright($"z", 12).as("tile"))
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"tile")
+  }
+
+  private val q149Sql =
+    """WITH e AS (
+      | SELECT user_id % 2048 AS x,
+      |        CAST(floor(value) AS BIGINT) % 2048 AS y
+      | FROM events),
+      |s1 AS (SELECT x, y,
+      |  (x | (x << 16)) & 281470681808895 AS sx,
+      |  (y | (y << 16)) & 281470681808895 AS sy FROM e),
+      |s2 AS (SELECT x, y,
+      |  (sx | (sx << 8)) & 71777214294589695 AS sx,
+      |  (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+      |s3 AS (SELECT x, y,
+      |  (sx | (sx << 4)) & 1085102592571150095 AS sx,
+      |  (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+      |s4 AS (SELECT x, y,
+      |  (sx | (sx << 2)) & 3689348814741910323 AS sx,
+      |  (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+      |s5 AS (SELECT x, y,
+      |  (sx | (sx << 1)) & 6148914691236517205 AS sx,
+      |  (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4),
+      |z AS (SELECT x, y, sx | (sy << 1) AS zv FROM s5)
+      |SELECT zv >> 12 AS tile, CAST(count(*) AS BIGINT) AS n,
+      | min(x) AS min_x, max(x) AS max_x,
+      | min(y) AS min_y, max(y) AS max_y
+      |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+
   /** q82: W7 EMA full TRAJECTORY (`exercise provided.ipynb` cell 20
     * curve smoothing) — emaScan HOF then posexplode back to long form;
     * oracle recomputes each prefix with the BIT-EXACT fold
@@ -779,6 +834,8 @@ object Series {
       "persisted per-day HLL sketches merged to all-time distinct counts (graft_hll_sketch/merge/estimate)"),
     Q("q145_kmv_retention", q145, Some(q145Sql),
       "day-over-day retention via KMV theta-sketch intersection (graft_kmv_*), exact-regime oracle"),
+    Q("q149_zorder_tiles", q149, Some(q149Sql),
+      "Morton/Z-order layout key (graft_zorder) tile rollup with bounding boxes, bit-exact SQL oracle"),
     Q("q113_sketch_stats", q113, Some(q113Sql),
       "GK approx_percentile: the sketch scale path, exact-regime oracle"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.{GraftFunctions, ZorderExpr}
+
+/** Pins for the Morton/Z-order layout key (ZorderExpr): bit-exactness
+  * of the interleave against a naive per-bit reference, the tile
+  * property q149 relies on (z >> 2s bounds BOTH dims to a 2^s box),
+  * the file-skipping effect itself (chunked bounding-box audit on a
+  * full grid: a z-ordered layout prunes an unsorted dimension's range
+  * predicate 8× better than a 1-D sort, and matches it on the sorted
+  * dimension), and input validation. */
+class ZorderSpec extends SparkSpec {
+
+  private def naiveInterleave(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("interleave is bit-exact against the per-bit reference") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L),
+      ((1L << 31) - 1, (1L << 31) - 1)) ++
+      Seq.fill(200)((rnd.nextInt(Int.MaxValue).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+    for ((x, y) <- cases)
+      assert(ZorderExpr.zval(x, y) == naiveInterleave(x, y), s"($x, $y)")
+  }
+
+  test("SQL surface matches the kernel (codegen path)") {
+    import spark.implicits._
+    val d = spark.range(1000).select(
+      ($"id" * 37 % 2048).as("x"), ($"id" * 91 % 2048).as("y"))
+    val got = d.select($"x", $"y",
+        GraftFunctions.zorder(spark, $"x", $"y").as("z"))
+      .collect()
+    got.foreach(r => assert(
+      r.getLong(2) == ZorderExpr.zval(r.getLong(0), r.getLong(1))))
+  }
+
+  test("z >> 2s confines both dims to a 2^s tile (the q149 property)") {
+    import spark.implicits._
+    // full 256x256 grid; z >> 10 strips 5 bits of each dim -> 32x32 tiles
+    val grid = spark.range(65536).select(
+      ($"id" % 256).as("x"), shiftright($"id", 8).as("y"))
+    val tiles = grid
+      .select($"x", $"y",
+        GraftFunctions.zorder(spark, $"x", $"y").as("z"))
+      .groupBy(shiftright($"z", 10).as("tile"))
+      .agg(count(lit(1)).as("n"),
+        (max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .collect()
+    assert(tiles.length == 64) // 8x8 tiles cover the grid
+    tiles.foreach { r =>
+      assert(r.getLong(1) == 1024L, "each 32x32 tile holds 1024 cells")
+      assert(r.getLong(2) == 31L && r.getLong(3) == 31L,
+        s"tile ${r.getLong(0)} spread (${r.getLong(2)}, ${r.getLong(3)})")
+    }
+  }
+
+  test("chunked bounding-box audit: z-order prunes the unsorted dim 8x") {
+    // the file-skipping effect, made exact: a full 256x256 grid split
+    // into 64 "files" of 1024 contiguous rows under two layouts; a
+    // file is READ iff its (min,max) box intersects the predicate box
+    // (exactly the parquet row-group / Delta file-stats pruning rule)
+    val grid = for (x <- 0 until 256; y <- 0 until 256)
+      yield (x.toLong, y.toLong)
+    def touched(sorted: Seq[(Long, Long)],
+        qx: (Long, Long), qy: (Long, Long)): Int =
+      sorted.grouped(1024).count { chunk =>
+        val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+        xs.min <= qx._2 && xs.max >= qx._1 &&
+          ys.min <= qy._2 && ys.max >= qy._1
+      }
+    val bySortX = grid.sortBy(c => (c._1, c._2)) // 1-D layout: sort on x
+    val byZ = grid.sortBy(c => ZorderExpr.zval(c._1, c._2))
+    // predicate on the UNSORTED dim y (any x): the 1-D layout reads
+    // every file; the z-layout reads only the 8 tiles of that y-band
+    assert(touched(bySortX, (0L, 255L), (0L, 31L)) == 64)
+    assert(touched(byZ, (0L, 255L), (0L, 31L)) == 8)
+    // predicate on the SORTED dim x: both layouts read 8 files —
+    // z-order gives up nothing on the dimension a 1-D sort serves
+    assert(touched(bySortX, (64L, 95L), (0L, 255L)) == 8)
+    assert(touched(byZ, (64L, 95L), (0L, 255L)) == 8)
+    // tight 2-D box: z-order intersects ONE tile; x-sort still drags
+    // the full y-range of its 8 x-matching files
+    assert(touched(byZ, (64L, 95L), (64L, 95L)) == 1)
+    assert(touched(bySortX, (64L, 95L), (64L, 95L)) == 8)
+  }
+
+  test("out-of-range dims are rejected (layout keys must be bounded)") {
+    intercept[IllegalArgumentException] { ZorderExpr.zval(-1L, 0L) }
+    intercept[IllegalArgumentException] { ZorderExpr.zval(0L, -5L) }
+    intercept[IllegalArgumentException] { ZorderExpr.zval(1L << 31, 0L) }
+    intercept[IllegalArgumentException] { ZorderExpr.zval(0L, 1L << 31) }
+  }
+}
