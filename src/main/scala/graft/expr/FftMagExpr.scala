@@ -170,6 +170,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZorderExpr].getName, "graft_zorder"),
       GraftFunctions.zorderBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_sketch"),
+      GraftFunctions.kllSketchBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      GraftFunctions.kllMergeBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantilesExpr].getName, "graft_kll_quantiles"),
+      GraftFunctions.kllQuantilesBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -198,6 +210,9 @@ object GraftFunctions {
   private val kmvIntersectId = FunctionIdentifier("graft_kmv_intersect")
   private val kmvUnionEstId = FunctionIdentifier("graft_kmv_union_est")
   private val zorderId = FunctionIdentifier("graft_zorder")
+  private val kllSketchId = FunctionIdentifier("graft_kll_sketch")
+  private val kllMergeId = FunctionIdentifier("graft_kll_merge")
+  private val kllQuantilesId = FunctionIdentifier("graft_kll_quantiles")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -283,6 +298,17 @@ object GraftFunctions {
   }
   private[expr] val zorderBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_zorder", 2, ch); ZorderExpr(ch(0), ch(1))
+  }
+  private[expr] val kllSketchBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kll_sketch", 2, ch)
+    KllSketchAgg(ch(0), ch(1)).toAggregateExpression()
+  }
+  private[expr] val kllMergeBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kll_merge", 1, ch)
+    KllMergeAgg(ch(0)).toAggregateExpression()
+  }
+  private[expr] val kllQuantilesBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kll_quantiles", 2, ch); KllQuantilesExpr(ch(0), ch(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -424,6 +450,24 @@ object GraftFunctions {
         zorderId,
         new ExpressionInfo(classOf[ZorderExpr].getName, "graft_zorder"),
         zorderBuilder)
+    }
+    if (!registry.functionExists(kllSketchId)) {
+      registry.registerFunction(
+        kllSketchId,
+        new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_sketch"),
+        kllSketchBuilder)
+    }
+    if (!registry.functionExists(kllMergeId)) {
+      registry.registerFunction(
+        kllMergeId,
+        new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+        kllMergeBuilder)
+    }
+    if (!registry.functionExists(kllQuantilesId)) {
+      registry.registerFunction(
+        kllQuantilesId,
+        new ExpressionInfo(classOf[KllQuantilesExpr].getName, "graft_kll_quantiles"),
+        kllQuantilesBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -567,6 +611,29 @@ object GraftFunctions {
   def zorder(spark: SparkSession, x: Column, y: Column): Column = {
     register(spark)
     call_function("graft_zorder", x, y)
+  }
+
+  /** re-mergeable quantile sketch aggregate → BINARY blob (exact
+    * until the first compaction — the untrimmed regime). */
+  def kllSketch(spark: SparkSession, value: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_kll_sketch", value,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** aggregate union of stored quantile-sketch blobs → BINARY. */
+  def kllMerge(spark: SparkSession, sketch: Column): Column = {
+    register(spark)
+    call_function("graft_kll_merge", sketch)
+  }
+
+  /** quantile lookups on a blob (quantile_disc semantics). */
+  def kllQuantiles(spark: SparkSession, sketch: Column,
+      probs: Seq[Double]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function("graft_kll_quantiles", sketch,
+      array(probs.map(lit): _*))
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

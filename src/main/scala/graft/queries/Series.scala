@@ -670,6 +670,55 @@ object Series {
       | min(y) AS min_y, max(y) AS max_y
       |FROM z GROUP BY tile ORDER BY tile""".stripMargin
 
+  /** q150: QUANTILE-SKETCH ROLLUP under the oracle — the last member
+    * of the sketch warehouse (membership/distinct/sets/frequency →
+    * now ORDER STATISTICS): one `graft_kll_sketch` blob of `value`
+    * per (event_type, day) partition, all-time p50/p90/p99 answered
+    * by MERGING the stored blobs (`graft_kll_merge` →
+    * `graft_kll_quantiles`) — the only way "p99 this quarter" composes
+    * at 100 TB, because percentiles are NOT partial-aggregable in
+    * plain SQL (per-day percentiles cannot be combined; per-day
+    * SKETCHES can). GK approx_percentile (q113) is one-shot — its
+    * buffer is never stored or re-merged; this surface is.
+    *
+    * Gate regime: the deterministic 1-in-64 event sample keeps each
+    * type's total value count below k = 16384 through sf3, so no
+    * compactor ever fires, the merged level-0 multiset is complete,
+    * and every quantile is EXACT under DuckDB's quantile_disc (whose
+    * position convention — value at 0-based rank ⌈q·n⌉−1 — the
+    * sketch reproduces bit-for-bit). Past k the same plan degrades to
+    * ~1% rank error (KllSpec pins planted-distribution bounds). */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.GraftFunctions
+    val daily = events(s, dir)
+      .filter($"event_id" % 64 === 0)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(GraftFunctions.kllSketch(s, $"value", 16384).as("sk"),
+        count(lit(1)).as("n"))
+    daily.groupBy($"event_type")
+      .agg(
+        GraftFunctions.kllQuantiles(s,
+          GraftFunctions.kllMerge(s, $"sk"),
+          Seq(0.5, 0.9, 0.99)).as("qs"),
+        sum($"n").as("n"))
+      .select($"event_type",
+        round(element_at($"qs", 1), 6).as("p50"),
+        round(element_at($"qs", 2), 6).as("p90"),
+        round(element_at($"qs", 3), 6).as("p99"),
+        $"n")
+      .orderBy($"event_type")
+  }
+
+  private val q150Sql =
+    """SELECT event_type,
+      | round(quantile_disc(value, 0.5), 6) AS p50,
+      | round(quantile_disc(value, 0.9), 6) AS p90,
+      | round(quantile_disc(value, 0.99), 6) AS p99,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM events WHERE event_id % 64 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q82: W7 EMA full TRAJECTORY (`exercise provided.ipynb` cell 20
     * curve smoothing) — emaScan HOF then posexplode back to long form;
     * oracle recomputes each prefix with the BIT-EXACT fold
@@ -836,6 +885,8 @@ object Series {
       "day-over-day retention via KMV theta-sketch intersection (graft_kmv_*), exact-regime oracle"),
     Q("q149_zorder_tiles", q149, Some(q149Sql),
       "Morton/Z-order layout key (graft_zorder) tile rollup with bounding boxes, bit-exact SQL oracle"),
+    Q("q150_kll_rollup", q150, Some(q150Sql),
+      "mergeable quantile-sketch rollup (graft_kll_*): per-day blobs merged to all-time p50/p90/p99, exact regime"),
     Q("q113_sketch_stats", q113, Some(q113Sql),
       "GK approx_percentile: the sketch scale path, exact-regime oracle"),
     Q("q20_series_assembly", q20, Some(q20Sql), "long→array assembly + stats (§1.4)"),
