@@ -882,7 +882,61 @@ object StreamingQueries {
       |      <= make_timestamp(epoch_ms(mx) * 1000) - INTERVAL 2 DAY
       |ORDER BY r.bucket, rank""".stripMargin
 
+  /** q151: STREAMING WINDOWED PERCENTILES — the mergeable quantile
+    * sketch (`graft_kll_sketch`, KllExpr) inside a watermarked 1-day
+    * streaming window: per (day, event_type), the p50/p90 of `value`
+    * — the latency/size distribution panel every ingest dashboard
+    * runs. Closes the sketch-through-the-state-store family: bloom
+    * (q130 membership), HLL (q143 distinct), Space-Saving (q146
+    * frequency), KLL (order statistics) — each ONE opaque
+    * TypedImperativeAggregate buffer riding the state store across
+    * micro-batches.
+    *
+    * Gate regime: the 1-in-16 event sample keeps each (window, type)
+    * cell's value count far below k = 8192, so no compactor fires and
+    * the emitted quantiles are exact under DuckDB quantile_disc with
+    * the q103 watermark cutoff. State per cell is one O(k)-double
+    * buffer regardless of volume — the exact streaming spelling
+    * retains every value. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q151") { scratch =>
+      val agg = eventsStream(s, dir)
+        .filter($"event_id" % 16 === 0)
+        .withWatermark("ts", "2 days")
+        .groupBy(window($"ts", "1 day").as("win"), $"event_type")
+        .agg(
+          graft.expr.GraftFunctions.kllQuantiles(s,
+            graft.expr.GraftFunctions.kllSketch(s, $"value", 8192),
+            Seq(0.5, 0.9)).as("qs"),
+          count(lit(1)).as("n"))
+        .select($"win.start".as("bucket"), $"event_type",
+          round(element_at($"qs", 1), 6).as("p50"),
+          round(element_at($"qs", 2), 6).as("p90"), $"n")
+      runToSink(s, agg, scratch).orderBy($"bucket", $"event_type")
+    }
+  }
+
+  private val q151Sql =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |w AS (
+      | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |  event_type,
+      |  round(quantile_disc(value, 0.5), 6) AS p50,
+      |  round(quantile_disc(value, 0.9), 6) AS p90,
+      |  count(*) AS n
+      | FROM events WHERE event_id % 16 = 0
+      | GROUP BY bucket, event_type)
+      |SELECT bucket, event_type, p50, p90, n
+      |FROM w, m
+      |WHERE bucket + INTERVAL 1 DAY
+      |      <= make_timestamp(epoch_ms(mx) * 1000)
+      |         - INTERVAL 2 DAY
+      |ORDER BY bucket, event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q151_stream_percentiles", q151, Some(q151Sql),
+      "§2.10 streaming windowed percentiles: mergeable KLL buffer through the state store (exact-regime, watermarked)"),
     Q("q146_stream_trending", q146, Some(q146Sql),
       "§2.10 streaming windowed heavy hitters: native Space-Saving summary through the state store (exact-regime, watermarked)"),
     Q("q143_stream_hll_dau", q143, Some(q143Sql),
