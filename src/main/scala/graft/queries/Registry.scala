@@ -29,6 +29,7 @@ object Registry {
       SeqQueries.queries ++
       CpcQueries.queries ++
       TrajectoryQueries.queries ++
+      TimeSeriesQueries.queries ++
       StreamingQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++

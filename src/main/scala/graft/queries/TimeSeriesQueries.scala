@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Time-series DIAGNOSTICS over the long-form events table — the
+  * monitoring/EDA layer a time-series SSL practitioner runs before and
+  * after training (the reference's domain is event series;
+  * `exercise provided.ipynb` plots raw series and distributions before
+  * any model is fit). Four classical analyses, each spelled as
+  * partial-aggregable scans + bounded windows so the plan shape
+  * carries to 100 TB unchanged:
+  *
+  *  - q152 robust anomaly screen (median/MAD z-score, Iglewicz-Hoaglin)
+  *  - q153 seasonal decomposition (trend / day-of-week / residual)
+  *  - q154 autocorrelation function (lags 1,2,3,7 on the daily series)
+  *  - q156 CUSUM changepoint (per-series max cumulative deviation)
+  *
+  * Scale notes shared by the family: the exact interpolated medians in
+  * q152 follow q79's convention (swap `percentile` →
+  * `graft_kll_quantiles` at 100 TB — same plan shape, sketch-mergeable,
+  * q150 proves the sketch path under the same oracle); every window is
+  * either bounded (7-tap trend) or keyed by a high-cardinality column
+  * (user_id), never global; profile joins broadcast O(#types) rows.
+  */
+object TimeSeriesQueries {
+
+  /** q152: ROBUST ANOMALY SCREEN — per-type median/MAD profile, then
+    * every point scored with the Iglewicz-Hoaglin modified z-score
+    * 0.6745·|x−med|/MAD and thresholded at 3.5. Median+MAD (not
+    * mean+σ) because anomalies poison the moments they are screened
+    * against — the robust pair has a 50% breakdown point. Three scans
+    * of a 2-column projection (med → MAD → score), each one
+    * partial-aggregable aggregation; the 5-row profile broadcasts.
+    * z is rounded to 6 decimals on BOTH sides before the threshold
+    * compare so the flag set is cross-engine deterministic. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir).select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med0"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med0"), lit(0.5)).as("mad0"))
+    val prof = med.join(mad, "event_type") // one row per event type
+    e.join(broadcast(prof), "event_type")
+      .withColumn("az",
+        round(lit(0.6745) * abs($"value" - $"med0") / $"mad0", 6))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"az" > 3.5, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max($"az"), 4).as("max_abs_z"),
+        round(min($"med0"), 6).as("med"),
+        round(min($"mad0"), 6).as("mad"))
+      .orderBy($"event_type")
+  }
+
+  private val q152Sql =
+    """WITH med AS (
+      | SELECT event_type, quantile_cont(value, 0.5) AS med0
+      | FROM events GROUP BY event_type),
+      |mad AS (
+      | SELECT e.event_type,
+      |  quantile_cont(abs(e.value - m.med0), 0.5) AS mad0
+      | FROM events e JOIN med m USING (event_type)
+      | GROUP BY e.event_type),
+      |z AS (
+      | SELECT e.event_type, m.med0, d.mad0,
+      |  round(0.6745 * abs(e.value - m.med0) / d.mad0, 6) AS az
+      | FROM events e JOIN med m USING (event_type)
+      |   JOIN mad d USING (event_type))
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CASE WHEN az > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_anomalies,
+      | round(max(az), 4) AS max_abs_z,
+      | round(min(med0), 6) AS med,
+      | round(min(mad0), 6) AS mad
+      |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q153: SEASONAL DECOMPOSITION (STL-lite) — per-type daily means,
+    * trend = centered 7-tap moving average (one bounded window per
+    * type), detrended = daily − trend, seasonal index = mean detrended
+    * per day-of-week, residual MAE after removing both. The classical
+    * additive decomposition every monitoring dashboard draws. DOW
+    * convention: 0 = Sunday (DuckDB `date_part('dow', …)`; Spark
+    * `dayofweek` − 1).
+    *
+    * Determinism: after the first rounding, values are carried as
+    * INTEGER MICRO-UNITS (×10⁶ longs), so every downstream numerator
+    * (trend sum, seasonal sum, MAE deviations Σ|n·x−Σx|) is exact
+    * order-independent integer arithmetic — both engines then divide
+    * IDENTICAL integers, and even an exactly-representable .5 quotient
+    * rounds the same way (ties away from zero in both). Plain double
+    * averaging here measurably diverges: an n=4 day-of-week group hit
+    * an exact half-micro tie and the engines rounded it apart. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(round(avg($"value") * 1e6, 0).cast("long").as("v6"))
+    val w7 = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("trend6",
+        round(sum($"v6").over(w7) / count($"v6").over(w7), 0)
+          .cast("long"))
+      .withColumn("detr6", $"v6" - $"trend6")
+      .withColumn("dow", (dayofweek($"d") - 1).cast("long"))
+    val wg = Window.partitionBy($"event_type", $"dow")
+    det
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("s6", sum($"detr6").over(wg))
+      .withColumn("dev", abs($"n" * $"detr6" - $"s6"))
+      .groupBy($"event_type", $"dow")
+      .agg(min($"n").as("n_days"),
+        round(min($"s6") / min($"n") / lit(1e6), 6).as("seasonal"),
+        round(sum($"dev") / (min($"n") * min($"n") * lit(1e6)), 6)
+          .as("resid_mae"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  private val q153Sql =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS d,
+      |  CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS v6
+      | FROM events GROUP BY event_type, d),
+      |det AS (
+      | SELECT event_type, d,
+      |  v6 - CAST(round(sum(v6) OVER w / count(v6) OVER w, 0) AS BIGINT)
+      |    AS detr6,
+      |  date_part('dow', d) AS dow
+      | FROM daily
+      | WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |g AS (
+      | SELECT event_type, dow, detr6,
+      |  count(*) OVER wg AS n,
+      |  sum(detr6) OVER wg AS s6
+      | FROM det
+      | WINDOW wg AS (PARTITION BY event_type, dow)),
+      |dev AS (
+      | SELECT event_type, dow, n, s6, abs(n * detr6 - s6) AS dev
+      | FROM g)
+      |SELECT event_type, dow, CAST(min(n) AS BIGINT) AS n_days,
+      | round(min(s6) / min(n) / 1000000.0, 6) AS seasonal,
+      | round(sum(dev) / (min(n) * min(n) * 1000000.0), 6) AS resid_mae
+      |FROM dev GROUP BY event_type, dow
+      |ORDER BY event_type, dow""".stripMargin
+
+  /** q154: AUTOCORRELATION FUNCTION — Pearson correlation of the
+    * per-type daily-mean series with itself at lags 1, 2, 3, 7 (the
+    * weekly-seasonality diagnostic: a 7-lag spike confirms the q153
+    * day-of-week component). Both engines compute the SAME closed form
+    * from the same six sums — n, Σx, Σy, Σx², Σy², Σxy — rather than
+    * their builtin `corr` (whose streaming co-moment accumulations are
+    * implementation-ordered); the lag fan-out is a row-local `stack`,
+    * so the whole query is one keyed window + one partial-aggregable
+    * reduce. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(round(avg($"value"), 6).as("v"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    val lagged = daily.select($"event_type", $"v",
+      lag($"v", 1).over(wOrd).as("l1"),
+      lag($"v", 2).over(wOrd).as("l2"),
+      lag($"v", 3).over(wOrd).as("l3"),
+      lag($"v", 7).over(wOrd).as("l7"))
+    lagged
+      .select($"event_type",
+        expr("stack(4, 1L, l1, 2L, l2, 3L, l3, 7L, l7)")
+          .as(Seq("lag", "xl")),
+        $"v")
+      .filter($"xl".isNotNull)
+      .groupBy($"event_type", $"lag")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sx"), sum($"xl").as("sy"),
+        sum($"v" * $"v").as("sxx"), sum($"xl" * $"xl").as("syy"),
+        sum($"v" * $"xl").as("sxy"))
+      .select($"event_type", $"lag", $"n".as("n_pairs"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("acf"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  private val q154Sql =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS d,
+      |  round(avg(value), 6) AS v
+      | FROM events GROUP BY event_type, d),
+      |lagged AS (
+      | SELECT event_type, v,
+      |  lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+      |  lag(v, 3) OVER w AS l3, lag(v, 7) OVER w AS l7
+      | FROM daily
+      | WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |longf AS (
+      | SELECT event_type, CAST(1 AS BIGINT) AS lag, v, l1 AS xl FROM lagged
+      | UNION ALL SELECT event_type, 2, v, l2 FROM lagged
+      | UNION ALL SELECT event_type, 3, v, l3 FROM lagged
+      | UNION ALL SELECT event_type, 7, v, l7 FROM lagged),
+      |agg AS (
+      | SELECT event_type, lag, count(*) AS n,
+      |  sum(v) AS sx, sum(xl) AS sy,
+      |  sum(v * v) AS sxx, sum(xl * xl) AS syy, sum(v * xl) AS sxy
+      | FROM longf WHERE xl IS NOT NULL GROUP BY event_type, lag)
+      |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+      | round((n * sxy - sx * sy) /
+      |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+      |FROM agg ORDER BY event_type, lag""".stripMargin
+
+  /** q156: CUSUM CHANGEPOINT — per-user cumulative sum of deviations
+    * from the series mean; the changepoint estimate is the position of
+    * max |CUSUM| (Page's statistic, the standard single-changepoint
+    * locator). Everything happens inside ONE user_id partition: the
+    * mean and the partition max are unbounded windows over the key,
+    * the cumsum is the ordered prefix window — one shuffle total, no
+    * join, no collect; at 100 TB the key count scales the parallelism.
+    * Determinism: values enter as integer micro-units and the scaled
+    * identity  n·CUSUM_t = n·P_t − t·S  (P = prefix sum, S = series
+    * total) keeps the WHOLE argmax compare in exact int64 arithmetic —
+    * the float spelling measurably diverged (one sf0.1 series hit a
+    * prefix-sum ulp at the rounding boundary). Ties break to the
+    * EARLIEST position. Headroom: |n·P_t| ≤ n²·max|x|·10⁶, int64-safe
+    * through ~10⁵ rows per series at |x| ≤ 10³ — beyond that drop to
+    * 10⁴ sub-units (same spelling, one constant). */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy($"user_id")
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val c = events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 1e6, 0).cast("long").as("x6"))
+      .withColumn("s6", sum($"x6").over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("p6", sum($"x6")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cusn", abs($"n" * $"p6" - $"rn" * $"s6"))
+      .withColumn("mx", max($"cusn").over(wAll))
+    c.filter($"cusn" === $"mx")
+      .groupBy($"user_id")
+      .agg(min($"n").as("n"),
+        min($"rn").as("cp_t"),
+        round(min($"mx") / (min($"n") * lit(1e6)), 6).as("max_cusum"),
+        round(min($"s6") / (min($"n") * lit(1e6)), 6).as("mean_value"))
+      .orderBy($"user_id")
+  }
+
+  private val q156Sql =
+    """WITH base AS (
+      | SELECT user_id, ts, event_id,
+      |  CAST(round(value * 1000000, 0) AS BIGINT) AS x6
+      | FROM events),
+      |c AS (
+      | SELECT user_id,
+      |  sum(x6) OVER (PARTITION BY user_id) AS s6,
+      |  count(*) OVER (PARTITION BY user_id) AS n,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  sum(x6) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS p6
+      | FROM base
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |m AS (
+      | SELECT user_id, n, rn, s6,
+      |  abs(n * p6 - rn * s6) AS cusn,
+      |  max(abs(n * p6 - rn * s6)) OVER (PARTITION BY user_id) AS mx
+      | FROM c)
+      |SELECT user_id, CAST(min(n) AS BIGINT) AS n,
+      | min(rn) AS cp_t,
+      | round(min(mx) / (min(n) * 1000000.0), 6) AS max_cusum,
+      | round(min(s6) / (min(n) * 1000000.0), 6) AS mean_value
+      |FROM m WHERE cusn = mx
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q152_robust_anomaly", q152, Some(q152Sql),
+      "median/MAD modified-z anomaly screen per event type"),
+    Q("q153_seasonal_decomp", q153, Some(q153Sql),
+      "STL-lite trend / day-of-week / residual decomposition"),
+    Q("q154_acf", q154, Some(q154Sql),
+      "autocorrelation of daily series at lags 1,2,3,7 (closed form)"),
+    Q("q156_cusum_changepoint", q156, Some(q156Sql),
+      "per-series CUSUM changepoint locator (Page's statistic)"))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Semantic pins for the time-series diagnostics family (q152-q156):
+  * each statistic is run over a PLANTED corpus whose ground truth is
+  * known in closed form, so the assertions check the math, not just
+  * execution. The cross-engine determinism of the integer-micro-unit
+  * spellings is separately gated by the DuckDB oracles at two SFs. */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def ts(hour: Int): Timestamp =
+    Timestamp.from(Timestamp.valueOf("2024-03-01 00:00:00").toInstant
+      .plusSeconds(hour * 3600L))
+
+  /** write planted rows as <dir>/events.parquet in the testdata layout;
+    * rows = (event_id, hour offset, user_id, event_type, value). */
+  private def plant(name: String,
+      rows: Seq[(Long, Int, Long, String, Double)]): String = {
+    val dir = Scratch.tempDirDeletedOnExit(name)
+    import spark.implicits._
+    rows.map { case (id, h, u, t, v) => (id, ts(h), u, t, v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q152 flags exactly the planted outliers with the textbook med/MAD") {
+    // 10 copies of each value 0..20 (median 10, MAD 5) + 3 outliers of
+    // 1000: inlier modified z ≤ 0.6745·10/5 = 1.349; outliers 133.55
+    val inliers = for (v <- 0 to 20; k <- 0 until 10)
+      yield ((v * 10 + k).toLong, v * 10 + k, 1L, "a", v.toDouble)
+    val outliers = Seq((900L, 900, 1L, "a", 1000.0),
+      (901L, 901, 1L, "a", 1000.0), (902L, 902, 1L, "a", 1000.0))
+    val dir = plant("graft_ts_q152", inliers ++ outliers)
+    val r = Registry.byName("q152_robust_anomaly").run(spark, dir)
+      .collect().map(x => (x.getAs[String]("event_type"),
+        x.getAs[Long]("n"), x.getAs[Long]("n_anomalies"),
+        x.getAs[Double]("med"), x.getAs[Double]("mad")))
+    assert(r.toSeq == Seq(("a", 213L, 3L, 10.0, 5.0)), r.toSeq.toString)
+  }
+
+  test("q154 reports ACF=1 at the planted period and q153 finds the peak day") {
+    // one event per (type, day) for 70 days, value = 10 + (day % 7):
+    // an exact period-7 sawtooth → lag-7 autocorrelation is exactly 1,
+    // and the day-of-week seasonal argmax is the planted peak offset
+    val rows = for (d <- 0 until 70) yield
+      (d.toLong, d * 24, 1L, "a", 10.0 + (d % 7))
+    val dir = plant("graft_ts_q15x", rows)
+
+    val acf = Registry.byName("q154_acf").run(spark, dir)
+      .collect().map(x => x.getAs[Long]("lag") -> x.getAs[Double]("acf"))
+      .toMap
+    assert(acf(7L) == 1.0, s"acf(7) = ${acf(7L)}")
+    assert(acf(1L) < 1.0, s"acf(1) = ${acf(1L)}")
+
+    // 2024-03-01 is a Friday (dow 5); day d has dow (5 + d) % 7 and
+    // planted value 10 + (d % 7), so the peak value d%7 == 6 lands on
+    // dow (5 + 6) % 7 = 4 — the seasonal argmax must find it
+    val seas = Registry.byName("q153_seasonal_decomp").run(spark, dir)
+      .collect().map(x => x.getAs[Long]("dow") ->
+        x.getAs[Double]("seasonal")).toMap
+    assert(seas.size == 7 && seas.maxBy(_._2)._1 == 4L, seas.toString)
+  }
+
+  test("q156 locates the planted step change at its exact position") {
+    // 50 values of 10 then 50 of 20: mean 15, |CUSUM| peaks at t=50
+    // with value 50·|10−15| = 250
+    val rows = for (i <- 0 until 100) yield
+      (i.toLong, i, 7L, "a", if (i < 50) 10.0 else 20.0)
+    val dir = plant("graft_ts_q156", rows)
+    val r = Registry.byName("q156_cusum_changepoint").run(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("cp_t") == 50L, row.toString)
+    assert(row.getAs[Double]("max_cusum") == 250.0, row.toString)
+    assert(row.getAs[Double]("mean_value") == 15.0, row.toString)
+  }
+}
