@@ -934,7 +934,76 @@ object StreamingQueries {
       |         - INTERVAL 2 DAY
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** q157: STREAMING ANOMALY MONITOR — the production deployment of
+    * q152's robust screen, split the way a real monitor deploys it:
+    * the median/MAD profile is fit in BATCH over the corpus and FROZEN
+    * (the "trained" reference distribution — profiles must not drift
+    * with the anomalies they are screening), then live events
+    * stream-static-join the broadcast profile (O(#types) rows, no
+    * state), are scored row-locally with the Iglewicz-Hoaglin modified
+    * z, and the per-(day, type) anomaly counts aggregate through the
+    * watermarked state store. The q140 split discipline: batch builds
+    * the index/profile once, the stream pays only a broadcast probe
+    * per event. Oracle = the same profile + scoring + daily rollup in
+    * batch SQL under the q103 watermark cutoff. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q157") { scratch =>
+      val e = graft.Tables.events(s, dir).select($"event_type", $"value")
+      val med = e.groupBy($"event_type")
+        .agg(percentile($"value", lit(0.5)).as("med0"))
+      val prof = e.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(percentile(abs($"value" - $"med0"), lit(0.5)).as("mad0"))
+        .join(med, "event_type")
+      val scored = eventsStream(s, dir)
+        .join(broadcast(prof), "event_type")
+        .withColumn("az",
+          round(lit(0.6745) * abs($"value" - $"med0") / $"mad0", 6))
+      val agg = scored
+        .withWatermark("ts", "2 days")
+        .groupBy(window($"ts", "1 day").as("win"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"az" > 3.5, 1L).otherwise(0L)).as("n_anomalies"),
+          round(max($"az"), 4).as("max_abs_z"))
+        .select($"win.start".as("bucket"), $"event_type",
+          $"n", $"n_anomalies", $"max_abs_z")
+      runToSink(s, agg, scratch).orderBy($"bucket", $"event_type")
+    }
+  }
+
+  private val q157Sql =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |med AS (
+      | SELECT event_type, quantile_cont(value, 0.5) AS med0
+      | FROM events GROUP BY event_type),
+      |mad AS (
+      | SELECT e.event_type,
+      |  quantile_cont(abs(e.value - md.med0), 0.5) AS mad0
+      | FROM events e JOIN med md USING (event_type)
+      | GROUP BY e.event_type),
+      |z AS (
+      | SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS bucket,
+      |  e.event_type,
+      |  round(0.6745 * abs(e.value - md.med0) / d.mad0, 6) AS az
+      | FROM events e JOIN med md USING (event_type)
+      |   JOIN mad d USING (event_type)),
+      |w AS (
+      | SELECT bucket, event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN az > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anomalies,
+      |  round(max(az), 4) AS max_abs_z
+      | FROM z GROUP BY bucket, event_type)
+      |SELECT bucket, event_type, n, n_anomalies, max_abs_z
+      |FROM w, m
+      |WHERE bucket + INTERVAL 1 DAY
+      |      <= make_timestamp(epoch_ms(mx) * 1000)
+      |         - INTERVAL 2 DAY
+      |ORDER BY bucket, event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q157_stream_anomaly", q157, Some(q157Sql),
+      "§2.10 streaming robust-z anomaly monitor: batch-frozen med/MAD profile, broadcast stream-static probe, watermarked daily rollup"),
     Q("q151_stream_percentiles", q151, Some(q151Sql),
       "§2.10 streaming windowed percentiles: mergeable KLL buffer through the state store (exact-regime, watermarked)"),
     Q("q146_stream_trending", q146, Some(q146Sql),

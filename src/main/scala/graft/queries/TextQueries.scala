@@ -1598,7 +1598,59 @@ object TextQueries {
       |FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** q155: OVERLAPPING-WINDOW CHUNKING — the retrieval/context-window
+    * preprocessing step every RAG index and long-document training
+    * pipeline runs: each document is cut into W=64-token windows at
+    * stride S=48 (16-token overlap, so no boundary sentence is lost),
+    * emitting per chunk its token offset, length, and content md5.
+    * Entirely ROW-LOCAL (tokenize → `transform` over a `sequence` of
+    * chunk starts → posexplode): zero shuffle before the output sort,
+    * fan-out bounded by n_tok/S ≈ 1 + n_tok/48 rows per doc, and the
+    * chunk TEXT never leaves the row — only its 32-byte hash is
+    * emitted (the q147 slim-exchange discipline). Chunk-count closed
+    * form: max(1, ⌈(n_tok−W)/S⌉+1) — the last window always reaches
+    * the final token; every start stays < n_tok by construction. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 64
+    val S = 48
+    documents(s, dir)
+      .withColumn("t", toks($"text"))
+      .withColumn("n_tok", size($"t").cast("long"))
+      .withColumn("n_chunks",
+        greatest(lit(1L), ceil(($"n_tok" - W).cast("double") / S) + 1))
+      .select($"doc_id", $"n_tok",
+        posexplode(expr(
+          s"""transform(sequence(0L, n_chunks - 1), i -> named_struct(
+             |  'start_tok', i * $S,
+             |  'chunk_len', least(CAST($W AS BIGINT), n_tok - i * $S),
+             |  'chunk_md5', md5(concat_ws(' ', slice(t, CAST(i * $S + 1 AS INT), $W)))))"""
+            .stripMargin)).as(Seq("ci", "c")))
+      .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
+        $"c.start_tok", $"c.chunk_len", $"c.chunk_md5")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val q155Sql =
+    """WITH d AS (
+      | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |n AS (
+      | SELECT doc_id, t, len(t) AS n_tok,
+      |  greatest(1, CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1)
+      |    AS n_chunks
+      | FROM d),
+      |c AS (
+      | SELECT doc_id, t, n_tok,
+      |  unnest(generate_series(0, n_chunks - 1)) AS i
+      | FROM n)
+      |SELECT doc_id, i AS chunk_idx, i * 48 AS start_tok,
+      | least(64, n_tok - i * 48) AS chunk_len,
+      | md5(array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q155_chunk_windows", q155, Some(q155Sql),
+      "overlapping token-window chunking (W=64, S=48): offsets + content md5, row-local"),
     Q("q148_column_profiler", q148, Some(q148Sql),
       "one-scan data-quality profile: nulls/distinct/min/max/avg-len per column, HLL sparse-exact"),
     Q("q147_snapshot_diff", q147, Some(q147Sql),

@@ -66,6 +66,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(seas.size == 7 && seas.maxBy(_._2)._1 == 4L, seas.toString)
   }
 
+  test("q157 streamed anomaly rollup equals its Spark batch twin") {
+    // engine-internal consistency (the DuckDB oracle is the
+    // cross-engine gate): the watermarked streaming rollup must equal
+    // the same profile + scoring + daily rollup computed in batch,
+    // restricted to the watermark-finalized buckets
+    import spark.implicits._
+    val streamed = Registry.byName("q157_stream_anomaly").run(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).sortBy(_.toString)
+
+    val e = Tables.events(spark, sf).select($"event_type", $"ts", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med0"))
+    val prof = e.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med0"), lit(0.5)).as("mad0"))
+      .join(med, "event_type")
+    // ms floor, matching the watermark's millisecond resolution
+    val mx = new Timestamp(
+      e.agg(max($"ts")).collect().head.getTimestamp(0).getTime)
+    val batch = e.join(broadcast(prof), "event_type")
+      .withColumn("az",
+        round(lit(0.6745) * abs($"value" - $"med0") / $"mad0", 6))
+      .groupBy(date_trunc("day", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"az" > 3.5, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max($"az"), 4).as("max_abs_z"))
+      .filter($"bucket" + expr("INTERVAL 1 DAY") <=
+        lit(mx) - expr("INTERVAL 2 DAY"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).sortBy(_.toString)
+
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("q156 locates the planted step change at its exact position") {
     // 50 values of 10 then 50 of 20: mean 15, |CUSUM| peaks at t=50
     // with value 50·|10−15| = 250
