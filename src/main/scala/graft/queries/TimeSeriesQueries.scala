@@ -94,12 +94,28 @@ object TimeSeriesQueries {
     * IDENTICAL integers, and even an exactly-representable .5 quotient
     * rounds the same way (ties away from zero in both). Plain double
     * averaging here measurably diverges: an n=4 day-of-week group hit
-    * an exact half-micro tie and the engines rounded it apart. */
+    * an exact half-micro tie and the engines rounded it apart.
+    *
+    * Two rounding rules this family obeys (both learned from measured
+    * cross-engine divergence):
+    *  - `round(x, 0)` on an integer-derived quotient is SAFE — a k.5
+    *    tie is binary-representable and both engines send it away from
+    *    zero;
+    *  - `round(x, 6)` on such a quotient is NOT — integer division by
+    *    small n lands on half-MICRO ties that binary doubles cannot
+    *    represent, and Spark rounds the shortest-decimal rendering
+    *    (BigDecimal.valueOf) while DuckDB rounds the binary value, so
+    *    the engines split ~50/50 on every such tie. Final displayed
+    *    quotients of exact integers are therefore emitted UNROUNDED:
+    *    identical integers through the identical division sequence
+    *    give bit-identical doubles on both sides. */
   private def q153(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = events(s, dir)
+      .select($"event_type", $"ts",
+        round($"value" * 1e6, 0).cast("long").as("x6"))
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
-      .agg(round(avg($"value") * 1e6, 0).cast("long").as("v6"))
+      .agg(round(sum($"x6") / count(lit(1)), 0).cast("long").as("v6"))
     val w7 = Window.partitionBy($"event_type").orderBy($"d")
       .rowsBetween(-3, 3)
     val det = daily
@@ -115,8 +131,8 @@ object TimeSeriesQueries {
       .withColumn("dev", abs($"n" * $"detr6" - $"s6"))
       .groupBy($"event_type", $"dow")
       .agg(min($"n").as("n_days"),
-        round(min($"s6") / min($"n") / lit(1e6), 6).as("seasonal"),
-        round(sum($"dev") / (min($"n") * min($"n") * lit(1e6)), 6)
+        (min($"s6") / min($"n") / lit(1e6)).as("seasonal"),
+        (sum($"dev") / (min($"n") * min($"n") * lit(1e6)))
           .as("resid_mae"))
       .orderBy($"event_type", $"dow")
   }
@@ -124,7 +140,8 @@ object TimeSeriesQueries {
   private val q153Sql =
     """WITH daily AS (
       | SELECT event_type, date_trunc('day', ts) AS d,
-      |  CAST(round(avg(value) * 1000000, 0) AS BIGINT) AS v6
+      |  CAST(round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+      |       / count(*), 0) AS BIGINT) AS v6
       | FROM events GROUP BY event_type, d),
       |det AS (
       | SELECT event_type, d,
@@ -144,8 +161,8 @@ object TimeSeriesQueries {
       | SELECT event_type, dow, n, s6, abs(n * detr6 - s6) AS dev
       | FROM g)
       |SELECT event_type, dow, CAST(min(n) AS BIGINT) AS n_days,
-      | round(min(s6) / min(n) / 1000000.0, 6) AS seasonal,
-      | round(sum(dev) / (min(n) * min(n) * 1000000.0), 6) AS resid_mae
+      | min(s6) / min(n) / 1000000.0 AS seasonal,
+      | sum(dev) / (min(n) * min(n) * 1000000.0) AS resid_mae
       |FROM dev GROUP BY event_type, dow
       |ORDER BY event_type, dow""".stripMargin
 
@@ -245,8 +262,8 @@ object TimeSeriesQueries {
       .groupBy($"user_id")
       .agg(min($"n").as("n"),
         min($"rn").as("cp_t"),
-        round(min($"mx") / (min($"n") * lit(1e6)), 6).as("max_cusum"),
-        round(min($"s6") / (min($"n") * lit(1e6)), 6).as("mean_value"))
+        (min($"mx") / (min($"n") * lit(1e6))).as("max_cusum"),
+        (min($"s6") / (min($"n") * lit(1e6))).as("mean_value"))
       .orderBy($"user_id")
   }
 
@@ -271,12 +288,134 @@ object TimeSeriesQueries {
       | FROM c)
       |SELECT user_id, CAST(min(n) AS BIGINT) AS n,
       | min(rn) AS cp_t,
-      | round(min(mx) / (min(n) * 1000000.0), 6) AS max_cusum,
-      | round(min(s6) / (min(n) * 1000000.0), 6) AS mean_value
+      | min(mx) / (min(n) * 1000000.0) AS max_cusum,
+      | min(s6) / (min(n) * 1000000.0) AS mean_value
       |FROM m WHERE cusn = mx
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q158: FORECAST BACKTEST — the "does the model beat naive" gate
+    * every forecasting deployment runs before shipping: rolling
+    * one-step-ahead NAIVE (yesterday's value) vs SEASONAL-NAIVE (the
+    * value 7 days back — the q153/q154 weekly period) over a fixed
+    * train/test split (test = days after min_day + 21d), reporting
+    * per-type MAE of both and the skill ratio. Hyndman's standard
+    * baseline pair; any real model must beat the better of the two.
+    * Forecast errors are exact int64 micro-unit differences of the
+    * lagged daily series, so both MAEs (and their ratio) are
+    * cross-engine deterministic; one keyed window + one reduce. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .select($"event_type", $"ts",
+        round($"value" * 1e6, 0).cast("long").as("x6"))
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(round(sum($"x6") / count(lit(1)), 0).cast("long").as("v6"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"d")
+    val wAll = Window.partitionBy($"event_type")
+    daily
+      .withColumn("naive6", lag($"v6", 1).over(wOrd))
+      .withColumn("snaive6", lag($"v6", 7).over(wOrd))
+      .withColumn("cutoff", min($"d").over(wAll) + expr("INTERVAL 21 DAY"))
+      .filter($"d" > $"cutoff" && $"snaive6".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs($"v6" - $"naive6")).as("en6"),
+        sum(abs($"v6" - $"snaive6")).as("es6"))
+      .select($"event_type", $"n_test",
+        ($"en6" / ($"n_test" * lit(1e6))).as("mae_naive"),
+        ($"es6" / ($"n_test" * lit(1e6))).as("mae_snaive"),
+        ($"es6" / $"en6".cast("double")).as("skill"))
+      .orderBy($"event_type")
+  }
+
+  private val q158Sql =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS d,
+      |  CAST(round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+      |       / count(*), 0) AS BIGINT) AS v6
+      | FROM events GROUP BY event_type, d),
+      |f AS (
+      | SELECT event_type, d, v6,
+      |  lag(v6, 1) OVER w AS naive6,
+      |  lag(v6, 7) OVER w AS snaive6,
+      |  min(d) OVER (PARTITION BY event_type) + INTERVAL 21 DAY
+      |    AS cutoff
+      | FROM daily
+      | WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |t AS (
+      | SELECT event_type,
+      |  count(*) AS n_test,
+      |  sum(abs(v6 - naive6)) AS en6,
+      |  sum(abs(v6 - snaive6)) AS es6
+      | FROM f WHERE d > cutoff AND snaive6 IS NOT NULL
+      | GROUP BY event_type)
+      |SELECT event_type, CAST(n_test AS BIGINT) AS n_test,
+      | en6 / (n_test * 1000000.0) AS mae_naive,
+      | es6 / (n_test * 1000000.0) AS mae_snaive,
+      | es6 / CAST(en6 AS DOUBLE) AS skill
+      |FROM t ORDER BY event_type""".stripMargin
+
+  /** q159: CROSS-CORRELATION lead-lag scan — for every ORDERED pair of
+    * event types, the Pearson correlation of A's daily series against
+    * B's shifted by k ∈ [−3, 3] days: the "does type A lead type B"
+    * diagnostic behind alerting correlation and causal triage. Spelled
+    * as q154's closed form (same six sums, both engines compute
+    * identical arithmetic); the lag fan-out is a 7-row explode and the
+    * pair join is day-keyed over the ALREADY-AGGREGATED daily table
+    * (O(#types·#days) rows — broadcastable at any corpus scale, the
+    * aggregate-then-join discipline that makes an all-pairs scan safe
+    * at 100 TB). */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(round(avg($"value"), 6).as("v"))
+    val a = daily.select($"event_type".as("type_a"), $"d", $"v".as("va"))
+      .withColumn("lag", explode(array((-3 to 3).map(lit(_)): _*)))
+      .withColumn("d_b", $"d" + make_dt_interval(days = $"lag"))
+    val b = daily.select($"event_type".as("type_b"),
+      $"d".as("d_b"), $"v".as("vb"))
+    a.join(broadcast(b), "d_b")
+      .groupBy($"type_a", $"type_b", $"lag".cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"), sum($"va").as("sx"), sum($"vb").as("sy"),
+        sum($"va" * $"va").as("sxx"), sum($"vb" * $"vb").as("syy"),
+        sum($"va" * $"vb").as("sxy"))
+      .select($"type_a", $"type_b", $"lag", $"n".as("n_pairs"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("ccf"))
+      .orderBy($"type_a", $"type_b", $"lag")
+  }
+
+  private val q159Sql =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS d,
+      |  round(avg(value), 6) AS v
+      | FROM events GROUP BY event_type, d),
+      |lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+      |a AS (
+      | SELECT event_type AS type_a, d, v AS va, lag,
+      |  d + to_days(CAST(lag AS INT)) AS d_b
+      | FROM daily, lags),
+      |j AS (
+      | SELECT a.type_a, b.event_type AS type_b, a.lag, a.va, b.v AS vb
+      | FROM a JOIN daily b ON a.d_b = b.d),
+      |agg AS (
+      | SELECT type_a, type_b, lag, count(*) AS n,
+      |  sum(va) AS sx, sum(vb) AS sy,
+      |  sum(va * va) AS sxx, sum(vb * vb) AS syy, sum(va * vb) AS sxy
+      | FROM j GROUP BY type_a, type_b, lag)
+      |SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+      | CAST(n AS BIGINT) AS n_pairs,
+      | round((n * sxy - sx * sy) /
+      |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS ccf
+      |FROM agg ORDER BY type_a, type_b, lag""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q158_forecast_backtest", q158, Some(q158Sql),
+      "naive vs seasonal-naive rolling backtest: per-type MAE + skill ratio"),
+    Q("q159_crosscorr", q159, Some(q159Sql),
+      "lead-lag cross-correlation scan over all type pairs, lags -3..3"),
     Q("q152_robust_anomaly", q152, Some(q152Sql),
       "median/MAD modified-z anomaly screen per event type"),
     Q("q153_seasonal_decomp", q153, Some(q153Sql),

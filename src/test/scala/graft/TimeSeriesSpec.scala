@@ -66,6 +66,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(seas.size == 7 && seas.maxBy(_._2)._1 == 4L, seas.toString)
   }
 
+  test("q158 backtest: seasonal-naive is perfect on a period-7 series") {
+    // value = 10 + (d % 7): snaive (lag 7) predicts exactly (MAE 0,
+    // skill 0); naive (lag 1) errs |+1| on 6 of 7 days and |-6| at the
+    // wrap. Test days 22..69 contain six wraps: MAE = (6·6+42)/48
+    val rows = for (d <- 0 until 70) yield
+      (d.toLong, d * 24, 1L, "a", 10.0 + (d % 7))
+    val dir = plant("graft_ts_q158", rows)
+    val r = Registry.byName("q158_forecast_backtest").run(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_test") == 48L, r.head.toString)
+    assert(r.head.getAs[Double]("mae_naive") == 78.0 / 48, r.head.toString)
+    assert(r.head.getAs[Double]("mae_snaive") == 0.0, r.head.toString)
+    assert(r.head.getAs[Double]("skill") == 0.0, r.head.toString)
+  }
+
+  test("q159 finds the planted 2-day lead at exactly ccf=1") {
+    // B(d) = A(d-2): pairing A(day) with B(day+2) reproduces A exactly,
+    // so the cross-correlation at lag +2 must be exactly 1
+    val rows = (for (d <- 0 until 70) yield
+      (d.toLong, d * 24, 1L, "a", 10.0 + (d % 7))) ++
+      (for (d <- 0 until 70) yield
+        (100L + d, d * 24, 2L, "b", 10.0 + ((d + 5) % 7)))
+    val dir = plant("graft_ts_q159", rows)
+    val ccf = Registry.byName("q159_crosscorr").run(spark, dir)
+      .collect()
+      .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b"),
+        x.getAs[Long]("lag")) -> x.getAs[Double]("ccf")).toMap
+    assert(ccf(("a", "b", 2L)) == 1.0, ccf.filter(_._1._1 == "a").toString)
+    assert(ccf(("a", "a", 0L)) == 1.0)
+    assert(ccf(("a", "b", 1L)) < 1.0)
+  }
+
   test("q157 streamed anomaly rollup equals its Spark batch twin") {
     // engine-internal consistency (the DuckDB oracle is the
     // cross-engine gate): the watermarked streaming rollup must equal
