@@ -958,8 +958,10 @@ object StreamingQueries {
         .join(med, "event_type")
       val scored = eventsStream(s, dir)
         .join(broadcast(prof), "event_type")
+        // MAD = 0 → NULL z (degenerate robust scale; q152's guard)
         .withColumn("az",
-          round(lit(0.6745) * abs($"value" - $"med0") / $"mad0", 6))
+          when($"mad0" === 0, lit(null).cast("double"))
+            .otherwise(round(lit(0.6745) * abs($"value" - $"med0") / $"mad0", 6)))
       val agg = scored
         .withWatermark("ts", "2 days")
         .groupBy(window($"ts", "1 day").as("win"), $"event_type")
@@ -985,7 +987,9 @@ object StreamingQueries {
       |z AS (
       | SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS bucket,
       |  e.event_type,
-      |  round(0.6745 * abs(e.value - md.med0) / d.mad0, 6) AS az
+      |  CASE WHEN d.mad0 = 0 THEN NULL
+      |       ELSE round(0.6745 * abs(e.value - md.med0) / d.mad0, 6)
+      |  END AS az
       | FROM events e JOIN med md USING (event_type)
       |   JOIN mad d USING (event_type)),
       |w AS (

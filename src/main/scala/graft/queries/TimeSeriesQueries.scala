@@ -35,7 +35,13 @@ object TimeSeriesQueries {
     * of a 2-column projection (med → MAD → score), each one
     * partial-aggregable aggregation; the 5-row profile broadcasts.
     * z is rounded to 6 decimals on BOTH sides before the threshold
-    * compare so the flag set is cross-engine deterministic. */
+    * compare so the flag set is cross-engine deterministic.
+    * MAD = 0 (≥50% of a type's values equal its median — constant or
+    * heavily-tied series) would make every off-median point Inf and
+    * the max NaN-prone; both engines instead emit NULL z for that
+    * type (no anomaly call is honest — the robust scale is
+    * degenerate), so n_anomalies counts 0 and max_abs_z is NULL,
+    * identically on both sides. */
   private def q152(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir).select($"event_type", $"value")
@@ -47,7 +53,8 @@ object TimeSeriesQueries {
     val prof = med.join(mad, "event_type") // one row per event type
     e.join(broadcast(prof), "event_type")
       .withColumn("az",
-        round(lit(0.6745) * abs($"value" - $"med0") / $"mad0", 6))
+        when($"mad0" === 0, lit(null).cast("double"))
+          .otherwise(round(lit(0.6745) * abs($"value" - $"med0") / $"mad0", 6)))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum(when($"az" > 3.5, 1L).otherwise(0L)).as("n_anomalies"),
@@ -68,7 +75,9 @@ object TimeSeriesQueries {
       | GROUP BY e.event_type),
       |z AS (
       | SELECT e.event_type, m.med0, d.mad0,
-      |  round(0.6745 * abs(e.value - m.med0) / d.mad0, 6) AS az
+      |  CASE WHEN d.mad0 = 0 THEN NULL
+      |       ELSE round(0.6745 * abs(e.value - m.med0) / d.mad0, 6)
+      |  END AS az
       | FROM events e JOIN med m USING (event_type)
       |   JOIN mad d USING (event_type))
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -174,59 +183,76 @@ object TimeSeriesQueries {
     * their builtin `corr` (whose streaming co-moment accumulations are
     * implementation-ordered); the lag fan-out is a row-local `stack`,
     * so the whole query is one keyed window + one partial-aggregable
-    * reduce. */
+    * reduce.
+    *
+    * Determinism: the daily means are carried as integer MILLI-units
+    * (the q153 discipline, at ×10³ so the squared sums keep int64
+    * headroom), so all six sums and the closed form's numerator /
+    * variance factors are EXACT order-independent int64 arithmetic;
+    * only the final double cast → multiply → sqrt → divide touches
+    * floats, on identical integers (identical IEEE results on both
+    * engines — exactness of the cast is not required, only that both
+    * sides cast the SAME integer). Pearson is scale-invariant, so the
+    * milli factor cancels and no de-scaling division is needed.
+    * Headroom: |v3| ≤ 10⁶ at |daily mean| ≤ 10³, so n·Σx² ≤ n²·10¹²
+    * is int64-safe through ~3000 days per series — an 8-year daily
+    * series; beyond that drop to centi-units (one constant). */
   private def q154(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = events(s, dir)
+      .select($"event_type", $"ts",
+        round($"value" * 1e3, 0).cast("long").as("x3"))
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
-      .agg(round(avg($"value"), 6).as("v"))
+      .agg(round(sum($"x3") / count(lit(1)), 0).cast("long").as("v3"))
     val wOrd = Window.partitionBy($"event_type").orderBy($"d")
-    val lagged = daily.select($"event_type", $"v",
-      lag($"v", 1).over(wOrd).as("l1"),
-      lag($"v", 2).over(wOrd).as("l2"),
-      lag($"v", 3).over(wOrd).as("l3"),
-      lag($"v", 7).over(wOrd).as("l7"))
+    val lagged = daily.select($"event_type", $"v3",
+      lag($"v3", 1).over(wOrd).as("l1"),
+      lag($"v3", 2).over(wOrd).as("l2"),
+      lag($"v3", 3).over(wOrd).as("l3"),
+      lag($"v3", 7).over(wOrd).as("l7"))
     lagged
       .select($"event_type",
         expr("stack(4, 1L, l1, 2L, l2, 3L, l3, 7L, l7)")
           .as(Seq("lag", "xl")),
-        $"v")
+        $"v3")
       .filter($"xl".isNotNull)
       .groupBy($"event_type", $"lag")
-      .agg(count(lit(1)).as("n"), sum($"v").as("sx"), sum($"xl").as("sy"),
-        sum($"v" * $"v").as("sxx"), sum($"xl" * $"xl").as("syy"),
-        sum($"v" * $"xl").as("sxy"))
+      .agg(count(lit(1)).as("n"), sum($"v3").as("sx"), sum($"xl").as("sy"),
+        sum($"v3" * $"v3").as("sxx"), sum($"xl" * $"xl").as("syy"),
+        sum($"v3" * $"xl").as("sxy"))
       .select($"event_type", $"lag", $"n".as("n_pairs"),
-        round(($"n" * $"sxy" - $"sx" * $"sy") /
-          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
-            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("acf"))
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("acf"))
       .orderBy($"event_type", $"lag")
   }
 
   private val q154Sql =
     """WITH daily AS (
       | SELECT event_type, date_trunc('day', ts) AS d,
-      |  round(avg(value), 6) AS v
+      |  CAST(round(sum(CAST(round(value * 1000, 0) AS BIGINT))
+      |       / count(*), 0) AS BIGINT) AS v3
       | FROM events GROUP BY event_type, d),
       |lagged AS (
-      | SELECT event_type, v,
-      |  lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
-      |  lag(v, 3) OVER w AS l3, lag(v, 7) OVER w AS l7
+      | SELECT event_type, v3,
+      |  lag(v3, 1) OVER w AS l1, lag(v3, 2) OVER w AS l2,
+      |  lag(v3, 3) OVER w AS l3, lag(v3, 7) OVER w AS l7
       | FROM daily
       | WINDOW w AS (PARTITION BY event_type ORDER BY d)),
       |longf AS (
-      | SELECT event_type, CAST(1 AS BIGINT) AS lag, v, l1 AS xl FROM lagged
-      | UNION ALL SELECT event_type, 2, v, l2 FROM lagged
-      | UNION ALL SELECT event_type, 3, v, l3 FROM lagged
-      | UNION ALL SELECT event_type, 7, v, l7 FROM lagged),
+      | SELECT event_type, CAST(1 AS BIGINT) AS lag, v3, l1 AS xl FROM lagged
+      | UNION ALL SELECT event_type, 2, v3, l2 FROM lagged
+      | UNION ALL SELECT event_type, 3, v3, l3 FROM lagged
+      | UNION ALL SELECT event_type, 7, v3, l7 FROM lagged),
       |agg AS (
       | SELECT event_type, lag, count(*) AS n,
-      |  sum(v) AS sx, sum(xl) AS sy,
-      |  sum(v * v) AS sxx, sum(xl * xl) AS syy, sum(v * xl) AS sxy
+      |  sum(v3) AS sx, sum(xl) AS sy,
+      |  sum(v3 * v3) AS sxx, sum(xl * xl) AS syy, sum(v3 * xl) AS sxy
       | FROM longf WHERE xl IS NOT NULL GROUP BY event_type, lag)
       |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
-      | round((n * sxy - sx * sy) /
-      |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+      | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
       |FROM agg ORDER BY event_type, lag""".stripMargin
 
   /** q156: CUSUM CHANGEPOINT — per-user cumulative sum of deviations
@@ -243,7 +269,13 @@ object TimeSeriesQueries {
     * prefix-sum ulp at the rounding boundary). Ties break to the
     * EARLIEST position. Headroom: |n·P_t| ≤ n²·max|x|·10⁶, int64-safe
     * through ~10⁵ rows per series at |x| ≤ 10³ — beyond that drop to
-    * 10⁴ sub-units (same spelling, one constant). */
+    * 10⁴ sub-units (same spelling, one constant). The headroom is
+    * ENFORCED, not just documented: a per-key n²·max|x6| bound check
+    * is folded into cusn (coalesce(assert_true,0) — un-prunable, adds
+    * an exact 0), so a series past the envelope raises instead of
+    * silently wrapping Spark's non-ANSI int64 multiply into a wrong
+    * changepoint; DuckDB needs no guard (HUGEINT sums + overflow
+    * errors are its defaults). */
   private def q156(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wAll = Window.partitionBy($"user_id")
@@ -253,10 +285,19 @@ object TimeSeriesQueries {
         round($"value" * 1e6, 0).cast("long").as("x6"))
       .withColumn("s6", sum($"x6").over(wAll))
       .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("mxa", max(abs($"x6")).over(wAll))
       .withColumn("rn", row_number().over(wOrd).cast("long"))
       .withColumn("p6", sum($"x6")
         .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("cusn", abs($"n" * $"p6" - $"rn" * $"s6"))
+      // |n·p6 − rn·s6| ≤ 2·n²·max|x6|: require n²·max|x6| ≤ 4.5e18
+      .withColumn("hdrm",
+        coalesce(assert_true(
+          $"n".cast("double") * $"n".cast("double") * $"mxa".cast("double")
+            <= lit(4.5e18),
+          lit("q156: int64 CUSUM headroom exceeded — drop x6 to coarser " +
+            "sub-units for series beyond ~1e5 rows at |x| <= 1e3"))
+          .cast("long"), lit(0L)))
+      .withColumn("cusn", abs($"n" * $"p6" - $"rn" * $"s6") + $"hdrm")
       .withColumn("mx", max($"cusn").over(wAll))
     c.filter($"cusn" === $"mx")
       .groupBy($"user_id")
@@ -360,7 +401,9 @@ object TimeSeriesQueries {
     * B's shifted by k ∈ [−3, 3] days: the "does type A lead type B"
     * diagnostic behind alerting correlation and causal triage. Spelled
     * as q154's closed form (same six sums, both engines compute
-    * identical arithmetic); the lag fan-out is a 7-row explode and the
+    * identical arithmetic — int64 MILLI-unit sums per q154's
+    * determinism note, floats only in the final cast→sqrt→divide on
+    * identical integers); the lag fan-out is a 7-row explode and the
     * pair join is day-keyed over the ALREADY-AGGREGATED daily table
     * (O(#types·#days) rows — broadcastable at any corpus scale, the
     * aggregate-then-join discipline that makes an all-pairs scan safe
@@ -368,37 +411,40 @@ object TimeSeriesQueries {
   private def q159(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = events(s, dir)
+      .select($"event_type", $"ts",
+        round($"value" * 1e3, 0).cast("long").as("x3"))
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
-      .agg(round(avg($"value"), 6).as("v"))
-    val a = daily.select($"event_type".as("type_a"), $"d", $"v".as("va"))
+      .agg(round(sum($"x3") / count(lit(1)), 0).cast("long").as("v3"))
+    val a = daily.select($"event_type".as("type_a"), $"d", $"v3".as("va"))
       .withColumn("lag", explode(array((-3 to 3).map(lit(_)): _*)))
       .withColumn("d_b", $"d" + make_dt_interval(days = $"lag"))
     val b = daily.select($"event_type".as("type_b"),
-      $"d".as("d_b"), $"v".as("vb"))
+      $"d".as("d_b"), $"v3".as("vb"))
     a.join(broadcast(b), "d_b")
       .groupBy($"type_a", $"type_b", $"lag".cast("long").as("lag"))
       .agg(count(lit(1)).as("n"), sum($"va").as("sx"), sum($"vb").as("sy"),
         sum($"va" * $"va").as("sxx"), sum($"vb" * $"vb").as("syy"),
         sum($"va" * $"vb").as("sxy"))
       .select($"type_a", $"type_b", $"lag", $"n".as("n_pairs"),
-        round(($"n" * $"sxy" - $"sx" * $"sy") /
-          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
-            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("ccf"))
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("ccf"))
       .orderBy($"type_a", $"type_b", $"lag")
   }
 
   private val q159Sql =
     """WITH daily AS (
       | SELECT event_type, date_trunc('day', ts) AS d,
-      |  round(avg(value), 6) AS v
+      |  CAST(round(sum(CAST(round(value * 1000, 0) AS BIGINT))
+      |       / count(*), 0) AS BIGINT) AS v3
       | FROM events GROUP BY event_type, d),
       |lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
       |a AS (
-      | SELECT event_type AS type_a, d, v AS va, lag,
+      | SELECT event_type AS type_a, d, v3 AS va, lag,
       |  d + to_days(CAST(lag AS INT)) AS d_b
       | FROM daily, lags),
       |j AS (
-      | SELECT a.type_a, b.event_type AS type_b, a.lag, a.va, b.v AS vb
+      | SELECT a.type_a, b.event_type AS type_b, a.lag, a.va, b.v3 AS vb
       | FROM a JOIN daily b ON a.d_b = b.d),
       |agg AS (
       | SELECT type_a, type_b, lag, count(*) AS n,
@@ -407,8 +453,9 @@ object TimeSeriesQueries {
       | FROM j GROUP BY type_a, type_b, lag)
       |SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
       | CAST(n AS BIGINT) AS n_pairs,
-      | round((n * sxy - sx * sy) /
-      |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS ccf
+      | round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
       |FROM agg ORDER BY type_a, type_b, lag""".stripMargin
 
   val queries: Seq[Q] = Seq(
