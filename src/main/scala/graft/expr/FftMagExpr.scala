@@ -182,6 +182,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantilesExpr].getName, "graft_kll_quantiles"),
       GraftFunctions.kllQuantilesBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_quantiles_cont"),
+      new ExpressionInfo(classOf[KllQuantilesContExpr].getName,
+        "graft_kll_quantiles_cont"),
+      GraftFunctions.kllQuantilesContBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
+      GraftFunctions.vecSumBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -213,6 +222,8 @@ object GraftFunctions {
   private val kllSketchId = FunctionIdentifier("graft_kll_sketch")
   private val kllMergeId = FunctionIdentifier("graft_kll_merge")
   private val kllQuantilesId = FunctionIdentifier("graft_kll_quantiles")
+  private val kllQuantilesContId = FunctionIdentifier("graft_kll_quantiles_cont")
+  private val vecSumId = FunctionIdentifier("graft_vec_sum")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -309,6 +320,13 @@ object GraftFunctions {
   }
   private[expr] val kllQuantilesBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_kll_quantiles", 2, ch); KllQuantilesExpr(ch(0), ch(1))
+  }
+  private[expr] val kllQuantilesContBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_kll_quantiles_cont", 2, ch); KllQuantilesContExpr(ch(0), ch(1))
+  }
+  private[expr] val vecSumBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_vec_sum", 1, ch)
+    VecSumAgg(ch(0)).toAggregateExpression()
   }
 
   def register(spark: SparkSession): Unit = {
@@ -468,6 +486,19 @@ object GraftFunctions {
         kllQuantilesId,
         new ExpressionInfo(classOf[KllQuantilesExpr].getName, "graft_kll_quantiles"),
         kllQuantilesBuilder)
+    }
+    if (!registry.functionExists(kllQuantilesContId)) {
+      registry.registerFunction(
+        kllQuantilesContId,
+        new ExpressionInfo(classOf[KllQuantilesContExpr].getName,
+          "graft_kll_quantiles_cont"),
+        kllQuantilesContBuilder)
+    }
+    if (!registry.functionExists(vecSumId)) {
+      registry.registerFunction(
+        vecSumId,
+        new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
+        vecSumBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -634,6 +665,24 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.{array, lit}
     call_function("graft_kll_quantiles", sketch,
       array(probs.map(lit): _*))
+  }
+
+  /** interpolated quantile lookups on a blob (quantile_cont /
+    * `percentile` semantics — exact-regime drop-in for the exact
+    * interpolated percentile). */
+  def kllQuantilesCont(spark: SparkSession, sketch: Column,
+      probs: Seq[Double]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function("graft_kll_quantiles_cont", sketch,
+      array(probs.map(lit): _*))
+  }
+
+  /** elementwise sum of ARRAY<DOUBLE> rows (native aggregate; one
+    * fixed-size buffer per group — the dense-gradient reduction). */
+  def vecSum(spark: SparkSession, v: Column): Column = {
+    register(spark)
+    call_function("graft_vec_sum", v)
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

@@ -102,6 +102,40 @@ final class KllBuf(val k: Int) {
     }
     sorted.last._1
   }
+
+  /** interpolated quantile at probability q — Spark `percentile` /
+    * DuckDB quantile_cont semantics: 0-based position p = q·(W−1),
+    * result = (⌈p⌉−p)·v[⌊p⌋] + (p−⌊p⌋)·v[⌈p⌉] (Spark's exact
+    * interpolation spelling, so the exact-regime lookup is
+    * BIT-IDENTICAL to `percentile` over the same multiset),
+    * generalized to weights. EXACT while untrimmed. NaN when empty. */
+  def quantileCont(q: Double): Double = {
+    val w = totalWeight
+    if (w == 0) return Double.NaN
+    val items = new ArrayBuffer[(Double, Long)]
+    var i = 0
+    while (i < levels.size) {
+      levels(i).foreach(v => items += ((v, 1L << i)))
+      i += 1
+    }
+    val sorted = items.sortBy(_._1)
+    val p = q * (w - 1)
+    val lo = math.floor(p).toLong
+    val hi = math.ceil(p).toLong
+    def valueAt(pos: Long): Double = {
+      var cum = 0L
+      var j = 0
+      while (j < sorted.size) {
+        cum += sorted(j)._2
+        if (cum > pos) return sorted(j)._1
+        j += 1
+      }
+      sorted.last._1
+    }
+    val vlo = valueAt(lo)
+    if (hi == lo) vlo
+    else (hi - p) * vlo + (p - lo) * valueAt(hi)
+  }
 }
 
 /** `graft_kll_sketch(value DOUBLE, k)` → BINARY — re-mergeable quantile
@@ -182,15 +216,47 @@ case class KllSketchAgg(
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** Pending-blob merge state: input blobs are BUFFERED (not folded on
+  * arrival) and folded at eval in one CANONICAL order — sorted by blob
+  * bytes (content-derived, layout-free) — so the merge-order-dependent
+  * trimmed regime produces the SAME summary whatever partition layout
+  * delivered the blobs. Exact-regime results were order-independent
+  * already; this extends partition-layout reproducibility to trimmed
+  * merges. Memory bound: past `MaxPending` buffered blobs the prefix
+  * is folded down eagerly (still in sorted order); beyond that bound
+  * reproducibility degrades gracefully to per-arrival-batch — a rollup
+  * merging more than 4096 blobs per group should pre-aggregate a
+  * level (day→month→quarter), which is the warehouse shape anyway. */
+final class KllMergeBuf {
+  val pending: ArrayBuffer[Array[Byte]] = new ArrayBuffer[Array[Byte]]
+  var acc: KllBuf = null
+
+  def foldDown(): Unit = {
+    if (pending.nonEmpty) {
+      val sorted = pending.sortWith(KllExpr.blobLt)
+      sorted.foreach { b =>
+        val o = KllExpr.fromBlob(b)
+        if (acc == null) acc = o
+        else if (acc.k != o.k)
+          throw new IllegalArgumentException(
+            s"graft_kll_merge: mixed sketch sizes (k=${acc.k} vs k=${o.k})")
+        else acc.mergeIn(o)
+      }
+      pending.clear()
+    }
+  }
+}
+
 /** `graft_kll_merge(sketch BINARY)` → BINARY — aggregate union of
   * stored quantile-sketch blobs (level-wise concatenation + compaction;
   * untrimmed blobs whose union stays ≤ k remain exact). Null inputs
-  * skipped; mixed-k blobs throw (a sketch store must fix k). */
+  * skipped; mixed-k blobs throw (a sketch store must fix k). Blobs
+  * fold in canonical (byte-sorted) order at eval — see KllMergeBuf. */
 case class KllMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllBuf] {
+  extends TypedImperativeAggregate[KllMergeBuf] {
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -205,37 +271,76 @@ case class KllMergeAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kll_merge"
 
-  /** k unknown until the first sketch arrives (HllMergeAgg pattern). */
-  override def createAggregationBuffer(): KllBuf = new KllBuf(0)
+  override def createAggregationBuffer(): KllMergeBuf = new KllMergeBuf
 
-  private def requireSameK(a: Int, b: Int): Unit =
-    if (a != b)
-      throw new IllegalArgumentException(
-        s"graft_kll_merge: mixed sketch sizes (k=$a vs k=$b)")
-
-  override def update(buf: KllBuf, input: InternalRow): KllBuf = {
+  override def update(buf: KllMergeBuf, input: InternalRow): KllMergeBuf = {
     val v = child.eval(input)
-    if (v == null) buf
-    else {
-      val o = KllExpr.fromBlob(v.asInstanceOf[Array[Byte]])
-      if (buf.k == 0) o
-      else { requireSameK(buf.k, o.k); buf.mergeIn(o); buf }
+    if (v != null) {
+      buf.pending += v.asInstanceOf[Array[Byte]]
+      if (buf.pending.size > KllExpr.MaxPending) buf.foldDown()
     }
+    buf
   }
 
-  override def merge(b1: KllBuf, b2: KllBuf): KllBuf =
-    if (b2.k == 0) b1
-    else if (b1.k == 0) b2
-    else { requireSameK(b1.k, b2.k); b1.mergeIn(b2); b1 }
+  override def merge(b1: KllMergeBuf, b2: KllMergeBuf): KllMergeBuf = {
+    if (b2.acc != null) {
+      // a fold already happened on the other side — fold ours too and
+      // combine accumulators (sorted side-order: smaller blob first)
+      b1.foldDown()
+      if (b1.acc == null) b1.acc = b2.acc
+      else {
+        if (b1.acc.k != b2.acc.k)
+          throw new IllegalArgumentException(
+            s"graft_kll_merge: mixed sketch sizes " +
+              s"(k=${b1.acc.k} vs k=${b2.acc.k})")
+        b1.acc.mergeIn(b2.acc)
+      }
+    }
+    b1.pending ++= b2.pending
+    if (b1.pending.size > KllExpr.MaxPending) b1.foldDown()
+    b1
+  }
 
-  override def eval(buf: KllBuf): Any =
-    KllExpr.toBlob(if (buf.k == 0) new KllBuf(KllExpr.DefaultK) else buf)
+  override def eval(buf: KllMergeBuf): Any = {
+    buf.foldDown()
+    KllExpr.toBlob(if (buf.acc == null) new KllBuf(KllExpr.DefaultK)
+      else buf.acc)
+  }
 
-  override def serialize(buf: KllBuf): Array[Byte] =
-    if (buf.k == 0) KllExpr.EmptySentinel else KllExpr.toBlob(buf)
-  override def deserialize(bytes: Array[Byte]): KllBuf =
-    if (java.util.Arrays.equals(bytes, KllExpr.EmptySentinel)) new KllBuf(0)
-    else KllExpr.fromBlob(bytes)
+  /** serialized form: [nPending: int]{[len: int][blob…]}…[accLen: int]
+    * [accBlob…] with accLen = −1 when absent. */
+  override def serialize(buf: KllMergeBuf): Array[Byte] = {
+    val accBlob = if (buf.acc == null) null else KllExpr.toBlob(buf.acc)
+    var bytes = 4 + buf.pending.map(4 + _.length).sum + 4 +
+      (if (accBlob == null) 0 else accBlob.length)
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(buf.pending.size)
+    buf.pending.foreach { b => bb.putInt(b.length); bb.put(b) }
+    if (accBlob == null) bb.putInt(-1)
+    else { bb.putInt(accBlob.length); bb.put(accBlob) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllMergeBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new KllMergeBuf
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.pending += b
+      i += 1
+    }
+    val accLen = bb.getInt()
+    if (accLen >= 0) {
+      val b = new Array[Byte](accLen)
+      bb.get(b)
+      buf.acc = KllExpr.fromBlob(b)
+    }
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = o)
@@ -289,9 +394,71 @@ case class KllQuantilesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_kll_quantiles_cont(sketch BINARY, probs ARRAY<DOUBLE>)` →
+  * ARRAY<DOUBLE> — INTERPOLATED quantile lookups (Spark `percentile` /
+  * DuckDB quantile_cont semantics). In the exact (untrimmed) regime
+  * this is bit-identical to `percentile` over the group's values — the
+  * drop-in that lets an exact-percentile query carry the mergeable
+  * sketch in its plan (q152/q157's med/MAD profile) with unchanged
+  * results, and degrade to ~1% rank error instead of a full sort at
+  * 100 TB. */
+case class KllQuantilesContExpr(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_kll_quantiles_cont requires (BINARY, ARRAY<DOUBLE>), got " +
+          s"${a.simpleString}, ${b.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true // empty sketch → null
+  override def prettyName: String = "graft_kll_quantiles_cont"
+
+  override protected def nullSafeEval(blob: Any, probs: Any): Any = {
+    val buf = KllExpr.fromBlob(blob.asInstanceOf[Array[Byte]])
+    if (buf.totalWeight == 0) return null
+    val pa = probs.asInstanceOf[ArrayData]
+    val out = new Array[Double](pa.numElements())
+    var i = 0
+    while (i < out.length) {
+      val p = pa.getDouble(i)
+      if (p < 0.0 || p > 1.0)
+        throw new IllegalArgumentException(
+          s"graft_kll_quantiles_cont: probability $p outside [0, 1]")
+      out(i) = buf.quantileCont(p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantilesContExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object KllExpr {
   private[expr] val DefaultK = 4096
   private[expr] val EmptySentinel = Array[Byte](0, 0)
+  private[expr] val MaxPending = 4096
+
+  /** canonical blob order: unsigned-lexicographic bytes, length as
+    * tiebreak — content-derived, so independent of partition layout. */
+  private[expr] def blobLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
 
   /** blob: [k: int][trimmed: byte][compactCount: int][nLevels: int]
     * { [len: int][doubles…] } per level. */

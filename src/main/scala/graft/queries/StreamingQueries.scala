@@ -949,12 +949,17 @@ object StreamingQueries {
   private def q157(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q157") { scratch =>
+      // profile medians through the mergeable KLL sketch (exact-regime
+      // interpolated lookup ≡ percentile — q152's kllMedian rationale)
+      def kllMed(v: org.apache.spark.sql.Column) =
+        element_at(graft.expr.GraftFunctions.kllQuantilesCont(s,
+          graft.expr.GraftFunctions.kllSketch(s, v, 8192), Seq(0.5)), 1)
       val e = graft.Tables.events(s, dir).select($"event_type", $"value")
       val med = e.groupBy($"event_type")
-        .agg(percentile($"value", lit(0.5)).as("med0"))
+        .agg(kllMed($"value").as("med0"))
       val prof = e.join(broadcast(med), "event_type")
         .groupBy($"event_type")
-        .agg(percentile(abs($"value" - $"med0"), lit(0.5)).as("mad0"))
+        .agg(kllMed(abs($"value" - $"med0")).as("mad0"))
         .join(med, "event_type")
       val scored = eventsStream(s, dir)
         .join(broadcast(prof), "event_type")

@@ -42,14 +42,25 @@ object TimeSeriesQueries {
     * type (no anomaly call is honest — the robust scale is
     * degenerate), so n_anomalies counts 0 and max_abs_z is NULL,
     * identically on both sides. */
+  /** median via the mergeable KLL sketch, interpolated lookup: in the
+    * exact (untrimmed, n ≤ k) regime this is BIT-IDENTICAL to
+    * `percentile(v, 0.5)` (KllSpec pin), so the gate hashes are those
+    * of the exact median — and the SAME plan degrades to ~1% rank
+    * error instead of a per-group full sort at 100 TB. This makes the
+    * family's scale note (q79's "swap percentile → sketch") the
+    * shipped path, not a comment. */
+  private def kllMedian(s: SparkSession, v: org.apache.spark.sql.Column) =
+    element_at(graft.expr.GraftFunctions.kllQuantilesCont(s,
+      graft.expr.GraftFunctions.kllSketch(s, v, 8192), Seq(0.5)), 1)
+
   private def q152(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir).select($"event_type", $"value")
     val med = e.groupBy($"event_type")
-      .agg(percentile($"value", lit(0.5)).as("med0"))
+      .agg(kllMedian(s, $"value").as("med0"))
     val mad = e.join(broadcast(med), "event_type")
       .groupBy($"event_type")
-      .agg(percentile(abs($"value" - $"med0"), lit(0.5)).as("mad0"))
+      .agg(kllMedian(s, abs($"value" - $"med0")).as("mad0"))
     val prof = med.join(mad, "event_type") // one row per event type
     e.join(broadcast(prof), "event_type")
       .withColumn("az",

@@ -48,6 +48,44 @@ class KllSpec extends SparkSpec {
     assert(ests.distinct.size == 1)
   }
 
+  test("interpolated lookup is bit-identical to percentile (exact regime)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (n <- Seq(1, 2, 7, 100, 2000)) {
+      val vals = Vector.fill(n)(rnd.nextDouble() * 1000 - 500)
+      val df = vals.toDF("v").repartition(4)
+      val got = df.agg(GraftFunctions.kllQuantilesCont(spark, sk($"v"), Probs)
+        .as("qs")).head().getSeq[Double](0)
+      val want = df.agg(percentile($"v", array(Probs.map(lit): _*)).as("ps"))
+        .head().getSeq[Double](0)
+      Probs.indices.foreach { i =>
+        assert(got(i) == want(i), s"n=$n p=${Probs(i)}")
+      }
+    }
+  }
+
+  test("trimmed-regime MERGE is independent of partition layout") {
+    import spark.implicits._
+    // 40 chunk sketches at k=64, each trimmed (500 values > 64): the
+    // canonical byte-sorted fold in graft_kll_merge must produce ONE
+    // summary whatever layout delivers the blobs
+    val rnd = new scala.util.Random(31)
+    val chunks = (0 until 40).map { c =>
+      (c, Vector.fill(500)(rnd.nextDouble() * 1000 - 500))
+    }
+    val blobs = chunks.flatMap { case (c, vs) => vs.map((c, _)) }
+      .toDF("c", "v")
+      .groupBy($"c").agg(sk($"v", 64).as("blob"))
+      .localCheckpoint(true)
+    val ests = Seq(1, 4, 16, 32).map { parts =>
+      blobs.repartition(parts)
+        .agg(qs(GraftFunctions.kllMerge(spark, $"blob"), Probs).as("qs"))
+        .head().getSeq[Double](0)
+    }
+    assert(ests.distinct.size == 1,
+      s"trimmed merge varies with layout: ${ests.distinct}")
+  }
+
   test("total weight is conserved exactly through compaction") {
     // 100k values through k=256 forces many compaction cascades; the
     // sketch must still know the exact n (promote-half-at-double-
