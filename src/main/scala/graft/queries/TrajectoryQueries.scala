@@ -485,36 +485,14 @@ object TrajectoryQueries {
       .orderBy($"Model", $"Classification", $"n_Epochs")
   }
 
-  private lazy val q137Sql = {
-    // xz = standardized features; MATERIALIZED keeps DuckDB from
-    // re-inlining the O(n²)-DFT blend into each of the GridIter GD steps
-    val dotSql =
-      s"list_sum(list_transform(generate_series(1, $GridDim), " +
-        "i -> xz[i] * w[i]))"
-    // every w$t is MATERIALIZED: an inlined CTE chain re-expands the
-    // upstream per reference, and a dozen nested steps over the
-    // O(n²)-DFT blend would otherwise grind DuckDB — materialization makes each
-    // 9-row state computed exactly once (same single-aggregation
-    // epoch as the Spark side: seven avg() gradient columns, the
-    // state array riding the group key).
-    val gcols = (1 to GridDim).map(i => s"avg(err * xz[$i]) AS g$i")
-      .mkString(", ")
-    val wupd = (1 to GridDim)
-      .map(i => s"round(w[$i] - $GridLr * g$i, 6)").mkString(", ")
-    val steps = (1 to GridIter).map { t =>
-      s"""w$t AS MATERIALIZED (
-         |  SELECT n_Epochs, Model, [$wupd] AS w
-         |  FROM (SELECT n_Epochs, Model, w, $gcols
-         |        FROM (SELECT t.n_Epochs, t.Model, w.w, t.xz,
-         |               1.0 / (1.0 + exp(-($dotSql))) - y AS err
-         |              FROM trs t JOIN w${t - 1} w
-         |                ON t.n_Epochs = w.n_Epochs AND t.Model = w.Model)
-         |        GROUP BY n_Epochs, Model, w))""".stripMargin
-    }.mkString(",\n")
+  /** shared oracle CTE chain for the probe-grid GD queries (q137/q160):
+    * blend → unified padded feature table u → train/test split →
+    * TRAIN z-stats → standardized trs/tes. */
+  private lazy val gridZSqlCte: String = {
     val zSql = s"""list_transform(generate_series(1, $GridDim),
        |    i -> CASE WHEN sd[i] > 1e-9 THEN (x[i] - mu[i]) / sd[i]
        |              ELSE x[i] END)""".stripMargin
-    s"""WITH $blendSqlCte,
+    s"""$blendSqlCte,
        |md AS (SELECT * FROM (VALUES ('T_CPC'), ('TS_CPC'), ('S_CPC'))
        |        m(Model)),
        |u AS MATERIALIZED (
@@ -543,7 +521,36 @@ object TrajectoryQueries {
        |tes AS MATERIALIZED (
        | SELECT t.n_Epochs, t.Model, t.user_id, t.y, t.x, $zSql AS xz
        | FROM te t JOIN st ON t.n_Epochs = st.n_Epochs
-       |   AND t.Model = st.Model),
+       |   AND t.Model = st.Model)""".stripMargin
+  }
+
+  private lazy val q137Sql = {
+    // xz = standardized features; MATERIALIZED keeps DuckDB from
+    // re-inlining the O(n²)-DFT blend into each of the GridIter GD steps
+    val dotSql =
+      s"list_sum(list_transform(generate_series(1, $GridDim), " +
+        "i -> xz[i] * w[i]))"
+    // every w$t is MATERIALIZED: an inlined CTE chain re-expands the
+    // upstream per reference, and a dozen nested steps over the
+    // O(n²)-DFT blend would otherwise grind DuckDB — materialization makes each
+    // 9-row state computed exactly once (same single-aggregation
+    // epoch as the Spark side: seven avg() gradient columns, the
+    // state array riding the group key).
+    val gcols = (1 to GridDim).map(i => s"avg(err * xz[$i]) AS g$i")
+      .mkString(", ")
+    val wupd = (1 to GridDim)
+      .map(i => s"round(w[$i] - $GridLr * g$i, 6)").mkString(", ")
+    val steps = (1 to GridIter).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT n_Epochs, Model, [$wupd] AS w
+         |  FROM (SELECT n_Epochs, Model, w, $gcols
+         |        FROM (SELECT t.n_Epochs, t.Model, w.w, t.xz,
+         |               1.0 / (1.0 + exp(-($dotSql))) - y AS err
+         |              FROM trs t JOIN w${t - 1} w
+         |                ON t.n_Epochs = w.n_Epochs AND t.Model = w.Model)
+         |        GROUP BY n_Epochs, Model, w))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gridZSqlCte,
        |w0 AS (SELECT e.n_Epochs, m.Model,
        |        CAST([${Seq.fill(GridDim)(0).mkString(", ")}] AS DOUBLE[])
        |          AS w
@@ -577,11 +584,275 @@ object TrajectoryQueries {
        |ORDER BY Model, Classification, n_Epochs""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q160: the E1 probe grid's ClassifierNN cell GD-TRAINED under the
+  // full oracle — the LAST rows-only family (iterative NN fits:
+  // q66/q88's Spark ML MultilayerPerceptronClassifier) gets its
+  // oracle-grade twin, the way q137 did it for LogisticRegression.
+  // The head is the reference architecture (`unsupervised.py:171-183`:
+  // Linear → ReLU → Linear → ReLU → Linear head, trained with CE):
+  //  - two hidden ReLU layers; the output pair (Linear(·,2) + softmax
+  //    CE) is re-expressed as ONE logit + sigmoid BCE — exactly
+  //    equivalent (binary softmax depends only on w₁−w₀; q97's p1
+  //    identity), and it halves the head's gradient surface;
+  //  - hidden width 16, not the reference's 64: the reference feeds a
+  //    64-dim CPC embedding, this probe feeds the 7-dim padded grid
+  //    features — 64×64 on 7 inputs is ~4.7k parameters of pure
+  //    overparameterization, and a 4.7k-wide gradient breaks both
+  //    engines' single-aggregation epoch (Spark stops codegenning
+  //    ~hundreds of agg columns; the oracle's per-step SQL text goes
+  //    megabyte). Width is config, depth/activation/loss are the
+  //    architecture. q88's ClassifierNN cells (true 64×64 Spark ML)
+  //    stay the fidelity twin; TrajectorySpec brackets this grid
+  //    against them.
+  //
+  // The epoch is ONE aggregation (the q137 discipline): the full
+  // 417-dim backprop gradient is built per row as a compact HOF
+  // expression chain (transform/flatten lambdas — expression-tree size
+  // independent of width) and reduced with graft_vec_sum (one
+  // fixed-size buffer per cell, partial-aggregable, one shuffle of 9
+  // keys per epoch). Weight state: a 9-row broadcast table holding the
+  // flat parameter array; md5-derived init (the q97 formula, ±0.125)
+  // breaks hidden-unit symmetry identically in both engines; weights
+  // round to 6 dp per step so cross-engine float drift cannot compound
+  // (IterativeState contract). ReLU gates stay deterministic: they
+  // compare z-values computed row-locally from identical rounded
+  // weights and identical xz on both sides.
+  //
+  // Scale shape = q137's: grid cells multiply shuffle KEYS, never
+  // passes; each epoch scans the checkpointed rep table once; state is
+  // O(model). 100 TB: unchanged plan, the scan is the only data touch.
+  // ---------------------------------------------------------------
+  private val MlpH = 16     // hidden width (see fidelity note above)
+  private val MlpIter = 16  // full-batch GD steps per cell
+  private val MlpLr = 2.0   // on TRAIN-z-scored features (q137's
+                            // conditioning argument)
+  private val MlpD = GridDim
+  private val MlpW2Off = MlpD * MlpH + MlpH            // after W1, b1
+  private val MlpB2Off = MlpW2Off + MlpH * MlpH        // after W2
+  private val MlpW3Off = MlpB2Off + MlpH               // after b2
+  private val MlpP = MlpW3Off + MlpH + 1               // + w3, b3
+
+  /** q97's integer-exact md5 init formula, ±0.125 fan-in scale. */
+  private def mdwInit(tag: String): Double =
+    ((graft.ops.HashKeys.md5Prefix32(tag) % 1000).toDouble / 999.0 - 0.5) * 0.25
+
+  /** the flat init vector: [W1 (j,i)-major | b1 | W2 (j,i)-major | b2
+    * | w3 | b3], 0-based md5 tags re-derived identically in SQL. */
+  private lazy val mlpInit: Seq[Double] =
+    (for { j <- 0 until MlpH; i <- 0 until MlpD } yield
+      mdwInit(s"mw1:$j:$i")) ++
+    (0 until MlpH).map(j => mdwInit(s"mb1:$j")) ++
+    (for { j <- 0 until MlpH; i <- 0 until MlpH } yield
+      mdwInit(s"mw2:$j:$i")) ++
+    (0 until MlpH).map(j => mdwInit(s"mb2:$j")) ++
+    (0 until MlpH).map(j => mdwInit(s"mw3:$j")) :+
+    mdwInit("mb3")
+
+  /** forward pass to the logit: adds z1, a1, z2, a2, u to a frame with
+    * xz (z-scored features) and w (flat parameters). Every sum is an
+    * in-order left fold (graft_dot ≡ the oracle's list_sum) so both
+    * engines compute identical doubles. */
+  private def mlpForward(s: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def dot(a: Column, b: Column) = graft.expr.GraftFunctions.dot(s, a, b)
+    df
+      .withColumn("z1", transform(sequence(lit(1), lit(MlpH)), j =>
+        dot(slice(col("w"), (j - 1) * lit(MlpD) + 1, lit(MlpD)), col("xz")) +
+          element_at(col("w"), lit(MlpD * MlpH) + j)))
+      .withColumn("a1", transform(col("z1"), z => greatest(z, lit(0.0))))
+      .withColumn("z2", transform(sequence(lit(1), lit(MlpH)), j =>
+        dot(slice(col("w"), (j - 1) * lit(MlpH) + lit(MlpW2Off + 1),
+          lit(MlpH)), col("a1")) + element_at(col("w"), lit(MlpB2Off) + j)))
+      .withColumn("a2", transform(col("z2"), z => greatest(z, lit(0.0))))
+      .withColumn("u",
+        dot(slice(col("w"), MlpW3Off + 1, MlpH), col("a2")) +
+          element_at(col("w"), lit(MlpP)))
+  }
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    def dot(a: Column, b: Column) = graft.expr.GraftFunctions.dot(s, a, b)
+    val u = gridData(s, dir)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .localCheckpoint(true)
+    val rawTrain = u.filter($"user_id" % 5 =!= 0)
+    val st = rawTrain
+      .select($"n_Epochs", $"Model", posexplode($"x").as(Seq("dim", "xj")))
+      .groupBy($"n_Epochs", $"Model", $"dim")
+      .agg(round(avg($"xj"), 6).as("mu"),
+        round(stddev_pop($"xj"), 6).as("sd"))
+      .groupBy($"n_Epochs", $"Model")
+      .agg(IterativeState.gather($"dim", $"mu").as("mu"),
+        IterativeState.gather($"dim", $"sd").as("sd"))
+      .localCheckpoint(true)
+    def zscore(df: DataFrame): DataFrame =
+      df.join(broadcast(st), Seq("n_Epochs", "Model"))
+        .withColumn("xz", zip_with($"x", arrays_zip($"mu", $"sd"),
+          (v, ms) => when(ms("sd") > 1e-9, (v - ms("mu")) / ms("sd"))
+            .otherwise(v)))
+        .select($"n_Epochs", $"Model", $"user_id", $"y", $"xz")
+    val train = zscore(rawTrain)
+    val test = zscore(u.filter($"user_id" % 5 === 0))
+    val w0: DataFrame = Seq("T_CPC", "TS_CPC", "S_CPC")
+      .flatMap(m => (0 to Epochs by 2).map(e => (e, m)))
+      .toDF("n_Epochs", "Model")
+      .withColumn("w", array(mlpInit.map(lit): _*))
+    val wN = IterativeState.epochs(w0, MlpIter) { (w, _) =>
+      val fwd = mlpForward(s, train.join(broadcast(w), Seq("n_Epochs", "Model")))
+        .withColumn("err",
+          lit(1.0) / (lit(1.0) + exp(-$"u")) - $"y")
+        // backprop: d2 = err·w3⊙1[z2>0]; d1 = (W2ᵀd2)⊙1[z1>0]
+        .withColumn("d2", transform(sequence(lit(1), lit(MlpH)), j =>
+          $"err" * element_at($"w", lit(MlpW3Off) + j) *
+            when(element_at($"z2", j) > 0, lit(1.0)).otherwise(lit(0.0))))
+        .withColumn("d1", transform(sequence(lit(1), lit(MlpH)), j =>
+          dot(transform(sequence(lit(1), lit(MlpH)), k =>
+            element_at($"w", (k - 1) * lit(MlpH) + j + lit(MlpW2Off))),
+            $"d2") *
+            when(element_at($"z1", j) > 0, lit(1.0)).otherwise(lit(0.0))))
+        // the flat 417-dim per-row gradient, segment order = layout
+        .withColumn("g", concat(
+          flatten(transform($"d1", dj => transform($"xz", xi => dj * xi))),
+          $"d1",
+          flatten(transform($"d2", dj => transform($"a1", ai => dj * ai))),
+          $"d2",
+          transform($"a2", ai => $"err" * ai),
+          array($"err")))
+      fwd.groupBy($"n_Epochs", $"Model", $"w")
+        .agg(graft.expr.GraftFunctions.vecSum(s, $"g").as("gs"),
+          count(lit(1)).as("nr"))
+        .select($"n_Epochs", $"Model",
+          zip_with($"w", $"gs",
+            (wk, gk) => round(wk - lit(MlpLr) * (gk / $"nr"), 6)).as("w"))
+    }
+    val scored = mlpForward(s,
+        test.join(broadcast(wN), Seq("n_Epochs", "Model")))
+      .select($"n_Epochs", $"Model", lit("GD_MLP").as("Classification"),
+        round($"u", 6).as("score"), $"y")
+    Metrics.rocAuc(scored, $"score", $"y",
+        Seq($"n_Epochs", $"Model", $"Classification"))
+      .select($"n_Epochs", $"Model", $"Classification",
+        lit(1024).as("Batch Size"), round($"auc", 4).as("ROC_AUC"))
+      .orderBy($"Model", $"Classification", $"n_Epochs")
+  }
+
+  private lazy val q160Sql = {
+    val H = MlpH; val D = MlpD; val P = MlpP
+    def mdwSql(tagExpr: String): String =
+      s"((CAST(concat('0x', substr(md5($tagExpr), 1, 8)) AS BIGINT) " +
+        s"% 1000) / 999.0 - 0.5) * 0.25"
+    val initCtes =
+      s"""iw1 AS (SELECT list(w ORDER BY j, i) AS v FROM (
+         |  SELECT j, i, ${mdwSql("concat('mw1:', j, ':', i)")} AS w
+         |  FROM generate_series(0, ${H - 1}) s1(j),
+         |       generate_series(0, ${D - 1}) s2(i))),
+         |ib1 AS (SELECT list(w ORDER BY j) AS v FROM (
+         |  SELECT j, ${mdwSql("concat('mb1:', j)")} AS w
+         |  FROM generate_series(0, ${H - 1}) s(j))),
+         |iw2 AS (SELECT list(w ORDER BY j, i) AS v FROM (
+         |  SELECT j, i, ${mdwSql("concat('mw2:', j, ':', i)")} AS w
+         |  FROM generate_series(0, ${H - 1}) s1(j),
+         |       generate_series(0, ${H - 1}) s2(i))),
+         |ib2 AS (SELECT list(w ORDER BY j) AS v FROM (
+         |  SELECT j, ${mdwSql("concat('mb2:', j)")} AS w
+         |  FROM generate_series(0, ${H - 1}) s(j))),
+         |iw3 AS (SELECT list(w ORDER BY j) AS v FROM (
+         |  SELECT j, ${mdwSql("concat('mw3:', j)")} AS w
+         |  FROM generate_series(0, ${H - 1}) s(j))),
+         |ib3 AS (SELECT [${mdwSql("'mb3'")}] AS v)""".stripMargin
+    // the per-row forward/backward chain, shared by the GD steps and
+    // the scoring pass (`src` must provide n_Epochs, Model, y, xz, w)
+    val z1 =
+      s"""list_transform(generate_series(1, $H), j ->
+         | list_sum(list_transform(generate_series(1, $D),
+         |   i -> w[(j-1)*$D + i] * xz[i])) + w[${D * H} + j])""".stripMargin
+    val z2 =
+      s"""list_transform(generate_series(1, $H), j ->
+         | list_sum(list_transform(generate_series(1, $H),
+         |   i -> w[$MlpW2Off + (j-1)*$H + i] * a1[i])) + w[$MlpB2Off + j])""".stripMargin
+    val uExpr =
+      s"""list_sum(list_transform(generate_series(1, $H),
+         |   i -> w[$MlpW3Off + i] * a2[i])) + w[$P]""".stripMargin
+    def fwdTo(src: String): String =
+      s"""SELECT *, $uExpr AS u FROM (
+         | SELECT *, list_transform(z2, z -> greatest(z, 0.0)) AS a2 FROM (
+         |  SELECT *, $z2 AS z2 FROM (
+         |   SELECT *, list_transform(z1, z -> greatest(z, 0.0)) AS a1 FROM (
+         |    SELECT *, $z1 AS z1 FROM $src))))""".stripMargin
+    val d2 =
+      s"""list_transform(generate_series(1, $H), j ->
+         | err * w[$MlpW3Off + j] *
+         | CASE WHEN z2[j] > 0 THEN 1.0 ELSE 0.0 END)""".stripMargin
+    val d1 =
+      s"""list_transform(generate_series(1, $H), j ->
+         | list_sum(list_transform(generate_series(1, $H),
+         |   k -> w[$MlpW2Off + (k-1)*$H + j] * d2[k])) *
+         | CASE WHEN z1[j] > 0 THEN 1.0 ELSE 0.0 END)""".stripMargin
+    val gExpr =
+      s"""flatten(list_transform(d1, dj ->
+         |   list_transform(xz, xi -> dj * xi))) || d1 ||
+         | flatten(list_transform(d2, dj ->
+         |   list_transform(a1, ai -> dj * ai))) || d2 ||
+         | list_transform(a2, ai -> err * ai) || [err]""".stripMargin
+    val steps = (1 to MlpIter).map { t =>
+      s"""g$t AS MATERIALIZED (
+         | SELECT n_Epochs, Model, w, $gExpr AS g FROM (
+         |  SELECT *, $d1 AS d1 FROM (
+         |   SELECT *, $d2 AS d2 FROM (
+         |    SELECT *, 1.0 / (1.0 + exp(-u)) - y AS err FROM (
+         |     ${fwdTo(s"(SELECT t.n_Epochs, t.Model, t.y, t.xz, w.w " +
+                s"FROM trs t JOIN w${t - 1} w ON t.n_Epochs = w.n_Epochs " +
+                s"AND t.Model = w.Model) src")}))))),
+         |w$t AS MATERIALIZED (
+         | SELECT n_Epochs, Model,
+         |  list(round(w[i] - $MlpLr * gi, 6) ORDER BY i) AS w
+         | FROM (SELECT n_Epochs, Model, w, i, avg(g[i]) AS gi
+         |       FROM g$t CROSS JOIN generate_series(1, $P) s(i)
+         |       GROUP BY n_Epochs, Model, w, i)
+         | GROUP BY n_Epochs, Model)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gridZSqlCte,
+       |$initCtes,
+       |w0 AS (SELECT e.n_Epochs, m.Model,
+       |        iw1.v || ib1.v || iw2.v || ib2.v || iw3.v || ib3.v AS w
+       |       FROM (VALUES ${(0 to Epochs by 2).map(e => s"($e)").mkString(", ")})
+       |        e(n_Epochs) CROSS JOIN md m
+       |        CROSS JOIN iw1 CROSS JOIN ib1 CROSS JOIN iw2
+       |        CROSS JOIN ib2 CROSS JOIN iw3 CROSS JOIN ib3),
+       |$steps,
+       |sc AS (
+       | SELECT n_Epochs, Model, 'GD_MLP' AS Classification,
+       |  round(u, 6) AS score, y
+       | FROM (${fwdTo(s"(SELECT t.n_Epochs, t.Model, t.y, t.xz, w.w " +
+          s"FROM tes t JOIN w$MlpIter w ON t.n_Epochs = w.n_Epochs " +
+          s"AND t.Model = w.Model) src")})),
+       |g AS (SELECT n_Epochs, Model, Classification, score,
+       |       count(*) AS c, sum(y) AS pos_c
+       |      FROM sc GROUP BY n_Epochs, Model, Classification, score),
+       |r AS (SELECT *, coalesce(sum(c) OVER (
+       |        PARTITION BY n_Epochs, Model, Classification
+       |        ORDER BY score
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS cum_before FROM g),
+       |t AS (SELECT n_Epochs, Model, Classification,
+       |       sum(pos_c * (cum_before + (c + 1) / 2.0)) AS rank_sum,
+       |       sum(pos_c) AS np, sum(c - pos_c) AS nn
+       |      FROM r GROUP BY n_Epochs, Model, Classification)
+       |SELECT n_Epochs, Model, Classification, 1024 AS "Batch Size",
+       | round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 4) AS ROC_AUC
+       |FROM t
+       |ORDER BY Model, Classification, n_Epochs""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q88_unsup_trajectory", q88, None,
       "epoch-trajectory probe protocol (E1, UNSUPERVISED_LR.csv shape)"),
     Q("q137_gd_probe_grid", q137, Some(q137Sql),
       "E1 probe grid GD-trained under the full oracle (keyed GD loop)"),
+    Q("q160_gd_mlp_grid", q160, Some(q160Sql),
+      "E1 ClassifierNN grid GD-trained under the full oracle (backprop as one vec-sum aggregation per epoch)"),
     Q("q89_sup_trajectory", q89, Some(q89Sql),
       "supervised trajectory: A6 mean + M4 BCE head (SUPERVISED.csv)"),
     Q("q90_unsup_comparison", q90, Some(q90Sql),
