@@ -94,6 +94,64 @@ class ZorderSpec extends SparkSpec {
     assert(touched(bySortX, (64L, 95L), (64L, 95L)) == 8)
   }
 
+  test("write path: z-sorted parquet prunes a 2-D box via real scan metrics") {
+    import spark.implicits._
+    // REAL events (sf0.01), REAL parquet, REAL reader statistics — not
+    // the simulated box audit above: events get two RANK-EQUALIZED
+    // layout dims (x = value quantile bucket, y = time quantile
+    // bucket — Morton keys need comparable bit-widths, so bucketing by
+    // rank, Delta OPTIMIZE ZORDER's range-partitioning move, is the
+    // production spelling; raw value×100 spans 16 bits vs 7 for the
+    // hour and degenerates the curve into a value-sort — measured 1.3×
+    // before equalizing). Written once z-sorted and once time-sorted
+    // (the default ingest order) in 128-row files (one row group each,
+    // so parquet min/max row-group pruning IS file-level pruning); the
+    // same pushed 2-D box predicate is measured through the scan's
+    // numOutputRows.
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"event_id", $"value", $"ts")
+      .withColumn("x",
+        (ntile(128).over(Window.orderBy($"value", $"event_id")) - 1)
+          .cast("long"))
+      .withColumn("y",
+        (ntile(128).over(Window.orderBy($"ts", $"event_id")) - 1)
+          .cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    try {
+      e.orderBy(GraftFunctions.zorder(spark, $"x", $"y"))
+        .write.option("maxRecordsPerFile", 128).parquet(s"$dir/byz")
+      e.orderBy($"y", $"event_id") // ingest order: time-sorted
+        .write.option("maxRecordsPerFile", 128).parquet(s"$dir/byt")
+      def scanRows(path: String): Long = {
+        val df = spark.read.parquet(path)
+          .filter($"x" >= 16 && $"x" < 32 && $"y" >= 48 && $"y" < 64)
+        // collect() executes df's OWN queryExecution, so the metrics
+        // below come from the plan that actually ran (count() builds a
+        // separate aggregate plan whose scan is a different node)
+        val n = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan.collectLeaves()
+          .find(_.nodeName.contains("Scan")).get
+        // the predicate must actually reach the reader
+        assert(df.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull"),
+          "box predicate not pushed to parquet")
+        val out = scan.metrics("numOutputRows").value
+        assert(out >= n, "scan emitted fewer rows than survived the filter")
+        out
+      }
+      val zRows = scanRows(s"$dir/byz")
+      val tRows = scanRows(s"$dir/byt")
+      // both layouts serve the y (time) band; only z-order also skips
+      // on x — the time-sorted layout must read every row group the
+      // y-band touches, the z-layout only the intersecting tiles.
+      // Require a real, material reduction (measured ~4-8x here).
+      assert(zRows * 2 < tRows,
+        s"z-sorted scan read $zRows rows vs time-sorted $tRows — no pruning")
+    } finally {
+      Scratch.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("out-of-range dims are rejected (layout keys must be bounded)") {
     intercept[IllegalArgumentException] { ZorderExpr.zval(-1L, 0L) }
     intercept[IllegalArgumentException] { ZorderExpr.zval(0L, -5L) }
