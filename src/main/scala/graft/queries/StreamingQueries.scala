@@ -740,6 +740,84 @@ object StreamingQueries {
     }
   }
 
+  /** Spec-facing build of q140 with the 100 TB co-location move made
+    * REAL: the corpus band index persisted as a table BUCKETED on the
+    * band join keys and the shingle lookup BUCKETED on corpus_id, so
+    * each micro-batch's stream-static joins shuffle ONLY the batch —
+    * the static sides read pre-partitioned, no Exchange above either
+    * bucketed scan. Broadcast is disabled so the shape under test is
+    * the at-scale one (a 100 TB corpus index does not broadcast).
+    * Returns (matches identical to q140's, last micro-batch physical
+    * plan) for StreamIngestDedupSpec to lock. */
+  private[graft] def q140BucketedDemo(
+      s: SparkSession, dir: String): (DataFrame, String) = {
+    import s.implicits._
+    val split = DedupQueries.IngestSplit
+    val nBands = DedupQueries.BANDS
+    def bandStructs(
+        c: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"), c(s"band$b").as("band_key"))): _*))
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpusSigs = DedupQueries.signaturesOf(
+          split.withIx(graft.Tables.documents(s, dir))
+            .filter($"ix" >= split.NewMax))
+        .select(($"doc_id".as("corpus_id") +: $"sh".as("sh_b") +:
+          (0 until nBands).map(b => col(s"band$b"))): _*)
+      corpusSigs
+        .select($"corpus_id", bandStructs(col).as("band"))
+        .select($"corpus_id", $"band.band_idx", $"band.band_key")
+        .write.mode("overwrite")
+        .bucketBy(8, "band_idx", "band_key").sortBy("band_idx", "band_key")
+        .saveAsTable("graft_q140_bandidx")
+      corpusSigs.select($"corpus_id", $"sh_b")
+        .write.mode("overwrite")
+        .bucketBy(8, "corpus_id").sortBy("corpus_id")
+        .saveAsTable("graft_q140_shidx")
+      var plan = ""
+      val matches = graft.Scratch.withScratchDir("graft_q140b") { scratch =>
+        val newBands = DedupQueries.signaturesOf(
+            split.withIx(multiFileStream(s, dir, "documents"))
+              .filter($"ix" < split.NewMax))
+          .select($"doc_id", $"sh", bandStructs(col).as("band"))
+          .select($"doc_id", $"sh", $"band.band_idx", $"band.band_key")
+        val scored = newBands
+          .join(s.table("graft_q140_bandidx"), Seq("band_idx", "band_key"))
+          .join(s.table("graft_q140_shidx"), "corpus_id")
+          .withColumn("inter",
+            size(array_intersect($"sh", $"sh_b")).cast("double"))
+          .withColumn("jaccard", round(
+            $"inter" / (size($"sh") + size($"sh_b") - $"inter"), 6))
+          .filter($"jaccard" >= 0.7)
+          .select($"doc_id", $"corpus_id", $"jaccard")
+        val out = scratch + "/sink"
+        withStatePartitions(s) {
+          val q = scored.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", scratch + "/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // q.explain prints the LAST micro-batch's physical plan
+          val baos = new java.io.ByteArrayOutputStream
+          Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+            q.explain()
+          }
+          plan = baos.toString("UTF-8")
+        }
+        s.read.parquet(out).distinct().orderBy($"doc_id", $"corpus_id")
+      }
+      (matches, plan)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      s.sql("DROP TABLE IF EXISTS graft_q140_bandidx")
+      s.sql("DROP TABLE IF EXISTS graft_q140_shidx")
+    }
+  }
+
   private lazy val q140Sql =
     s"""WITH ${DedupQueries.sigSqlCte},
       |bands AS (

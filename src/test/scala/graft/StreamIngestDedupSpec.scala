@@ -66,4 +66,33 @@ class StreamIngestDedupSpec extends SparkSpec {
     assert(stream.nonEmpty, "no cross-split near-dup pairs at sf0.001")
     assert(stream == batch, s"stream $stream vs batch $batch")
   }
+
+  test("bucketed band index: static sides join SHUFFLE-FREE, same matches") {
+    // the q140 comment's 100 TB claim as a locked plan shape: both
+    // static lookups persisted bucketed on their join keys, broadcast
+    // disabled, and the last micro-batch's physical plan must show
+    // (a) two bucketed scans actually selected as bucketed reads, and
+    // (b) exchanges ONLY on the stream side — with unbucketed static
+    // sides this plan carries 4 hash exchanges (each join shuffles
+    // both sides), with bucketing exactly the 2 stream-side ones.
+    val (matches, planFull) =
+      graft.queries.StreamingQueries.q140BucketedDemo(spark, sf)
+    // AQE explain repeats the tree as Final + Initial plan — assert on
+    // the executed (final) section only
+    val plan = planFull.split("== Initial Plan ==").head
+    val bucketedScans =
+      "Bucketed: true".r.findAllIn(plan).length
+    assert(bucketedScans == 2, s"expected 2 bucketed scans:\n$plan")
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected only the 2 stream-side exchanges, got $exchanges:\n$plan")
+    // and the co-located shape computes the identical answer
+    val got = matches.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Registry.byName("q140_stream_ingest_dedup").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"bucketed matches $got vs q140 $want")
+  }
 }
