@@ -469,7 +469,182 @@ object TimeSeriesQueries {
       |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
       |FROM agg ORDER BY type_a, type_b, lag""".stripMargin
 
+  /** q161: HOLT-WINTERS ONE-STEP FORECAST under the full oracle — the
+    * actual MODEL the q158 beat-naive gate exists to judge. Additive
+    * triple exponential smoothing (level + trend + period-7 seasonal;
+    * Holt 1957 / Winters 1960, the Hyndman fpp2 ch. 7.3 recurrences)
+    * over each type's daily series, backtested one-step-ahead on the
+    * same test segment as q158 (entries past day 21), reporting HW MAE
+    * next to the naive / seasonal-naive MAEs and both skill ratios.
+    *
+    * Spelling: the recurrence is a row-local `aggregate` fold over the
+    * assembled daily array (the q82 emaScan discipline) carrying a
+    * 10-slot state vector [l, b, s1..s7, errSum]; the oracle replays
+    * the IDENTICAL fold with DuckDB `list_reduce`, seeded by making
+    * the init state the first folded element (list_reduce has no init
+    * parameter). Inside an ORDERED row-local fold the operation
+    * sequence is pinned, so plain IEEE doubles are cross-engine
+    * bit-deterministic (q82's precedent) — the inputs are the exact
+    * int64 micro-unit daily means (q158's discipline), every
+    * arithmetic step is spelled with identical shape/parenthesization
+    * on both sides, and outputs go through the explicit
+    * floor(x·10⁴+0.5)/10⁴ rounding both engines agree on.
+    * Init (textbook): l₀ = mean(week 2), b₀ = (mean(w2) − mean(w1))/7,
+    * sⱼ = ((vⱼ − m1) + (vⱼ₊₇ − m2))/2; α = 0.25, β = 0.125, γ = 0.25
+    * (dyadic, exactly representable). Seasonal slot = (i−1) mod 7 —
+    * position-based, so the fold is well-defined even on a gapped
+    * spine (a production deployment gap-fills first; q87 is the
+    * engine's gap-fill op).
+    *
+    * Scale: one partial-aggregable daily rollup (the only data
+    * touch), then #types rows fold row-locally — O(days) per type,
+    * zero shuffle after the rollup, the identical plan at 100 TB. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val TrainN = 21
+    val daily = events(s, dir)
+      .select($"event_type", $"ts",
+        round($"value" * 1e6, 0).cast("long").as("x6"))
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(round(sum($"x6") / count(lit(1)), 0).cast("long").as("v6"))
+    val ser = daily.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"d", $"v6"))).as("dv"))
+      .select($"event_type",
+        transform($"dv", x => x("v6").cast("double")).as("v"),
+        transform($"dv", x => x("v6")).as("v6arr"),
+        size($"dv").as("n_days"))
+      .filter($"n_days" >= 29)
+    def el(i: Int) = element_at($"v", i)
+    // left-assoc chains mirror the oracle's (v[1]+v[2]+...+v[7])/7.0
+    val m1 = (el(1) + el(2) + el(3) + el(4) + el(5) + el(6) + el(7)) / lit(7.0)
+    val m2 = (el(8) + el(9) + el(10) + el(11) + el(12) + el(13) + el(14)) / lit(7.0)
+    val ini = ser
+      .withColumn("m1", m1).withColumn("m2", m2)
+      .withColumn("st0", concat(
+        array($"m2", ($"m2" - $"m1") / lit(7.0)),
+        transform(sequence(lit(1), lit(7)), j =>
+          ((element_at($"v", j) - $"m1") +
+            (element_at($"v", j + lit(7)) - $"m2")) / lit(2.0)),
+        array(lit(0.0))))
+    // the fold: state [l, b, s1..s7, errSum]; at each i the forecast
+    // (l+b)+s_slot uses the INCOMING state, then l/b/s_slot update
+    val fin = aggregate(sequence(lit(15), $"n_days"), $"st0",
+      (acc, i) => {
+        val slot = ((i - lit(1)) % lit(7)) + lit(1)
+        val y = element_at($"v", i)
+        val l = element_at(acc, lit(1))
+        val b = element_at(acc, lit(2))
+        val so = element_at(acc, slot + lit(2))
+        val yhat = (l + b) + so
+        val err = when(i > lit(TrainN), abs(y - yhat)).otherwise(lit(0.0))
+        val lNew = lit(0.25) * (y - so) + lit(0.75) * (l + b)
+        val bNew = lit(0.125) * (lNew - l) + lit(0.875) * b
+        val sNew = lit(0.25) * (y - lNew) + lit(0.75) * so
+        concat(array(lNew, bNew),
+          transform(sequence(lit(1), lit(7)), j =>
+            when(j === slot, sNew)
+              .otherwise(element_at(acc, j + lit(2)))),
+          array(element_at(acc, lit(10)) + err))
+      })
+    def lagSum(k: Int) =
+      aggregate(sequence(lit(TrainN + 1), $"n_days"), lit(0L),
+        (a, i) => a + abs(element_at($"v6arr", i) -
+          element_at($"v6arr", i - lit(k))))
+    ini
+      .withColumn("fin", fin)
+      .withColumn("en6", lagSum(1))
+      .withColumn("es6", lagSum(7))
+      .withColumn("n_test", ($"n_days" - lit(TrainN)).cast("long"))
+      .select($"event_type", $"n_test",
+        (floor(element_at($"fin", lit(10)) / ($"n_days" - lit(TrainN)) +
+          lit(0.5)) / lit(1e6)).as("hw_mae"),
+        ($"en6" / ($"n_test" * lit(1e6))).as("naive_mae"),
+        ($"es6" / ($"n_test" * lit(1e6))).as("snaive_mae"),
+        when($"en6" === 0, lit(null).cast("double"))
+          .otherwise(floor(element_at($"fin", lit(10)) /
+            $"en6".cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("skill_vs_naive"),
+        when($"es6" === 0, lit(null).cast("double"))
+          .otherwise(floor(element_at($"fin", lit(10)) /
+            $"es6".cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("skill_vs_snaive"),
+        (floor(element_at($"fin", lit(1)) / lit(100.0) + lit(0.5)) /
+          lit(1e4)).as("level_end"),
+        (floor(element_at($"fin", lit(2)) / lit(100.0) + lit(0.5)) /
+          lit(1e4)).as("trend_end"))
+      .orderBy($"event_type")
+  }
+
+  private val q161Sql =
+    """WITH daily AS (
+      | SELECT event_type, date_trunc('day', ts) AS d,
+      |  CAST(round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+      |       / count(*), 0) AS BIGINT) AS v6
+      | FROM events GROUP BY event_type, d),
+      |ser AS (
+      | SELECT event_type,
+      |  list(CAST(v6 AS DOUBLE) ORDER BY d) AS v,
+      |  list(v6 ORDER BY d) AS v6arr,
+      |  count(*) AS n_days
+      | FROM daily GROUP BY event_type HAVING count(*) >= 29),
+      |ini AS (
+      | SELECT *,
+      |  (v[1]+v[2]+v[3]+v[4]+v[5]+v[6]+v[7]) / 7.0 AS m1,
+      |  (v[8]+v[9]+v[10]+v[11]+v[12]+v[13]+v[14]) / 7.0 AS m2
+      | FROM ser),
+      |st AS (
+      | SELECT *,
+      |  list_concat(list_concat([m2, (m2 - m1) / 7.0],
+      |    list_transform(generate_series(1, 7), j ->
+      |      ((v[j] - m1) + (v[j + 7] - m2)) / 2.0)),
+      |    [CAST(0 AS DOUBLE)]) AS st0
+      | FROM ini),
+      |hw AS (
+      | SELECT *,
+      |  list_reduce(
+      |   list_concat([st0],
+      |    list_transform(generate_series(15, CAST(n_days AS INT)), i ->
+      |     [CAST(i AS DOUBLE), v[i], CAST(((i - 1) % 7) + 1 AS DOUBLE)])),
+      |   (acc, x) -> list_concat(list_concat(
+      |    [0.25 * (x[2] - acc[CAST(x[3] AS INT) + 2])
+      |       + 0.75 * (acc[1] + acc[2]),
+      |     0.125 * ((0.25 * (x[2] - acc[CAST(x[3] AS INT) + 2])
+      |         + 0.75 * (acc[1] + acc[2])) - acc[1]) + 0.875 * acc[2]],
+      |    list_transform(generate_series(1, 7), j ->
+      |     CASE WHEN j = CAST(x[3] AS INT)
+      |      THEN 0.25 * (x[2] - (0.25 * (x[2] - acc[CAST(x[3] AS INT) + 2])
+      |             + 0.75 * (acc[1] + acc[2])))
+      |           + 0.75 * acc[CAST(x[3] AS INT) + 2]
+      |      ELSE acc[j + 2] END)),
+      |    [acc[10] + CASE WHEN x[1] > 21
+      |      THEN abs(x[2] - ((acc[1] + acc[2])
+      |                       + acc[CAST(x[3] AS INT) + 2]))
+      |      ELSE 0.0 END])) AS fin,
+      |  CAST(list_sum(list_transform(
+      |    generate_series(22, CAST(n_days AS INT)), i ->
+      |     abs(v6arr[i] - v6arr[i - 1]))) AS BIGINT) AS en6,
+      |  CAST(list_sum(list_transform(
+      |    generate_series(22, CAST(n_days AS INT)), i ->
+      |     abs(v6arr[i] - v6arr[i - 7]))) AS BIGINT) AS es6
+      | FROM st)
+      |SELECT event_type,
+      | CAST(n_days - 21 AS BIGINT) AS n_test,
+      | floor(fin[10] / (n_days - 21) + 0.5) / 1000000.0 AS hw_mae,
+      | en6 / ((n_days - 21) * 1000000.0) AS naive_mae,
+      | es6 / ((n_days - 21) * 1000000.0) AS snaive_mae,
+      | CASE WHEN en6 = 0 THEN NULL
+      |  ELSE floor(fin[10] / CAST(en6 AS DOUBLE) * 10000 + 0.5) / 10000.0
+      |  END AS skill_vs_naive,
+      | CASE WHEN es6 = 0 THEN NULL
+      |  ELSE floor(fin[10] / CAST(es6 AS DOUBLE) * 10000 + 0.5) / 10000.0
+      |  END AS skill_vs_snaive,
+      | floor(fin[1] / 100.0 + 0.5) / 10000.0 AS level_end,
+      | floor(fin[2] / 100.0 + 0.5) / 10000.0 AS trend_end
+      |FROM hw ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q161_holt_winters", q161, Some(q161Sql),
+      "Holt-Winters additive one-step forecast backtest vs the naive pair"),
     Q("q158_forecast_backtest", q158, Some(q158Sql),
       "naive vs seasonal-naive rolling backtest: per-type MAE + skill ratio"),
     Q("q159_crosscorr", q159, Some(q159Sql),

@@ -134,6 +134,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("q161 Holt-Winters beats naive on a planted trend+seasonal series") {
+    // value = 100 + 0.5·d + 10·(d % 7): exactly the HW model class
+    // (linear trend + additive period-7 seasonal). The textbook init
+    // recovers b₀ = (m2 − m1)/7 = 0.5 EXACTLY and near-exact seasonal
+    // indices, so one-step errors stay small; naive MAE on the test
+    // days is ≈ (6·10.5 + 59.5)/7 ≈ 17.5 — HW must win decisively.
+    val rows = for (d <- 0 until 30) yield
+      (d.toLong, d * 24, 1L, "a", 100.0 + 0.5 * d + 10.0 * (d % 7))
+    val dir = plant("graft_ts_q161", rows)
+    val r = Registry.byName("q161_holt_winters").run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val hw = row.getAs[Double]("hw_mae")
+    val nv = row.getAs[Double]("naive_mae")
+    assert(row.getAs[Long]("n_test") == 9L, row.toString)
+    assert(hw < nv / 4, s"hw_mae=$hw naive_mae=$nv — HW should dominate")
+    assert(row.getAs[Double]("skill_vs_naive") < 0.25, row.toString)
+    // the recovered trend must be near the planted slope (0.5 + the
+    // 10/7 drift the sawtooth's weekly mean contributes ≈ unbiased
+    // within the smoothing tolerance)
+    val b = row.getAs[Double]("trend_end")
+    assert(b > 0.0 && b < 2.0, s"trend_end=$b")
+  }
+
   test("q156 locates the planted step change at its exact position") {
     // 50 values of 10 then 50 of 20: mean 15, |CUSUM| peaks at t=50
     // with value 50·|10−15| = 250
