@@ -191,6 +191,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
       GraftFunctions.vecSumBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_mlp_grad"),
+      new ExpressionInfo(classOf[MlpGradExpr].getName, "graft_mlp_grad"),
+      GraftFunctions.mlpGradBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_mlp_logit"),
+      new ExpressionInfo(classOf[MlpLogitExpr].getName, "graft_mlp_logit"),
+      GraftFunctions.mlpLogitBuilder))
     e.injectOptimizerRule(_ => DotRewrite)
   }
 }
@@ -224,6 +232,8 @@ object GraftFunctions {
   private val kllQuantilesId = FunctionIdentifier("graft_kll_quantiles")
   private val kllQuantilesContId = FunctionIdentifier("graft_kll_quantiles_cont")
   private val vecSumId = FunctionIdentifier("graft_vec_sum")
+  private val mlpGradId = FunctionIdentifier("graft_mlp_grad")
+  private val mlpLogitId = FunctionIdentifier("graft_mlp_logit")
 
   // shared builders (runtime registry + GraftExtensions) with arity
   // checks — a one-arg graft_bottomk call must fail analysis with a
@@ -327,6 +337,12 @@ object GraftFunctions {
   private[expr] val vecSumBuilder: Seq[Expression] => Expression = { ch =>
     arity("graft_vec_sum", 1, ch)
     VecSumAgg(ch(0)).toAggregateExpression()
+  }
+  private[expr] val mlpGradBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_mlp_grad", 4, ch); MlpGradExpr(ch)
+  }
+  private[expr] val mlpLogitBuilder: Seq[Expression] => Expression = { ch =>
+    arity("graft_mlp_logit", 3, ch); MlpLogitExpr(ch)
   }
 
   def register(spark: SparkSession): Unit = {
@@ -499,6 +515,18 @@ object GraftFunctions {
         vecSumId,
         new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
         vecSumBuilder)
+    }
+    if (!registry.functionExists(mlpGradId)) {
+      registry.registerFunction(
+        mlpGradId,
+        new ExpressionInfo(classOf[MlpGradExpr].getName, "graft_mlp_grad"),
+        mlpGradBuilder)
+    }
+    if (!registry.functionExists(mlpLogitId)) {
+      registry.registerFunction(
+        mlpLogitId,
+        new ExpressionInfo(classOf[MlpLogitExpr].getName, "graft_mlp_logit"),
+        mlpLogitBuilder)
     }
     // library-embedding path for the optimizer rule (the extensions
     // path injects it at session build); extraOptimizations runs as
@@ -683,6 +711,22 @@ object GraftFunctions {
   def vecSum(spark: SparkSession, v: Column): Column = {
     register(spark)
     call_function("graft_vec_sum", v)
+  }
+
+  /** per-row BCE gradient of the two-hidden-layer ReLU MLP head
+    * (MlpGradExpr; bit-equal to the q160 HOF backprop chain). */
+  def mlpGrad(spark: SparkSession, xz: Column, w: Column, y: Column,
+      h: Int): Column = {
+    register(spark)
+    call_function("graft_mlp_grad", xz, w, y,
+      org.apache.spark.sql.functions.lit(h))
+  }
+
+  /** forward-only logit of the same MLP head (MlpLogitExpr). */
+  def mlpLogit(spark: SparkSession, xz: Column, w: Column, h: Int): Column = {
+    register(spark)
+    call_function("graft_mlp_logit", xz, w,
+      org.apache.spark.sql.functions.lit(h))
   }
 
   /** native CPC encoder (CpcExprs; bit-equal to the HOF chain). */

@@ -652,28 +652,16 @@ object TrajectoryQueries {
   /** forward pass to the logit: adds z1, a1, z2, a2, u to a frame with
     * xz (z-scored features) and w (flat parameters). Every sum is an
     * in-order left fold (graft_dot ≡ the oracle's list_sum) so both
-    * engines compute identical doubles. */
-  private def mlpForward(s: SparkSession, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Column
-    def dot(a: Column, b: Column) = graft.expr.GraftFunctions.dot(s, a, b)
-    df
-      .withColumn("z1", transform(sequence(lit(1), lit(MlpH)), j =>
-        dot(slice(col("w"), (j - 1) * lit(MlpD) + 1, lit(MlpD)), col("xz")) +
-          element_at(col("w"), lit(MlpD * MlpH) + j)))
-      .withColumn("a1", transform(col("z1"), z => greatest(z, lit(0.0))))
-      .withColumn("z2", transform(sequence(lit(1), lit(MlpH)), j =>
-        dot(slice(col("w"), (j - 1) * lit(MlpH) + lit(MlpW2Off + 1),
-          lit(MlpH)), col("a1")) + element_at(col("w"), lit(MlpB2Off) + j)))
-      .withColumn("a2", transform(col("z2"), z => greatest(z, lit(0.0))))
-      .withColumn("u",
-        dot(slice(col("w"), MlpW3Off + 1, MlpH), col("a2")) +
-          element_at(col("w"), lit(MlpP)))
-  }
+    * engines compute identical doubles. The production plan runs the
+    * NATIVE kernels (graft_mlp_grad / graft_mlp_logit, MlpGradExpr):
+    * the interpreted HOF chain measured ~37 s of the sf3 wall-clock
+    * for the 81k-row scoring pass alone, and MlpGradSpec pins the
+    * kernels bit-equal to the HOF spelling it retains as the
+    * specification twin — so the oracle hash is unchanged by
+    * construction (the q75/q97 discipline). */
 
   private def q160(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.Column
-    def dot(a: Column, b: Column) = graft.expr.GraftFunctions.dot(s, a, b)
     val u = gridData(s, dir)
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .localCheckpoint(true)
@@ -693,42 +681,37 @@ object TrajectoryQueries {
           (v, ms) => when(ms("sd") > 1e-9, (v - ms("mu")) / ms("sd"))
             .otherwise(v)))
         .select($"n_Epochs", $"Model", $"user_id", $"y", $"xz")
-    val train = zscore(rawTrain)
+    // z-scored features are re-read 16 times (one scan per GD step):
+    // materialize them ONCE instead of re-running the zscore join +
+    // zip_with under every epoch's aggregation
+    val train = zscore(rawTrain).localCheckpoint(true)
     val test = zscore(u.filter($"user_id" % 5 === 0))
     val w0: DataFrame = Seq("T_CPC", "TS_CPC", "S_CPC")
       .flatMap(m => (0 to Epochs by 2).map(e => (e, m)))
       .toDF("n_Epochs", "Model")
       .withColumn("w", array(mlpInit.map(lit): _*))
     val wN = IterativeState.epochs(w0, MlpIter) { (w, _) =>
-      val fwd = mlpForward(s, train.join(broadcast(w), Seq("n_Epochs", "Model")))
-        .withColumn("err",
-          lit(1.0) / (lit(1.0) + exp(-$"u")) - $"y")
-        // backprop: d2 = err·w3⊙1[z2>0]; d1 = (W2ᵀd2)⊙1[z1>0]
-        .withColumn("d2", transform(sequence(lit(1), lit(MlpH)), j =>
-          $"err" * element_at($"w", lit(MlpW3Off) + j) *
-            when(element_at($"z2", j) > 0, lit(1.0)).otherwise(lit(0.0))))
-        .withColumn("d1", transform(sequence(lit(1), lit(MlpH)), j =>
-          dot(transform(sequence(lit(1), lit(MlpH)), k =>
-            element_at($"w", (k - 1) * lit(MlpH) + j + lit(MlpW2Off))),
-            $"d2") *
-            when(element_at($"z1", j) > 0, lit(1.0)).otherwise(lit(0.0))))
-        // the flat 417-dim per-row gradient, segment order = layout
-        .withColumn("g", concat(
-          flatten(transform($"d1", dj => transform($"xz", xi => dj * xi))),
-          $"d1",
-          flatten(transform($"d2", dj => transform($"a1", ai => dj * ai))),
-          $"d2",
-          transform($"a2", ai => $"err" * ai),
-          array($"err")))
-      fwd.groupBy($"n_Epochs", $"Model", $"w")
+      // per-row gradient via the native kernel (MlpGradSpec pins it
+      // bit-equal to the HOF backprop twin below, so the oracle hash
+      // is unchanged by construction — the q75/q97 discipline)
+      val fwd = train.join(broadcast(w), Seq("n_Epochs", "Model"))
+        .withColumn("g", graft.expr.GraftFunctions.mlpGrad(
+          s, $"xz", $"w", $"y".cast("double"), MlpH))
+      // aggregate on the CELL KEYS only — w is functionally dependent
+      // on them, and grouping by the 417-double array would hash and
+      // carry a 3.3 KB key per input row through the partial agg; the
+      // 9-row state re-attaches after the reduce instead
+      val gsum = fwd.groupBy($"n_Epochs", $"Model")
         .agg(graft.expr.GraftFunctions.vecSum(s, $"g").as("gs"),
           count(lit(1)).as("nr"))
+      w.join(gsum, Seq("n_Epochs", "Model"))
         .select($"n_Epochs", $"Model",
           zip_with($"w", $"gs",
             (wk, gk) => round(wk - lit(MlpLr) * (gk / $"nr"), 6)).as("w"))
     }
-    val scored = mlpForward(s,
-        test.join(broadcast(wN), Seq("n_Epochs", "Model")))
+    val scored = test.join(broadcast(wN), Seq("n_Epochs", "Model"))
+      .withColumn("u", graft.expr.GraftFunctions.mlpLogit(
+        s, $"xz", $"w", MlpH))
       .select($"n_Epochs", $"Model", lit("GD_MLP").as("Classification"),
         round($"u", 6).as("score"), $"y")
     Metrics.rocAuc(scored, $"score", $"y",
