@@ -842,7 +842,356 @@ object SimilarityQueries {
        |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
        |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q162/q163: the RETRIEVAL RANKING layer — lexical BM25 scoring and
+  // reciprocal-rank-fusion hybrid search, the two operators a modern
+  // corpus-curation / RAG pipeline runs on top of the inverted index
+  // (q115's tf/df tables) and the ANN family (q50/q114): rank by
+  // text, rank by embedding, fuse. documents.doc_id ≡
+  // embeddings.vec_id in the testdata, so the two modalities rank the
+  // SAME items.
+  //
+  // Determinism disciplines: per-(query, candidate) BM25 is a SUM of
+  // per-term float contributions whose accumulation order a
+  // distributed engine cannot pin — each contribution is floor(x·10⁶
+  // + 0.5)-quantized to int64 micro-units FIRST, so the sum is exact
+  // order-independent integer arithmetic (the q153 lesson applied to
+  // floats that ARE identical per-row on both engines); all rank
+  // tie-breaks are (score desc, id).
+  //
+  // Scale: the tf/df join is keyed on term (vocabulary never
+  // broadcast, q115's rationale); the probe side is Q·T terms (tiny,
+  // broadcast); candidates = docs sharing ≥1 probe term — the
+  // inverted-index walk, never a corpus cross join. The vector branch
+  // is the q50 brute pass over the bounded query sample; at 100 TB it
+  // swaps for the q114/q118 ANN shortlist feeding the SAME fusion
+  // (rank-only coupling is the point of RRF — Cormack/Clarke/Büttcher
+  // 2009: no score calibration across modalities).
+  private val RetrQK = 8   // md5-ranked query docs (the q50 discipline)
+  private val QTerms = 5   // distinctive probe terms per query (tf·idf)
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val RrfK = 60    // the Cormack et al. fusion constant
+
+  /** sampled from EMBEDDINGS (vec_id ⊆ doc_id in the testdata), so
+    * every query carries both modalities — a documents-side sample
+    * silently dropped vector-less queries from the q163 fusion. */
+  private def retrQuerySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir).select($"vec_id")
+      .withColumn("h", md5(concat(lit("q162:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(RetrQK)
+      .select($"vec_id".as("q_id"))
+  }
+
+  private val retrSampleSql =
+    s"""(SELECT vec_id FROM embeddings
+       | ORDER BY md5('q162:' || CAST(vec_id AS VARCHAR)), vec_id
+       | LIMIT $RetrQK)""".stripMargin
+
+  /** (q_id, cand_id, bm6): Okapi BM25 (k1 = 1.2, b = 0.75, the
+    * Robertson/Sparck Jones idf with Lucene's +1 floor) of every
+    * candidate sharing ≥1 probe term with the query, micro-unit
+    * integer scores, self excluded. Probe terms = the query doc's
+    * QTerms highest-tf·idf terms. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = documents(s, dir).agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum($"dl").as("toktot")))
+    val qs = retrQuerySample(s, dir)
+    val qt = tf.join(broadcast(qs), tf("doc_id") === qs("q_id"))
+      .join(df, "term").crossJoin(broadcast(stats))
+      .withColumn("w", $"tf" * log($"n".cast("double") / $"df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"w".desc, $"term")))
+      .filter($"rn" <= QTerms)
+      .select($"q_id", $"term")
+    broadcast(qt)
+      .join(tf.withColumnRenamed("doc_id", "cand_id"), "term")
+      .filter($"cand_id" =!= $"q_id")
+      .join(df, "term")
+      .join(dl.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * lit(Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * ($"dl" * $"n").cast("double") / $"toktot")))
+      .withColumn("c6", floor($"contrib" * 1e6 + 0.5).cast("long"))
+      .groupBy($"q_id", $"cand_id").agg(sum($"c6").as("bm6"))
+  }
+
+  /** shared oracle CTE chain mirroring bm25Scores (ends in bm(q_id,
+    * cand_id, bm6)). */
+  private lazy val bm25SqlCte: String =
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |      FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM t GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT sum(dl) FROM dl) AS toktot),
+       |qt AS (
+       | SELECT q_id, term FROM (
+       |  SELECT tf.doc_id AS q_id, tf.term,
+       |   row_number() OVER (PARTITION BY tf.doc_id
+       |    ORDER BY tf.tf * ln(CAST(st.n AS DOUBLE) / df.df) DESC,
+       |             tf.term) AS rn
+       |  FROM tf JOIN df USING (term) CROSS JOIN st
+       |  WHERE tf.doc_id IN $retrSampleSql)
+       | WHERE rn <= $QTerms),
+       |bm AS (
+       | SELECT q_id, cand_id, sum(c6) AS bm6 FROM (
+       |  SELECT qt.q_id, tf.doc_id AS cand_id,
+       |   CAST(floor(
+       |    ln(1.0 + (CAST(st.n - df.df AS DOUBLE) + 0.5)
+       |            / (CAST(df.df AS DOUBLE) + 0.5)) *
+       |     (tf.tf * CAST(2.2 AS DOUBLE)) /
+       |     (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |       CAST(0.75 AS DOUBLE) * CAST(dl.dl * st.n AS DOUBLE)
+       |         / st.toktot))
+       |    * 1000000 + 0.5) AS BIGINT) AS c6
+       |  FROM qt JOIN tf USING (term)
+       |   JOIN df USING (term)
+       |   JOIN dl ON dl.doc_id = tf.doc_id
+       |   CROSS JOIN st
+       |  WHERE tf.doc_id <> qt.q_id)
+       | GROUP BY q_id, cand_id)""".stripMargin
+
+  /** q162: BM25 TOP-K SEARCH — the inverted-index lexical ranker. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Scores(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .filter($"rn" <= 3)
+      .select($"q_id", $"rn", $"cand_id".as("doc_id"),
+        ($"bm6" / lit(1e6)).as("bm25"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q162Sql =
+    s"""WITH $bm25SqlCte
+       |SELECT q_id, rn, cand_id AS doc_id, bm6 / 1000000.0 AS bm25
+       |FROM (SELECT q_id, cand_id, bm6,
+       |       row_number() OVER (PARTITION BY q_id
+       |        ORDER BY bm6 DESC, cand_id) AS rn
+       |      FROM bm)
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  /** q163: HYBRID SEARCH via reciprocal-rank fusion — the BM25 rank
+    * list and the embedding-cosine rank list (same item universe:
+    * doc_id ≡ vec_id) fused by Σ 1/(60 + rank). The vector branch
+    * ranks every non-self item, so a LEFT join from it loses no
+    * candidate; items outside the lexical candidate set contribute
+    * only their vector term (NULL lexical rank passes through to the
+    * output — honest provenance of why an item ranked). */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rt = bm25Scores(s, dir)
+      .withColumn("rt", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .select($"q_id", $"cand_id", $"rt")
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
+    val qs = retrQuerySample(s, dir)
+    val qv = e.join(broadcast(qs), e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"), $"vn".as("qn"))
+    val rv = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") /
+          ($"qn" * $"vn"), 5))
+      .withColumn("rv", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")))
+      .select($"q_id", $"vec_id", $"rv")
+    rv.join(rt, rv("q_id") === rt("q_id") && rv("vec_id") === rt("cand_id"),
+        "left")
+      .select(rv("q_id"), $"vec_id", $"rv", $"rt")
+      .withColumn("rrf",
+        lit(1.0) / (lit(RrfK) + $"rv") +
+          coalesce(lit(1.0) / (lit(RrfK) + $"rt"), lit(0.0)))
+      .withColumn("r6", floor($"rrf" * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"r6".desc, $"vec_id")))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"vec_id".as("doc_id"),
+        ($"r6" / lit(1e6)).as("rrf"), $"rv".as("vec_rank"),
+        $"rt".as("text_rank"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q163Sql =
+    s"""WITH $bm25SqlCte,
+       |rt AS (SELECT q_id, cand_id,
+       |        row_number() OVER (PARTITION BY q_id
+       |         ORDER BY bm6 DESC, cand_id) AS rt
+       |       FROM bm),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |       WHERE vec_id IN $retrSampleSql),
+       |rv AS (SELECT q_id, vec_id,
+       |        row_number() OVER (PARTITION BY q_id
+       |         ORDER BY round(list_cosine_similarity(qv, v), 5) DESC,
+       |                  vec_id) AS rv
+       |       FROM qv JOIN e ON vec_id <> q_id),
+       |fused AS (
+       | SELECT rv.q_id, rv.vec_id, rv.rv, rt.rt,
+       |  CAST(floor((1.0 / ($RrfK + rv.rv) +
+       |    COALESCE(1.0 / ($RrfK + rt.rt), 0.0)) * 1000000 + 0.5)
+       |   AS BIGINT) AS r6
+       | FROM rv LEFT JOIN rt
+       |  ON rv.q_id = rt.q_id AND rv.vec_id = rt.cand_id)
+       |SELECT q_id, rn, vec_id AS doc_id, r6 / 1000000.0 AS rrf,
+       | rv AS vec_rank, rt AS text_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |       ORDER BY r6 DESC, vec_id) AS rn FROM fused)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q165: MMR DIVERSIFIED RETRIEVAL (Carbonell & Goldstein 1998) —
+  // the de-duplicating re-ranker a training-data sampler or RAG
+  // context builder runs over an ANN shortlist: greedily pick the
+  // item maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so the
+  // result set trades relevance against redundancy instead of
+  // returning five near-copies. The greedy loop is FIVE unrolled
+  // declarative steps (the q160Sql discipline): state = the selected
+  // set, each step one bounded join + argmax — no collect, no UDF.
+  // All candidate-candidate similarity lives in a per-query
+  // CAND×CAND table (bounded: Q·C² rows), computed ONCE — at 100 TB
+  // the shortlist C comes from q114/q118 and the MMR cost is
+  // unchanged (it never touches the corpus).
+  private val MmrC = 20      // ANN shortlist per query
+  private val MmrK = 5       // diversified picks
+  private val MmrLam = 0.7   // relevance/diversity trade-off
+
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
+    val qs = retrQuerySample(s, dir)
+    val qv = e.join(broadcast(qs), e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"), $"vn".as("qn"))
+    // shortlist: top-C by rounded cosine (the q50 ranking contract)
+    val cand = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("simq",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") /
+          ($"qn" * $"vn"), 5))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"simq".desc, $"vec_id")))
+      .filter($"rn" <= MmrC)
+      .select($"q_id", $"vec_id", $"simq", $"v", $"vn")
+      .localCheckpoint(true)
+    // candidate-candidate similarity, once (Q·C² bounded rows)
+    val cc = cand.select($"q_id", $"vec_id".as("a_id"),
+        $"v".as("av"), $"vn".as("an"))
+      .join(cand.select($"q_id", $"vec_id".as("b_id"),
+        $"v".as("bv"), $"vn".as("bn")), Seq("q_id"))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("simc",
+        round(graft.expr.GraftFunctions.dot(s, $"av", $"bv") /
+          ($"an" * $"bn"), 5))
+      .select($"q_id", $"a_id", $"b_id", $"simc")
+      .localCheckpoint(true)
+    val slim = cand.select($"q_id", $"vec_id", $"simq")
+    // step 1: pure relevance argmax; steps 2..K: penalized argmax
+    val first = slim
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"simq".desc, $"vec_id")))
+      .filter($"rn" === 1)
+      .select($"q_id", $"vec_id".as("sel_id"), lit(1).as("step"),
+        $"simq".as("mmr"))
+    (2 to MmrK).foldLeft(first) { (sel, k) =>
+      val ccr = cc.select($"q_id".as("cq"), $"a_id", $"b_id", $"simc")
+      val pen = slim
+        .join(sel.select($"q_id", $"sel_id"), Seq("q_id"))
+        .filter($"vec_id" =!= $"sel_id")
+        .join(ccr, $"q_id" === $"cq" && $"vec_id" === $"a_id" &&
+          $"sel_id" === $"b_id")
+        .groupBy($"q_id", $"vec_id", $"simq")
+        .agg(count(lit(1)).as("n_sel"), max($"simc").as("pen"))
+        .filter($"n_sel" === k - 1) // exclude already-selected items
+        .withColumn("mmr", lit(MmrLam) * $"simq" -
+          lit(1.0 - MmrLam) * $"pen")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"mmr".desc, $"vec_id")))
+        .filter($"rn" === 1)
+        .select($"q_id", $"vec_id".as("sel_id"), lit(k).as("step"),
+          $"mmr")
+      sel.unionByName(pen).localCheckpoint(true)
+    }
+      .select($"q_id", $"step", $"sel_id".as("doc_id"),
+        (floor($"mmr" * 1e6 + 0.5) / lit(1e6)).as("mmr"))
+      .orderBy($"q_id", $"step")
+  }
+
+  private lazy val q165Sql = {
+    val steps = (2 to MmrK).map { k =>
+      s"""s$k AS (
+         | SELECT q_id, vec_id, $k AS step, mmr FROM (
+         |  SELECT p.q_id, p.vec_id, p.mmr, row_number() OVER (
+         |    PARTITION BY p.q_id ORDER BY p.mmr DESC, p.vec_id) AS rn
+         |  FROM (
+         |   SELECT c.q_id, c.vec_id,
+         |    CAST($MmrLam AS DOUBLE) * c.simq
+         |     - CAST(${1.0 - MmrLam} AS DOUBLE) * max(cc.simc) AS mmr
+         |   FROM cand c
+         |    JOIN sel${k - 1} s ON s.q_id = c.q_id
+         |    JOIN cc ON cc.q_id = c.q_id AND cc.a_id = c.vec_id
+         |            AND cc.b_id = s.vec_id
+         |   WHERE c.vec_id <> s.vec_id
+         |   GROUP BY c.q_id, c.vec_id, c.simq
+         |   HAVING count(*) = ${k - 1}) p)
+         | WHERE rn = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
+         |          SELECT * FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |       WHERE vec_id IN $retrSampleSql),
+       |cand AS (
+       | SELECT q_id, vec_id, simq, v FROM (
+       |  SELECT q.q_id, e.vec_id, e.v,
+       |   round(list_cosine_similarity(q.qv, e.v), 5) AS simq,
+       |   row_number() OVER (PARTITION BY q.q_id
+       |    ORDER BY round(list_cosine_similarity(q.qv, e.v), 5) DESC,
+       |             e.vec_id) AS rn
+       |  FROM qv q JOIN e ON e.vec_id <> q.q_id)
+       | WHERE rn <= $MmrC),
+       |cc AS (
+       | SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(list_cosine_similarity(a.v, b.v), 5) AS simc
+       | FROM cand a JOIN cand b
+       |  ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (
+       | SELECT q_id, vec_id, 1 AS step, simq AS mmr FROM (
+       |  SELECT q_id, vec_id, simq, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY simq DESC, vec_id) AS rn
+       |  FROM cand)
+       | WHERE rn = 1),
+       |$steps
+       |SELECT q_id, CAST(step AS INT) AS step, vec_id AS doc_id,
+       | floor(mmr * 1000000 + 0.5) / 1000000.0 AS mmr
+       |FROM sel$MmrK ORDER BY q_id, step""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q165_mmr_diversify", q165, Some(q165Sql),
+      "MMR diversified re-ranking of the cosine shortlist (5 greedy declarative steps)"),
+    Q("q162_bm25_search", q162, Some(q162Sql),
+      "Okapi BM25 inverted-index top-k lexical search"),
+    Q("q163_rrf_hybrid", q163, Some(q163Sql),
+      "hybrid retrieval: BM25 + embedding-cosine ranks fused by RRF"),
     Q("q132_semantic_dedup", q132, Some(q132Sql),
       "SemDedup APPLY: bucket-blocked embedding dedup keep/drop rollup"),
     Q("q50_knn_brute", q50, Some(q50Sql), "brute-force cosine top-5 KNN"),
