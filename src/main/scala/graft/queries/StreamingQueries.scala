@@ -1088,7 +1088,91 @@ object StreamingQueries {
       |         - INTERVAL 2 DAY
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** q166: STREAMING CUSUM DRIFT ALARM — Page's one-sided CUSUM as
+    * online per-type state (Streaming.cusumPerKey): the per-type
+    * baseline mean is fit in BATCH over the FIRST SEVEN DAYS and
+    * frozen (q157's frozen-profile discipline), attached to live
+    * events by the broadcast stream-static join (q112's enrichment
+    * shape), and the drift statistic S_t = max(0, S_{t−1} + (x − μ0))
+    * accumulates as FIVE longs of state per key. What makes this
+    * gate-able: S_t has the closed form P_t − min(0, min_{j≤t} P_j)
+    * (prefix sum minus prefix min), so the batch oracle is two plain
+    * windows over the identical (ms, value, event_id) order, and the
+    * exact int64 micro-unit arithmetic makes stream-fold ≡
+    * batch-window bit-for-bit. Emits per type the event count, max
+    * CUSUM excursion, and the 1-based index of the first
+    * threshold crossing (0 = no alarm). h = 100 value-units of
+    * accumulated drift. */
+  private val DriftH6 = 100000000L
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q166") { scratch =>
+      val out = scratch + "/sink"
+      val base = graft.Tables.events(s, dir)
+        .select($"event_type", $"ts",
+          round($"value" * 1e6, 0).cast("long").as("x6"))
+      val d0 = base.agg(min(date_trunc("day", $"ts")).as("d0"))
+      val prof = base.crossJoin(broadcast(d0))
+        .filter($"ts" < $"d0" + expr("INTERVAL 7 DAY"))
+        .groupBy($"event_type")
+        .agg(round(sum($"x6") / count(lit(1)), 0).cast("long").as("mu6"))
+      val ev = eventsStream(s, dir)
+        .join(broadcast(prof), "event_type")
+        .select($"event_type", $"ts", $"value", $"event_id", $"mu6")
+        .as[Streaming.DriftEvent]
+      withStatePartitions(s) {
+        val q = Streaming.cusumPerKey(ev, DriftH6).toDF()
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            Streaming.appendBatchIdempotent(out)(batch, id)
+          }
+          .option("checkpointLocation", scratch + "/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sunk = s.read.parquet(out)
+      val w = Window.partitionBy($"event_type").orderBy($"n".desc)
+      sunk.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"event_type", $"n",
+          ($"cusum_max6" / lit(1e6)).as("cusum_max"), $"alarm_n")
+        .orderBy($"event_type")
+    }
+  }
+
+  private val q166Sql =
+    """WITH base AS (
+      | SELECT event_type, ts, value, event_id,
+      |  CAST(round(value * 1000000, 0) AS BIGINT) AS x6
+      | FROM events),
+      |d0 AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+      |prof AS (
+      | SELECT event_type,
+      |  CAST(round(sum(x6) / count(*), 0) AS BIGINT) AS mu6
+      | FROM base, d0 WHERE ts < d0 + INTERVAL 7 DAY
+      | GROUP BY event_type),
+      |c AS (
+      | SELECT b.event_type,
+      |  sum(b.x6 - p.mu6) OVER w AS pf,
+      |  row_number() OVER w AS rn
+      | FROM base b JOIN prof p USING (event_type)
+      | WINDOW w AS (PARTITION BY b.event_type
+      |              ORDER BY epoch_ms(b.ts), b.value, b.event_id)),
+      |sv AS (
+      | SELECT event_type, rn,
+      |  pf - least(0, min(pf) OVER (PARTITION BY event_type
+      |                              ORDER BY rn)) AS s
+      | FROM c)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(max(s) AS BIGINT) / 1000000.0 AS cusum_max,
+      | CAST(coalesce(min(CASE WHEN s > 100000000 THEN rn END), 0)
+      |  AS BIGINT) AS alarm_n
+      |FROM sv GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q166_stream_drift_cusum", q166, Some(q166Sql),
+      "§2.10 streaming CUSUM drift alarm: frozen 7-day baseline, five longs of state per key, prefix-min identity oracle"),
     Q("q157_stream_anomaly", q157, Some(q157Sql),
       "§2.10 streaming robust-z anomaly monitor: batch-frozen med/MAD profile, broadcast stream-static probe, watermarked daily rollup"),
     Q("q151_stream_percentiles", q151, Some(q151Sql),

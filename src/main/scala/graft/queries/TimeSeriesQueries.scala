@@ -642,7 +642,81 @@ object TimeSeriesQueries {
       | floor(fin[2] / 100.0 + 0.5) / 10000.0 AS trend_end
       |FROM hw ORDER BY event_type""".stripMargin
 
+  /** q164: THEIL-SEN ROBUST TREND — the median of all pairwise slopes
+    * (v_j − v_i)/(j − i) per event type, reported beside the OLS
+    * least-squares slope it robustifies (Theil 1950 / Sen 1968;
+    * 29.3% breakdown point vs OLS's zero — one corrupted day cannot
+    * move it, the q152 robust-pair argument applied to trend).
+    * Pairwise slopes are double quotients of EXACT int64 micro-unit
+    * daily means over exact integer day gaps, so the slope multiset
+    * is bit-identical cross-engine; the median uses the q79
+    * percentile ↔ quantile_cont pairing, the OLS slope the q154
+    * closed form (exact integer sums, one final division). Pair
+    * generation is keyed by event_type over the ALREADY-AGGREGATED
+    * daily table — O(#types · days²) with days bounded by the window,
+    * the aggregate-then-join discipline (q159). */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .select($"event_type", $"ts",
+        round($"value" * 1e6, 0).cast("long").as("x6"))
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(round(sum($"x6") / count(lit(1)), 0).cast("long").as("v6"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"d")))
+    val a = daily.select($"event_type", $"i", $"v6".as("vi"))
+    val b = daily.select($"event_type", $"i".as("j"), $"v6".as("vj"))
+    val ts = a.join(b, Seq("event_type")).filter($"j" > $"i")
+      .withColumn("slope", ($"vj" - $"vi").cast("double") / ($"j" - $"i"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile($"slope", lit(0.5)).as("ts6"))
+    val ols = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"i").as("sx"), sum($"v6").as("sy"),
+        sum($"i" * $"v6").as("sxy"), sum($"i" * $"i").as("sxx"))
+      .select($"event_type", $"n".as("n_days"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).as("ols6"))
+    ts.join(ols, "event_type")
+      .select($"event_type", $"n_days", $"n_pairs",
+        (floor($"ts6" + 0.5) / lit(1e6)).as("ts_slope"),
+        (floor($"ols6" + 0.5) / lit(1e6)).as("ols_slope"))
+      .orderBy($"event_type")
+  }
+
+  private val q164Sql =
+    """WITH daily AS (
+      | SELECT event_type, d, v6,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      | FROM (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |   CAST(round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+      |        / count(*), 0) AS BIGINT) AS v6
+      |  FROM events GROUP BY event_type, date_trunc('day', ts))),
+      |p AS (
+      | SELECT a.event_type,
+      |  CAST(b.v6 - a.v6 AS DOUBLE) / (b.i - a.i) AS slope
+      | FROM daily a JOIN daily b
+      |  ON a.event_type = b.event_type AND b.i > a.i),
+      |ts AS (
+      | SELECT event_type, count(*) AS n_pairs,
+      |  quantile_cont(slope, 0.5) AS ts6
+      | FROM p GROUP BY event_type),
+      |ols AS (
+      | SELECT event_type, n AS n_days,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS ols6
+      | FROM (SELECT event_type, count(*) AS n, sum(i) AS sx,
+      |        sum(v6) AS sy, sum(i * v6) AS sxy, sum(i * i) AS sxx
+      |       FROM daily GROUP BY event_type))
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      | CAST(n_pairs AS BIGINT) AS n_pairs,
+      | floor(ts6 + 0.5) / 1000000.0 AS ts_slope,
+      | floor(ols6 + 0.5) / 1000000.0 AS ols_slope
+      |FROM ts JOIN ols USING (event_type) ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q164_theilsen_trend", q164, Some(q164Sql),
+      "Theil-Sen median-of-pairwise-slopes robust trend vs the OLS slope"),
     Q("q161_holt_winters", q161, Some(q161Sql),
       "Holt-Winters additive one-step forecast backtest vs the naive pair"),
     Q("q158_forecast_backtest", q158, Some(q158Sql),

@@ -170,6 +170,58 @@ object Streaming {
       }
   }
 
+  final case class DriftEvent(event_type: String, ts: java.sql.Timestamp,
+                              value: Double, event_id: Long, mu6: Long)
+  final case class DriftState(p6: Long, min6: Long, max6: Long,
+                              alarmN: Long, n: Long)
+  final case class DriftOut(event_type: String, batch_events: Long,
+                            n: Long, cusum_max6: Long, alarm_n: Long)
+
+  /** half-away-from-zero micro-unit quantizer — the Scala twin of both
+    * engines' `round(x · 10⁶, 0)` (math.round alone is floor(x+0.5),
+    * which differs on negative halves). */
+  def micro6(v: Double): Long =
+    if (v >= 0) math.floor(v * 1e6 + 0.5).toLong
+    else -math.floor(-v * 1e6 + 0.5).toLong
+
+  /** One-sided CUSUM drift alarm (Page 1954) as online per-key state:
+    * against a FROZEN baseline mean μ0 (the q157 discipline — the
+    * reference distribution must not drift with the data it screens),
+    * accumulate the prefix sum P_t of deviations d_t = x6 − μ0_6 and
+    * track S_t = P_t − min(0, min_{j≤t} P_j) — the running-max
+    * identity of the recurrence S_t = max(0, S_{t−1} + d_t), which is
+    * what makes the operator BATCH-ORACLE-CHECKABLE: the oracle spells
+    * the same statistic as a prefix sum minus a prefix min, two plain
+    * windows. All arithmetic is exact int64 micro-units, so fold
+    * (stream) ≡ window (batch) bit-for-bit. State per key is FIVE
+    * longs regardless of volume; events fold in (ms, value, event_id)
+    * order within each micro-batch (the q108 ordering contract).
+    * alarm_n = the 1-based event index where S first exceeded h6
+    * (0 = never). The baseline rides ON each event (`mu6` — attached
+    * by the stream-static broadcast join upstream, the q112/q157
+    * enrichment shape), so the operator holds no reference data. */
+  def cusumPerKey(events: Dataset[DriftEvent], h6: Long): Dataset[DriftOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[DriftState, DriftOut](GroupStateTimeout.NoTimeout) {
+        (k, batch, state: GroupState[DriftState]) =>
+          val sorted = batch.toSeq
+            .sortBy(e => (e.ts.getTime, e.value, e.event_id))
+          var st = state.getOption.getOrElse(DriftState(0L, 0L, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            val p = st.p6 + (micro6(e.value) - e.mu6)
+            val mn = math.min(st.min6, p)
+            val sv = p - mn
+            val mx = math.max(st.max6, sv)
+            val n = st.n + 1
+            val al = if (st.alarmN == 0L && sv > h6) n else st.alarmN
+            st = DriftState(p, mn, mx, al, n)
+          }
+          state.update(st)
+          DriftOut(k, sorted.size.toLong, st.n, st.max6, st.alarmN)
+      }
+  }
+
   /** Idempotent foreachBatch file sink: each micro-batch lands in its
     * own `batch=<id>` subdirectory with mode OVERWRITE, so a RETRIED
     * micro-batch (task failure after a partial write, or a restart

@@ -158,6 +158,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b > 0.0 && b < 2.0, s"trend_end=$b")
   }
 
+  test("q166 streaming CUSUM alarms at the planted drift point") {
+    // q156's corpus through the STREAMING monitor: 50×10 then 50×20,
+    // all within the 7-day baseline window → μ0 = 15. After the step
+    // S grows 5 units/event: alarm (h = 100) at event 50 + 21 = 71,
+    // max excursion 50·5 = 250 — every number exact in int64 micro.
+    val rows = for (i <- 0 until 100) yield
+      (i.toLong, i, 7L, "a", if (i < 50) 10.0 else 20.0)
+    val dir = plant("graft_ts_q166", rows)
+    val r = Registry.byName("q166_stream_drift_cusum").run(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") == 100L, row.toString)
+    assert(row.getAs[Double]("cusum_max") == 250.0, row.toString)
+    assert(row.getAs[Long]("alarm_n") == 71L, row.toString)
+  }
+
+  test("q164 Theil-Sen shrugs off the outlier that drags OLS") {
+    // perfect line 100 + 0.5·d with day 10 corrupted to 1000: only
+    // 29/435 pairwise slopes touch the bad day, so the MEDIAN slope
+    // stays exactly 0.5; the least-squares slope must move
+    val rows = for (d <- 0 until 30) yield
+      (d.toLong, d * 24, 1L, "a",
+        if (d == 10) 1000.0 else 100.0 + 0.5 * d)
+    val dir = plant("graft_ts_q164", rows)
+    val r = Registry.byName("q164_theilsen_trend").run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_pairs") == 30L * 29 / 2, row.toString)
+    assert(row.getAs[Double]("ts_slope") == 0.5, row.toString)
+    assert(math.abs(row.getAs[Double]("ols_slope") - 0.5) > 0.1,
+      s"OLS should be dragged by the outlier: ${row.toString}")
+  }
+
   test("q156 locates the planted step change at its exact position") {
     // 50 values of 10 then 50 of 20: mean 15, |CUSUM| peaks at t=50
     // with value 50·|10−15| = 250
