@@ -9,7 +9,7 @@ import graft.Tables._
   * monitoring/EDA layer a time-series SSL practitioner runs before and
   * after training (the reference's domain is event series;
   * `exercise provided.ipynb` plots raw series and distributions before
-  * any model is fit). Four classical analyses, each spelled as
+  * any model is fit). Classical analyses, each spelled as
   * partial-aggregable scans + bounded windows so the plan shape
   * carries to 100 TB unchanged:
   *
@@ -17,6 +17,10 @@ import graft.Tables._
   *  - q153 seasonal decomposition (trend / day-of-week / residual)
   *  - q154 autocorrelation function (lags 1,2,3,7 on the daily series)
   *  - q156 CUSUM changepoint (per-series max cumulative deviation)
+  *  - q158 naive/seasonal-naive forecast backtest (the baseline pair)
+  *  - q159 lead-lag cross-correlation scan over ordered type pairs
+  *  - q161 Holt-Winters one-step forecast (the model q158 judges)
+  *  - q164 Theil-Sen robust trend vs the OLS slope
   *
   * Scale notes shared by the family: the exact interpolated medians in
   * q152 follow q79's convention (swap `percentile` →

@@ -318,6 +318,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), p.take(2000))
   }
 
+  test("q162: BM25 candidates come from hash joins, never a cartesian") {
+    // the inverted-index walk: every join (probe terms × tf, df, dl,
+    // the broadcast stats scalar) is hash-keyed — a cartesian or
+    // nested-loop candidate generator would be a corpus cross join at
+    // 100 TB. Windows (probe-term selection, the top-k rank) must all
+    // be partitioned by query.
+    val p = plan("q162_bm25_search")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("q163/q165: retrieval windows are all query-partitioned") {
+    // rank lists and greedy argmaxes partition by q_id — an
+    // unpartitioned window would serialize the ranking onto one task
+    for (name <- Seq("q163_rrf_hybrid", "q165_mmr_diversify")) {
+      val exec = Registry.byName(name).run(spark, sf)
+        .queryExecution.executedPlan
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.inputPlan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val wins = flatten(exec).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in $name"))
+      assert(!exec.toString.contains("CartesianProduct"), name)
+    }
+  }
+
   test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
     // shares docNllFrame with q129, so q129's join locks are asserted
     // here too (3 hash-keyed pair-stream joins, the broadcast-N BNLJ
