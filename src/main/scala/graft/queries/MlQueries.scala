@@ -817,7 +817,94 @@ object MlQueries {
        |GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** q167: MANN-WHITNEY U / A-B EXPERIMENT READOUT — the two-sample
+    * rank test an experimentation platform runs per metric: variant =
+    * deterministic user split (user_id parity — the hash-bucket
+    * assignment every A/B system uses), per event_type the U
+    * statistic with AVERAGE ranks for ties, the common-language
+    * effect size U/(n_a·n_b) (numerically the q60 AUC — Mann-Whitney
+    * IS the rank-sum AUC, which is why this reuses the engine's
+    * grouped rank machinery), and the tie-corrected normal z.
+    *
+    * Exactness: values quantize to int64 micro-units, so the distinct
+    * -value rollup is exact; average ranks contribute k or k.5 terms
+    * (exactly representable) times integer counts — every product and
+    * partial sum is an exact double below 2^53, making the
+    * distributed accumulation ORDER-INDEPENDENT (the q60/q160 rank-
+    * sum argument). Only the final z division/sqrt touches inexact
+    * floats, on identical inputs. Plan: one distinct-value rollup
+    * (partial-aggregable), one type-partitioned cumulative window,
+    * one reduce — the q60 bucketed discipline would apply unchanged
+    * if a single metric's value universe ever outgrew a partition. */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir).select($"event_type",
+      ($"user_id" % 2 === 0).as("in_a"),
+      round($"value" * 1e6, 0).cast("long").as("v6"))
+    val g = e.groupBy($"event_type", $"v6")
+      .agg(count(lit(1)).as("c"),
+        sum(when($"in_a", 1L).otherwise(0L)).as("ca"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"v6")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val t = g
+      .withColumn("cum", coalesce(sum($"c").over(w), lit(0L)))
+      .groupBy($"event_type")
+      .agg(sum($"ca").as("na"), sum($"c" - $"ca").as("nb"),
+        sum($"c").as("n"),
+        sum($"ca" * ($"cum" + ($"c" + 1) / lit(2.0))).as("r1"),
+        sum($"c" * $"c" * $"c" - $"c").as("ties"))
+    t.select($"event_type", $"na".as("n_a"), $"nb".as("n_b"),
+        ($"r1" - $"na" * ($"na" + 1) / lit(2.0)).as("u_stat"),
+        $"na", $"nb", $"n", $"ties", $"r1")
+      .withColumn("effect",
+        floor($"u_stat" / ($"na" * $"nb").cast("double") * 1e6 + 0.5) / 1e6)
+      .withColumn("z",
+        floor(($"u_stat" - $"na" * $"nb" / lit(2.0)) /
+          sqrt($"na" * $"nb" / lit(12.0) *
+            (($"n" + 1) - $"ties" / ($"n" * ($"n" - 1)).cast("double"))) *
+          1e4 + 0.5) / 1e4)
+      .select($"event_type", $"n_a", $"n_b", $"u_stat", $"effect", $"z")
+      .orderBy($"event_type")
+  }
+
+  private val q167Sql =
+    """WITH e AS (
+      | SELECT event_type, user_id % 2 = 0 AS in_a,
+      |  CAST(round(value * 1000000, 0) AS BIGINT) AS v6
+      | FROM events),
+      |g AS (
+      | SELECT event_type, v6, count(*) AS c,
+      |  CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      | FROM e GROUP BY event_type, v6),
+      |r AS (
+      | SELECT *, coalesce(sum(c) OVER (PARTITION BY event_type
+      |   ORDER BY v6 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |   0) AS cum
+      | FROM g),
+      |t AS (
+      | SELECT event_type,
+      |  CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(c - ca) AS BIGINT) AS nb,
+      |  CAST(sum(c) AS BIGINT) AS n,
+      |  sum(ca * (cum + (c + 1) / 2.0)) AS r1,
+      |  CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      | FROM r GROUP BY event_type)
+      |SELECT event_type, na AS n_a, nb AS n_b,
+      | r1 - na * (na + 1) / 2.0 AS u_stat,
+      | floor((r1 - na * (na + 1) / 2.0)
+      |   / CAST(na * nb AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+      |   AS effect,
+      | floor(((r1 - na * (na + 1) / 2.0) - na * nb / 2.0) /
+      |   sqrt(na * nb / 12.0 *
+      |     ((n + 1) - ties / CAST(n * (n - 1) AS DOUBLE))) * 10000
+      |   + 0.5) / 10000.0 AS z
+      |FROM t ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q167_mannwhitney_ab", q167, Some(q167Sql),
+      "Mann-Whitney U A/B readout: tie-averaged rank sum, effect size, tie-corrected z"),
     Q("q101_pca_power", q101, Some(q101Sql),
       "power-iteration PCA first component, literal init (full oracle)"),
     Q("q100_gd_logistic", q100, Some(q100Sql),

@@ -1102,7 +1102,13 @@ object StreamingQueries {
     * batch-window bit-for-bit. Emits per type the event count, max
     * CUSUM excursion, and the 1-based index of the first
     * threshold crossing (0 = no alarm). h = 100 value-units of
-    * accumulated drift. */
+    * accumulated drift.
+    * Headroom (the q156 discipline): P_t grows linearly with events
+    * per key — at |x − μ0| ≤ 10³ units (10⁹ micro) int64 holds ~9·10⁹
+    * events per key, far beyond any monitoring horizon at test SFs;
+    * a production deployment resets the accumulator on alarm (the
+    * standard CUSUM restart) or rebases periodically, both of which
+    * keep P bounded by the inter-alarm event count. */
   private val DriftH6 = 100000000L
   private def q166(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
