@@ -902,7 +902,81 @@ object MlQueries {
       |   + 0.5) / 10000.0 AS z
       |FROM t ORDER BY event_type""".stripMargin
 
+  /** q169: CALIBRATION REPORT (reliability bins + ECE + Brier) — the
+    * "is the probability a probability" audit run before any score is
+    * thresholded or sampled from: the logistic-calibrated q60 score
+    * (Platt slope 12 ≈ 1.5/σ of the
+    * raw margin, spreading the sigmoid across its range) bucketed
+    * into 10 confidence bins, per bin the mean predicted
+    * probability vs the empirical positive rate and their gap, plus
+    * the expected calibration error (Naeini 2015's binned ECE) and
+    * the Brier score as constant audit columns.
+    * Determinism: probabilities quantize to int64 micro-units at the
+    * row, so every bin sum (Σp6, positives, the Brier numerator
+    * Σ(p6 − y·10⁶)²) is exact order-independent integer arithmetic —
+    * a raw double mean over a shuffled bin is the q153 divergence
+    * mode. One scan, one 10-group aggregate, one 10-row reduce. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = embeddings(s, dir).select(
+      element_at($"embedding", 1).cast("double").as("sc"),
+      when($"label" < 5, 1L).otherwise(0L).as("y"))
+      .withColumn("p6", floor(
+        lit(1.0) / (lit(1.0) + exp(-(lit(12.0) * $"sc"))) * 1e6 + 0.5)
+        .cast("long"))
+      .withColumn("bin", least(floor($"p6" / lit(100000.0)), lit(9.0))
+        .cast("long"))
+      .withColumn("e6", $"p6" - $"y" * lit(1000000L))
+    val bins = r.groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"p6").as("sp6"),
+        sum($"y").as("pos"), sum($"e6" * $"e6").as("se12"))
+      .localCheckpoint(true)
+    val tot = bins.agg(
+      (sum(abs($"sp6" - $"pos" * lit(1000000L))) /
+        (sum($"n") * lit(1e6))).as("ece"),
+      (sum($"se12") / (sum($"n") * lit(1e12))).as("brier"))
+    bins.crossJoin(broadcast(tot))
+      .select($"bin", $"n",
+        (floor($"sp6" / ($"n" * lit(1e6)) * 1e4 + 0.5) / 1e4).as("conf"),
+        (floor($"pos" / $"n".cast("double") * 1e4 + 0.5) / 1e4).as("acc"),
+        (floor(($"sp6" - $"pos" * lit(1000000L)) /
+          ($"n" * lit(1e6)) * 1e4 + 0.5) / 1e4).as("gap"),
+        (floor($"ece" * 1e4 + 0.5) / 1e4).as("ece"),
+        (floor($"brier" * 1e6 + 0.5) / 1e6).as("brier"))
+      .orderBy($"bin")
+  }
+
+  private val q169Sql =
+    """WITH r AS (
+      | SELECT CAST(floor(1.0 / (1.0 + exp(-(12.0 * CAST(embedding[1] AS DOUBLE))))
+      |         * 1000000 + 0.5) AS BIGINT) AS p6,
+      |  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      | FROM embeddings),
+      |b AS (
+      | SELECT CAST(least(floor(p6 / 100000.0), 9.0) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  CAST(sum(p6) AS BIGINT) AS sp6,
+      |  CAST(sum(y) AS BIGINT) AS pos,
+      |  CAST(sum((p6 - y * 1000000) * (p6 - y * 1000000)) AS BIGINT)
+      |    AS se12
+      | FROM r GROUP BY 1),
+      |t AS (
+      | SELECT sum(abs(sp6 - pos * 1000000)) / (sum(n) * 1000000.0)
+      |         AS ece,
+      |  sum(se12) / (sum(n) * 1e12) AS brier
+      | FROM b)
+      |SELECT bin, CAST(n AS BIGINT) AS n,
+      | floor(sp6 / (n * 1000000.0) * 10000 + 0.5) / 10000.0 AS conf,
+      | floor(pos / CAST(n AS DOUBLE) * 10000 + 0.5) / 10000.0 AS acc,
+      | floor((sp6 - pos * 1000000) / (n * 1000000.0) * 10000 + 0.5)
+      |   / 10000.0 AS gap,
+      | floor(ece * 10000 + 0.5) / 10000.0 AS ece,
+      | floor(brier * 1000000 + 0.5) / 1000000.0 AS brier
+      |FROM b, t ORDER BY bin""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q169_calibration", q169, Some(q169Sql),
+      "reliability bins + ECE + Brier in exact micro-unit sums"),
     Q("q167_mannwhitney_ab", q167, Some(q167Sql),
       "Mann-Whitney U A/B readout: tie-averaged rank sum, effect size, tie-corrected z"),
     Q("q101_pca_power", q101, Some(q101Sql),

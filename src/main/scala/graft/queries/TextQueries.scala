@@ -1648,7 +1648,81 @@ object TextQueries {
       | md5(array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q168: SEQUENCE PACKING — the concat-then-chunk sample packing an
+    * LLM training pipeline runs after curation: documents are laid
+    * end-to-end in a deterministic md5 shuffle order and cut into
+    * fixed CTX-token training contexts; a document straddling a pack
+    * boundary contributes one SEGMENT per touched pack (GPT-style
+    * packing — no padding, every context exactly full except the
+    * last). Spelled as one token-count scan, ONE global prefix sum
+    * over the shuffle order, and a row-local `sequence` explode from
+    * each doc's first to last touched pack — segment offsets are pure
+    * integer arithmetic on (cum_before, n_tok), so the layout is
+    * cross-engine exact. Output = the per-pack manifest (segments,
+    * fill, span checksum) — bounded at Σtokens/CTX rows.
+    * Scale note: the flat prefix-sum window is the test-SF spelling;
+    * at 100 TB the cumsum swaps for q131's hierarchical
+    * per-md5-prefix local-cumsum + broadcast bucket offsets
+    * (ShardPackSpec pins both spellings equal), and everything after
+    * the cumsum is row-local. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Ctx = 1024
+    val d = documents(s, dir)
+      .select($"doc_id", size(toks($"text")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .withColumn("h", md5(concat(lit("q168:"), $"doc_id".cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"h", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val segs = d
+      .withColumn("cum", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("pack", explode(sequence(
+        floor($"cum" / Ctx).cast("long"),
+        floor(($"cum" + $"n_tok" - 1) / Ctx).cast("long"))))
+      .withColumn("seg_len",
+        least(($"pack" + 1) * lit(Ctx.toLong), $"cum" + $"n_tok") -
+          greatest($"pack" * lit(Ctx.toLong), $"cum"))
+    segs.groupBy($"pack".as("pack_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"),
+        sum($"seg_len").as("fill"),
+        sum($"doc_id" * $"seg_len").as("span_checksum"))
+      .orderBy($"pack_id")
+  }
+
+  private val q168Sql =
+    """WITH d AS (
+      | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+      |         AS n_tok,
+      |  md5('q168:' || CAST(doc_id AS VARCHAR)) AS h
+      | FROM documents
+      | WHERE len(string_split(text, ' ')) > 0),
+      |c AS (
+      | SELECT doc_id, n_tok,
+      |  coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      | FROM d),
+      |segs AS (
+      | SELECT doc_id, n_tok, cum,
+      |  unnest(generate_series(CAST(floor(cum / 1024) AS BIGINT),
+      |    CAST(floor((cum + n_tok - 1) / 1024) AS BIGINT))) AS pack
+      | FROM c)
+      |SELECT pack AS pack_id,
+      | CAST(count(*) AS BIGINT) AS n_segs,
+      | min(doc_id) AS first_doc,
+      | max(doc_id) AS last_doc,
+      | CAST(sum(least((pack + 1) * 1024, cum + n_tok)
+      |        - greatest(pack * 1024, cum)) AS BIGINT) AS fill,
+      | CAST(sum(doc_id * (least((pack + 1) * 1024, cum + n_tok)
+      |        - greatest(pack * 1024, cum))) AS BIGINT) AS span_checksum
+      |FROM segs GROUP BY pack ORDER BY pack_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q168_sequence_packing", q168, Some(q168Sql),
+      "concat-then-chunk sample packing: md5 shuffle order, fixed 1024-token contexts, per-pack manifest"),
     Q("q155_chunk_windows", q155, Some(q155Sql),
       "overlapping token-window chunking (W=64, S=48): offsets + content md5, row-local"),
     Q("q148_column_profiler", q148, Some(q148Sql),

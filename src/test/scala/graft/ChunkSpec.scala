@@ -70,4 +70,28 @@ class ChunkSpec extends SparkSpec {
       (2L, 96L, 54L, md5hex(toks.slice(96, 150).mkString(" "))))
     assert(got.toSeq == expected, got.toSeq.toString)
   }
+  test("q168 packs are exactly full, cover every token once, and stay contiguous") {
+    import spark.implicits._
+    val Ctx = 1024L
+    val packs = Registry.byName("q168_sequence_packing").run(spark, sf)
+      .collect().sortBy(_.getAs[Long]("pack_id"))
+    assert(packs.nonEmpty)
+    val totalTok = graft.Tables.documents(spark, sf)
+      .select(sum(size(split($"text", " ")).cast("long"))).head.getLong(0)
+    // pack ids are 0..N-1 with no gaps
+    assert(packs.map(_.getAs[Long]("pack_id")).toSeq ==
+      packs.indices.map(_.toLong))
+    // every pack except the last is exactly full; fills sum to the
+    // corpus token count (each token lands in exactly one segment)
+    packs.init.foreach(r =>
+      assert(r.getAs[Long]("fill") == Ctx, r.toString))
+    assert(packs.last.getAs[Long]("fill") <= Ctx)
+    assert(packs.map(_.getAs[Long]("fill")).sum == totalTok)
+    // a pack holds at least one segment and its doc span is sane
+    packs.foreach { r =>
+      assert(r.getAs[Long]("n_segs") >= 1L)
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+    }
+  }
+
 }
