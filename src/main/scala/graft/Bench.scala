@@ -62,6 +62,11 @@ object Bench {
         spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("q138_curation_dag")(
         spark, "/root/testdata/sf0.001").count()
+      // the GD-grid plan family (16 epoch plans + the native-kernel
+      // scoring pass) carries its own first-plan codegen — a cold
+      // q160 epoch 1 measured 13 s at sf3 vs 0.6 s warm
+      SparkEntry.queries("q160_gd_mlp_grid")(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back
       // into the first measured entries with no signal — make
