@@ -1185,7 +1185,54 @@ object SimilarityQueries {
        |FROM sel$MmrK ORDER BY q_id, step""".stripMargin
   }
 
+  /** q170: CROSS-SPLIT LEAKAGE AUDIT — the train/test-contamination
+    * check every ML protocol should run and few do: near-duplicate
+    * pairs (q53's bucket-blocked embedding candidates) that STRADDLE
+    * the evaluation split (the q63 `vec_id % 5` holdout) leak the
+    * test set into training and inflate every held-out metric the
+    * engine reports (q63/q76/q88's AUCs). Per label: candidate pairs
+    * scanned, cross-split candidates, leaks above the dedup
+    * threshold (cos ≥ 0.3 — corpus-calibrated here; a production run
+    * uses its SemDedup τ, q132), and the worst cross-split cosine
+    * (NULL when no cross pair — an honest all-clear, not a zero).
+    * Same plan as q53: pair generation keyed on (label, sign
+    * bucket), never all-pairs; the audit rides the dedup machinery,
+    * which is the point — if you can dedup at 100 TB you can audit
+    * your splits at 100 TB. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q53Pairs(s, embeddings(s, dir))
+      .withColumn("crossp", ($"id_a" % 5 === 0) =!= ($"id_b" % 5 === 0))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when($"crossp", 1L).otherwise(0L)).as("n_cross"),
+        sum(when($"crossp" && $"cos" >= 0.3, 1L).otherwise(0L))
+          .as("n_leak"),
+        max(when($"crossp", $"cos")).as("max_cross_cos"))
+      .orderBy($"label")
+  }
+
+  private lazy val q170Sql =
+    s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |bk AS (SELECT label, vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+       |p AS (
+       | SELECT a.label,
+       |  round(list_cosine_similarity(a.v, c.v), 5) AS cos,
+       |  (a.vec_id % 5 = 0) <> (c.vec_id % 5 = 0) AS crossp
+       | FROM bk a JOIN bk c ON a.label = c.label AND a.bucket = c.bucket
+       |  AND a.vec_id < c.vec_id)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_cand,
+       | CAST(sum(CASE WHEN crossp THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_cross,
+       | CAST(sum(CASE WHEN crossp AND cos >= 0.3 THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_leak,
+       | max(CASE WHEN crossp THEN cos END) AS max_cross_cos
+       |FROM p GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q170_split_leakage", q170, Some(q170Sql),
+      "train/test near-dup leakage audit over the bucket-blocked pair stream"),
     Q("q165_mmr_diversify", q165, Some(q165Sql),
       "MMR diversified re-ranking of the cosine shortlist (5 greedy declarative steps)"),
     Q("q162_bm25_search", q162, Some(q162Sql),
