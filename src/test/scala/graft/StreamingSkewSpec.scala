@@ -162,4 +162,63 @@ class StreamingSkewSpec extends SparkSpec {
     info(s"sessionizeStateful wall: hot-key ${tHot} ms vs uniform ${tUni} ms")
     assert(tHot > 0 && tUni > 0)
   }
+  test("cusumPerKey: exact drift state across micro-batches, boundary-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.DriftEvent
+    val base = Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    val h6 = 100000000L
+    // type a: 100 @10 then 100 @20 against mu=15 (the q156 step);
+    // type b: sawtooth 5..7 against mu=6 (drift-free, alarm must stay 0)
+    val rows = ((0 until 200).map { i =>
+      DriftEvent("a", new Timestamp(base + i * 60000L),
+        if (i < 100) 10.0 else 20.0, i.toLong, 15000000L)
+    } ++ (0 until 150).map { i =>
+      DriftEvent("b", new Timestamp(base + i * 60000L),
+        5.0 + (i % 3), 1000L + i, 6000000L)
+    }).sortBy(e => (e.ts.getTime, e.value, e.event_id))
+
+    def closedForm(es: Seq[DriftEvent]): (Long, Long, Long) = {
+      var p = 0L; var mn = 0L; var mx = 0L; var al = 0L; var n = 0L
+      es.sortBy(e => (e.ts.getTime, e.value, e.event_id)).foreach { e =>
+        p += Streaming.micro6(e.value) - e.mu6
+        mn = math.min(mn, p)
+        val sv = p - mn
+        mx = math.max(mx, sv)
+        n += 1
+        if (al == 0L && sv > h6) al = n
+      }
+      (n, mx, al)
+    }
+    val want = rows.groupBy(_.event_type)
+      .map { case (k, es) => k -> closedForm(es) }
+
+    def run(tag: String, cuts: Seq[Int]): Map[String, (Long, Long, Long)] = {
+      val mem = MemoryStream[DriftEvent]
+      val q = Streaming.cusumPerKey(mem.toDS(), h6)
+        .writeStream.format("memory").queryName(s"cusum_$tag")
+        .outputMode("update").start()
+      val batches = (Seq(0) ++ cuts ++ Seq(rows.size)).sliding(2).toSeq
+      batches.foreach { case Seq(a, b) =>
+        mem.addData(rows.slice(a, b): _*); q.processAllAvailable()
+      }
+      val out = spark.table(s"cusum_$tag")
+        .groupBy($"event_type")
+        .agg(max(struct($"n", $"cusum_max6", $"alarm_n")).as("st"))
+        .collect()
+        .map(r => r.getString(0) -> {
+          val st = r.getStruct(1)
+          (st.getLong(0), st.getLong(1), st.getLong(2))
+        }).toMap
+      q.stop()
+      out
+    }
+    // two different batch boundaries: the final per-key state must be
+    // the SAME exact integers as the closed form either way — the
+    // state carry is bit-exact, not approximately resumed
+    assert(run("half", Seq(rows.size / 2)) == want)
+    assert(run("thirds", Seq(rows.size / 3, 2 * rows.size / 3)) == want)
+    // the planted step must alarm on type a and never on type b
+    assert(want("a")._3 > 0L && want("b")._3 == 0L, want.toString)
+  }
+
 }
