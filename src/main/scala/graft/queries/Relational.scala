@@ -339,6 +339,41 @@ object Relational {
       |GROUP BY ROLLUP (n_name, c_mktsegment)
       |ORDER BY gid, n_name, c_mktsegment""".stripMargin
 
+  /** q171: full CUBE — the grouping-sets completion of q13's rollup
+    * (every (event_type × day-of-week) marginal in ONE pass): the
+    * 2-D summary panel a warehouse user expects from GROUP BY CUBE,
+    * here over the q153 dow convention (0 = Sunday). Exact micro-unit
+    * sums; leading the ORDER BY with grouping_id keeps every NULL
+    * dimension constant within its sort group, so the engines'
+    * opposite NULLS-FIRST/LAST defaults never compare (the q13
+    * discipline). Same scale shape as any groupBy: Spark expands the
+    * cube rows map-side and partially aggregates all four grouping
+    * sets in one shuffle. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_type",
+        (dayofweek($"ts") - 1).cast("long").as("dow"),
+        round($"value" * 1e6, 0).cast("long").as("x6"))
+      .cube($"event_type", $"dow")
+      .agg(count(lit(1)).as("n"),
+        (sum($"x6") / lit(1e6)).as("total_value"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"event_type", $"dow")
+  }
+
+  private val q171Sql =
+    """WITH e AS (
+      | SELECT event_type,
+      |  CAST(date_part('dow', ts) AS BIGINT) AS dow,
+      |  CAST(round(value * 1000000, 0) AS BIGINT) AS x6
+      | FROM events)
+      |SELECT event_type, dow, count(*) AS n,
+      | CAST(sum(x6) AS BIGINT) / 1000000.0 AS total_value,
+      | GROUPING_ID(event_type, dow) AS gid
+      |FROM e GROUP BY CUBE (event_type, dow)
+      |ORDER BY gid, event_type, dow""".stripMargin
+
   /** q14: analytic window breadth (W11 family) — lag/lead deltas,
     * running totals, percent_rank/ntile over per-user event sequences. */
   private def q14(s: SparkSession, dir: String): DataFrame = {
@@ -854,6 +889,8 @@ object Relational {
       |FROM t GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q171_cube", q171, Some(q171Sql),
+      "GROUP BY CUBE over (event_type, dow): all four grouping sets in one pass"),
     Q("q136_drift_monitor", q136, Some(q136Sql),
       "day-over-day JSD drift monitor on value histograms per event type"),
     Q("q120_funnel", q120, Some(q120Sql),
