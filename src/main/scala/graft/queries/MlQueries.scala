@@ -854,7 +854,14 @@ object MlQueries {
       .agg(sum($"ca").as("na"), sum($"c" - $"ca").as("nb"),
         sum($"c").as("n"),
         sum($"ca" * ($"cum" + ($"c" + 1) / lit(2.0))).as("r1"),
-        sum($"c" * $"c" * $"c" - $"c").as("ties"))
+        // tie term c³−c in DOUBLE: an int64 c·c·c silently wraps once a
+        // tie group passes ~2.09M rows (plausible for micro-quantized
+        // values at large SF) while DuckDB's BIGINT sum promotes toward
+        // HUGEINT — different silent-vs-loud failure modes. Each
+        // c·(c−1)·(c+1) is an exact integer-valued double below 2^53
+        // (safe through c ≈ 2×10⁵ per value with ~10⁹ headroom on the
+        // sum), so the distributed accumulation stays order-independent.
+        sum($"c".cast("double") * ($"c" - 1) * ($"c" + 1)).as("ties"))
     t.select($"event_type", $"na".as("n_a"), $"nb".as("n_b"),
         ($"r1" - $"na" * ($"na" + 1) / lit(2.0)).as("u_stat"),
         $"na", $"nb", $"n", $"ties", $"r1")
@@ -889,7 +896,7 @@ object MlQueries {
       |  CAST(sum(c - ca) AS BIGINT) AS nb,
       |  CAST(sum(c) AS BIGINT) AS n,
       |  sum(ca * (cum + (c + 1) / 2.0)) AS r1,
-      |  CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      |  sum(CAST(c AS DOUBLE) * (c - 1) * (c + 1)) AS ties
       | FROM r GROUP BY event_type)
       |SELECT event_type, na AS n_a, nb AS n_b,
       | r1 - na * (na + 1) / 2.0 AS u_stat,

@@ -904,11 +904,19 @@ object SimilarityQueries {
     val stats = documents(s, dir).agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum($"dl").as("toktot")))
     val qs = retrQuerySample(s, dir)
+    // probe-term rank runs on MICRO-UNIT int64 weights, not the raw
+    // tf·ln(n/df) double: Spark (StrictMath) and DuckDB (libm) can
+    // disagree by 1 ulp on mathematically-equal scores reached via
+    // different (tf, df) pairs, and a flipped top-QTerms cut changes
+    // the whole candidate set downstream — the term tie-break only
+    // protects bitwise-equal scores (the c6 discipline applied to the
+    // selection, not just the BM25 sum).
     val qt = tf.join(broadcast(qs), tf("doc_id") === qs("q_id"))
       .join(df, "term").crossJoin(broadcast(stats))
-      .withColumn("w", $"tf" * log($"n".cast("double") / $"df"))
+      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+        * 1e6 + 0.5).cast("long"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"w".desc, $"term")))
+        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
       .filter($"rn" <= QTerms)
       .select($"q_id", $"term")
     broadcast(qt)
@@ -942,7 +950,8 @@ object SimilarityQueries {
        | SELECT q_id, term FROM (
        |  SELECT tf.doc_id AS q_id, tf.term,
        |   row_number() OVER (PARTITION BY tf.doc_id
-       |    ORDER BY tf.tf * ln(CAST(st.n AS DOUBLE) / df.df) DESC,
+       |    ORDER BY CAST(floor(tf.tf * ln(CAST(st.n AS DOUBLE) / df.df)
+       |      * 1000000 + 0.5) AS BIGINT) DESC,
        |             tf.term) AS rn
        |  FROM tf JOIN df USING (term) CROSS JOIN st
        |  WHERE tf.doc_id IN $retrSampleSql)

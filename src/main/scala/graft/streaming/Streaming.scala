@@ -173,7 +173,8 @@ object Streaming {
   final case class DriftEvent(event_type: String, ts: java.sql.Timestamp,
                               value: Double, event_id: Long, mu6: Long)
   final case class DriftState(p6: Long, min6: Long, max6: Long,
-                              alarmN: Long, n: Long)
+                              alarmN: Long, n: Long,
+                              lastMs: Long, lastV: Double, lastId: Long)
   final case class DriftOut(event_type: String, batch_events: Long,
                             n: Long, cusum_max6: Long, alarm_n: Long)
 
@@ -199,7 +200,20 @@ object Streaming {
     * alarm_n = the 1-based event index where S first exceeded h6
     * (0 = never). The baseline rides ON each event (`mu6` — attached
     * by the stream-static broadcast join upstream, the q112/q157
-    * enrichment shape), so the operator holds no reference data. */
+    * enrichment shape), so the operator holds no reference data.
+    *
+    * ORDERED-INGEST CONTRACT: the fold is exact only when micro-batch
+    * boundaries respect the global (ts, value, event_id) order — the
+    * operator sorts WITHIN a batch, but a cross-batch regression (an
+    * event arriving after a later-ordered event was already folded:
+    * multi-file sources racing, late data with no watermark) would
+    * silently diverge from the batch prefix-sum oracle. The state
+    * therefore carries the last-folded (ms, value, event_id) key and
+    * the fold FAILS FAST on a regression instead of folding it —
+    * loud beats silently-wrong for a statistic whose alarm index is
+    * the product. Feed late-data sources through a watermark +
+    * event-time sort upstream, or single-file AvailableNow reads
+    * (q166's shape), which satisfy the contract by construction. */
   def cusumPerKey(events: Dataset[DriftEvent], h6: Long): Dataset[DriftOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
@@ -207,15 +221,28 @@ object Streaming {
         (k, batch, state: GroupState[DriftState]) =>
           val sorted = batch.toSeq
             .sortBy(e => (e.ts.getTime, e.value, e.event_id))
-          var st = state.getOption.getOrElse(DriftState(0L, 0L, 0L, 0L, 0L))
+          var st = state.getOption.getOrElse(
+            DriftState(0L, 0L, 0L, 0L, 0L, Long.MinValue, 0.0, Long.MinValue))
           sorted.foreach { e =>
+            val t = e.ts.getTime
+            val regressed = st.n > 0L &&
+              Ordering[(Long, Double, Long)].lt(
+                (t, e.value, e.event_id), (st.lastMs, st.lastV, st.lastId))
+            if (regressed)
+              throw new IllegalStateException(
+                s"cusumPerKey[$k]: out-of-order arrival across micro-batches — " +
+                  s"event (ts=$t, value=${e.value}, id=${e.event_id}) precedes " +
+                  s"last-folded (ts=${st.lastMs}, value=${st.lastV}, " +
+                  s"id=${st.lastId}); the ordered-ingest contract is broken " +
+                  "and the CUSUM fold would silently diverge from the batch " +
+                  "prefix-sum oracle")
             val p = st.p6 + (micro6(e.value) - e.mu6)
             val mn = math.min(st.min6, p)
             val sv = p - mn
             val mx = math.max(st.max6, sv)
             val n = st.n + 1
             val al = if (st.alarmN == 0L && sv > h6) n else st.alarmN
-            st = DriftState(p, mn, mx, al, n)
+            st = DriftState(p, mn, mx, al, n, t, e.value, e.event_id)
           }
           state.update(st)
           DriftOut(k, sorted.size.toLong, st.n, st.max6, st.alarmN)

@@ -221,4 +221,33 @@ class StreamingSkewSpec extends SparkSpec {
     assert(want("a")._3 > 0L && want("b")._3 == 0L, want.toString)
   }
 
+  test("cusumPerKey: cross-batch order regression fails fast, not silently") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.DriftEvent
+    val base = Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    val rows = (0 until 20).map { i =>
+      DriftEvent("a", new Timestamp(base + i * 60000L), 10.0, i.toLong,
+        9000000L)
+    }
+    val mem = MemoryStream[DriftEvent]
+    val q = Streaming.cusumPerKey(mem.toDS(), 100000000L)
+      .writeStream.format("memory").queryName("cusum_guard")
+      .outputMode("update").start()
+    // batch 1 folds events 10..19; batch 2 delivers 0..9 — a
+    // cross-batch regression the within-batch sort cannot repair.
+    // The ordered-ingest guard must surface it as a stream error
+    // (silently folding would diverge from the prefix-sum oracle).
+    mem.addData(rows.drop(10): _*); q.processAllAvailable()
+    mem.addData(rows.take(10): _*)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def causeChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).toSeq
+    assert(causeChain(ex).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("out-of-order arrival")), ex.toString)
+    q.stop()
+  }
+
 }
