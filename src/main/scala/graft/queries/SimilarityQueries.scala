@@ -586,11 +586,16 @@ object SimilarityQueries {
   }
 
   /** per-query nested ADC lookup table lut[m][j] = dist²(query
-    * sub-vector m, codeword j) — QK·M·K values, broadcast everywhere. */
-  private def pqLut(s: SparkSession, dir: String): DataFrame = {
+    * sub-vector m, codeword j) — QK·M·K values, broadcast everywhere.
+    * Parameterized by the query-id frame (one column `q_id`) so the
+    * SAME chain serves q114/q118's ANN sample and q172's retrieval
+    * sample. */
+  private def pqLutFor(s: SparkSession, dir: String,
+      qsample: DataFrame): DataFrame = {
     import s.implicits._
-    unitVecs(s, dir).join(querySample(s, dir, ANN_QK), "vec_id")
-      .select($"vec_id".as("q_id"), subspaces($"v").as("x"))
+    val e = unitVecs(s, dir)
+    e.join(qsample, e("vec_id") === qsample("q_id"))
+      .select($"q_id", subspaces($"v").as("x"))
       .select($"q_id", $"x.m".as("m"), $"x.sv".as("qsv"))
       .join(broadcast(pqCodebook(s, dir)), "m")
       .select($"q_id", $"m", $"j", dist2($"qsv", $"cw").as("qd"))
@@ -600,6 +605,12 @@ object SimilarityQueries {
       .groupBy($"q_id")
       .agg(sort_array(collect_list(struct($"m", $"qds"))).as("ms"))
       .select($"q_id", transform($"ms", x => x("qds")).as("lut"))
+  }
+
+  private def pqLut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqLutFor(s, dir,
+      querySample(s, dir, ANN_QK).select(col("vec_id").as("q_id")))
   }
 
   /** ADC shortlist: per-query nested LUT(m, j) broadcast against the
@@ -635,10 +646,12 @@ object SimilarityQueries {
   }
 
   /** shared oracle CTE text (no leading WITH): unit vectors, PQ
-    * codebook, code table, per-query ADC LUT — composed by BOTH
-    * q114Sql and q118Sql so the codebook sample seed, rounding, and
-    * argmin tie-break live in exactly one place. */
-  private lazy val pqPreambleSql: String =
+    * codebook, code table, per-query ADC LUT — composed by q114Sql,
+    * q118Sql AND q172Sql so the codebook sample seed, rounding, and
+    * argmin tie-break live in exactly one place. Parameterized by the
+    * query-sample subquery (q114/q118 pass the ANN sample, q172 the
+    * retrieval sample). */
+  private def pqPreambleSqlFor(sample: String): String =
     s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
        |           FROM embeddings),
        |en AS (SELECT vec_id, v0,
@@ -666,11 +679,13 @@ object SimilarityQueries {
        |          WHERE rn = 1),
        |qs AS (SELECT vec_id AS q_id, m,
        |        v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qsv
-       |       FROM e, ms WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |       FROM e, ms WHERE vec_id IN $sample),
        |lut AS (SELECT q_id, m, j,
        |         list_sum(list_transform(list_zip(qsv, cw),
        |           z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE))) AS qd
        |        FROM qs JOIN cb USING (m))""".stripMargin
+
+  private lazy val pqPreambleSql: String = pqPreambleSqlFor(sampleSql(ANN_QK))
 
   private lazy val q114Sql =
     s"""WITH $pqPreambleSql,
@@ -715,7 +730,14 @@ object SimilarityQueries {
     * only for the shortlist. Cells and codes are both assigned on UNIT
     * vectors so the whole chain shares one metric space with q50's
     * cosine ground truth (PqRecallSpec pins combined recall). */
-  private def q118(s: SparkSession, dir: String): DataFrame = {
+  /** the full IVFADC chain, parameterized by the query-id frame (one
+    * column `q_id`) and returning the EXACT-re-ranked shortlist as
+    * (q_id, vec_id, sim, rv) — rv ranks the whole IVFPQ_R shortlist,
+    * so q118 (top-5 neighbors) and q172 (rank list feeding RRF
+    * fusion) consume the same plan at different depths. */
+  private[graft] def ivfadcRanked(s: SparkSession, dir: String,
+      qsample: DataFrame, nprobe: Int = IVFPQ_NPROBE,
+      r: Int = IVFPQ_R): DataFrame = {
     import s.implicits._
     val e = unitVecs(s, dir)
     // corpus pass: cell + PQ codes, row-local (native expressions)
@@ -726,32 +748,39 @@ object SimilarityQueries {
     // query vectors, built ONCE and shared by the probe chain and the
     // exact re-rank (each duplicate subplan would re-run the corpus
     // normalize pass — the re-execution class 295434a fixed for CPC)
-    val qv = e.join(querySample(s, dir, ANN_QK), "vec_id")
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val qv = e.join(qsample, e("vec_id") === qsample("q_id"))
+      .select($"q_id", $"v".as("qv"))
     // nprobe cells via the shared q54 argmax-masking chain
     val q = maskChain(
       qv.withColumn("c1", cellCol(s, $"qv"))
         .withColumn("s1", cellScoresCol(s, $"qv")),
-      IVFPQ_NPROBE)
+      nprobe)
     val probed = q.withColumn("cell",
-        explode(array((1 to IVFPQ_NPROBE).map(r => col(s"c$r")): _*)))
+        explode(array((1 to nprobe).map(i => col(s"c$i")): _*)))
       .select($"q_id", $"cell")
     val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
     val shortlist = enc.join(broadcast(probed), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
-      .join(broadcast(pqLut(s, dir)), Seq("q_id"))
+      .join(broadcast(pqLutFor(s, dir, qsample)), Seq("q_id"))
       .withColumn("adist2",
         round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
       .withColumn("ar", row_number().over(wa))
-      .filter($"ar" <= IVFPQ_R)
+      .filter($"ar" <= r)
       .select($"q_id", $"vec_id")
     val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     broadcast(shortlist).join(e, "vec_id").join(broadcast(qv), "q_id")
       .withColumn("sim",
         round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
-      .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim")
+      .withColumn("rv", row_number().over(w))
+      .select($"q_id", $"vec_id", $"sim", $"rv")
+  }
+
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfadcRanked(s, dir,
+      querySample(s, dir, ANN_QK).select($"vec_id".as("q_id")))
+      .filter($"rv" <= 5)
+      .select($"q_id", $"rv".as("rn"), $"vec_id".as("neighbor_id"), $"sim")
       .orderBy($"q_id", $"rn")
   }
 
@@ -1239,7 +1268,175 @@ object SimilarityQueries {
        | max(CASE WHEN crossp THEN cos END) AS max_cross_cos
        |FROM p GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q172: ANN-BACKED HYBRID RETRIEVAL — q163's documented 100 TB
+  // composition as a real gated plan: the vector branch swaps the
+  // brute per-query corpus scan for the q118 IVFADC shortlist (cell
+  // routing over PQ codes, ADC candidates, exact re-rank of the
+  // IVFPQ_R best) and feeds the SAME reciprocal-rank fusion, BM25
+  // unchanged. Because RRF couples the two systems by RANK only, the
+  // swap is architecturally free — no score calibration, no schema
+  // change — which is exactly why production hybrid search ships
+  // this shape. Candidates now come from TWO bounded lists (ANN
+  // shortlist ∪ lexical postings walk), so the join is FULL OUTER:
+  // an item can rank in either list alone and contributes only that
+  // term (NULL ranks pass through — honest provenance of why an item
+  // ranked; AnnRecallSpec pins fused top-5 recall vs the q163
+  // brute-fused baseline).
+  //
+  // Scale: the corpus is touched by the PQ-encode pass and the
+  // probed-cell ADC pass only (nprobe/CELLS of the code table per
+  // query, PQ_M bytes/vector) instead of q163's full N·d dot
+  // products per query — the memory+compute story that makes hybrid
+  // retrieval feasible at billion-document scale; the lexical branch
+  // keeps q162's postings-walk posture (vocabulary never broadcast).
+  // The whole chain is deterministic (md5 codebook sample, rounded
+  // ADC, rank tie-breaks), so the oracle replays the identical
+  // shortlist and the gate is exact.
+  /** vector-list fusion depth: the shortlist's exact re-rank makes
+    * positions 1..FuseD true ranks whenever the true top-FuseD
+    * survive ADC (they mostly do — PqRecallSpec's median ADC rank is
+    * 18.5), while positions deeper in the 100-item shortlist are
+    * ADC-noise-ordered and would feed RRF compressed pseudo-ranks;
+    * fusing the top-20 list is also what a production vector engine
+    * actually returns. AnnRecallSpec pins the fused recall. */
+  private val FuseD = 20
+  // retrieval-tuned ADC shortlist depth: q118's R=100 optimizes the
+  // top-5 neighbor gate; fusion quality wants the true top-FuseD
+  // reliably inside the re-rank set, and at 200 the measured retr-
+  // sample vector recall@5 goes 0.875 -> 0.975 (R stays a constant
+  // per query at any corpus scale — the re-rank cost is 200 exact
+  // dots per query either way).
+  private val RetrR = 200
+
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = retrQuerySample(s, dir)
+    val rv = ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, RetrR)
+      .filter($"rv" <= FuseD)
+      .select($"q_id", $"vec_id", $"rv")
+    val rt = bm25Scores(s, dir)
+      .withColumn("rt", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .select($"q_id", $"cand_id", $"rt")
+    rv.join(rt,
+        rv("q_id") === rt("q_id") && rv("vec_id") === rt("cand_id"),
+        "full_outer")
+      .select(coalesce(rv("q_id"), rt("q_id")).as("q_id"),
+        coalesce($"vec_id", $"cand_id").as("doc_id"), $"rv", $"rt")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + $"rv"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"rt"), lit(0.0)))
+      .withColumn("r6", floor($"rrf" * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"r6".desc, $"doc_id")))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"doc_id", ($"r6" / lit(1e6)).as("rrf"),
+        $"rv".as("vec_rank"), $"rt".as("text_rank"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** spec yardstick (AnnRecallSpec): q172's fusion with the vector
+    * branch swapped for EXACT brute cosine truncated at `depth` —
+    * isolates the IVFADC quantization cost from the list-depth
+    * effect (q163's RRF weighs an unbounded vector list whose deep
+    * tail no shortlist system can reproduce; at equal depth the only
+    * difference left is the approximation). */
+  private[graft] def bruteFusedAtDepth(s: SparkSession, dir: String,
+      depth: Int): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
+    val qs = retrQuerySample(s, dir)
+    val qv = e.join(broadcast(qs), e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"), $"vn".as("qn"))
+    val rv = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") /
+          ($"qn" * $"vn"), 5))
+      .withColumn("rv", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rv" <= depth)
+      .select($"q_id", $"vec_id", $"rv")
+    val rt = bm25Scores(s, dir)
+      .withColumn("rt", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .select($"q_id", $"cand_id", $"rt")
+    rv.join(rt,
+        rv("q_id") === rt("q_id") && rv("vec_id") === rt("cand_id"),
+        "full_outer")
+      .select(coalesce(rv("q_id"), rt("q_id")).as("q_id"),
+        coalesce($"vec_id", $"cand_id").as("doc_id"), $"rv", $"rt")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + $"rv"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"rt"), lit(0.0)))
+      .withColumn("r6", floor($"rrf" * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"r6".desc, $"doc_id")))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"doc_id")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q172Sql = {
+    val chain = maskChainSql("p", IVFPQ_NPROBE)
+    val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
+    s"""WITH ${pqPreambleSqlFor(retrSampleSql)},
+       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
+       |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
+       |        ${cellScoresSql("v")} AS s1
+       |       FROM e WHERE vec_id IN $retrSampleSql),
+       |$chain,
+       |probed AS (SELECT q_id, unnest($cells) AS cell
+       |           FROM p$IVFPQ_NPROBE),
+       |ad AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9) AS adist2
+       |       FROM codes c
+       |        JOIN bc ON c.vec_id = bc.vec_id
+       |        JOIN probed p ON bc.cell = p.cell
+       |        JOIN lut l ON p.q_id = l.q_id AND c.m = l.m AND c.j = l.j
+       |       WHERE c.vec_id <> p.q_id
+       |       GROUP BY p.q_id, c.vec_id),
+       |sl AS (SELECT q_id, vec_id FROM
+       |        (SELECT q_id, vec_id, row_number() OVER
+       |          (PARTITION BY q_id ORDER BY adist2, vec_id) AS ar
+       |         FROM ad)
+       |       WHERE ar <= $RetrR),
+       |qvec AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |         WHERE vec_id IN $retrSampleSql),
+       |rv AS (SELECT q_id, vec_id, rv FROM
+       |        (SELECT q_id, vec_id,
+       |          row_number() OVER (PARTITION BY q_id
+       |           ORDER BY sim DESC, vec_id) AS rv
+       |         FROM (SELECT sl.q_id, sl.vec_id,
+       |                round(list_sum(list_transform(list_zip(qv, v),
+       |                  z -> CAST(z[1] * z[2] AS DOUBLE))), 5) AS sim
+       |               FROM sl JOIN e USING (vec_id)
+       |                JOIN qvec ON sl.q_id = qvec.q_id))
+       |       WHERE rv <= $FuseD),
+       |$bm25SqlCte,
+       |rt AS (SELECT q_id, cand_id,
+       |        row_number() OVER (PARTITION BY q_id
+       |         ORDER BY bm6 DESC, cand_id) AS rt
+       |       FROM bm),
+       |fused AS (
+       | SELECT COALESCE(rv.q_id, rt.q_id) AS q_id,
+       |  COALESCE(rv.vec_id, rt.cand_id) AS doc_id, rv.rv, rt.rt,
+       |  CAST(floor((COALESCE(1.0 / ($RrfK + rv.rv), 0.0) +
+       |    COALESCE(1.0 / ($RrfK + rt.rt), 0.0)) * 1000000 + 0.5)
+       |   AS BIGINT) AS r6
+       | FROM rv FULL OUTER JOIN rt
+       |  ON rv.q_id = rt.q_id AND rv.vec_id = rt.cand_id)
+       |SELECT q_id, rn, doc_id, r6 / 1000000.0 AS rrf,
+       | rv AS vec_rank, rt AS text_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |       ORDER BY r6 DESC, doc_id) AS rn FROM fused)
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q172_ann_hybrid", q172, Some(q172Sql),
+      "ANN-backed hybrid retrieval: IVFADC shortlist ranks fused with BM25 by RRF"),
     Q("q170_split_leakage", q170, Some(q170Sql),
       "train/test near-dup leakage audit over the bucket-blocked pair stream"),
     Q("q165_mmr_diversify", q165, Some(q165Sql),

@@ -68,6 +68,35 @@ class AnnRecallSpec extends SparkSpec {
       s"q54 shipped-schedule recall@3 = ${curve.last._2}")
   }
 
+  test("q172 ANN-backed fusion recalls the brute-fused baselines") {
+    // the documented 100 TB swap: q172 replaces q163's brute vector
+    // branch with the IVFADC shortlist and fuses the SAME way — the
+    // cost of the approximation is fused-rank recall, pinned here
+    // exactly (all three plans are deterministic).
+    def sets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recallOf(a: Map[Long, Set[Long]], b: Map[Long, Set[Long]]): Double = {
+      assert(a.keySet == b.keySet,
+        s"query sets diverged: ${a.keySet} vs ${b.keySet}")
+      b.keySet.toSeq.map(q => a(q).count(b(q).contains) / 5.0).sum / b.size
+    }
+    val ann = sets(Registry.byName("q172_ann_hybrid").run(spark, sf01).collect())
+    // apples-to-apples: brute vector list truncated at the SAME depth
+    // (20) — the only difference left is the IVFADC approximation
+    val atDepth = sets(SimilarityQueries
+      .bruteFusedAtDepth(spark, sf01, 20).collect())
+    val rDepth = recallOf(ann, atDepth)
+    // vs the unbounded q163 fusion — includes the list-depth effect
+    // (RRF weighs deep-tail vector ranks no shortlist system can
+    // see), reported for honesty, contract set on the isolated number
+    val full = sets(Registry.byName("q163_rrf_hybrid").run(spark, sf01).collect())
+    val rFull = recallOf(ann, full)
+    info(f"q172 fused recall@5: vs brute@equal-depth = $rDepth%.3f, " +
+      f"vs unbounded q163 = $rFull%.3f")
+    assert(rDepth >= 0.85, f"fused recall@5 at equal depth = $rDepth%.3f")
+  }
+
   test("registry q51/q54 match the shipped parameterized schedules") {
     val q51 = Registry.byName("q51_ann_lsh").run(spark, sf01).collect()
     val p51 = SimilarityQueries.lshAnn(spark, sf01, 2).collect()
