@@ -1720,7 +1720,122 @@ object TextQueries {
       |        - greatest(pack * 1024, cum))) AS BIGINT) AS span_checksum
       |FROM segs GROUP BY pack ORDER BY pack_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q173: BPE TOKENIZER TRAINING (Sennrich, Haddow & Birch 2016) —
+  // the REAL byte-pair-encoding merge loop, not q36's regex
+  // approximation: start from characters (+ an explicit '</w>'
+  // end-of-word symbol), repeat K times {count adjacent symbol
+  // pairs over the weighted word table → global argmax pair (count
+  // desc, pair asc — the deterministic tie-break) → greedily apply
+  // the merge left-to-right inside every word}. Output = the ranked
+  // merge table, the artifact a tokenizer ships; each step's counts
+  // depend on every previous apply, so the gate pins the WHOLE loop.
+  //
+  // Scale: BPE trains on the DISTINCT-word table (Heaps' law —
+  // sublinear in corpus size; the corpus is scanned ONCE to build
+  // it), pair counting is a partial-aggregable explode over that
+  // bounded table, the argmax is a 1-row TakeOrdered broadcast back,
+  // and the apply is row-local — K passes over the word table, zero
+  // corpus re-scans. The greedy apply is a per-word sequential fold
+  // by definition (Sennrich's algorithm), spelled as an `aggregate`
+  // HOF: a merged symbol equals concat(a,b), which can never equal
+  // the bare `a` a following merge would need, so the fold IS the
+  // canonical left-to-right non-overlapping application. The oracle
+  // spells the same apply as a delimiter-doubled string replace
+  // (every symbol flanked by two spaces; pattern consumes one space
+  // per side, preserving the invariant) — BpeSpec pins both against
+  // the paper's worked example.
+  private val BpeK = 10
+
+  /** greedy left-to-right application of merge (a, b) to a symbol
+    * array (row-local fold; exact Sennrich apply — see q173 note). */
+  private def bpeApply(seg: Column, a: Column, b: Column): Column =
+    aggregate(
+      slice(seg, lit(2), size(seg) - 1),
+      slice(seg, lit(1), lit(1)),
+      (acc, x) =>
+        when(element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** the K-step merge loop over any (text) corpus frame — factored
+    * out so BpeSpec can run the planted Sennrich corpus. */
+  private[graft] def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs.select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+    val seg0 = words
+      .withColumn("seg", concat(
+        expr("transform(sequence(1, char_length(word)), " +
+          "i -> substring(word, i, 1))"),
+        array(lit("</w>"))))
+      .localCheckpoint(true)
+    val (_, merges) = (1 to k).foldLeft((seg0, Option.empty[DataFrame])) {
+      case ((seg, ms), step) =>
+        val pairs = seg.filter(size($"seg") >= 2)
+          .select($"wc", explode(expr(
+            "transform(sequence(1, size(seg) - 1), " +
+              "i -> struct(element_at(seg, i) AS a, " +
+              "element_at(seg, i + 1) AS b))")).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"wc").as("cnt"))
+        val top = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
+          .localCheckpoint(true)
+        val seg2 = seg.crossJoin(broadcast(top))
+          .withColumn("seg", bpeApply($"seg", $"a", $"b"))
+          .select($"word", $"wc", $"seg")
+          .localCheckpoint(true)
+        val mrow = top.select(lit(step).as("step"), $"a".as("left_sym"),
+          $"b".as("right_sym"), concat($"a", $"b").as("merged"),
+          $"cnt".as("pair_count"))
+        (seg2, Some(ms.map(_.unionByName(mrow)).getOrElse(mrow)))
+    }
+    merges.get.orderBy($"step")
+  }
+
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(documents(s, dir), BpeK)
+
+  private lazy val q173Sql = {
+    val steps = (1 to BpeK).map { k =>
+      val prev = s"seg${k - 1}"
+      s"""p$k AS (
+         | SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |  SELECT wc, seg[i] AS a, seg[i+1] AS b FROM (
+         |   SELECT wc, seg, unnest(generate_series(1, len(seg)-1)) AS i
+         |   FROM $prev WHERE len(seg) >= 2))
+         | GROUP BY a, b),
+         |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg$k AS (
+         | SELECT word, wc,
+         |  string_split(trim(replace(
+         |    '  ' || array_to_string(seg, '  ') || '  ',
+         |    ' ' || a || '  ' || b || ' ',
+         |    ' ' || a || b || ' '), ' '), '  ') AS seg
+         | FROM $prev, m$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeK).map { k =>
+      s"SELECT $k AS step, a AS left_sym, b AS right_sym, " +
+        s"a||b AS merged, cnt AS pair_count FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (
+       | SELECT term AS word, count(*) AS wc FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       | WHERE len(term) > 0 GROUP BY term),
+       |seg0 AS (
+       | SELECT word, wc,
+       |  list_append(list_transform(generate_series(1, len(word)),
+       |    i -> word[i:i]), '</w>') AS seg
+       | FROM w),
+       |$steps
+       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q173_bpe_train", q173, Some(q173Sql),
+      "real BPE tokenizer training: 10 count->argmax->apply merge steps over the distinct-word table"),
     Q("q168_sequence_packing", q168, Some(q168Sql),
       "concat-then-chunk sample packing: md5 shuffle order, fixed 1024-token contexts, per-pack manifest"),
     Q("q155_chunk_windows", q155, Some(q155Sql),
