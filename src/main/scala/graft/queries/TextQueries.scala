@@ -1660,24 +1660,52 @@ object TextQueries {
     * integer arithmetic on (cum_before, n_tok), so the layout is
     * cross-engine exact. Output = the per-pack manifest (segments,
     * fill, span checksum) — bounded at Σtokens/CTX rows.
-    * Scale note: the flat prefix-sum window is the test-SF spelling;
-    * at 100 TB the cumsum swaps for q131's hierarchical
-    * per-md5-prefix local-cumsum + broadcast bucket offsets
-    * (ShardPackSpec pins both spellings equal), and everything after
-    * the cumsum is row-local. */
-  private def q168(s: SparkSession, dir: String): DataFrame = {
+    * Scale note: the cumsum runs HIERARCHICALLY (q131's discipline,
+    * applied to the global order): bucket every doc by the leading
+    * hex char of its shuffle key (the bucket prefix respects the
+    * global (h, doc_id) order by construction), local cumsum per
+    * bucket — a bounded in-partition sort of N/16 docs — plus a
+    * broadcast 16-row exclusive bucket-offset rollup. cum =
+    * bucket_offset + local_cum is exact integer arithmetic, so the
+    * layout — and the oracle — are bit-identical to the one-window
+    * flat spelling, which survives below as ShardPackSpec's
+    * reference; everything after the cumsum is row-local. */
+  private[graft] def packSequences(docs: DataFrame,
+      hierarchical: Boolean): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val Ctx = 1024
-    val d = documents(s, dir)
+    val d = docs
       .select($"doc_id", size(toks($"text")).cast("long").as("n_tok"))
       .filter($"n_tok" > 0)
       .withColumn("h", md5(concat(lit("q168:"), $"doc_id".cast("string"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"h", $"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1)
-    val segs = d
-      .withColumn("cum", coalesce(sum($"n_tok").over(w), lit(0L)))
+    val withCum =
+      if (!hierarchical) {
+        val w = Window.orderBy($"h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.withColumn("cum", coalesce(sum($"n_tok").over(w), lit(0L)))
+      } else {
+        // one materialization of the slim digest stream (the q131
+        // barrier): both the local-cumsum and bucket-offset branches
+        // consume it without re-scanning + re-tokenizing the corpus
+        val bkt = d.withColumn("bkt", substring($"h", 1, 1))
+          .select($"bkt", $"h", $"doc_id", $"n_tok")
+          .localCheckpoint(true)
+        val wLocal = Window.partitionBy($"bkt").orderBy($"h", $"doc_id")
+        val local = bkt.withColumn("lcum",
+          coalesce(sum($"n_tok").over(wLocal.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        val offs = bkt.groupBy($"bkt")
+          .agg(sum($"n_tok").as("btok"))
+          .withColumn("boff",
+            coalesce(sum($"btok").over(Window.orderBy($"bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"bkt", $"boff")
+        local.join(broadcast(offs), Seq("bkt"))
+          .withColumn("cum", $"boff" + $"lcum")
+      }
+    val segs = withCum
       .withColumn("pack", explode(sequence(
         floor($"cum" / Ctx).cast("long"),
         floor(($"cum" + $"n_tok" - 1) / Ctx).cast("long"))))
@@ -1692,6 +1720,9 @@ object TextQueries {
         sum($"doc_id" * $"seg_len").as("span_checksum"))
       .orderBy($"pack_id")
   }
+
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    packSequences(documents(s, dir), hierarchical = true)
 
   private val q168Sql =
     """WITH d AS (

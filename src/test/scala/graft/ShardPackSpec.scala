@@ -77,6 +77,26 @@ class ShardPackSpec extends SparkSpec {
     }
   }
 
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"q168 hierarchical == flat per-pack manifest at $sf") {
+      // the same decomposition applied to q168's GLOBAL shuffle-order
+      // cumsum (no lang partition): the per-pack manifest — every
+      // column, including the span checksum that pins each segment's
+      // doc and length — must be bit-identical between the one-window
+      // reference and the bucketed two-level form
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      def packs(h: Boolean) =
+        TextQueries.packSequences(docs, hierarchical = h).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+      val flat = packs(false)
+      val hier = packs(true)
+      assert(flat.nonEmpty && flat.length > 1, "degenerate: <2 packs")
+      assert(hier.toSeq == flat.toSeq,
+        s"first diverging packs: ${hier.zip(flat).filter(p => p._1 != p._2).take(3).toSeq}")
+    }
+  }
+
   test("bucket fan-out is a free knob: P=2 (256 buckets) == P=1 == flat") {
     // the 100 TB retune — narrower per-task sorts via a longer bucket
     // prefix — must be assignment-invariant (exact integer offset
