@@ -1111,7 +1111,14 @@ object SimilarityQueries {
   private val MmrK = 5       // diversified picks
   private val MmrLam = 0.7   // relevance/diversity trade-off
 
-  private def q165(s: SparkSession, dir: String): DataFrame = {
+  /** the greedy MMR selection as a K-parameterized plan generator
+    * (the q137/q160 GD-step discipline): step 1 is the pure-relevance
+    * argmax, steps 2..k are penalized argmaxes generated by a fold —
+    * nothing in the chain depends on the gate constant, and
+    * MmrKSpec pins a K=8 run against a driver-side reference greedy
+    * so the unroll generalizes beyond K=5. */
+  private[graft] def mmrDiversify(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -1148,7 +1155,7 @@ object SimilarityQueries {
       .filter($"rn" === 1)
       .select($"q_id", $"vec_id".as("sel_id"), lit(1).as("step"),
         $"simq".as("mmr"))
-    (2 to MmrK).foldLeft(first) { (sel, k) =>
+    (2 to k).foldLeft(first) { (sel, step) =>
       val ccr = cc.select($"q_id".as("cq"), $"a_id", $"b_id", $"simc")
       val pen = slim
         .join(sel.select($"q_id", $"sel_id"), Seq("q_id"))
@@ -1157,13 +1164,13 @@ object SimilarityQueries {
           $"sel_id" === $"b_id")
         .groupBy($"q_id", $"vec_id", $"simq")
         .agg(count(lit(1)).as("n_sel"), max($"simc").as("pen"))
-        .filter($"n_sel" === k - 1) // exclude already-selected items
+        .filter($"n_sel" === step - 1) // exclude already-selected items
         .withColumn("mmr", lit(MmrLam) * $"simq" -
           lit(1.0 - MmrLam) * $"pen")
         .withColumn("rn", row_number().over(
           Window.partitionBy($"q_id").orderBy($"mmr".desc, $"vec_id")))
         .filter($"rn" === 1)
-        .select($"q_id", $"vec_id".as("sel_id"), lit(k).as("step"),
+        .select($"q_id", $"vec_id".as("sel_id"), lit(step).as("step"),
           $"mmr")
       sel.unionByName(pen).localCheckpoint(true)
     }
@@ -1172,8 +1179,15 @@ object SimilarityQueries {
       .orderBy($"q_id", $"step")
   }
 
-  private lazy val q165Sql = {
-    val steps = (2 to MmrK).map { k =>
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    mmrDiversify(s, dir, MmrK)
+
+  /** the MMR greedy chain as oracle CTE text (no leading WITH;
+    * expects CTEs `e` and `qv` in scope) — ends in sel$k. Shared by
+    * q165Sql and q174Sql, parameterized by K so the spec's K=8 run
+    * exercises the same generator as the K=5 gate. */
+  private def mmrChainSql(kSteps: Int): String = {
+    val steps = (2 to kSteps).map { k =>
       s"""s$k AS (
          | SELECT q_id, vec_id, $k AS step, mmr FROM (
          |  SELECT p.q_id, p.vec_id, p.mmr, row_number() OVER (
@@ -1193,11 +1207,7 @@ object SimilarityQueries {
          |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
          |          SELECT * FROM s$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings),
-       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e
-       |       WHERE vec_id IN $retrSampleSql),
-       |cand AS (
+    s"""cand AS (
        | SELECT q_id, vec_id, simq, v FROM (
        |  SELECT q.q_id, e.vec_id, e.v,
        |   round(list_cosine_similarity(q.qv, e.v), 5) AS simq,
@@ -1217,11 +1227,18 @@ object SimilarityQueries {
        |   PARTITION BY q_id ORDER BY simq DESC, vec_id) AS rn
        |  FROM cand)
        | WHERE rn = 1),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private lazy val q165Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |       WHERE vec_id IN $retrSampleSql),
+       |${mmrChainSql(MmrK)}
        |SELECT q_id, CAST(step AS INT) AS step, vec_id AS doc_id,
        | floor(mmr * 1000000 + 0.5) / 1000000.0 AS mmr
        |FROM sel$MmrK ORDER BY q_id, step""".stripMargin
-  }
 
   /** q170: CROSS-SPLIT LEAKAGE AUDIT — the train/test-contamination
     * check every ML protocol should run and few do: near-duplicate
@@ -1434,7 +1451,139 @@ object SimilarityQueries {
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q174: RETRIEVAL-QUALITY EVALUATION — recall@5 and nDCG@5 of the
+  // three shipped rankers (q162 BM25, q163 RRF hybrid, q165 MMR)
+  // against the exact brute-force cosine top-5 as binary relevance,
+  // per query AND macro-averaged: the evaluation loop a retrieval
+  // layer runs on every index/ranker change, promoted from spec-only
+  // pins to a first-class oracle gate.
+  //
+  // Exactness: position gains floor(10⁶/log₂(r+1)+0.5) are int64
+  // LITERALS computed once and inlined on both engines (no runtime
+  // transcendental), so DCG is exact integer arithmetic; recall and
+  // macro averages divide exact int64 sums once at the end. Scale:
+  // ground truth is the bounded-query brute pass (O(Q·N), one corpus
+  // scan); everything downstream joins 5-row-per-query lists.
+  private val NdcgGain6: Seq[Long] = (1 to 5).map(r =>
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private val Idcg6: Long = NdcgGain6.sum
+
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
+    val qs = retrQuerySample(s, dir)
+    val qv = e.join(broadcast(qs), e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"), $"vn".as("qn"))
+    val rel = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") /
+          ($"qn" * $"vn"), 5))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")))
+      .filter($"r" <= 5)
+      .select($"q_id", $"vec_id".as("doc_id"), lit(1L).as("hit"))
+    val bm = bm25Scores(s, dir)
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .filter($"r" <= 5)
+      .select($"q_id", $"cand_id".as("doc_id"), $"r")
+    val rrf = q163(s, dir).select($"q_id", $"doc_id", $"rn".as("r"))
+    val mmr = mmrDiversify(s, dir, MmrK)
+      .select($"q_id", $"doc_id", $"step".as("r"))
+    val sys = bm.withColumn("system", lit("bm25"))
+      .unionByName(rrf.withColumn("system", lit("rrf")))
+      .unionByName(mmr.withColumn("system", lit("mmr")))
+    val gain = element_at(array(NdcgGain6.map(lit(_)): _*), $"r")
+    val perQ = sys.join(rel, Seq("q_id", "doc_id"), "left")
+      .groupBy($"system", $"q_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"),
+        sum(when($"hit".isNotNull, gain).otherwise(lit(0L))).as("dcg6"))
+      .localCheckpoint(true)
+    val per = perQ.select($"system", $"q_id", $"n_hits",
+      ($"n_hits" / lit(5.0)).as("recall5"),
+      (floor($"dcg6" / lit(Idcg6.toDouble) * 1e6 + 0.5) / lit(1e6))
+        .as("ndcg5"))
+    val macroRow = perQ.groupBy($"system")
+      .agg(sum($"n_hits").as("n_hits"), sum($"dcg6").as("sdcg6"),
+        count(lit(1)).as("nq"))
+      .select($"system", lit(-1L).as("q_id"), $"n_hits",
+        ($"n_hits" / ($"nq" * lit(5.0))).as("recall5"),
+        (floor($"sdcg6" / ($"nq" * lit(Idcg6.toDouble)) * 1e6 + 0.5) /
+          lit(1e6)).as("ndcg5"))
+    per.unionByName(macroRow).orderBy($"system", $"q_id")
+  }
+
+  private lazy val q174Sql = {
+    val gainCase = NdcgGain6.zipWithIndex
+      .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }
+      .mkString("CASE r ", " ", " ELSE 0 END")
+    s"""WITH $bm25SqlCte,
+       |rt AS (SELECT q_id, cand_id,
+       |        row_number() OVER (PARTITION BY q_id
+       |         ORDER BY bm6 DESC, cand_id) AS rt
+       |       FROM bm),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |       WHERE vec_id IN $retrSampleSql),
+       |rv AS (SELECT q_id, vec_id,
+       |        row_number() OVER (PARTITION BY q_id
+       |         ORDER BY round(list_cosine_similarity(qv, v), 5) DESC,
+       |                  vec_id) AS rv
+       |       FROM qv JOIN e ON vec_id <> q_id),
+       |rel AS (SELECT q_id, vec_id AS doc_id FROM rv WHERE rv <= 5),
+       |bmtop AS (SELECT q_id, cand_id AS doc_id, rt AS r FROM rt
+       |          WHERE rt <= 5),
+       |fused AS (
+       | SELECT rv.q_id, rv.vec_id, rv.rv, rt.rt,
+       |  CAST(floor((1.0 / ($RrfK + rv.rv) +
+       |    COALESCE(1.0 / ($RrfK + rt.rt), 0.0)) * 1000000 + 0.5)
+       |   AS BIGINT) AS r6
+       | FROM rv LEFT JOIN rt
+       |  ON rv.q_id = rt.q_id AND rv.vec_id = rt.cand_id),
+       |rrftop AS (
+       | SELECT q_id, doc_id, rn AS r FROM (
+       |  SELECT q_id, vec_id AS doc_id, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY r6 DESC, vec_id) AS rn
+       |  FROM fused)
+       | WHERE rn <= 5),
+       |${mmrChainSql(MmrK)},
+       |mmrtop AS (SELECT q_id, vec_id AS doc_id, step AS r
+       |           FROM sel$MmrK),
+       |sys AS (SELECT 'bm25' AS system, q_id, doc_id, r FROM bmtop
+       |        UNION ALL
+       |        SELECT 'rrf' AS system, q_id, doc_id, r FROM rrftop
+       |        UNION ALL
+       |        SELECT 'mmr' AS system, q_id, doc_id, r FROM mmrtop),
+       |g AS (SELECT s.system, s.q_id, s.r,
+       |       CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM sys s LEFT JOIN rel
+       |       ON s.q_id = rel.q_id AND s.doc_id = rel.doc_id),
+       |perq AS (SELECT system, q_id,
+       |          CAST(sum(hit) AS BIGINT) AS n_hits,
+       |          CAST(sum(hit * ($gainCase)) AS BIGINT) AS dcg6
+       |         FROM g GROUP BY system, q_id)
+       |SELECT system, q_id, n_hits, recall5, ndcg5 FROM (
+       | SELECT system, q_id, n_hits,
+       |  n_hits / 5.0 AS recall5,
+       |  floor(dcg6 / $Idcg6.0 * 1000000 + 0.5) / 1000000.0 AS ndcg5
+       | FROM perq
+       | UNION ALL
+       | SELECT system, -1 AS q_id,
+       |  CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       |  sum(n_hits) / (count(*) * 5.0) AS recall5,
+       |  floor(sum(dcg6) / (count(*) * $Idcg6.0) * 1000000 + 0.5)
+       |    / 1000000.0 AS ndcg5
+       | FROM perq GROUP BY system)
+       |ORDER BY system, q_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q174_retrieval_eval", q174, Some(q174Sql),
+      "recall@5 + nDCG@5 of BM25/RRF/MMR vs brute cosine ground truth, per-query + macro"),
     Q("q172_ann_hybrid", q172, Some(q172Sql),
       "ANN-backed hybrid retrieval: IVFADC shortlist ranks fused with BM25 by RRF"),
     Q("q170_split_leakage", q170, Some(q170Sql),
