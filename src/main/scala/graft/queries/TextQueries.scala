@@ -1506,6 +1506,88 @@ object TextQueries {
       | min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin
 
+  /** q175: SCD2 SNAPSHOT MERGE — the write-side counterpart of
+    * q147's read-side diff: apply snapshot B to a dimension table
+    * holding snapshot A as a slowly-changing-dimension type-2
+    * history. Per doc: unchanged → the v1 row stays open; changed →
+    * v1 closes at version 2 and a v2 row opens; removed → v1 closes
+    * with NO successor; added → a v2 row opens. Spelled as ONE
+    * full-outer hash join on doc_id (both sides slim: id + 32-byte
+    * content hash), a union of three row generators (v1 rows, v2
+    * rows, removal TOMBSTONES), and one per-doc lead() window that
+    * turns successor versions into valid_to — tombstones close
+    * removed rows then drop out, so "closed with no successor" needs
+    * no special case. Output = the full versioned dimension
+    * (valid_from/valid_to/is_current), every row pinned by the gate.
+    *
+    * Scale: identical join posture to q147 (text hashed at scan,
+    * never shuffled; bucketed snapshots make it a zero-shuffle
+    * sort-merge), and the window partitions by doc_id over ≤3 rows —
+    * the upsert a 100 TB warehouse applies per release. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(s, dir).select($"doc_id", $"text",
+      substring(md5($"doc_id".cast("string")), 32, 1).as("h"))
+    val snapA = d.filter($"h" =!= "0")
+      .select($"doc_id", md5($"text").as("chash"))
+    val snapB = d.filter($"h" =!= "1")
+      .select($"doc_id",
+        md5(when($"h" === "f", concat($"text", lit(" v2")))
+          .otherwise($"text")).as("chash"))
+    val j = snapA.as("a").join(snapB.as("b"),
+        $"a.doc_id" === $"b.doc_id", "full_outer")
+      .select($"a.doc_id".as("a_id"), $"a.chash".as("ca"),
+        $"b.doc_id".as("b_id"), $"b.chash".as("cb"))
+      .localCheckpoint(true)
+    val rows = j.filter($"ca".isNotNull)
+      .select($"a_id".as("doc_id"), $"ca".as("chash"), lit(1L).as("ver"))
+      .unionByName(j
+        .filter($"cb".isNotNull && ($"ca".isNull || $"ca" =!= $"cb"))
+        .select($"b_id".as("doc_id"), $"cb".as("chash"),
+          lit(2L).as("ver")))
+      .unionByName(j.filter($"cb".isNull)
+        .select($"a_id".as("doc_id"),
+          lit(null).cast("string").as("chash"), lit(2L).as("ver")))
+    val w = Window.partitionBy($"doc_id").orderBy($"ver")
+    rows.withColumn("valid_to", lead($"ver", 1).over(w))
+      .filter($"chash".isNotNull)
+      .select($"doc_id", $"chash", $"ver".as("valid_from"),
+        $"valid_to", $"valid_to".isNull.as("is_current"))
+      .orderBy($"doc_id", $"valid_from")
+  }
+
+  private val q175Sql =
+    """WITH d AS (
+      | SELECT doc_id, text,
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) AS h
+      | FROM documents),
+      |a AS (SELECT doc_id, md5(text) AS chash FROM d WHERE h <> '0'),
+      |b AS (
+      | SELECT doc_id,
+      |  md5(CASE WHEN h = 'f' THEN text || ' v2' ELSE text END) AS chash
+      | FROM d WHERE h <> '1'),
+      |j AS (
+      | SELECT a.doc_id AS a_id, a.chash AS ca,
+      |        b.doc_id AS b_id, b.chash AS cb
+      | FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+      |r AS (
+      | SELECT a_id AS doc_id, ca AS chash, CAST(1 AS BIGINT) AS ver
+      | FROM j WHERE ca IS NOT NULL
+      | UNION ALL
+      | SELECT b_id, cb, CAST(2 AS BIGINT)
+      | FROM j WHERE cb IS NOT NULL AND (ca IS NULL OR ca <> cb)
+      | UNION ALL
+      | SELECT a_id, NULL, CAST(2 AS BIGINT) FROM j WHERE cb IS NULL),
+      |v AS (
+      | SELECT doc_id, chash, ver,
+      |  lead(ver) OVER (PARTITION BY doc_id ORDER BY ver) AS valid_to
+      | FROM r)
+      |SELECT doc_id, chash, ver AS valid_from, valid_to,
+      | valid_to IS NULL AS is_current
+      |FROM v WHERE chash IS NOT NULL
+      |ORDER BY doc_id, valid_from""".stripMargin
+
   /** q148: ONE-PASS COLUMN PROFILER — the data-quality report every
     * ingestion run publishes before a snapshot is accepted: per column
     * of `documents`, null count, distinct count, numeric min/max, and
@@ -1875,6 +1957,8 @@ object TextQueries {
       "one-scan data-quality profile: nulls/distinct/min/max/avg-len per column, HLL sparse-exact"),
     Q("q147_snapshot_diff", q147, Some(q147Sql),
       "corpus snapshot diff: added/removed/changed/unchanged audit rollup (hash-only full-outer join)"),
+    Q("q175_scd2_merge", q175, Some(q175Sql),
+      "SCD2 snapshot merge: versioned dimension with valid_from/valid_to via tombstoned lead() window"),
     Q("q142_dag_metrics", q142, Some(q142Sql),
       "per-stage operational metrics of the q138 DAG (rows/tokens/build_sec into the metrics sink; deterministic columns gated)"),
     Q("q138_curation_dag", q138, Some(q138Sql),
