@@ -660,6 +660,76 @@ object TrajectoryQueries {
     * specification twin — so the oracle hash is unchanged by
     * construction (the q75/q97 discipline). */
 
+  /** WIDTH-64 FIDELITY PROBE (WidthProbeSpec): the q160 epoch at the
+    * reference's true hidden width (`unsupervised.py`'s 64×64 body).
+    * The ~4.7k-double gradient splits across `shards` graft_vec_sum
+    * buffers (slice → vecSum each → concat) instead of one giant
+    * buffer, so the one-aggregation-per-epoch discipline survives
+    * the width that motivated q160's width-16 gate (hundreds of agg
+    * columns break codegen; a 4.7k-wide SINGLE buffer is fine for
+    * the kernel but this pins the sharded path a 100 TB run would
+    * use to bound per-buffer copy sizes). Elementwise-sum slicing is
+    * exact — the spec pins shards=4 ≡ shards=1 bit-for-bit on the
+    * final weights. One (n_Epochs, Model) cell; returns the final
+    * flat weight vector. */
+  private[graft] def mlpGdWidthProbe(s: SparkSession, dir: String,
+      h: Int, iters: Int, shards: Int): Array[Double] = {
+    import s.implicits._
+    val u = gridData(s, dir)
+      .filter($"n_Epochs" === Epochs && $"Model" === "T_CPC")
+      .localCheckpoint(true)
+    val rawTrain = u.filter($"user_id" % 5 =!= 0)
+    val st = rawTrain
+      .select($"n_Epochs", $"Model", posexplode($"x").as(Seq("dim", "xj")))
+      .groupBy($"n_Epochs", $"Model", $"dim")
+      .agg(round(avg($"xj"), 6).as("mu"),
+        round(stddev_pop($"xj"), 6).as("sd"))
+      .groupBy($"n_Epochs", $"Model")
+      .agg(IterativeState.gather($"dim", $"mu").as("mu"),
+        IterativeState.gather($"dim", $"sd").as("sd"))
+    val train = rawTrain.join(broadcast(st), Seq("n_Epochs", "Model"))
+      .withColumn("xz", zip_with($"x", arrays_zip($"mu", $"sd"),
+        (v, ms) => when(ms("sd") > 1e-9, (v - ms("mu")) / ms("sd"))
+          .otherwise(v)))
+      .select($"n_Epochs", $"Model", $"y", $"xz")
+      .localCheckpoint(true)
+    val d = MlpD
+    val p = d * h + h + h * h + h + h + 1
+    val init: Seq[Double] =
+      (for { j <- 0 until h; i <- 0 until d } yield
+        mdwInit(s"mw1:$j:$i")) ++
+      (0 until h).map(j => mdwInit(s"mb1:$j")) ++
+      (for { j <- 0 until h; i <- 0 until h } yield
+        mdwInit(s"mw2:$j:$i")) ++
+      (0 until h).map(j => mdwInit(s"mb2:$j")) ++
+      (0 until h).map(j => mdwInit(s"mw3:$j")) :+
+      mdwInit("mb3")
+    require(init.size == p)
+    // shard bounds: `shards` contiguous slices covering 1..p
+    val cut = (0 to shards).map(i => (p.toLong * i / shards).toInt)
+    val bounds = cut.sliding(2).map { case Seq(a, b) => (a + 1, b - a) }.toSeq
+    val w0 = Seq((Epochs, "T_CPC")).toDF("n_Epochs", "Model")
+      .withColumn("w", array(init.map(lit(_)): _*))
+    val wN = IterativeState.epochs(w0, iters) { (w, _) =>
+      val fwd = train.join(broadcast(w), Seq("n_Epochs", "Model"))
+        .withColumn("g", graft.expr.GraftFunctions.mlpGrad(
+          s, $"xz", $"w", $"y".cast("double"), h))
+      val aggs = bounds.zipWithIndex.map { case ((off, len), i) =>
+        graft.expr.GraftFunctions.vecSum(s,
+          slice($"g", off, len)).as(s"gs$i")
+      } :+ count(lit(1)).as("nr")
+      val gsum = fwd.groupBy($"n_Epochs", $"Model")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("gs",
+          concat((0 until shards).map(i => col(s"gs$i")): _*))
+      w.join(gsum, Seq("n_Epochs", "Model"))
+        .select($"n_Epochs", $"Model",
+          zip_with($"w", $"gs",
+            (wk, gk) => round(wk - lit(MlpLr) * (gk / $"nr"), 6)).as("w"))
+    }
+    wN.select($"w").head().getSeq[Double](0).toArray
+  }
+
   private def q160(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val u = gridData(s, dir)
