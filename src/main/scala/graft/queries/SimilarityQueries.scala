@@ -925,9 +925,15 @@ object SimilarityQueries {
     * QTerms highest-tf·idf terms. */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the postings table is consumed FIVE times downstream (dl, df,
+    // probe-term selection, candidate walk, and their joins) — one
+    // materialization instead of five tokenize+explode corpus passes
+    // (the q134 barrier rationale; ~30 bytes/posting, bounded by the
+    // token count)
     val tf = documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val stats = documents(s, dir).agg(count(lit(1)).as("n"))
@@ -1471,26 +1477,48 @@ object SimilarityQueries {
 
   private def q174(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // each shared subtree materializes ONCE: the brute rank list
+    // serves both the ground truth (top-5) and q163's fusion input,
+    // the BM25 rank list serves both its own top-5 and the fusion —
+    // without the barriers the corpus-scan subtrees re-execute per
+    // consumer (measured 8.1 vs 4.4 s at sf0.1)
     val e = embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("vn", ArrayOps.l2Norm(s, $"v"))
     val qs = retrQuerySample(s, dir)
     val qv = e.join(broadcast(qs), e("vec_id") === qs("q_id"))
       .select($"q_id", $"v".as("qv"), $"vn".as("qn"))
-    val rel = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+    val rvFull = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
       .withColumn("sim",
         round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") /
           ($"qn" * $"vn"), 5))
-      .withColumn("r", row_number().over(
+      .withColumn("rv", row_number().over(
         Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")))
-      .filter($"r" <= 5)
+      .select($"q_id", $"vec_id", $"rv")
+      .localCheckpoint(true)
+    val rel = rvFull.filter($"rv" <= 5)
       .select($"q_id", $"vec_id".as("doc_id"), lit(1L).as("hit"))
-    val bm = bm25Scores(s, dir)
-      .withColumn("r", row_number().over(
+    val rt = bm25Scores(s, dir)
+      .withColumn("rt", row_number().over(
         Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .select($"q_id", $"cand_id", $"rt")
+      .localCheckpoint(true)
+    val bm = rt.filter($"rt" <= 5)
+      .select($"q_id", $"cand_id".as("doc_id"), $"rt".as("r"))
+    // q163's fusion, inlined over the shared rank lists (identical
+    // expressions on identical inputs — the fused list IS q163's)
+    val rrf = rvFull
+      .join(rt, rvFull("q_id") === rt("q_id") &&
+        rvFull("vec_id") === rt("cand_id"), "left")
+      .select(rvFull("q_id"), $"vec_id", $"rv", $"rt")
+      .withColumn("rrf",
+        lit(1.0) / (lit(RrfK) + $"rv") +
+          coalesce(lit(1.0) / (lit(RrfK) + $"rt"), lit(0.0)))
+      .withColumn("r6", floor($"rrf" * 1e6 + 0.5).cast("long"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"r6".desc, $"vec_id")))
       .filter($"r" <= 5)
-      .select($"q_id", $"cand_id".as("doc_id"), $"r")
-    val rrf = q163(s, dir).select($"q_id", $"doc_id", $"rn".as("r"))
+      .select($"q_id", $"vec_id".as("doc_id"), $"r")
     val mmr = mmrDiversify(s, dir, MmrK)
       .select($"q_id", $"doc_id", $"step".as("r"))
     val sys = bm.withColumn("system", lit("bm25"))
