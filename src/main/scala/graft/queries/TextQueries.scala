@@ -1871,9 +1871,13 @@ object TextQueries {
           concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
           .otherwise(concat(acc, array(x))))
 
-  /** the K-step merge loop over any (text) corpus frame — factored
-    * out so BpeSpec can run the planted Sennrich corpus. */
-  private[graft] def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+  /** the K-step merge loop over any (text) corpus frame, returning
+    * BOTH artifacts: the final per-word segmentation (word, wc, seg)
+    * — what the ENCODE step consumes — and the ranked merge table.
+    * Factored out so BpeSpec can run the planted Sennrich corpus and
+    * q176 can tokenize with the trained merges. */
+  private[graft] def bpeChain(docs: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val words = docs.select(explode(split($"text", " ")).as("word"))
@@ -1885,7 +1889,8 @@ object TextQueries {
           "i -> substring(word, i, 1))"),
         array(lit("</w>"))))
       .localCheckpoint(true)
-    val (_, merges) = (1 to k).foldLeft((seg0, Option.empty[DataFrame])) {
+    val (segK, merges) = (1 to k).foldLeft(
+      (seg0, Option.empty[DataFrame])) {
       case ((seg, ms), step) =>
         val pairs = seg.filter(size($"seg") >= 2)
           .select($"wc", explode(expr(
@@ -1905,35 +1910,39 @@ object TextQueries {
           $"cnt".as("pair_count"))
         (seg2, Some(ms.map(_.unionByName(mrow)).getOrElse(mrow)))
     }
-    merges.get.orderBy($"step")
+    (segK, merges.get.orderBy($"step"))
   }
+
+  private[graft] def bpeMerges(docs: DataFrame, k: Int): DataFrame =
+    bpeChain(docs, k)._2
 
   private def q173(s: SparkSession, dir: String): DataFrame =
     bpeMerges(documents(s, dir), BpeK)
 
-  private lazy val q173Sql = {
-    val steps = (1 to BpeK).map { k =>
-      val prev = s"seg${k - 1}"
-      s"""p$k AS (
+  /** the trained chain as oracle CTE text (no leading WITH): ends in
+    * seg$k (the final segmentation) with m1..m$k (the merges) in
+    * scope — composed by q173Sql (merge table) AND q176Sql (encode
+    * rollup) so the training spelling lives in one place. */
+  private def bpeChainSqlCte(k: Int): String = {
+    val steps = (1 to k).map { step =>
+      val prev = s"seg${step - 1}"
+      s"""p$step AS (
          | SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
          |  SELECT wc, seg[i] AS a, seg[i+1] AS b FROM (
          |   SELECT wc, seg, unnest(generate_series(1, len(seg)-1)) AS i
          |   FROM $prev WHERE len(seg) >= 2))
          | GROUP BY a, b),
-         |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-         |seg$k AS (
+         |m$step AS (SELECT a, b, cnt FROM p$step
+         |           ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg$step AS (
          | SELECT word, wc,
          |  string_split(trim(replace(
          |    '  ' || array_to_string(seg, '  ') || '  ',
          |    ' ' || a || '  ' || b || ' ',
          |    ' ' || a || b || ' '), ' '), '  ') AS seg
-         | FROM $prev, m$k)""".stripMargin
+         | FROM $prev, m$step)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeK).map { k =>
-      s"SELECT $k AS step, a AS left_sym, b AS right_sym, " +
-        s"a||b AS merged, cnt AS pair_count FROM m$k"
-    }.mkString(" UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
        | SELECT term AS word, count(*) AS wc FROM (
        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
        | WHERE len(term) > 0 GROUP BY term),
@@ -1942,13 +1951,79 @@ object TextQueries {
        |  list_append(list_transform(generate_series(1, len(word)),
        |    i -> word[i:i]), '</w>') AS seg
        | FROM w),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private lazy val q173Sql = {
+    val union = (1 to BpeK).map { k =>
+      s"SELECT $k AS step, a AS left_sym, b AS right_sym, " +
+        s"a||b AS merged, cnt AS pair_count FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeChainSqlCte(BpeK)}
        |SELECT * FROM ($union) ORDER BY step""".stripMargin
   }
+
+  /** q176: BPE ENCODE — the companion APPLY of q173's training: the
+    * corpus tokenized under the trained segmentation, reported as
+    * the per-language accounting a tokenizer rollout publishes
+    * (word/token/char volumes, chars-per-token compression, global
+    * subword vocabulary size). Token count per word = the symbol
+    * count of its final segmentation (the '</w>' marker merges into
+    * symbols, Sennrich's accounting). Scale: the encode is a JOIN
+    * against the bounded distinct-word segmentation table — the
+    * corpus is scanned once for (lang, word) counts and never
+    * re-tokenized per merge; vocab is a distinct over the seg
+    * explode (bounded by initial chars + K merges). */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (seg, _) = bpeChain(documents(s, dir), BpeK)
+    val wl = documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+    val vocab = seg.select(explode($"seg").as("sym")).distinct()
+      .agg(count(lit(1)).as("vocab_size"))
+    wl.join(seg.select($"word", size($"seg").cast("long").as("n_sub")),
+        "word")
+      .groupBy($"lang")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * $"n_sub").as("bpe_tokens"),
+        sum($"n" * length($"word")).as("n_chars"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("chars_per_token",
+        floor($"n_chars" / $"bpe_tokens".cast("double") * 1e6 + 0.5) /
+          lit(1e6))
+      .select($"lang", $"n_words", $"bpe_tokens", $"n_chars",
+        $"chars_per_token", $"vocab_size")
+      .orderBy($"lang")
+  }
+
+  private lazy val q176Sql =
+    s"""WITH ${bpeChainSqlCte(BpeK)},
+       |wl AS (
+       | SELECT lang, term AS word, count(*) AS n FROM (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term
+       |  FROM documents)
+       | WHERE len(term) > 0 GROUP BY lang, term),
+       |vs AS (SELECT count(DISTINCT sym) AS vocab_size FROM (
+       |  SELECT unnest(seg) AS sym FROM seg$BpeK)),
+       |enc AS (
+       | SELECT lang, n, len(seg) AS n_sub, len(word) AS wlen
+       | FROM wl JOIN seg$BpeK USING (word))
+       |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       | CAST(sum(n * n_sub) AS BIGINT) AS bpe_tokens,
+       | CAST(sum(n * wlen) AS BIGINT) AS n_chars,
+       | floor(sum(n * wlen) / CAST(sum(n * n_sub) AS DOUBLE)
+       |   * 1000000 + 0.5) / 1000000.0 AS chars_per_token,
+       | CAST(vs.vocab_size AS BIGINT) AS vocab_size
+       |FROM enc CROSS JOIN vs
+       |GROUP BY lang, vs.vocab_size ORDER BY lang""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q173_bpe_train", q173, Some(q173Sql),
       "real BPE tokenizer training: 10 count->argmax->apply merge steps over the distinct-word table"),
+    Q("q176_bpe_encode", q176, Some(q176Sql),
+      "BPE encode rollout: per-lang token/char accounting under the trained segmentation + vocab size"),
     Q("q168_sequence_packing", q168, Some(q168Sql),
       "concat-then-chunk sample packing: md5 shuffle order, fixed 1024-token contexts, per-pack manifest"),
     Q("q155_chunk_windows", q155, Some(q155Sql),
