@@ -51,6 +51,20 @@ class BpeSpec extends SparkSpec {
     assert(m2(1) == (("a", "</w>", 1L)), m2.mkString(","))
   }
 
+  test("merge exhaustion: K beyond the realizable merges stops cleanly") {
+    import spark.implicits._
+    // one distinct word: "ab" -> (a,b) then (ab,</w>) and then the
+    // whole corpus is single-symbol words — no pairs remain. Asking
+    // for K=5 must return exactly the 2 realizable merges (the empty
+    // argmax propagates an empty step on BOTH engines — the oracle's
+    // `FROM seg, m` cross join and the Spark crossJoin agree), never
+    // a crash or a padded row
+    val docs = Seq("ab", "ab", "ab").toDF("text")
+    val got = TextQueries.bpeMerges(docs, 5).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1, "ab", 3L), (2, "ab</w>", 3L)), got.toSeq)
+  }
+
   test("merged symbols never false-match inside longer symbols") {
     import spark.implicits._
     // corpus where, after merging (a,b)->ab, a later pair (ab,c)

@@ -351,6 +351,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q172: ANN-hybrid joins broadcast the bounded sides, no cartesian") {
+    // the IVFADC chain's scale posture: probed cells, the per-query
+    // LUT, the shortlist and the query vectors all BROADCAST against
+    // the corpus passes (the corpus is never shuffled before the
+    // shortlist); the lexical branch keeps q162's keyed walk. A
+    // cartesian anywhere is a corpus cross join at 100 TB. The one
+    // allowed nested-loop slot is the 1-row codebook crossJoin.
+    val p = plan("q172_ann_hybrid")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p.take(2500))
+    // every nested-loop slot must carry a broadcast side (the 1-row
+    // codebook / corpus-stats literals) — an unbroadcast BNLJ is a
+    // disguised cartesian
+    assert(!"(?<!Broadcast)NestedLoopJoin".r.findAllIn(p).hasNext,
+      p.take(2500))
+    // embeddings scans prune to the two consumed columns
+    val scans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("embedding")).mkString("\n")
+    assert(scans.nonEmpty && !scans.contains("label"), scans)
+  }
+
+  test("q175: the SCD2 merge's joins and windows move hashes, not text") {
+    // text is hashed at scan time inside the checkpointed join: the
+    // surviving plan (windows + rollup) must consume only the slim
+    // (a_id, ca, b_id, cb) checkpoint — an exchange or scan carrying
+    // `text` would ship the corpus through the shuffle
+    val p = plan("q175_scd2_merge")
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+    val slim = p.linesIterator.filter(_.contains("Scan ExistingRDD"))
+      .mkString("\n")
+    assert(slim.contains("a_id") && slim.contains("ca") &&
+      !slim.contains("text"), slim)
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("text#"), exch)
+  }
+
   test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
     // shares docNllFrame with q129, so q129's join locks are asserted
     // here too (3 hash-keyed pair-stream joins, the broadcast-N BNLJ
