@@ -735,16 +735,27 @@ object SimilarityQueries {
     * (q_id, vec_id, sim, rv) — rv ranks the whole IVFPQ_R shortlist,
     * so q118 (top-5 neighbors) and q172 (rank list feeding RRF
     * fusion) consume the same plan at different depths. */
+  /** the persistable IVFADC index: one corpus pass assigning each
+    * vector its coarse cell + PQ codes. AnnIndexSpec writes this
+    * partitionBy("cell") and proves with real scan metrics that a
+    * probe reads ONLY the probed partitions — the amortized
+    * index-build story PERF.md's q172 note claims. */
+  private[graft] def ivfadcIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unitVecs(s, dir).crossJoin(broadcast(pqCodebookNested(s, dir)))
+      .withColumn("codes", graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
+      .withColumn("cell", cellCol(s, $"v"))
+      .select($"vec_id", $"cell", $"codes")
+  }
+
   private[graft] def ivfadcRanked(s: SparkSession, dir: String,
       qsample: DataFrame, nprobe: Int = IVFPQ_NPROBE,
       r: Int = IVFPQ_R): DataFrame = {
     import s.implicits._
     val e = unitVecs(s, dir)
-    // corpus pass: cell + PQ codes, row-local (native expressions)
-    val enc = e.crossJoin(broadcast(pqCodebookNested(s, dir)))
-      .withColumn("codes", graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
-      .withColumn("cell", cellCol(s, $"v"))
-      .select($"vec_id", $"cell", $"codes")
+    // corpus pass: cell + PQ codes, row-local (native expressions) —
+    // the persistable index (one definition, shared with AnnIndexSpec)
+    val enc = ivfadcIndex(s, dir)
     // query vectors, built ONCE and shared by the probe chain and the
     // exact re-rank (each duplicate subplan would re-run the corpus
     // normalize pass — the re-execution class 295434a fixed for CPC)
