@@ -1176,7 +1176,54 @@ object StreamingQueries {
       |  AS BIGINT) AS alarm_n
       |FROM sv GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q177: STREAMING INVERTED-INDEX MAINTENANCE — the index-as-
+    * artifact counterpart of q130's filtered-corpus ingest: newly
+    * arriving documents stream through a STATELESS per-doc postings
+    * extractor (each doc's (term, tf) rows computed row-locally —
+    * distinct-tokens × occurrence-count HOFs, no cross-batch state,
+    * no watermark) into an append sink of index DELTAS; the readable
+    * index is the merge-on-read compaction (a partial-aggregable
+    * groupBy over the delta files). This is how a 100 TB search/
+    * retrieval stack actually maintains its postings store: ingest
+    * appends bounded per-batch deltas, compaction amortizes, and a
+    * restart replays exactly (the file sink's manifest gives
+    * exactly-once delta files — no double-counted postings). The
+    * gate pins the compacted index (df, cf, Σ doc_id·tf checksum per
+    * term) equal to the one-shot batch inverted index — stream ≡
+    * batch, q115/q162's foundation maintained incrementally. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q177") { scratch =>
+      val postings = multiFileStream(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .select($"doc_id", explode(expr(
+          "transform(array_distinct(filter(toks, t -> length(t) > 0)), " +
+            "t -> struct(t AS term, size(filter(toks, x -> x = t)) AS tf))"))
+          .as("p"))
+        .select($"doc_id", $"p.term".as("term"),
+          $"p.tf".cast("long").as("tf"))
+      runToSink(s, postings, scratch)
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+          sum($"doc_id" * $"tf").as("postings_checksum"))
+        .orderBy($"term")
+    }
+  }
+
+  private lazy val q177Sql =
+    """WITH tf AS (
+      | SELECT doc_id, term, count(*) AS tf FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents)
+      | WHERE len(term) > 0 GROUP BY doc_id, term)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      | CAST(sum(tf) AS BIGINT) AS cf,
+      | CAST(sum(doc_id * tf) AS BIGINT) AS postings_checksum
+      |FROM tf GROUP BY term ORDER BY term""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q177_stream_index_maintain", q177, Some(q177Sql),
+      "§2.10 streaming inverted-index maintenance: stateless per-doc postings deltas + merge-on-read compaction ≡ the batch index"),
     Q("q166_stream_drift_cusum", q166, Some(q166Sql),
       "§2.10 streaming CUSUM drift alarm: frozen 7-day baseline, five longs of state per key, prefix-min identity oracle"),
     Q("q157_stream_anomaly", q157, Some(q157Sql),
