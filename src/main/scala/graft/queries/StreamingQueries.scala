@@ -1221,7 +1221,87 @@ object StreamingQueries {
       | CAST(sum(doc_id * tf) AS BIGINT) AS postings_checksum
       |FROM tf GROUP BY term ORDER BY term""".stripMargin
 
+  /** q178: STREAMING CDC APPLY — the keyed upsert/delete MERGE a
+    * warehouse table format (Delta/Hudi/Iceberg) runs at ingest,
+    * materialized as last-writer-wins state (Streaming.lwwPerKey):
+    * the event stream doubles as a changelog on key user_id (op =
+    * DELETE on an md5-derived 1/8 of events, else UPSERT of the
+    * event value), and per key the operation with the greatest
+    * (ts, value, event_id) wins — a key deleted last is ABSENT from
+    * the live table, a later upsert re-inserts it. What makes the
+    * operator robust where q166's CUSUM needed an ordered-ingest
+    * guard: LWW is an argmax — commutative/associative — so batch
+    * boundaries and cross-batch disorder cannot change the final
+    * state (StreamingSkewSpec pins invariance under an adversarial
+    * shuffle). The gate rolls the materialized table into 10
+    * user-bucket rows (live keys, live-value micro-unit sum, op
+    * counts, live-key checksum), bit-equal to the batch window
+    * twin: last op per key = row_number() over the identical DESC
+    * order. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q178") { scratch =>
+      val out = scratch + "/sink"
+      val ev = eventsStream(s, dir)
+        .select($"user_id", $"ts", $"value", $"event_id",
+          when(substring(md5(concat(lit("cdc:"),
+            $"event_id".cast("string"))), 1, 1) < "2", "D")
+            .otherwise("U").as("op"))
+        .as[Streaming.CdcEvent]
+      withStatePartitions(s) {
+        val q = Streaming.lwwPerKey(ev).toDF()
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            Streaming.appendBatchIdempotent(out)(batch, id)
+          }
+          .option("checkpointLocation", scratch + "/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sunk = s.read.parquet(out)
+      val w = Window.partitionBy($"user_id").orderBy($"n_ops".desc)
+      sunk.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy(($"user_id" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(!$"deleted", 1L).otherwise(0L)).as("n_live"),
+          sum(when(!$"deleted", $"last_v6")).as("live_value6_sum"),
+          sum($"n_ops").as("total_ops"),
+          sum(when(!$"deleted", $"user_id")).as("live_checksum"))
+        .orderBy($"bucket")
+    }
+  }
+
+  private val q178Sql =
+    """WITH e AS (
+      | SELECT user_id, ts, value, event_id,
+      |  CASE WHEN substr(md5('cdc:' || CAST(event_id AS VARCHAR)), 1, 1)
+      |        < '2' THEN 'D' ELSE 'U' END AS op,
+      |  CAST(round(value * 1000000, 0) AS BIGINT) AS v6
+      | FROM events),
+      |last AS (
+      | SELECT user_id, op, v6, n_ops FROM (
+      |  SELECT user_id, op, v6,
+      |   row_number() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ms(ts) DESC, value DESC, event_id DESC) AS rn,
+      |   count(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM e)
+      | WHERE rn = 1)
+      |SELECT user_id % 10 AS bucket,
+      | CAST(count(*) AS BIGINT) AS n_keys,
+      | CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_live,
+      | CAST(sum(CASE WHEN op <> 'D' THEN v6 END) AS BIGINT)
+      |   AS live_value6_sum,
+      | CAST(sum(n_ops) AS BIGINT) AS total_ops,
+      | CAST(sum(CASE WHEN op <> 'D' THEN user_id END) AS BIGINT)
+      |   AS live_checksum
+      |FROM last GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q178_stream_cdc_apply", q178, Some(q178Sql),
+      "§2.10 streaming CDC apply: last-writer-wins upsert/delete changelog materialization (order-commutative argmax state)"),
     Q("q177_stream_index_maintain", q177, Some(q177Sql),
       "§2.10 streaming inverted-index maintenance: stateless per-doc postings deltas + merge-on-read compaction ≡ the batch index"),
     Q("q166_stream_drift_cusum", q166, Some(q166Sql),

@@ -249,6 +249,50 @@ object Streaming {
       }
   }
 
+  final case class CdcEvent(user_id: Long, ts: java.sql.Timestamp,
+                            value: Double, event_id: Long, op: String)
+  final case class CdcState(ms: Long, v: Double, v6: Long, id: Long,
+                            del: Boolean, n: Long)
+  final case class CdcOut(user_id: Long, n_ops: Long, last_ms: Long,
+                          last_v6: Long, deleted: Boolean)
+
+  /** Streaming CDC APPLY — materialize a keyed upsert/delete
+    * changelog as last-writer-wins state (the Delta/Iceberg MERGE
+    * workhorse run at ingest): per key keep the operation with the
+    * greatest (ts, value, event_id) and whether it was a DELETE.
+    * Unlike cusumPerKey's path-dependent fold, LWW is an ARGMAX —
+    * commutative and associative — so micro-batch boundaries and
+    * cross-batch disorder cannot change the final state and the
+    * operator needs NO ordered-ingest guard (StreamingSkewSpec pins
+    * boundary-invariance under an adversarial shuffle). State per
+    * key: three longs + a flag + a count. Values ride as exact int64
+    * micro-units so the downstream rollup is order-independent. */
+  def lwwPerKey(events: Dataset[CdcEvent]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcOut](GroupStateTimeout.NoTimeout) {
+        (k, batch, state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(
+            CdcState(Long.MinValue, 0.0, 0L, Long.MinValue,
+              del = false, 0L))
+          batch.foreach { e =>
+            val t = e.ts.getTime
+            // the ordering key compares the ORIGINAL double (state
+            // carries it alongside the micro-quantized output value —
+            // comparing a de-quantized v6 would mis-order ties)
+            val newer = st.n == 0L ||
+              Ordering[(Long, Double, Long)].gt(
+                (t, e.value, e.event_id), (st.ms, st.v, st.id))
+            st =
+              if (newer) CdcState(t, e.value, micro6(e.value),
+                e.event_id, e.op == "D", st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          CdcOut(k, st.n, st.ms, st.v6, st.del)
+      }
+  }
+
   /** Idempotent foreachBatch file sink: each micro-batch lands in its
     * own `batch=<id>` subdirectory with mode OVERWRITE, so a RETRIED
     * micro-batch (task failure after a partial write, or a restart

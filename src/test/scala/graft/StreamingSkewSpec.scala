@@ -221,6 +221,54 @@ class StreamingSkewSpec extends SparkSpec {
     assert(want("a")._3 > 0L && want("b")._3 == 0L, want.toString)
   }
 
+  test("lwwPerKey: CDC state is invariant to batch cuts AND disorder") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.CdcEvent
+    val base = Timestamp.valueOf("2026-03-01 00:00:00").getTime
+    // 3 keys x 40 ops, deletes interleaved; key 2's LAST op is a
+    // delete (must be absent from the live view), key 0's delete is
+    // overwritten by a later upsert (must be live)
+    val rows = (0 until 120).map { i =>
+      val k = i % 3
+      val op = if (i == 110 && k == 2) "D"
+        else if (i == 60 && k == 0) "D"
+        else if (i % 17 == 0) "D" else "U"
+      CdcEvent(k.toLong, new Timestamp(base + i * 60000L),
+        (i * 37 % 100) / 10.0, i.toLong, op)
+    }
+    def run(tag: String, order: Seq[CdcEvent],
+        cuts: Seq[Int]): Map[Long, (Long, Long, Boolean)] = {
+      val mem = MemoryStream[CdcEvent]
+      val q = Streaming.lwwPerKey(mem.toDS())
+        .writeStream.format("memory").queryName(s"lww_$tag")
+        .outputMode("update").start()
+      (Seq(0) ++ cuts ++ Seq(order.size)).sliding(2).foreach {
+        case Seq(a, b) =>
+          mem.addData(order.slice(a, b): _*); q.processAllAvailable()
+      }
+      val out = spark.table(s"lww_$tag")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_ops", $"last_v6", $"deleted")).as("st"))
+        .collect()
+        .map(r => r.getLong(0) -> {
+          val st = r.getStruct(1)
+          (st.getLong(0), st.getLong(1), st.getBoolean(2))
+        }).toMap
+      q.stop()
+      out
+    }
+    val ordered = run("ord", rows, Seq(40, 80))
+    // adversarial: REVERSED event order with different cuts — the
+    // argmax fold must land on the identical final state (this is
+    // exactly the case cusumPerKey must refuse; LWW absorbs it)
+    val shuffled = run("rev", rows.reverse, Seq(13, 47, 99))
+    assert(ordered == shuffled, s"$ordered vs $shuffled")
+    // planted semantics: key 2 deleted (last op D), keys 0/1 live
+    assert(ordered(2L)._3, "key 2's final delete lost")
+    assert(!ordered(0L)._3 && !ordered(1L)._3, ordered.toString)
+    assert(ordered.values.map(_._1).sum == 120L, "op counts lost")
+  }
+
   test("cusumPerKey: cross-batch order regression fails fast, not silently") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.DriftEvent
