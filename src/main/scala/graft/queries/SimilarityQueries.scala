@@ -1620,7 +1620,123 @@ object SimilarityQueries {
        |ORDER BY system, q_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q179: LEAKAGE-SAFE SPLIT ASSIGNMENT — the FIX for what q170
+  // audits: a train/test split that hashes each item independently
+  // (q63's `vec_id % 5`) puts near-duplicates on opposite sides and
+  // inflates every held-out metric; the group-aware split assigns
+  // the WHOLE near-dup component to one fold. Pipeline: q53's
+  // bucket-blocked candidate pairs at the q170 leak threshold
+  // (cos ≥ 0.3) → connected components by iterative min-label
+  // propagation (q44's loop, over embedding ids; singletons are
+  // their own component) → fold = md5(component rep) % 5 → per-fold
+  // census INCLUDING the recomputed leak count, which is zero BY
+  // CONSTRUCTION and zero BY MEASUREMENT in the same result (the
+  // audit column is computed from the pairs, not asserted).
+  //
+  // Scale: pair generation is q53's bounded bucket-block; the
+  // propagation is one keyed shuffle per round over the PAIR-TOUCHED
+  // nodes only (dup components are shallow — q44's diameter
+  // argument), with singletons joined back afterwards; everything
+  // else is a rollup. Oracle: recursive-CTE reachability closure.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q53Pairs(s, embeddings(s, dir))
+      .filter($"cos" >= 0.30)
+      .select($"id_a", $"id_b")
+      .localCheckpoint(true)
+    val edges = pairs
+      .select(explode(array(
+        struct($"id_a".as("src"), $"id_b".as("dst")),
+        struct($"id_b".as("src"), $"id_a".as("dst")))).as("ed"))
+      .select($"ed.src", $"ed.dst")
+      .coalesce(4)
+      .localCheckpoint(true)
+    def propagate(labels: DataFrame): DataFrame = {
+      val neigh = edges.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      labels.join(neigh, $"node" === $"src", "left")
+        .select($"node", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+    }
+    var labels = (1 to 3).foldLeft(
+      edges.select($"src".as("node")).distinct()
+        .withColumn("lbl", $"node"))((l, _) => propagate(l))
+      .localCheckpoint(true)
+    var changed = propagate(labels).as("n")
+      .join(labels.as("o"), col("n.node") === col("o.node"))
+      .filter(col("n.lbl") < col("o.lbl")).count()
+    while (changed > 0) {
+      labels = (1 to 3).foldLeft(labels)((l, _) => propagate(l))
+        .localCheckpoint(true)
+      changed = propagate(labels).as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+    }
+    // singletons join back as their own component rep
+    val comp = embeddings(s, dir).select($"vec_id")
+      .join(labels, $"vec_id" === $"node", "left")
+      .select($"vec_id", coalesce($"lbl", $"vec_id").as("rep"))
+      .withColumn("fold",
+        conv(substring(md5(concat(lit("q179:"), $"rep".cast("string"))),
+          1, 8), 16, 10).cast("long") % 5)
+      .localCheckpoint(true)
+    val leaks = pairs
+      .join(comp.select($"vec_id".as("id_a"), $"fold".as("fa")), "id_a")
+      .join(comp.select($"vec_id".as("id_b"), $"fold".as("fb")), "id_b")
+      .groupBy($"fa".as("fold"))
+      .agg(sum(when($"fa" =!= $"fb", 1L).otherwise(0L)).as("n_leak"))
+    comp.groupBy($"fold")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct($"rep").as("n_components"),
+        sum($"vec_id").as("vec_checksum"))
+      .join(leaks, Seq("fold"), "left")
+      .select($"fold", $"n_vecs", $"n_components", $"vec_checksum",
+        coalesce($"n_leak", lit(0L)).as("n_leak"))
+      .orderBy($"fold")
+  }
+
+  private lazy val q179Sql =
+    s"""WITH RECURSIVE
+       |e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |bk AS (SELECT label, vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+       |pairs AS (
+       | SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       | FROM bk a JOIN bk c ON a.label = c.label AND a.bucket = c.bucket
+       |  AND a.vec_id < c.vec_id
+       | WHERE round(list_cosine_similarity(a.v, c.v), 5) >= 0.30),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM pairs
+       | UNION SELECT id_b, id_a FROM pairs),
+       |walk(node, r) AS (
+       | SELECT src, src FROM edges
+       | UNION
+       | SELECT w.node, ed.dst FROM walk w JOIN edges ed ON w.r = ed.src),
+       |reps AS (SELECT node, min(r) AS rep FROM walk GROUP BY node),
+       |comp AS (
+       | SELECT e.vec_id, coalesce(reps.rep, e.vec_id) AS rep,
+       |  CAST(concat('0x', substr(md5(concat('q179:',
+       |    CAST(coalesce(reps.rep, e.vec_id) AS VARCHAR))), 1, 8))
+       |   AS BIGINT) % 5 AS fold
+       | FROM e LEFT JOIN reps ON e.vec_id = reps.node),
+       |leaks AS (
+       | SELECT ca.fold,
+       |  CAST(sum(CASE WHEN ca.fold <> cb.fold THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_leak
+       | FROM pairs p
+       |  JOIN comp ca ON p.id_a = ca.vec_id
+       |  JOIN comp cb ON p.id_b = cb.vec_id
+       | GROUP BY ca.fold)
+       |SELECT c.fold, CAST(count(*) AS BIGINT) AS n_vecs,
+       | CAST(count(DISTINCT c.rep) AS BIGINT) AS n_components,
+       | CAST(sum(c.vec_id) AS BIGINT) AS vec_checksum,
+       | CAST(coalesce(any_value(l.n_leak), 0) AS BIGINT) AS n_leak
+       |FROM comp c LEFT JOIN leaks l ON c.fold = l.fold
+       |GROUP BY c.fold ORDER BY c.fold""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q179_leakage_safe_split", q179, Some(q179Sql),
+      "group-aware train/test split: near-dup components assigned whole to md5 folds, leak count recomputed = 0"),
     Q("q174_retrieval_eval", q174, Some(q174Sql),
       "recall@5 + nDCG@5 of BM25/RRF/MMR vs brute cosine ground truth, per-query + macro"),
     Q("q172_ann_hybrid", q172, Some(q172Sql),
