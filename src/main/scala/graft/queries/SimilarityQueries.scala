@@ -1413,10 +1413,14 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rn")
   }
 
-  private lazy val q172Sql = {
+  /** the whole q172 chain as oracle CTE text (no leading WITH),
+    * ending in `hyb(q_id, rn, doc_id, r6, rv, rt)` — the fused top-5
+    * — so q172Sql (the ranking gate) and q180Sql (the context
+    * assembly built on it) share one spelling. */
+  private lazy val annFusedSqlCte: String = {
     val chain = maskChainSql("p", IVFPQ_NPROBE)
     val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
-    s"""WITH ${pqPreambleSqlFor(retrSampleSql)},
+    s"""${pqPreambleSqlFor(retrSampleSql)},
        |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
        |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
        |        ${cellScoresSql("v")} AS s1
@@ -1460,13 +1464,19 @@ object SimilarityQueries {
        |    COALESCE(1.0 / ($RrfK + rt.rt), 0.0)) * 1000000 + 0.5)
        |   AS BIGINT) AS r6
        | FROM rv FULL OUTER JOIN rt
-       |  ON rv.q_id = rt.q_id AND rv.vec_id = rt.cand_id)
+       |  ON rv.q_id = rt.q_id AND rv.vec_id = rt.cand_id),
+       |hyb AS (
+       | SELECT q_id, rn, doc_id, r6, rv, rt
+       | FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY r6 DESC, doc_id) AS rn FROM fused)
+       | WHERE rn <= 5)""".stripMargin
+  }
+
+  private lazy val q172Sql =
+    s"""WITH $annFusedSqlCte
        |SELECT q_id, rn, doc_id, r6 / 1000000.0 AS rrf,
        | rv AS vec_rank, rt AS text_rank
-       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-       |       ORDER BY r6 DESC, doc_id) AS rn FROM fused)
-       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
-  }
+       |FROM hyb ORDER BY q_id, rn""".stripMargin
 
   // ---------------------------------------------------------------
   // q174: RETRIEVAL-QUALITY EVALUATION — recall@5 and nDCG@5 of the
@@ -1734,7 +1744,56 @@ object SimilarityQueries {
        |FROM comp c LEFT JOIN leaks l ON c.fold = l.fold
        |GROUP BY c.fold ORDER BY c.fold""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q180: RAG CONTEXT ASSEMBLY — the serving artifact the retrieval
+  // stack exists to produce: for each query, take the q172
+  // ANN-hybrid fused top-5 in rank order, include documents whole
+  // while the running token total fits the context budget (rank-
+  // order truncation — no doc splitting, the standard context
+  // builder), and emit per query the docs used, tokens used, and
+  // the md5 OF THE ASSEMBLED CONTEXT STRING itself — the gate pins
+  // the final byte artifact, not just the ranking. Scale: the
+  // ranking chain is q172's; the assembly adds one 5-row-per-query
+  // join to documents and a bounded cumsum window — free.
+  private val RagBudget = 256L
+
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fused = q172(s, dir).select($"q_id", $"rn", $"doc_id")
+    val toks = documents(s, dir).select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tok"), $"text")
+    val w = Window.partitionBy($"q_id").orderBy($"rn")
+    val packed = fused.join(toks, "doc_id")
+      .withColumn("cum", sum($"n_tok").over(w))
+      .filter($"cum" <= RagBudget)
+    packed.groupBy($"q_id")
+      .agg(count(lit(1)).as("n_docs_used"),
+        max($"cum").as("tokens_used"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct($"rn", $"text"))),
+          x => x("text")), " ")).as("context_md5"))
+      .orderBy($"q_id")
+  }
+
+  private lazy val q180Sql =
+    s"""WITH $annFusedSqlCte,
+       |tk AS (SELECT doc_id,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |        text
+       |       FROM documents),
+       |pk AS (
+       | SELECT h.q_id, h.rn, tk.text, tk.n_tok,
+       |  sum(tk.n_tok) OVER (PARTITION BY h.q_id ORDER BY h.rn) AS cum
+       | FROM hyb h JOIN tk USING (doc_id))
+       |SELECT q_id, CAST(count(*) AS BIGINT) AS n_docs_used,
+       | CAST(max(cum) AS BIGINT) AS tokens_used,
+       | md5(string_agg(text, ' ' ORDER BY rn)) AS context_md5
+       |FROM pk WHERE cum <= $RagBudget
+       |GROUP BY q_id ORDER BY q_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q180_rag_context", q180, Some(q180Sql),
+      "RAG context assembly: budgeted rank-order doc packing over the ANN-hybrid top-5, context bytes md5-pinned"),
     Q("q179_leakage_safe_split", q179, Some(q179Sql),
       "group-aware train/test split: near-dup components assigned whole to md5 folds, leak count recomputed = 0"),
     Q("q174_retrieval_eval", q174, Some(q174Sql),
