@@ -1,9 +1,9 @@
 #!/bin/bash
-# three-decade sweep for the round-11 late-arrival cohort (q145-q160).
+# three-decade sweep; default cohort = the round-12 additions.
 # Runs graft.Bench from the PRE-BUILT classpath (no sbt) so concurrent
 # source edits can't leak into the measured binary.
 set -u
-ONLY="${SWEEP_ONLY:-q145,q146,q147,q148,q149,q150,q151,q152,q153,q154,q155,q156,q157,q158,q159,q160}"
+ONLY="${SWEEP_ONLY:-q172,q173,q174,q175,q176,q177,q178,q179,q180}"
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 cd /root/repo
 for sf in ${SWEEP_SFS:-/root/testdata/sf0.1 /root/repo/tmp/sf1 /root/repo/tmp/sf3}; do
