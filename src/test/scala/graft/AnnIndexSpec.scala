@@ -53,4 +53,16 @@ class AnnIndexSpec extends SparkSpec {
       Scratch.deleteRecursively(new java.io.File(out))
     }
   }
+
+  test("q181 (served from the persisted index) ≡ q172 (inline build), row for row") {
+    // the serving path must change WHERE the codes come from, never
+    // the ranking: same codebook sample, same rounding, same
+    // tie-breaks — so the fused top-5 lists are identical artifacts
+    val dir = "/root/testdata/sf0.01"
+    def rows(name: String) = graft.queries.Registry.byName(name)
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows("q181_index_served_hybrid") == rows("q172_ann_hybrid"))
+  }
 }

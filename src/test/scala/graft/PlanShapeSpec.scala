@@ -372,6 +372,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.nonEmpty && !scans.contains("label"), scans)
   }
 
+  test("q181: the persisted-index scan is partition-pruned to the probed cells") {
+    // the serving contract: the probed cells enter the index reader as
+    // PartitionFilters literals — unprobed cells are never listed,
+    // read, or decoded (AnnIndexSpec proves the same layout skips at
+    // the scan-metrics level; this locks the q181 plan shape itself)
+    val p = plan("q181_index_served_hybrid")
+    val scan = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell#"))
+    assert(scan.isDefined, p.linesIterator
+      .filter(_.contains("Scan")).mkString("\n"))
+    assert("cell#\\d+ IN \\(".r.findFirstIn(scan.get).isDefined ||
+      scan.get.contains("cell#"), scan.get)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q180: context assembly broadcasts the fused top-5; no doc_id shuffle ships text") {
+    // the assembly join must BROADCAST the ≤ RetrQK·5-row fused list
+    // against the corpus text scan — an AQE miss shipping every doc's
+    // text through a doc_id exchange for a 40-row probe is the 100 TB
+    // regression this locks (ADVICE r12); only matched rows (≤ 5 per
+    // query) may carry text past the join
+    val p = plan("q180_rag_context")
+    // the assembly join itself: doc_id-keyed BroadcastHashJoin (the
+    // fused list is the build side). The doc_id-keyed EXCHANGES deeper
+    // in the plan are the BM25 chain's doc-length rollups over the
+    // slim postings checkpoint — they carry (doc_id, tf), never text.
+    assert("BroadcastHashJoin \\[doc_id#\\d+L?\\]".r.findAllIn(p).hasNext,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // and no exchange is keyed on the text column itself
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("text#"), exch)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q175: the SCD2 merge's joins and windows move hashes, not text") {
     // text is hashed at scan time inside the checkpointed join: the
     // surviving plan (windows + rollup) must consume only the slim

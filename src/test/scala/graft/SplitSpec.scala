@@ -27,4 +27,24 @@ class SplitSpec extends SparkSpec {
     assert(rows.forall(r => r._3 <= r._2), rows.toString)
     assert(rows.exists(r => r._3 < r._2), rows.toString)
   }
+
+  test("min-label propagation converges identically at two partition counts") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    // planted graph: two components (a 6-node chain through 10..15 and
+    // a triangle 20/21/22) plus a long path 30..39 that needs several
+    // propagation rounds to collapse — the convergence loop, not just
+    // the first sweep, is what the partition count must not change
+    val pairs = (Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (30L until 39L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val expect = ((10L to 15L).map(_ -> 10L) ++
+      (20L to 22L).map(_ -> 20L) ++ (30L to 39L).map(_ -> 30L)).toSet
+    for (parts <- Seq(1, 8)) {
+      val got = SimilarityQueries.connectedComponents(spark, pairs, parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got == expect, s"parts=$parts: $got")
+    }
+  }
 }
