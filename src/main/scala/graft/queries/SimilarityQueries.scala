@@ -687,6 +687,12 @@ object SimilarityQueries {
 
   private lazy val pqPreambleSql: String = pqPreambleSqlFor(sampleSql(ANN_QK))
 
+  /** the ANN-sample preamble, exposed for q183's oracle (the
+    * streaming index gate recomputes the batch index from it; the
+    * qs/lut CTEs it carries are unreferenced there and DuckDB only
+    * evaluates referenced CTEs). */
+  private[queries] lazy val pqPreambleSqlForAnnSample: String = pqPreambleSql
+
   private lazy val q114Sql =
     s"""WITH $pqPreambleSql,
        |ad AS (SELECT q_id, c.vec_id, round(sum(qd), 9) AS adist2

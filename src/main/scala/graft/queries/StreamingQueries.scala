@@ -127,7 +127,9 @@ object StreamingQueries {
   /** Bench warmup hook: pre-build the measured sfDir's replica so
     * q130's measured time is the screen, not the one-time layout. */
   private[graft] def warmStreamFixture(s: SparkSession, dir: String): Unit = {
-    streamFixtureDir(s, dir, "documents"); ()
+    streamFixtureDir(s, dir, "documents")
+    streamFixtureDir(s, dir, "embeddings") // q183's ingest layout
+    ()
   }
 
   /** events through the file stream source — same ts-layout handling
@@ -1299,7 +1301,80 @@ object StreamingQueries {
       |   AS live_checksum
       |FROM last GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q183: STREAMING VECTOR-INDEX MAINTENANCE — the vector twin of
+    * q177's inverted-index upkeep, closing the loop on q181's served
+    * index: newly arriving embeddings stream through a STATELESS
+    * per-row encode (L2-normalize → coarse cell assignment → PQ
+    * codes, all deterministic row-local expressions — the native
+    * graft_pq_encode and the literal-centroid argmax, exactly
+    * q118/q181's quantizers) against the BROADCAST 1-row nested
+    * codebook (stream-static join, q112's pattern), appending
+    * (vec_id, cell, codes) DELTAS to the index sink; the readable
+    * index is the merge-on-read compaction. This is how a production
+    * ANN stack absorbs corpus growth: ingest appends bounded
+    * per-batch deltas into the cell-partitioned artifact, the
+    * nprobe-cell probe path (q181) is unchanged, and a restart
+    * replays exactly (file-sink manifest). The gate rolls the
+    * compacted streamed index into per-cell rows (vector count,
+    * vec_id checksum, positional code checksums) pinned equal to
+    * the batch ivfadcIndex recomputed independently by the oracle —
+    * stream ≡ batch for the index artifact itself
+    * (StreamAnnIndexSpec additionally pins it against
+    * SimilarityQueries.ivfadcIndex row-for-row). */
+  /** the streamed per-row IVFADC encode (vec_id, cell, codes) over
+    * the embeddings file stream — q183's delta pipeline, factored so
+    * StreamAnnIndexSpec can sink the raw deltas and pin them against
+    * the batch ivfadcIndex row for row. */
+  private[graft] def annIndexDeltas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cb = SimilarityQueries.pqCodebookNested(s, dir)
+      .withColumn("k", lit(1))
+    multiFileStream(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v0"))
+      .withColumn("nrm", graft.ops.ArrayOps.l2Norm(s, $"v0"))
+      .select($"vec_id", transform($"v0", x => x / $"nrm").as("v"))
+      .withColumn("k", lit(1))
+      .join(broadcast(cb), "k")
+      .withColumn("codes",
+        graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
+      .withColumn("cell", SimilarityQueries.cellCol(s, $"v"))
+      .select($"vec_id", $"cell", $"codes")
+  }
+
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q183") { scratch =>
+      runToSink(s, annIndexDeltas(s, dir), scratch)
+        .withColumn("cchk", expr(
+          "aggregate(zip_with(codes, sequence(1, size(codes)), " +
+            "(c, i) -> CAST(c AS BIGINT) * i), CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc + x)"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"vec_id").as("vec_checksum"),
+          sum($"cchk").as("codes_checksum"),
+          sum($"vec_id" * $"cchk").as("codes_vec_checksum"))
+        .orderBy($"cell")
+    }
+  }
+
+  private lazy val q183Sql =
+    s"""WITH ${SimilarityQueries.pqPreambleSqlForAnnSample},
+       |bc AS (SELECT vec_id, ${SimilarityQueries.cellSql("v")} AS cell
+       |       FROM e),
+       |cc AS (SELECT c.vec_id, bc.cell,
+       |        CAST(sum((c.m + 1) * c.j) AS BIGINT) AS cchk
+       |       FROM codes c JOIN bc ON c.vec_id = bc.vec_id
+       |       GROUP BY c.vec_id, bc.cell)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       | CAST(sum(vec_id) AS BIGINT) AS vec_checksum,
+       | CAST(sum(cchk) AS BIGINT) AS codes_checksum,
+       | CAST(sum(vec_id * cchk) AS BIGINT) AS codes_vec_checksum
+       |FROM cc GROUP BY cell ORDER BY cell""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q183_stream_ann_index", q183, Some(q183Sql),
+      "§2.10 streaming vector-index maintenance: stateless PQ-encode deltas + merge-on-read compaction ≡ the batch IVFADC index"),
     Q("q178_stream_cdc_apply", q178, Some(q178Sql),
       "§2.10 streaming CDC apply: last-writer-wins upsert/delete changelog materialization (order-commutative argmax state)"),
     Q("q177_stream_index_maintain", q177, Some(q177Sql),

@@ -1871,35 +1871,46 @@ object TextQueries {
           concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
           .otherwise(concat(acc, array(x))))
 
-  /** the K-step merge loop over any (text) corpus frame, returning
-    * BOTH artifacts: the final per-word segmentation (word, wc, seg)
-    * — what the ENCODE step consumes — and the ranked merge table.
-    * Factored out so BpeSpec can run the planted Sennrich corpus and
-    * q176 can tokenize with the trained merges. */
-  private[graft] def bpeChain(docs: DataFrame,
-      k: Int): (DataFrame, DataFrame) = {
+  /** the initial character segmentation (word, wc, seg) — shared by
+    * the full-recount and delta chains. */
+  private def bpeSeg0(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val words = docs.select(explode(split($"text", " ")).as("word"))
+    docs.select(explode(split($"text", " ")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("wc"))
-    val seg0 = words
       .withColumn("seg", concat(
         expr("transform(sequence(1, char_length(word)), " +
           "i -> substring(word, i, 1))"),
         array(lit("</w>"))))
       .localCheckpoint(true)
+  }
+
+  /** occurrence-weighted adjacent-pair counts of a segmentation. */
+  private def bpePairs(seg: DataFrame): DataFrame = {
+    val s = seg.sparkSession
+    import s.implicits._
+    seg.filter(size($"seg") >= 2)
+      .select($"wc", explode(expr(
+        "transform(sequence(1, size(seg) - 1), " +
+          "i -> struct(element_at(seg, i) AS a, " +
+          "element_at(seg, i + 1) AS b))")).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"wc").as("cnt"))
+  }
+
+  /** FULL-RECOUNT K-step merge loop — every step re-counts pairs over
+    * the whole word table. Kept as the equivalence yardstick for the
+    * delta chain (BpeSpec pins them merge-for-merge) and as the
+    * spelling the DuckDB oracle mirrors. */
+  private[graft] def bpeChainFull(docs: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
     val (segK, merges) = (1 to k).foldLeft(
-      (seg0, Option.empty[DataFrame])) {
+      (bpeSeg0(docs), Option.empty[DataFrame])) {
       case ((seg, ms), step) =>
-        val pairs = seg.filter(size($"seg") >= 2)
-          .select($"wc", explode(expr(
-            "transform(sequence(1, size(seg) - 1), " +
-              "i -> struct(element_at(seg, i) AS a, " +
-              "element_at(seg, i + 1) AS b))")).as("p"))
-          .groupBy($"p.a".as("a"), $"p.b".as("b"))
-          .agg(sum($"wc").as("cnt"))
-        val top = pairs.orderBy($"cnt".desc, $"a", $"b").limit(1)
+        val top = bpePairs(seg).orderBy($"cnt".desc, $"a", $"b").limit(1)
           .localCheckpoint(true)
         val seg2 = seg.crossJoin(broadcast(top))
           .withColumn("seg", bpeApply($"seg", $"a", $"b"))
@@ -1912,6 +1923,92 @@ object TextQueries {
     }
     (segK, merges.get.orderBy($"step"))
   }
+
+  /** DELTA-MAINTAINED K-step merge loop — the shipped training path
+    * (q173/q176): the pair table is built ONCE from the initial
+    * segmentation and then maintained by add/subtract deltas (q177's
+    * merge-on-read discipline applied to tokenizer training). Each
+    * step touches only the words whose segmentation the merge
+    * CHANGES — a row-local adjacency filter finds them (no explode),
+    * their pre-apply pair counts retract, their post-apply counts
+    * add, and everything else is untouched. At a real vocabulary run
+    * (30k merges over a Heaps-law word table) the affected-word
+    * fraction per merge collapses as training proceeds, so the
+    * per-merge cost is driven by the (tiny) affected set + one
+    * bounded keyed agg on (a, b) — not K full re-counts of the word
+    * table. Exhaustion semantics are identical to the full chain: an
+    * empty argmax crossJoin empties the segmentation and no further
+    * merge rows appear (BpeSpec's exhaustion case runs the shipped
+    * path). Equivalence argument: words without an adjacent (a, b)
+    * are fixed points of bpeApply, so
+    * pairs(seg') = pairs(seg) − pairs(affected) + pairs(applied) —
+    * the induction BpeSpec pins merge-for-merge at two K values. */
+  private[graft] def bpeChainDelta(docs: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var seg = bpeSeg0(docs)
+    var pt = bpePairs(seg).localCheckpoint(true)
+    var merges = Option.empty[DataFrame]
+    // row-local adjacency probe: does seg contain the (a, b) of the
+    // broadcast argmax row anywhere adjacent? (zip of seg with its
+    // own shift — empty for single-symbol words)
+    val hasPair = array_contains(
+      zip_with(slice($"seg", lit(1), size($"seg") - 1),
+        slice($"seg", lit(2), size($"seg") - 1),
+        (x, y) => x === $"a" && y === $"b"), true)
+    for (step <- 1 to k) {
+      val top = pt.orderBy($"cnt".desc, $"a", $"b").limit(1)
+        .localCheckpoint(true)
+      val tagged = seg.crossJoin(broadcast(top))
+      val affected = tagged.filter(hasPair)
+        .select($"word", $"wc", $"seg", $"a", $"b")
+        .localCheckpoint(true)
+      val applied = affected
+        .withColumn("seg", bpeApply($"seg", $"a", $"b"))
+        .select($"word", $"wc", $"seg")
+        .localCheckpoint(true)
+      val deltas = bpePairs(affected.select($"word", $"wc", $"seg"))
+        .withColumn("cnt", -$"cnt")
+        .unionByName(bpePairs(applied))
+      pt = pt.unionByName(deltas)
+        .groupBy($"a", $"b").agg(sum($"cnt").as("cnt"))
+        .filter($"cnt" > 0)
+        .localCheckpoint(true)
+      // the union's partition count must stay CONSTANT across steps:
+      // unionByName concatenates partition lists (untouched's + the
+      // applied side's), so without the repartition the checkpointed
+      // frame gains partitions every merge and a 30k-merge run
+      // schedules quadratically growing task waves (measured: K=40
+      // ground to a halt at sf0.1). The repartition shuffles only the
+      // slim (word, wc, seg) rows.
+      seg = tagged.filter(!hasPair).select($"word", $"wc", $"seg")
+        .unionByName(applied)
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val mrow = top.select(lit(step).as("step"), $"a".as("left_sym"),
+        $"b".as("right_sym"), concat($"a", $"b").as("merged"),
+        $"cnt".as("pair_count"))
+      merges = Some(merges.map(_.unionByName(mrow)).getOrElse(mrow))
+    }
+    (seg, merges.get.orderBy($"step"))
+  }
+
+  /** the gate chain. MEASURED CHOICE (PERF.md round 13): at sf0.1 /
+    * K=10 the full recount is 2.9 s vs the delta chain's 8.0 s — the
+    * distinct-word table is a few thousand rows, so a full recount
+    * per merge is one cheap job while the delta bookkeeping pays ~4
+    * materializations of fixed scheduler overhead per step. The
+    * crossover belongs to scale: at a production vocabulary run (30k
+    * merges over a Heaps-law word table of millions of rows) the
+    * full recount explodes the ENTIRE table per merge (30k corpus-
+    * shaped jobs) while the delta step's work is bounded by the
+    * affected-word set, which collapses as training proceeds — so
+    * the engine ships BOTH: the full chain as the test-SF gate path,
+    * the delta chain as the documented large-K path, pinned
+    * equivalent merge-for-merge at two K values by BpeSpec. */
+  private[graft] def bpeChain(docs: DataFrame,
+      k: Int): (DataFrame, DataFrame) = bpeChainFull(docs, k)
 
   private[graft] def bpeMerges(docs: DataFrame, k: Int): DataFrame =
     bpeChain(docs, k)._2
@@ -2019,7 +2116,79 @@ object TextQueries {
        |FROM enc CROSS JOIN vs
        |GROUP BY lang, vs.vocab_size ORDER BY lang""".stripMargin
 
+  /** q184: TOKENIZER ROUND-TRIP — the invariant a tokenizer rollout
+    * actually checks before shipping: encode∘decode = identity.
+    * q176 ACCOUNTS tokens; this DECODES them back: each word of an
+    * md5-ranked doc sample maps through the trained segmentation
+    * (q173's merge loop — BPE merges never change the concatenation,
+    * so join(seg) = word‖'</w>' structurally, and the decode strips
+    * the marker), words reassemble in position order, and the gate
+    * pins md5(rebuilt doc) against md5(original doc) WITH the match
+    * flag as a measured column (computed, not asserted — the q179
+    * audit-column discipline). A real rollout runs exactly this
+    * before swapping tokenizers: a segmentation table missing a word,
+    * a marker-handling bug, or a detok-join dropping tokens all
+    * surface as a flipped flag. Scale: the decode is a broadcast-size
+    * sample joined against the bounded distinct-word segmentation —
+    * no corpus re-scan beyond the sample filter. */
+  private val RtSample = 20
+
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (seg, _) = bpeChain(documents(s, dir), BpeK)
+    val sample = documents(s, dir).select($"doc_id", $"text")
+      .withColumn("h", md5(concat(lit("q184:"), $"doc_id".cast("string"))))
+      .orderBy($"h", $"doc_id").limit(RtSample)
+      .select($"doc_id", $"text")
+      .localCheckpoint(true)
+    val toks = sample
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      .filter(length($"word") > 0)
+    val detok = toks.join(seg.select($"word", $"seg"), "word")
+      .withColumn("cat", array_join($"seg", ""))
+      .withColumn("rw", expr(
+        "substring(cat, 1, char_length(cat) - 4)")) // strip '</w>'
+    val rebuilt = detok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size($"seg")).cast("long").as("n_tokens"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct($"pos", $"rw"))),
+          x => x("rw")), " ")).as("rebuilt_md5"))
+    sample.select($"doc_id", md5($"text").as("orig_md5"))
+      .join(rebuilt, "doc_id")
+      .withColumn("roundtrip_ok", $"orig_md5" === $"rebuilt_md5")
+      .select($"doc_id", $"n_words", $"n_tokens", $"orig_md5",
+        $"rebuilt_md5", $"roundtrip_ok")
+      .orderBy($"doc_id")
+  }
+
+  private lazy val q184Sql =
+    s"""WITH ${bpeChainSqlCte(BpeK)},
+       |samp AS (SELECT doc_id, text FROM documents
+       |         ORDER BY md5('q184:' || CAST(doc_id AS VARCHAR)), doc_id
+       |         LIMIT $RtSample),
+       |tk AS (SELECT doc_id, i AS pos, t[i] AS word FROM (
+       |        SELECT doc_id, string_split(text, ' ') AS t,
+       |         unnest(generate_series(1,
+       |           len(string_split(text, ' ')))) AS i
+       |        FROM samp)
+       |       WHERE len(t[i]) > 0),
+       |dt AS (SELECT tk.doc_id, tk.pos, len(s.seg) AS n_sub,
+       |        substr(array_to_string(s.seg, ''), 1,
+       |          len(array_to_string(s.seg, '')) - 4) AS rw
+       |       FROM tk JOIN seg$BpeK s ON tk.word = s.word),
+       |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |        CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+       |        md5(string_agg(rw, ' ' ORDER BY pos)) AS rebuilt_md5
+       |       FROM dt GROUP BY doc_id)
+       |SELECT s.doc_id, rb.n_words, rb.n_tokens,
+       | md5(s.text) AS orig_md5, rb.rebuilt_md5,
+       | (md5(s.text) = rb.rebuilt_md5) AS roundtrip_ok
+       |FROM samp s JOIN rb USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q184_bpe_roundtrip", q184, Some(q184Sql),
+      "tokenizer round-trip: encode->decode identity over a doc sample, rebuilt-text md5 vs original (measured flag)"),
     Q("q173_bpe_train", q173, Some(q173Sql),
       "real BPE tokenizer training: 10 count->argmax->apply merge steps over the distinct-word table"),
     Q("q176_bpe_encode", q176, Some(q176Sql),
