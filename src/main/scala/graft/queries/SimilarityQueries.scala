@@ -2035,15 +2035,13 @@ object SimilarityQueries {
       .select($"q_id", $"rn", $"doc_id", $"chunk_idx", $"bm6")
   }
 
-  private def q182(s: SparkSession, dir: String): DataFrame = {
+  /** chunk manifest (doc_id, chunk_idx, start_tok, chunk_len,
+    * chunk_md5): offsets + content md5, hashed at scan time so only
+    * 32-byte digests reach any join (q155's row-local spelling).
+    * Shared by q182 and q185. */
+  private def chunkManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ranked = chunkRank(s,
-        documents(s, dir).select($"doc_id", $"text"),
-        retrQuerySample(s, dir))
-      .filter($"rn" <= ChunkShortlist)
-    // chunk manifest: offsets + content md5, hashed at scan time so
-    // only 32-byte digests reach the join (q155's row-local spelling)
-    val manifest = documents(s, dir)
+    documents(s, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .withColumn("n_tok", size($"t").cast("long"))
       .withColumn("n_chunks", greatest(lit(1L),
@@ -2057,8 +2055,16 @@ object SimilarityQueries {
           .stripMargin)).as(Seq("ci", "c")))
       .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
         $"c.start_tok", $"c.chunk_len", $"c.chunk_md5")
+  }
+
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = chunkRank(s,
+        documents(s, dir).select($"doc_id", $"text"),
+        retrQuerySample(s, dir))
+      .filter($"rn" <= ChunkShortlist)
     val w = Window.partitionBy($"q_id").orderBy($"rn")
-    ranked.join(manifest, Seq("doc_id", "chunk_idx"))
+    ranked.join(chunkManifest(s, dir), Seq("doc_id", "chunk_idx"))
       .withColumn("cum", sum($"chunk_len").over(w))
       .filter($"cum" <= ChunkBudget)
       .select($"q_id", $"rn", $"doc_id", $"chunk_idx", $"start_tok",
@@ -2066,58 +2072,70 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rn")
   }
 
-  private lazy val q182Sql =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+  /** the chunk-corpus + chunk-BM25 oracle CTEs (no leading WITH),
+    * every CTE name prefixed with `p` so the same spelling composes
+    * standalone (q182, p = "") and alongside annFusedSqlCte (q185,
+    * p = "ck" — the fused chain owns cd/st/qt etc.). Ends in
+    * ${p}rk(q_id, doc_id, chunk_idx, bm6, rn) with ${p}ch (chunk
+    * text/offsets) in scope. */
+  private def chunkSqlCtes(p: String): String =
+    s"""${p}d AS (SELECT doc_id, string_split(text, ' ') AS t
        |           FROM documents),
-       |nn AS (SELECT doc_id, t, len(t) AS n_tok,
+       |${p}nn AS (SELECT doc_id, t, len(t) AS n_tok,
        |        greatest(1, CAST(ceil((len(t) - $ChunkW) / $ChunkS.0)
        |          AS BIGINT) + 1) AS n_chunks
-       |       FROM d),
-       |ch AS (SELECT doc_id, i AS chunk_idx, i * $ChunkS AS start_tok,
+       |       FROM ${p}d),
+       |${p}ch AS (SELECT doc_id, i AS chunk_idx, i * $ChunkS AS start_tok,
        |        n_tok, t[i*$ChunkS+1 : i*$ChunkS+$ChunkW] AS ct
        |       FROM (SELECT doc_id, t, n_tok,
        |              unnest(generate_series(0, n_chunks - 1)) AS i
-       |             FROM nn)),
-       |ctf AS (SELECT doc_id, chunk_idx, term, count(*) AS tf FROM (
-       |         SELECT doc_id, chunk_idx, unnest(ct) AS term FROM ch)
+       |             FROM ${p}nn)),
+       |${p}ctf AS (SELECT doc_id, chunk_idx, term, count(*) AS tf FROM (
+       |         SELECT doc_id, chunk_idx, unnest(ct) AS term FROM ${p}ch)
        |        GROUP BY doc_id, chunk_idx, term),
-       |cdl AS (SELECT doc_id, chunk_idx, sum(tf) AS dl FROM ctf
+       |${p}cdl AS (SELECT doc_id, chunk_idx, sum(tf) AS dl FROM ${p}ctf
        |        GROUP BY doc_id, chunk_idx),
-       |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
-       |st AS (SELECT (SELECT count(*) FROM ch) AS n,
-       |              (SELECT sum(dl) FROM cdl) AS toktot),
-       |qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM (
-       |         SELECT doc_id, unnest(t) AS term FROM d
+       |${p}cdf AS (SELECT term, count(*) AS df FROM ${p}ctf GROUP BY term),
+       |${p}cst AS (SELECT (SELECT count(*) FROM ${p}ch) AS n,
+       |              (SELECT sum(dl) FROM ${p}cdl) AS toktot),
+       |${p}qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM (
+       |         SELECT doc_id, unnest(t) AS term FROM ${p}d
        |         WHERE doc_id IN $retrSampleSql)
        |        GROUP BY doc_id, term),
-       |qt AS (SELECT q_id, term FROM (
-       |        SELECT qtf.q_id, qtf.term, row_number() OVER (
-       |         PARTITION BY qtf.q_id ORDER BY
-       |          CAST(floor(qtf.tf * ln(CAST(st.n AS DOUBLE) / cdf.df)
-       |           * 1000000 + 0.5) AS BIGINT) DESC, qtf.term) AS rn
-       |        FROM qtf JOIN cdf USING (term) CROSS JOIN st)
+       |${p}cqt AS (SELECT q_id, term FROM (
+       |        SELECT ${p}qtf.q_id, ${p}qtf.term, row_number() OVER (
+       |         PARTITION BY ${p}qtf.q_id ORDER BY
+       |          CAST(floor(${p}qtf.tf * ln(CAST(${p}cst.n AS DOUBLE)
+       |            / ${p}cdf.df)
+       |           * 1000000 + 0.5) AS BIGINT) DESC, ${p}qtf.term) AS rn
+       |        FROM ${p}qtf JOIN ${p}cdf USING (term) CROSS JOIN ${p}cst)
        |       WHERE rn <= $QTerms),
-       |bmc AS (SELECT q_id, doc_id, chunk_idx, sum(c6) AS bm6 FROM (
-       |         SELECT qt.q_id, ctf.doc_id, ctf.chunk_idx,
+       |${p}bmc AS (SELECT q_id, doc_id, chunk_idx, sum(c6) AS bm6 FROM (
+       |         SELECT ${p}cqt.q_id, ${p}ctf.doc_id, ${p}ctf.chunk_idx,
        |          CAST(floor(
-       |           ln(1.0 + (CAST(st.n - cdf.df AS DOUBLE) + 0.5)
-       |                   / (CAST(cdf.df AS DOUBLE) + 0.5)) *
-       |            (ctf.tf * CAST(2.2 AS DOUBLE)) /
-       |            (ctf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |           ln(1.0 + (CAST(${p}cst.n - ${p}cdf.df AS DOUBLE) + 0.5)
+       |                   / (CAST(${p}cdf.df AS DOUBLE) + 0.5)) *
+       |            (${p}ctf.tf * CAST(2.2 AS DOUBLE)) /
+       |            (${p}ctf.tf + CAST(1.2 AS DOUBLE)
+       |              * (CAST(0.25 AS DOUBLE) +
        |              CAST(0.75 AS DOUBLE)
-       |                * CAST(cdl.dl * st.n AS DOUBLE) / st.toktot))
+       |                * CAST(${p}cdl.dl * ${p}cst.n AS DOUBLE)
+       |                  / ${p}cst.toktot))
        |           * 1000000 + 0.5) AS BIGINT) AS c6
-       |         FROM qt JOIN ctf USING (term)
-       |          JOIN cdf USING (term)
-       |          JOIN cdl ON cdl.doc_id = ctf.doc_id
-       |                  AND cdl.chunk_idx = ctf.chunk_idx
-       |          CROSS JOIN st
-       |         WHERE ctf.doc_id <> qt.q_id)
+       |         FROM ${p}cqt JOIN ${p}ctf USING (term)
+       |          JOIN ${p}cdf USING (term)
+       |          JOIN ${p}cdl ON ${p}cdl.doc_id = ${p}ctf.doc_id
+       |                  AND ${p}cdl.chunk_idx = ${p}ctf.chunk_idx
+       |          CROSS JOIN ${p}cst
+       |         WHERE ${p}ctf.doc_id <> ${p}cqt.q_id)
        |        GROUP BY q_id, doc_id, chunk_idx),
-       |rk AS (SELECT q_id, doc_id, chunk_idx, bm6,
+       |${p}rk AS (SELECT q_id, doc_id, chunk_idx, bm6,
        |        row_number() OVER (PARTITION BY q_id
        |         ORDER BY bm6 DESC, doc_id, chunk_idx) AS rn
-       |       FROM bmc),
+       |       FROM ${p}bmc)""".stripMargin
+
+  private lazy val q182Sql =
+    s"""WITH ${chunkSqlCtes("")},
        |pk AS (SELECT rk.q_id, rk.rn, rk.doc_id,
        |        CAST(rk.chunk_idx AS BIGINT) AS chunk_idx,
        |        CAST(ch.start_tok AS BIGINT) AS start_tok,
@@ -2133,7 +2151,75 @@ object SimilarityQueries {
        | chunk_md5, cum
        |FROM pk WHERE cum <= $ChunkBudget ORDER BY q_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q185: ANN-PREFILTERED CHUNK RETRIEVAL — the end-to-end serving
+  // composition production RAG actually runs, closing the loop
+  // between q172/q181 (retrieve DOCUMENTS at index scale) and q182
+  // (rank PASSAGES): candidate chunks are restricted to the fused
+  // hybrid top-5 documents per query, re-ranked by the chunk-level
+  // BM25 score against the GLOBAL chunk statistics (tf/df/avgdl are
+  // index-time artifacts — a serve-time restriction must not change
+  // the scoring model), and budget-packed into the provenance
+  // manifest carrying BOTH ranks (the doc's fusion rank + the
+  // chunk's rank within the restriction). A chunk of a retrieved
+  // doc sharing no probe term is absent by construction (it was
+  // never scored) — the candidate set is the postings walk
+  // intersected with the doc shortlist, both bounded.
+  //
+  // Scale: the chunk postings table is the one materialization
+  // (shared spelling with q182); the restriction join broadcasts
+  // the ≤ RetrQK·5-row fused list; everything downstream is
+  // ≤ 5-docs-per-query bounded.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hyb = q172(s, dir)
+      .select($"q_id", $"rn".as("doc_rank"), $"doc_id")
+    val ranked = chunkRank(s,
+      documents(s, dir).select($"doc_id", $"text"),
+      retrQuerySample(s, dir))
+    val within = ranked.join(broadcast(hyb), Seq("q_id", "doc_id"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"q_id")
+          .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
+    within.join(chunkManifest(s, dir), Seq("doc_id", "chunk_idx"))
+      .withColumn("cum", sum($"chunk_len").over(
+        Window.partitionBy($"q_id").orderBy($"crn")))
+      .filter($"cum" <= ChunkBudget)
+      .select($"q_id", $"crn".as("rn"), $"doc_id", $"doc_rank",
+        $"chunk_idx", $"start_tok", $"chunk_len", $"chunk_md5", $"cum")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q185Sql =
+    s"""WITH $annFusedSqlCte,
+       |${chunkSqlCtes("ck")},
+       |wr AS (SELECT ckrk.q_id, h.rn AS doc_rank, ckrk.doc_id,
+       |        ckrk.chunk_idx,
+       |        row_number() OVER (PARTITION BY ckrk.q_id
+       |         ORDER BY ckrk.bm6 DESC, ckrk.doc_id, ckrk.chunk_idx)
+       |          AS crn
+       |       FROM ckrk JOIN hyb h
+       |        ON ckrk.q_id = h.q_id AND ckrk.doc_id = h.doc_id),
+       |pk AS (SELECT wr.q_id, wr.crn AS rn, wr.doc_id,
+       |        CAST(wr.doc_rank AS BIGINT) AS doc_rank,
+       |        CAST(wr.chunk_idx AS BIGINT) AS chunk_idx,
+       |        CAST(ckch.start_tok AS BIGINT) AS start_tok,
+       |        CAST(least($ChunkW, ckch.n_tok - ckch.chunk_idx * $ChunkS)
+       |          AS BIGINT) AS chunk_len,
+       |        md5(array_to_string(ckch.ct, ' ')) AS chunk_md5,
+       |        CAST(sum(least($ChunkW,
+       |          ckch.n_tok - ckch.chunk_idx * $ChunkS))
+       |         OVER (PARTITION BY wr.q_id ORDER BY wr.crn) AS BIGINT)
+       |          AS cum
+       |       FROM wr JOIN ckch ON wr.doc_id = ckch.doc_id
+       |                        AND wr.chunk_idx = ckch.chunk_idx)
+       |SELECT q_id, rn, doc_id, doc_rank, chunk_idx, start_tok,
+       | chunk_len, chunk_md5, cum
+       |FROM pk WHERE cum <= $ChunkBudget ORDER BY q_id, rn""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q185_ann_chunk_rag", q185, Some(q185Sql),
+      "ANN-prefiltered chunk retrieval: fused hybrid top-5 docs re-ranked at chunk granularity (global chunk stats), budget-packed with dual-rank provenance"),
     Q("q182_chunk_rag", q182, Some(q182Sql),
       "chunk-level RAG assembly: chunk-granularity BM25 shortlist, budget-packed (doc_id, chunk_idx, offset, md5) manifest"),
     Q("q181_index_served_hybrid", q181, Some(q172Sql),

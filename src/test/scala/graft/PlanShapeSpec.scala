@@ -385,6 +385,11 @@ class PlanShapeSpec extends SparkSpec {
     assert("cell#\\d+ IN \\(".r.findFirstIn(scan.get).isDefined ||
       scan.get.contains("cell#"), scan.get)
     assert(!p.contains("CartesianProduct"), p.take(1500))
+    // and the serve path must not RE-ENCODE the corpus: the
+    // graft_pq_encode build-pass marker may not appear anywhere in
+    // the plan — codes come from the persisted artifact only (the
+    // whole point of q181 vs q172)
+    assert(!p.contains("graft_pq_encode"), "serve path re-encodes")
   }
 
   test("q180: context assembly broadcasts the fused top-5; no doc_id shuffle ships text") {
