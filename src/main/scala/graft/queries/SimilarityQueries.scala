@@ -2172,7 +2172,11 @@ object SimilarityQueries {
   // ≤ 5-docs-per-query bounded.
   private def q185(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hyb = q172(s, dir)
+    // the doc shortlist comes from the SERVED path (q181's persisted
+    // partition-pruned index — ranking row-identical to q172, which
+    // is why the oracle reuses the fused-chain CTEs), not the inline
+    // build: this gate is the full serving composition end to end
+    val hyb = q181(s, dir)
       .select($"q_id", $"rn".as("doc_rank"), $"doc_id")
     val ranked = chunkRank(s,
       documents(s, dir).select($"doc_id", $"text"),
