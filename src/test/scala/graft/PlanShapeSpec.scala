@@ -392,6 +392,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("graft_pq_encode"), "serve path re-encodes")
   }
 
+  test("q186: probe terms push into the persisted postings scan") {
+    // the lexical mirror of q181's partition pruning: the ≤ Q·5
+    // distinct probe terms enter the postings reader as an In(term)
+    // PushedFilter, so row-group min/max statistics skip everything
+    // else — and the serve path never re-tokenizes the corpus (no
+    // posexplode fan-out in the plan; only the manifest pass touches
+    // documents, row-locally)
+    val p = plan("q186_indexed_chunk_rag")
+    val scan = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("In(term"))
+    assert(scan.isDefined,
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q180: context assembly broadcasts the fused top-5; no doc_id shuffle ships text") {
     // the assembly join must BROADCAST the ≤ RetrQK·5-row fused list
     // against the corpus text scan — an AQE miss shipping every doc's
