@@ -1972,8 +1972,8 @@ object SimilarityQueries {
   // tf) rows — the bm25Scores checkpoint discipline); chunk TEXT
   // never shuffles — the manifest pass hashes it at scan time and
   // ships 32-byte md5s (the q147/q155 slim-exchange discipline).
-  private val ChunkW = 64   // q155's window
-  private val ChunkS = 48   // q155's stride
+  private[graft] val ChunkW = 64   // q155's window
+  private[graft] val ChunkS = 48   // q155's stride
   private val ChunkShortlist = 20
   private val ChunkBudget = 192L
 
@@ -2078,7 +2078,10 @@ object SimilarityQueries {
     * p = "ck" — the fused chain owns cd/st/qt etc.). Ends in
     * ${p}rk(q_id, doc_id, chunk_idx, bm6, rn) with ${p}ch (chunk
     * text/offsets) in scope. */
-  private def chunkSqlCtes(p: String): String =
+  /** just the chunk-CORPUS CTEs (tokenize → chunk → ctf/cdl/cdf/cst)
+    * — the shared spelling the streaming index-maintenance oracle
+    * (q188) composes without the query-side ranking CTEs. */
+  private[graft] def chunkCorpusSqlCtes(p: String): String =
     s"""${p}d AS (SELECT doc_id, string_split(text, ' ') AS t
        |           FROM documents),
        |${p}nn AS (SELECT doc_id, t, len(t) AS n_tok,
@@ -2097,7 +2100,10 @@ object SimilarityQueries {
        |        GROUP BY doc_id, chunk_idx),
        |${p}cdf AS (SELECT term, count(*) AS df FROM ${p}ctf GROUP BY term),
        |${p}cst AS (SELECT (SELECT count(*) FROM ${p}ch) AS n,
-       |              (SELECT sum(dl) FROM ${p}cdl) AS toktot),
+       |              (SELECT sum(dl) FROM ${p}cdl) AS toktot)""".stripMargin
+
+  private def chunkSqlCtes(p: String): String =
+    s"""${chunkCorpusSqlCtes(p)},
        |${p}qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM (
        |         SELECT doc_id, unnest(t) AS term FROM ${p}d
        |         WHERE doc_id IN $retrSampleSql)
@@ -2275,9 +2281,15 @@ object SimilarityQueries {
         .localCheckpoint(true)
       val cdl = ctf.groupBy($"doc_id", $"chunk_idx").agg(sum($"tf").as("dl"))
       // postings denormalize the chunk length (Lucene's norms):
-      // scoring reads one table, no per-chunk join at serve time
+      // scoring reads one table, no per-chunk join at serve time.
+      // Rows are range-clustered and sorted BY TERM so the serve
+      // path's In(term) PushedFilter actually skips row groups via
+      // parquet min/max statistics — an unsorted postings file makes
+      // every row group straddle the whole term range and the
+      // pushdown degenerates to a full decode.
       ctf.join(cdl, Seq("doc_id", "chunk_idx"))
         .select($"doc_id", $"chunk_idx", $"term", $"tf", $"dl")
+        .repartitionByRange($"term").sortWithinPartitions($"term")
         .write.mode("overwrite").parquet(s"$out/postings")
       ctf.groupBy($"term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$out/dict")
@@ -2285,6 +2297,14 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"))
         .crossJoin(cdl.agg(sum($"dl").as("toktot")))
         .write.mode("overwrite").parquet(s"$out/stats")
+      // the chunk MANIFEST (offsets + content md5) persists beside the
+      // postings, doc_id-clustered: the serve path joins its bounded
+      // shortlist against this artifact with an In(doc_id) pushdown
+      // instead of re-chunking the corpus (pre-manifest q186 spent a
+      // full tokenize+chunk+md5 corpus pass per query on this join)
+      chunkManifest(s, dir)
+        .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode("overwrite").parquet(s"$out/manifest")
       chunkIndexBuildNanos.addAndGet(System.nanoTime() - t0)
       out
     })
@@ -2338,8 +2358,22 @@ object SimilarityQueries {
         Window.partitionBy($"q_id")
           .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
       .filter($"rn" <= ChunkShortlist)
+    // offsets + md5s come from the PERSISTED manifest (not a corpus
+    // re-chunk): the ≤ RetrQK·ChunkShortlist shortlist docs are a
+    // bounded literal set, so the manifest reader skips every other
+    // doc's row groups via the In(doc_id) pushdown (the artifact is
+    // doc_id-sorted at build time for exactly this). `ranked` stays
+    // LAZY — this collect re-runs the probe-term postings walk (a
+    // term-pruned scan over ≤ RetrQK·QTerms row-group ranges), which
+    // costs less than checkpointing would hide: keeping the plan
+    // lazy keeps the In(term) pushdown in the SERVED query's own
+    // plan, where PlanShapeSpec locks it
+    val docIds = ranked.select($"doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val manifest = s.read.parquet(s"$idx/manifest")
+      .filter($"doc_id".isin(docIds.map(java.lang.Long.valueOf): _*))
     val w = Window.partitionBy($"q_id").orderBy($"rn")
-    ranked.join(chunkManifest(s, dir), Seq("doc_id", "chunk_idx"))
+    ranked.join(manifest, Seq("doc_id", "chunk_idx"))
       .withColumn("cum", sum($"chunk_len").over(w))
       .filter($"cum" <= ChunkBudget)
       .select($"q_id", $"rn", $"doc_id", $"chunk_idx", $"start_tok",
@@ -2347,7 +2381,91 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rn")
   }
 
+  // ---------------------------------------------------------------
+  // q187: FULLY-SERVED RAG — the composition a production serving
+  // tier actually deploys, with EVERY retrieval stage reading a
+  // persisted artifact and nothing rebuilt inline: the doc shortlist
+  // is q181's (cell-partition-pruned IVFADC index), the chunk
+  // re-rank reads the persisted postings (In(term) pushdown against
+  // the term-sorted artifact) restricted to the shortlist docs
+  // (In(doc_id) pushdown — the ≤ RetrQK·5 fused docs are a bounded
+  // literal set), and the offsets/md5s come from the persisted
+  // doc_id-sorted manifest. Semantics are row-identical to q185
+  // (same global chunk stats from the index's stats table, same
+  // micro-unit arithmetic, same tie-breaks), so the oracle is
+  // q185's. PERF.md's serving-economics table reports the measured
+  // marginal cost vs the inline q185.
+  //
+  // Scale: at serve time NO pass touches the corpus beyond the
+  // RetrQK sample docs' tokenize — the scans are (a) probed index
+  // cells, (b) probe-term postings row groups ∩ shortlist docs,
+  // (c) shortlist docs' manifest row groups; all three bounded by
+  // query count, not corpus size.
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = chunkIndexDir(s, dir)
+    val dict = s.read.parquet(s"$idx/dict")
+    val stats = s.read.parquet(s"$idx/stats")
+    val qids = retrQuerySample(s, dir)
+    // stage 1 — the SERVED doc shortlist (≤ RetrQK·5 rows, eager so
+    // the fused doc set can enter stage 2 as scan literals)
+    val hyb = q181(s, dir)
+      .select($"q_id", $"rn".as("doc_rank"), $"doc_id")
+      .localCheckpoint(true)
+    val docIds = hyb.select($"doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val docLits = docIds.map(java.lang.Long.valueOf)
+    // stage 2 — probe terms against the persisted dictionary (only
+    // the sample docs tokenize; qt carries df)
+    val d = documents(s, dir).select($"doc_id", $"text")
+    val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
+      .select($"q_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
+    val qt = qtf.join(dict, "term").crossJoin(broadcast(stats))
+      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+        * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
+      .filter($"rn" <= QTerms)
+      .select($"q_id", $"term", $"df")
+      .localCheckpoint(true)
+    val terms = qt.select($"term").distinct().collect()
+      .map(_.getString(0)).sorted
+    // stage 3 — postings walk: BOTH pushdowns (probe terms × fused
+    // docs); scoring uses the index's GLOBAL stats, so restricting
+    // the candidate rows cannot change any surviving chunk's score
+    val scored = s.read.parquet(s"$idx/postings")
+      .filter($"term".isin(terms: _*) && $"doc_id".isin(docLits: _*))
+      .join(broadcast(qt), "term")
+      .filter($"doc_id" =!= $"q_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * lit(Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * ($"dl" * $"n").cast("double") / $"toktot")))
+      .withColumn("c6", floor($"contrib" * 1e6 + 0.5).cast("long"))
+      .groupBy($"q_id", $"doc_id", $"chunk_idx").agg(sum($"c6").as("bm6"))
+    val within = scored.join(broadcast(hyb), Seq("q_id", "doc_id"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"q_id")
+          .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
+    // stage 4 — offsets/md5s from the persisted manifest, pack
+    val manifest = s.read.parquet(s"$idx/manifest")
+      .filter($"doc_id".isin(docLits: _*))
+    within.join(manifest, Seq("doc_id", "chunk_idx"))
+      .withColumn("cum", sum($"chunk_len").over(
+        Window.partitionBy($"q_id").orderBy($"crn")))
+      .filter($"cum" <= ChunkBudget)
+      .select($"q_id", $"crn".as("rn"), $"doc_id", $"doc_rank",
+        $"chunk_idx", $"start_tok", $"chunk_len", $"chunk_md5", $"cum")
+      .orderBy($"q_id", $"rn")
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q187_fully_served_rag", q187, Some(q185Sql),
+      "fully-served RAG: persisted IVFADC doc shortlist + persisted postings chunk rerank + persisted manifest pack, ranking ≡ q185"),
     Q("q186_indexed_chunk_rag", q186, Some(q182Sql),
       "chunk retrieval SERVED from the persisted postings index: probe terms as PushedFilters literals, ranking ≡ q182"),
     Q("q185_ann_chunk_rag", q185, Some(q185Sql),

@@ -8,9 +8,14 @@ import graft.queries.Registry
   * joins hash-keyed (never cartesian). */
 class PlanShapeSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // scan metadata (PushedFilters/DataFilters) truncates at 100 chars
+    // by default — long literal IN-lists (the served queries' bounded
+    // probe sets) would hide the very pushdowns these tests lock
+    spark.conf.set("spark.sql.maxMetadataStringLength", "20000")
     Registry.byName(name).run(spark, sf)
       .queryExecution.executedPlan.toString
+  }
 
   test("q125: heavy-hitter summary aggregates map-side before the shuffle") {
     // the point of the O(k) Space-Saving summary at 100 TB: the
@@ -404,6 +409,26 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("In(term"))
     assert(scan.isDefined,
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q187: every scan in the fully-served plan is literal-bounded; no corpus rebuild") {
+    // the end-to-end serving contract: the final plan's only data
+    // scans are (a) the postings artifact with BOTH In(term) and
+    // In(doc_id) pushed, (b) the manifest artifact with In(doc_id)
+    // pushed, (c) the sample docs' tokenize — no graft_pq_encode
+    // (ANN codes come from q181's artifact, already eager by plan
+    // time) and no posexplode chunk fan-out (offsets/md5s come from
+    // the manifest artifact)
+    val p = plan("q187_fully_served_rag")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("In(term") && l.contains("In(doc_id")),
+      pushed.mkString("\n"))
+    assert(pushed.exists(l => l.contains("In(doc_id") && !l.contains("term")),
+      pushed.mkString("\n"))
+    assert(!p.contains("graft_pq_encode"), "serve path re-encodes")
+    assert(!p.contains("posexplode") && !p.contains("PosExplode"),
+      "serve path re-chunks the corpus")
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
