@@ -1372,7 +1372,69 @@ object StreamingQueries {
        | CAST(sum(vec_id * cchk) AS BIGINT) AS codes_vec_checksum
        |FROM cc GROUP BY cell ORDER BY cell""".stripMargin
 
+  /** q188: STREAMING CHUNK-POSTINGS MAINTENANCE (21st gate) — the
+    * upkeep twin of the q186 SERVED chunk index, completing the
+    * artifact-maintenance triple (q177 doc postings, q183 ANN codes,
+    * q188 chunk postings): newly arriving documents chunk-explode
+    * ROW-LOCALLY (a doc's chunks, each chunk's (term, tf) multiset
+    * and its dl are all functions of that one row — W=64/S=48,
+    * exactly the q182/q186 spelling), so the extractor is STATELESS:
+    * no cross-batch state, no watermark, batch boundaries can't
+    * change a single posting, and a restart replays exactly
+    * (file-sink manifest). The readable index is the merge-on-read
+    * compaction; the gate rolls it into per-term rows (chunk df, cf,
+    * doc/chunk/dl checksums) pinned equal to the batch chunk corpus
+    * recomputed independently by the oracle (the SHARED
+    * chunkCorpusSqlCtes spelling — the gate and the q182/q185 ranking
+    * oracles cannot drift apart). */
+  private[graft] def chunkIndexDeltas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = SimilarityQueries.ChunkW
+    val St = SimilarityQueries.ChunkS
+    multiFileStream(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("n_tok", size($"t").cast("long"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil(($"n_tok" - W).cast("double") / St) + 1))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0L, n_chunks - 1),
+           |  i -> slice(t, CAST(i * $St + 1 AS INT), $W))""".stripMargin))
+        .as(Seq("ci", "ct")))
+      .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
+        explode(expr(
+          "transform(array_distinct(ct), t -> struct(t AS term, " +
+            "size(filter(ct, x -> x = t)) AS tf))")).as("p"),
+        size($"ct").cast("long").as("dl"))
+      .select($"doc_id", $"chunk_idx", $"p.term".as("term"),
+        $"p.tf".cast("long").as("tf"), $"dl")
+  }
+
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q188") { scratch =>
+      runToSink(s, chunkIndexDeltas(s, dir), scratch)
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+          sum($"doc_id" * $"tf").as("doc_checksum"),
+          sum(($"chunk_idx" + 1) * $"tf").as("chunk_checksum"),
+          sum($"dl" * $"tf").as("dl_checksum"))
+        .orderBy($"term")
+    }
+  }
+
+  private lazy val q188Sql =
+    s"""WITH ${SimilarityQueries.chunkCorpusSqlCtes("")}
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       | CAST(sum(tf) AS BIGINT) AS cf,
+       | CAST(sum(doc_id * tf) AS BIGINT) AS doc_checksum,
+       | CAST(sum((chunk_idx + 1) * tf) AS BIGINT) AS chunk_checksum,
+       | CAST(sum(cdl.dl * tf) AS BIGINT) AS dl_checksum
+       |FROM ctf JOIN cdl USING (doc_id, chunk_idx)
+       |GROUP BY term ORDER BY term""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q188_stream_chunk_index", q188, Some(q188Sql),
+      "§2.10 streaming chunk-postings maintenance: stateless row-local chunk deltas + merge-on-read compaction ≡ the batch chunk index"),
     Q("q183_stream_ann_index", q183, Some(q183Sql),
       "§2.10 streaming vector-index maintenance: stateless PQ-encode deltas + merge-on-read compaction ≡ the batch IVFADC index"),
     Q("q178_stream_cdc_apply", q178, Some(q178Sql),
