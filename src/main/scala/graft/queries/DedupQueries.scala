@@ -987,7 +987,102 @@ object DedupQueries {
       |FROM segs JOIN firsts USING (h)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q189: EXACT N-GRAM CONTAMINATION ATTRIBUTION — the audit report
+  // the q128/q130 bloom screen cannot produce: the screen answers
+  // "is this doc contaminated?" (drop/keep, one-sided error); a
+  // benchmark owner needs "WHICH benchmark doc leaked into WHICH
+  // training doc, and how much" — the GPT-3 appendix-C style overlap
+  // report. Same benchmark split as the screens (one 5% md5 family
+  // across all decontamination gates), but ATTRIBUTION n-grams are
+  // wider (W=8) than the screen's probe shingles: a screen wants
+  // recall (short windows hit more), an attribution wants precision
+  // (an 8-token exact match is evidence, a 3-token one is noise).
+  // Per contaminated (train doc, bench doc) pair: distinct shared
+  // n-grams, the train doc's distinct n-gram count, and the overlap
+  // fraction in micro-units.
+  //
+  // Scale: n-gram sets are per-doc row-local (array_distinct before
+  // the explode — dedup without a shuffle); the BENCH side is the
+  // small one (benchmark suites are MBs) and broadcasts, so the
+  // corpus never shuffles raw n-grams — the only exchange carries
+  // matched (doc, bench) pairs, bounded by contamination volume, not
+  // corpus size.
+  private[graft] val AttrW = 8
+
+  /** Spark n-gram list expr over a tokens column `t` (w-token windows
+    * joined by single spaces); mirrors BloomScreen.ShingleExpr's
+    * spelling at arbitrary width. */
+  private[graft] def ngramExpr(w: Int): String = {
+    val parts = (0 until w).map(o => s"element_at(t, i + $o)").mkString(", ")
+    s"transform(sequence(1, size(t) - ${w - 1}), " +
+      s"i -> concat_ws(' ', $parts))"
+  }
+
+  /** DuckDB spelling of the same list (single line — safe under any
+    * caller's stripMargin). */
+  private[graft] def ngramSql(w: Int): String = {
+    val parts = (0 until w)
+      .map(o => if (o == 0) "t[i]" else s"t[i + $o]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len(t) >= $w THEN " +
+      s"list_transform(generate_series(1, len(t) - ${w - 1}), " +
+      s"i -> $parts) ELSE [] END"
+  }
+
+  /** the attribution join, factored over explicit corpus/bench frames
+    * (both (doc_id, text)) so NgramAttributionSpec can plant a known
+    * leak; q189 feeds it the md5 benchmark split. */
+  private[graft] def ngramAttribution(corpus: DataFrame,
+      bench: DataFrame, w: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    def grams(d: DataFrame) = d
+      .withColumn("t", BloomScreen.tokens($"text"))
+      .filter(size($"t") >= w)
+      .withColumn("ngs", array_distinct(expr(ngramExpr(w))))
+      .select($"doc_id", size($"ngs").cast("long").as("n_ngrams"),
+        explode($"ngs").as("ng"))
+    val b = grams(bench).select($"doc_id".as("bench_id"), $"ng")
+    grams(corpus).join(broadcast(b), "ng")
+      .groupBy($"doc_id", $"bench_id", $"n_ngrams")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("frac6",
+        floor($"n_shared" * lit(1e6) / $"n_ngrams" + 0.5).cast("long"))
+      .select($"doc_id", $"bench_id", $"n_shared", $"n_ngrams", $"frac6")
+      .orderBy($"n_shared".desc, $"doc_id", $"bench_id")
+  }
+
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = BloomScreen.withBenchSplit(documents(s, dir))
+    ngramAttribution(
+      d.filter($"hx" >= BloomScreen.BenchMax).select($"doc_id", $"text"),
+      d.filter($"hx" < BloomScreen.BenchMax).select($"doc_id", $"text"),
+      AttrW)
+  }
+
+  private lazy val q189Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+       |        substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+       |       FROM documents),
+       |g AS (SELECT DISTINCT doc_id, hx, unnest(${ngramSql(AttrW)}) AS ng
+       |      FROM d),
+       |n AS (SELECT doc_id, count(*) AS n_ngrams FROM g GROUP BY doc_id)
+       |SELECT c.doc_id, b.doc_id AS bench_id,
+       | CAST(count(*) AS BIGINT) AS n_shared,
+       | CAST(any_value(n.n_ngrams) AS BIGINT) AS n_ngrams,
+       | CAST(floor(count(*) * 1000000.0 / any_value(n.n_ngrams) + 0.5)
+       |   AS BIGINT) AS frac6
+       |FROM g c JOIN g b USING (ng) JOIN n ON n.doc_id = c.doc_id
+       |WHERE b.hx < '${BloomScreen.BenchMax}'
+       | AND c.hx >= '${BloomScreen.BenchMax}'
+       |GROUP BY c.doc_id, b.doc_id
+       |ORDER BY n_shared DESC, c.doc_id, bench_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q189_ngram_attribution", q189, Some(q189Sql),
+      "exact 8-gram contamination attribution: (train doc, bench doc, shared n-grams, overlap fraction) report behind the bloom screen"),
     Q("q134_segment_dedup", q134, Some(q134Sql),
       "sub-document segment dedup (Lee et al. keep-first, Dolma paragraph analogue)"),
     Q("q128_bloom_decontaminate", q128, Some(q128Sql),
