@@ -2463,7 +2463,105 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rn")
   }
 
+  // ---------------------------------------------------------------
+  // q190: SCALAR-QUANTIZED (SQ8) ANN — the third quantizer family
+  // next to LSH (q51) and PQ/IVFADC (q114/q118/q181): every unit
+  // vector compresses to one int8 code per dimension (symmetric
+  // global scale mx = the corpus-wide max |component|, code =
+  // round(127·x/mx)), 4× smaller than float32 with NO codebook to
+  // train — the standard serving trade when PQ's 8-16× is more
+  // compression than the recall budget wants. Scoring is the
+  // SYMMETRIC int8×int8 dot: pure int64 arithmetic, so unlike every
+  // float path the approximate score needs no rounding convention at
+  // all — both engines agree EXACTLY, and the gate pins the adot
+  // values themselves, not a rounded shadow. Top-SQ_R shortlist by
+  // quantized dot, exact cosine re-rank to top-5 (q50's output
+  // shape + the quantized score for auditability).
+  //
+  // Scale: encode is row-local (one pass, no shuffle — at 100 TB it
+  // runs once per corpus snapshot like ivfadcIndex, and composes
+  // with the IVF cell restriction as the in-cell scorer); the scan
+  // is the same O(N) the brute pass pays but over 64 BYTES per
+  // vector instead of 512, and the only exchange carries slim
+  // (q_id, vec_id, adot) rows for the bounded per-query window.
+  private val SQ_R = 32
+
+  /** (vec_id, c int8-codes, v unit-vector) under the corpus-wide
+    * symmetric scale. */
+  private def sqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = unitVecs(s, dir)
+    val mx = u.agg(max(expr("array_max(transform(v, x -> abs(x)))"))
+      .as("mx"))
+    u.crossJoin(broadcast(mx))
+      .select($"vec_id",
+        expr("transform(v, x -> CAST(round(x * 127 / mx, 0) AS BIGINT))")
+          .as("c"),
+        $"v")
+  }
+
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = sqCodes(s, dir)
+    val q = c.join(querySample(s, dir, ANN_QK), "vec_id")
+      .select($"vec_id".as("q_id"), $"c".as("qc"), $"v".as("qv"))
+    val wa = Window.partitionBy($"q_id").orderBy($"adot".desc, $"vec_id")
+    val short = broadcast(q.select($"q_id", $"qc"))
+      .join(c.select($"vec_id", $"c"), $"vec_id" =!= $"q_id")
+      .withColumn("adot", expr(
+        "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("ar", row_number().over(wa))
+      .filter($"ar" <= SQ_R)
+      .select($"q_id", $"vec_id", $"adot")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(short).join(c.select($"vec_id", $"v"), "vec_id")
+      .join(broadcast(q.select($"q_id", $"qv")), "q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim", $"adot")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q190Sql =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, v0,
+       |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
+       |       FROM e0),
+       |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
+       |      FROM en),
+       |mx AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+       |       FROM e),
+       |c AS (SELECT vec_id, v,
+       |       list_transform(v, x -> CAST(round(x * 127 / mx.mx) AS BIGINT))
+       |         AS c
+       |      FROM e, mx),
+       |q AS (SELECT vec_id AS q_id, c AS qc, v AS qv FROM c
+       |      WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |p AS (SELECT q_id, vec_id,
+       |       CAST(list_sum(list_transform(list_zip(qc, c.c),
+       |         z -> z[1] * z[2])) AS BIGINT) AS adot
+       |      FROM q JOIN c ON vec_id <> q_id),
+       |sh AS (SELECT q_id, vec_id, adot, row_number() OVER (
+       |         PARTITION BY q_id ORDER BY adot DESC, vec_id) AS ar
+       |       FROM p),
+       |rr AS (SELECT sh.q_id, sh.vec_id, sh.adot,
+       |        round(list_sum(list_transform(list_zip(q.qv, c.v),
+       |          z -> CAST(z[1] * z[2] AS DOUBLE))), 5) AS sim
+       |       FROM sh JOIN c USING (vec_id) JOIN q USING (q_id)
+       |       WHERE sh.ar <= $SQ_R),
+       |r AS (SELECT q_id, vec_id, sim, adot, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |      FROM rr)
+       |SELECT q_id, rn, vec_id AS neighbor_id, sim, adot FROM r
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q190_sq8_ann", q190, Some(q190Sql),
+      "SQ8 scalar-quantized ANN: int8 symmetric-dot shortlist (exact int64 scores, no rounding convention) + exact cosine re-rank"),
     Q("q187_fully_served_rag", q187, Some(q185Sql),
       "fully-served RAG: persisted IVFADC doc shortlist + persisted postings chunk rerank + persisted manifest pack, ranking ≡ q185"),
     Q("q186_indexed_chunk_rag", q186, Some(q182Sql),
