@@ -2186,7 +2186,247 @@ object TextQueries {
        | (md5(s.text) = rb.rebuilt_md5) AS roundtrip_ok
        |FROM samp s JOIN rb USING (doc_id) ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q191: UNIGRAM-LM TOKENIZER (Kudo 2018, the SentencePiece model) —
+  // the second tokenizer family beside q173's BPE, because the two
+  // families fail differently (BPE's greedy merges are order-
+  // sensitive; unigram scores whole segmentations) and a data
+  // pipeline validating a tokenizer swap needs both. Pipeline: seed
+  // vocabulary = every ≤UniMaxPiece-char substring of the distinct-
+  // word table, occurrence-weighted (all single chars kept — the
+  // segmentability floor — plus the top-UniV multi-char pieces);
+  // piece costs are integer micro-units of the unigram surprisal
+  // −ln(f/T) (the q162 int64 discipline: cross-engine rank-safe);
+  // E-step = EXACT Viterbi segmentation of every distinct word —
+  // spelled as total enumeration of the 2^(len−1) cut masks with a
+  // (cost, piece-count, segmentation-string) tie-break, which is
+  // EXHAUSTIVE hence provably the Viterbi optimum, row-local, and
+  // oracle-mirrorable with no recursion; M-step = re-estimated piece
+  // frequencies from the occurrence-weighted optimal segmentations.
+  // The gate pins the full vocab table (piece, seed f0, cost6,
+  // EM-updated f1) — seed statistics, model scores, and one exact EM
+  // round, cross-engine.
+  //
+  // Scale: everything trains on the DISTINCT-word table (Heaps-
+  // bounded; the corpus is scanned once — q173's posture). The
+  // enumeration is exponential in WORD LENGTH, not corpus size:
+  // ≤ 2^15 masks for any ≤16-char word, evaluated as one row-local
+  // HOF chain (zero shuffle); a >thousand-char token would use the
+  // O(len·UniMaxPiece) Viterbi fold (the bpeApply family) — at the
+  // gate's data the enumeration IS the exact reference the fold
+  // would be pinned against.
+  private val UniMaxPiece = 4
+  private val UniV = 48
+  private val UniBig = 1000000000000L
+
+  /** every (≤ UniMaxPiece)-char substring of `word`, as a SQL expr
+    * over a row with a `word` column. */
+  private def uniSubsExpr: String =
+    s"""flatten(transform(sequence(1, char_length(word)),
+       |  st -> transform(
+       |    sequence(st, least(char_length(word), st + ${UniMaxPiece - 1})),
+       |    en -> substring(word, st, en - st + 1))))""".stripMargin
+
+  /** the per-word optimal segmentation under the piece-cost map `pm`:
+    * array_min over all cut masks of (cost, m, seg) — exhaustive, so
+    * exactly the Viterbi optimum with a total deterministic
+    * tie-break. */
+  private def uniBestExpr: String = {
+    val bd = "concat(array(0L), " +
+      "filter(CASE WHEN char_length(word) <= 1 " +
+      "THEN CAST(array() AS ARRAY<BIGINT>) " +
+      "ELSE sequence(1L, CAST(char_length(word) AS LONG) - 1L) END, " +
+      "k -> (mask div shiftleft(1L, CAST(k AS INT) - 1)) % 2 = 1), " +
+      "array(CAST(char_length(word) AS LONG)))"
+    val pieces = s"transform(sequence(1, size($bd) - 1), " +
+      s"i -> substring(word, CAST(element_at($bd, i) AS INT) + 1, " +
+      s"CAST(element_at($bd, CAST(i AS INT) + 1) - element_at($bd, i) AS INT)))"
+    s"""array_min(transform(
+       |  transform(
+       |    sequence(0L, shiftleft(1L, char_length(word) - 1) - 1),
+       |    mask -> $pieces),
+       |  ps -> named_struct(
+       |    'cost', aggregate(ps, 0L,
+       |      (acc, pc) -> acc + coalesce(try_element_at(pm, pc), ${UniBig}L)),
+       |    'm', size(ps),
+       |    'seg', array_join(ps, '|'))))""".stripMargin
+  }
+
+  /** (words, vocab, best) of the unigram chain: words = (word, wc);
+    * vocab = (piece, f0, cost6); best = (word, wc, m, seg) — the
+    * occurrence-weighted optimal segmentations. Shared by q191
+    * (training gate), q192 (rollout) and UnigramSpec. */
+  private[graft] def unigramChain(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs.select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
+    val subs = words
+      .select($"wc", explode(expr(uniSubsExpr)).as("piece"))
+      .groupBy($"piece").agg(sum($"wc").as("f0"))
+      .localCheckpoint(true)
+    val multi = subs.filter(length($"piece") > 1)
+      .orderBy($"f0".desc, $"piece").limit(UniV)
+    val vocab0 = subs.filter(length($"piece") === 1).unionByName(multi)
+    val tot = vocab0.agg(sum($"f0").as("t0"))
+    val vocab = vocab0.crossJoin(broadcast(tot))
+      .withColumn("cost6",
+        floor(log($"t0".cast("double") / $"f0") * 1e6 + 0.5).cast("long"))
+      .select($"piece", $"f0", $"cost6")
+      .localCheckpoint(true)
+    // per-word piece→cost map over the word's own substrings ∩ vocab
+    // (bounded: ≤ len·UniMaxPiece entries — the lookup the row-local
+    // enumeration folds over; the vocab side broadcasts)
+    val pm = words.select($"word", explode(expr(uniSubsExpr)).as("piece"))
+      .distinct()
+      .join(broadcast(vocab.select($"piece", $"cost6")), "piece")
+      .groupBy($"word")
+      .agg(map_from_entries(collect_set(struct($"piece", $"cost6")))
+        .as("pm"))
+    val best = words.join(pm, "word")
+      .withColumn("b", expr(uniBestExpr))
+      .select($"word", $"wc", $"b.m".as("m"), $"b.seg".as("seg"))
+      .localCheckpoint(true)
+    (words, vocab, best)
+  }
+
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, vocab, best) = unigramChain(documents(s, dir))
+    val f1 = best
+      .select($"wc", explode(split($"seg", "\\|")).as("piece"))
+      .groupBy($"piece").agg(sum($"wc").as("f1"))
+    vocab.join(f1, Seq("piece"), "left")
+      .select($"piece", $"f0", $"cost6",
+        coalesce($"f1", lit(0L)).as("f1"))
+      .orderBy($"piece")
+  }
+
+  /** the unigram chain as oracle CTEs (no leading WITH): relational
+    * enumeration (mask rows → piece rows → LEFT JOIN vocab → best by
+    * row_number) — same costs, same tie-break as the Spark HOF
+    * spelling. Ends with w, vocab, best in scope. */
+  private[graft] def unigramSqlCtes: String =
+    s"""w AS (
+       | SELECT term AS word, count(*) AS wc FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       | WHERE len(term) > 0 GROUP BY term),
+       |s1 AS (SELECT word, wc,
+       |        unnest(generate_series(1, len(word))) AS st FROM w),
+       |s2 AS (SELECT word, wc, st,
+       |        unnest(generate_series(st,
+       |          least(len(word), st + ${UniMaxPiece - 1}))) AS en
+       |       FROM s1),
+       |sub AS (SELECT substr(word, CAST(st AS INT),
+       |          CAST(en - st + 1 AS INT)) AS piece,
+       |         CAST(sum(wc) AS BIGINT) AS f0
+       |        FROM s2 GROUP BY piece),
+       |v0 AS (SELECT piece, f0 FROM sub WHERE len(piece) = 1
+       |       UNION ALL
+       |       SELECT piece, f0 FROM (
+       |        SELECT piece, f0 FROM sub WHERE len(piece) > 1
+       |        ORDER BY f0 DESC, piece LIMIT $UniV)),
+       |tot AS (SELECT CAST(sum(f0) AS BIGINT) AS t0 FROM v0),
+       |vocab AS (SELECT piece, f0,
+       |           CAST(floor(ln(CAST(t0 AS DOUBLE) / f0) * 1000000 + 0.5)
+       |             AS BIGINT) AS cost6
+       |          FROM v0, tot),
+       |mk AS (SELECT word, wc,
+       |        unnest(generate_series(0,
+       |          CAST(2 ** (len(word) - 1) AS BIGINT) - 1)) AS mask
+       |       FROM w),
+       |bm AS (SELECT word, wc, mask,
+       |        list_concat(list_concat([CAST(0 AS BIGINT)],
+       |          list_filter(generate_series(1, len(word) - 1),
+       |            k -> (mask // CAST(2 ** (k - 1) AS BIGINT)) % 2 = 1)),
+       |          [CAST(len(word) AS BIGINT)]) AS bd
+       |       FROM mk),
+       |pcr AS (SELECT word, wc, mask, i, len(bd) - 1 AS m,
+       |         substr(word, CAST(bd[i] + 1 AS INT),
+       |           CAST(bd[i + 1] - bd[i] AS INT)) AS piece
+       |        FROM (SELECT word, wc, mask, bd,
+       |               unnest(generate_series(1, len(bd) - 1)) AS i
+       |              FROM bm)),
+       |costed AS (SELECT word, wc, mask, any_value(m) AS m,
+       |            CAST(sum(coalesce(vocab.cost6, $UniBig)) AS BIGINT)
+       |              AS cost,
+       |            string_agg(pcr.piece, '|' ORDER BY i) AS seg
+       |           FROM pcr LEFT JOIN vocab USING (piece)
+       |           GROUP BY word, wc, mask),
+       |best AS (SELECT word, wc, m, seg FROM (
+       |          SELECT word, wc, m, seg, row_number() OVER (
+       |           PARTITION BY word ORDER BY cost, m, seg) AS rn
+       |          FROM costed) WHERE rn = 1)""".stripMargin
+
+  private lazy val q191Sql =
+    s"""WITH $unigramSqlCtes,
+       |f1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f1 FROM (
+       |        SELECT wc, unnest(string_split(seg, '|')) AS piece
+       |        FROM best) GROUP BY piece)
+       |SELECT vocab.piece, vocab.f0, vocab.cost6,
+       | CAST(coalesce(f1.f1, 0) AS BIGINT) AS f1
+       |FROM vocab LEFT JOIN f1 USING (piece)
+       |ORDER BY piece""".stripMargin
+
+  // q192: UNIGRAM ENCODE ROLLOUT — q176's accounting under the
+  // unigram model: per-language word/token/char volumes and
+  // compression under the OPTIMAL (not greedy) segmentation, plus
+  // the used-vocab size (pieces with nonzero Viterbi count — the
+  // effective vocabulary a rollout ships). The corpus is scanned
+  // once for (lang, word) counts and joined against the bounded
+  // segmentation table.
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, _, best) = unigramChain(documents(s, dir))
+    val wl = documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+    val used = best
+      .select(explode(split($"seg", "\\|")).as("piece")).distinct()
+      .agg(count(lit(1)).as("vocab_used"))
+    wl.join(best.select($"word", $"m"), "word")
+      .groupBy($"lang")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * $"m").as("uni_tokens"),
+        sum($"n" * length($"word")).as("n_chars"))
+      .crossJoin(broadcast(used))
+      .withColumn("chars_per_token",
+        floor($"n_chars" / $"uni_tokens".cast("double") * 1e6 + 0.5) /
+          lit(1e6))
+      .select($"lang", $"n_words", $"uni_tokens", $"n_chars",
+        $"chars_per_token", $"vocab_used")
+      .orderBy($"lang")
+  }
+
+  private lazy val q192Sql =
+    s"""WITH $unigramSqlCtes,
+       |wl AS (
+       | SELECT lang, term AS word, count(*) AS n FROM (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term
+       |  FROM documents)
+       | WHERE len(term) > 0 GROUP BY lang, term),
+       |vu AS (SELECT CAST(count(DISTINCT piece) AS BIGINT) AS vocab_used
+       |       FROM (SELECT unnest(string_split(seg, '|')) AS piece
+       |             FROM best)),
+       |enc AS (SELECT lang, n, m, len(word) AS wlen
+       |        FROM wl JOIN best USING (word))
+       |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       | CAST(sum(n * m) AS BIGINT) AS uni_tokens,
+       | CAST(sum(n * wlen) AS BIGINT) AS n_chars,
+       | floor(CAST(sum(n * wlen) AS DOUBLE) / sum(n * m) * 1000000 + 0.5)
+       |   / 1000000 AS chars_per_token,
+       | (SELECT vocab_used FROM vu) AS vocab_used
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q191_unigram_train", q191, Some(q191Sql),
+      "unigram-LM (SentencePiece) tokenizer training: substring seed vocab, integer surprisal costs, exact Viterbi E-step + M-step recount"),
+    Q("q192_unigram_encode", q192, Some(q192Sql),
+      "unigram encode rollout: per-lang token/char accounting under the optimal segmentation + used-vocab size"),
     Q("q184_bpe_roundtrip", q184, Some(q184Sql),
       "tokenizer round-trip: encode->decode identity over a doc sample, rebuilt-text md5 vs original (measured flag)"),
     Q("q173_bpe_train", q173, Some(q173Sql),

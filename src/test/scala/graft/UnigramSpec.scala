@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.{Registry, TextQueries}
+
+/** q191's unigram-LM chain on a corpus where the optimum is computable
+  * by hand, plus non-vacuity on the real corpus (the registry gate
+  * pins cross-engine equality; this pins the SEMANTICS — seed counts,
+  * Viterbi choice, EM recount). */
+class UnigramSpec extends SparkSpec {
+
+  test("worked example: seed counts, Viterbi picks the whole-word piece, M-step recounts") {
+    import spark.implicits._
+    // corpus: "ab ab b" — words ab(×2), b(×1).
+    // substrings (occurrence-weighted): a ← 2 (in ab twice),
+    // b ← 3 (in ab twice + bare b), ab ← 2. All are vocab (singles
+    // a, b kept; ab is the only multi-char candidate). T0 = 7.
+    // cost(ab) = cost(a) = −ln(2/7) > cost(b) = −ln(3/7); the
+    // segmentation "ab" = [ab] costs −ln(2/7) while [a|b] costs
+    // −ln(2/7) − ln(3/7) — strictly worse, so Viterbi keeps the
+    // whole word. M-step: f1(ab) = 2, f1(b) = 1, f1(a) = 0.
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val (words, vocab, best) = TextQueries.unigramChain(docs)
+    assert(words.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == Set(("ab", 2L), ("b", 1L)))
+    val v = vocab.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v.keySet == Set("a", "b", "ab"), v)
+    assert(v("a")._1 == 2L && v("b")._1 == 3L && v("ab")._1 == 2L, v)
+    // same seed frequency ⇒ same integer cost; rarer ⇒ costlier
+    assert(v("a")._2 == v("ab")._2 && v("b")._2 < v("a")._2, v)
+    val b = best.collect()
+      .map(r => r.getString(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(b == Map("ab" -> ((1, "ab")), "b" -> ((1, "b"))), b)
+  }
+
+  test("unseen multi-char pieces fall back to single-char segmentation") {
+    import spark.implicits._
+    // "xy" appears once among high-frequency filler so 'xy' misses the
+    // top-V cut only if V is exceeded — with V=48 everything fits, so
+    // instead plant a word whose only segmentations mix: a 5-char word
+    // has no single piece (UniMaxPiece = 4) and must split
+    val docs = Seq((1L, "abcde abcde")).toDF("doc_id", "text")
+    val (_, _, best) = TextQueries.unigramChain(docs)
+    val b = best.collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3))).head
+    // optimal is 2 pieces (one ≤4-char split); exhaustive enumeration
+    // guarantees no 1-piece answer exists for len 5
+    assert(b._1 == "abcde" && b._2 == 2, b)
+  }
+
+  test("q191/q192 non-vacuity on the real corpus: compression through multi-char pieces") {
+    val vocabRows = Registry.byName("q191_unigram_train").run(spark, sf)
+      .collect()
+    assert(vocabRows.nonEmpty)
+    // at least one multi-char piece survives the EM round with
+    // nonzero Viterbi count — the tokenizer actually compresses
+    assert(vocabRows.exists(r =>
+      r.getString(0).length > 1 && r.getLong(3) > 0), "no multi-char use")
+    val enc = Registry.byName("q192_unigram_encode").run(spark, sf)
+      .collect()
+    assert(enc.nonEmpty)
+    // optimal segmentation beats character splitting: > 1 char/token
+    assert(enc.forall(r => r.getDouble(4) > 1.0), enc.mkString("\n"))
+  }
+}
