@@ -518,7 +518,9 @@ object DedupQueries {
     val sk = documents(s, dir)
       .withColumn("t", toks($"text"))
       .filter(size($"t") >= 3)
-      .select($"source", explode(transform(shingles($"t"), x =>
+      // _outer: dodge InferFiltersFromGenerate (see ngramAttribution);
+      // size(t) >= 3 makes the shingle array non-empty
+      .select($"source", explode_outer(transform(shingles($"t"), x =>
         conv(substring(md5(x), 1, 8), 16, 10).cast("long"))).as("h"))
       .groupBy($"source")
       .agg(graft.expr.GraftFunctions.bottomK(s, $"h", kSk).as("sk"))
@@ -933,7 +935,9 @@ object DedupQueries {
     val K = 3
     val segs = documents(s, dir)
       .withColumn("t", toks($"text"))
-      .select($"doc_id", $"source", posexplode(expr(
+      // _outer: dodge InferFiltersFromGenerate (see ngramAttribution);
+      // sequence(0, ...) always yields >= 1 segment
+      .select($"doc_id", $"source", posexplode_outer(expr(
         s"transform(sequence(0, (size(t) - 1) div $K), " +
           s"j -> named_struct('seg', concat_ws(' ', slice(t, j*$K + 1, $K)), " +
           s"'ntok', size(slice(t, j*$K + 1, $K))))")))
@@ -1037,12 +1041,20 @@ object DedupQueries {
       bench: DataFrame, w: Int): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
+    // explode_OUTER everywhere a generator expression is expensive:
+    // plain explode triggers InferFiltersFromGenerate, whose inferred
+    // size(e)>0 filter gets pushed below the projection with the FULL
+    // generator expression inlined — here that re-ran the whole
+    // 8-gram construction (with split(text) re-evaluated inside every
+    // element_at) once more per doc: measured 7.7 s -> 0.6 s at
+    // sf0.1. The outer variant infers no filter; size(t) >= w makes
+    // the array provably non-empty, so the results are identical.
     def grams(d: DataFrame) = d
       .withColumn("t", BloomScreen.tokens($"text"))
       .filter(size($"t") >= w)
       .withColumn("ngs", array_distinct(expr(ngramExpr(w))))
       .select($"doc_id", size($"ngs").cast("long").as("n_ngrams"),
-        explode($"ngs").as("ng"))
+        explode_outer($"ngs").as("ng"))
     val b = grams(bench).select($"doc_id".as("bench_id"), $"ng")
     grams(corpus).join(broadcast(b), "ng")
       .groupBy($"doc_id", $"bench_id", $"n_ngrams")

@@ -1988,12 +1988,16 @@ object SimilarityQueries {
     val chunkTerms = docs
       .withColumn("n_chunks", greatest(lit(1L),
         ceil(($"n_tok" - ChunkW).cast("double") / ChunkS) + 1))
-      .select($"doc_id", posexplode(expr(
+      // _outer: dodge InferFiltersFromGenerate — the inferred
+      // size(e)>0 filter re-inlines the whole chunk-slice transform
+      // below the projection (measured 12x on q189's n-gram twin);
+      // n_chunks >= 1 and slice bounds make both arrays non-empty
+      .select($"doc_id", posexplode_outer(expr(
         s"""transform(sequence(0L, n_chunks - 1),
            |  i -> slice(t, CAST(i * $ChunkS + 1 AS INT), $ChunkW))"""
           .stripMargin)).as(Seq("ci", "ct")))
       .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
-        explode($"ct").as("term"))
+        explode_outer($"ct").as("term"))
     // the chunk postings table: the one materialization (slim rows)
     val ctf = chunkTerms
       .groupBy($"doc_id", $"chunk_idx", $"term").agg(count(lit(1)).as("tf"))
@@ -2046,7 +2050,8 @@ object SimilarityQueries {
       .withColumn("n_tok", size($"t").cast("long"))
       .withColumn("n_chunks", greatest(lit(1L),
         ceil(($"n_tok" - ChunkW).cast("double") / ChunkS) + 1))
-      .select($"doc_id", $"n_tok", posexplode(expr(
+      // _outer: dodge InferFiltersFromGenerate (see chunkCorpusTerms)
+      .select($"doc_id", $"n_tok", posexplode_outer(expr(
         s"""transform(sequence(0L, n_chunks - 1), i -> named_struct(
            |  'start_tok', i * $ChunkS,
            |  'chunk_len', least(CAST($ChunkW AS BIGINT), n_tok - i * $ChunkS),
@@ -2258,12 +2263,13 @@ object SimilarityQueries {
       .withColumn("n_tok", size($"t").cast("long"))
       .withColumn("n_chunks", greatest(lit(1L),
         ceil(($"n_tok" - ChunkW).cast("double") / ChunkS) + 1))
-      .select($"doc_id", posexplode(expr(
+      // _outer: dodge InferFiltersFromGenerate (see chunkCorpusTerms)
+      .select($"doc_id", posexplode_outer(expr(
         s"""transform(sequence(0L, n_chunks - 1),
            |  i -> slice(t, CAST(i * $ChunkS + 1 AS INT), $ChunkW))"""
           .stripMargin)).as(Seq("ci", "ct")))
       .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
-        explode($"ct").as("term"))
+        explode_outer($"ct").as("term"))
   }
 
   /** path of the persisted chunk postings index for `dir`'s corpus

@@ -1198,10 +1198,16 @@ object StreamingQueries {
     graft.Scratch.withScratchDir("graft_q177") { scratch =>
       val postings = multiFileStream(s, dir, "documents")
         .select($"doc_id", split($"text", " ").as("toks"))
-        .select($"doc_id", explode(expr(
+        // _outer: dodge InferFiltersFromGenerate — the inferred
+        // size(e)>0 filter re-inlines the whole postings transform
+        // below the projection (measured 12x on q189's n-gram twin);
+        // an all-empty-token doc yields one null row, dropped below
+        // (plain explode dropped the doc at the Generate)
+        .select($"doc_id", explode_outer(expr(
           "transform(array_distinct(filter(toks, t -> length(t) > 0)), " +
             "t -> struct(t AS term, size(filter(toks, x -> x = t)) AS tf))"))
           .as("p"))
+        .filter($"p".isNotNull)
         .select($"doc_id", $"p.term".as("term"),
           $"p.tf".cast("long").as("tf"))
       runToSink(s, postings, scratch)
@@ -1396,12 +1402,15 @@ object StreamingQueries {
       .withColumn("n_tok", size($"t").cast("long"))
       .withColumn("n_chunks", greatest(lit(1L),
         ceil(($"n_tok" - W).cast("double") / St) + 1))
-      .select($"doc_id", posexplode(expr(
+      // _outer on both generates: dodge InferFiltersFromGenerate
+      // (see SimilarityQueries.chunkCorpusTerms); n_chunks >= 1 and
+      // non-empty ct make both arrays provably non-empty
+      .select($"doc_id", posexplode_outer(expr(
         s"""transform(sequence(0L, n_chunks - 1),
            |  i -> slice(t, CAST(i * $St + 1 AS INT), $W))""".stripMargin))
         .as(Seq("ci", "ct")))
       .select($"doc_id", $"ci".cast("long").as("chunk_idx"),
-        explode(expr(
+        explode_outer(expr(
           "transform(array_distinct(ct), t -> struct(t AS term, " +
             "size(filter(ct, x -> x = t)) AS tf))")).as("p"),
         size($"ct").cast("long").as("dl"))

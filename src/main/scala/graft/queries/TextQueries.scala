@@ -441,7 +441,9 @@ object TextQueries {
     val bigrams = documents(s, dir)
       .select($"lang", split($"text", " ").as("t"))
       .filter(size($"t") >= 2)
-      .select($"lang", explode(expr(
+      // _outer: dodge InferFiltersFromGenerate (see DedupQueries.
+      // ngramAttribution); size(t) >= 2 makes the array non-empty
+      .select($"lang", explode_outer(expr(
         "transform(sequence(1, size(t) - 1), " +
           "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
         .as("bigram"))
@@ -679,7 +681,8 @@ object TextQueries {
     val n = tok.agg(count(lit(1)).as("n"))
     val carryCols = carry.map(col)
     val pairs = d.filter(size($"t") >= 2)
-      .select(($"doc_id" +: carryCols) :+ explode(expr(
+      // _outer: dodge InferFiltersFromGenerate; size(t) >= 2
+      .select(($"doc_id" +: carryCols) :+ explode_outer(expr(
         "transform(sequence(1, size(t) - 1), " +
           "i -> named_struct('w1', element_at(t, i), " +
           "'w2', element_at(t, i + 1)))")).as("pr"): _*)
@@ -1701,8 +1704,9 @@ object TextQueries {
       .withColumn("n_tok", size($"t").cast("long"))
       .withColumn("n_chunks",
         greatest(lit(1L), ceil(($"n_tok" - W).cast("double") / S) + 1))
+      // _outer: dodge InferFiltersFromGenerate; n_chunks >= 1
       .select($"doc_id", $"n_tok",
-        posexplode(expr(
+        posexplode_outer(expr(
           s"""transform(sequence(0L, n_chunks - 1), i -> named_struct(
              |  'start_tok', i * $S,
              |  'chunk_len', least(CAST($W AS BIGINT), n_tok - i * $S),
@@ -1891,7 +1895,8 @@ object TextQueries {
     val s = seg.sparkSession
     import s.implicits._
     seg.filter(size($"seg") >= 2)
-      .select($"wc", explode(expr(
+      // _outer: dodge InferFiltersFromGenerate; size(seg) >= 2
+      .select($"wc", explode_outer(expr(
         "transform(sequence(1, size(seg) - 1), " +
           "i -> struct(element_at(seg, i) AS a, " +
           "element_at(seg, i + 1) AS b))")).as("p"))
@@ -2020,7 +2025,21 @@ object TextQueries {
     * seg$k (the final segmentation) with m1..m$k (the merges) in
     * scope — composed by q173Sql (merge table) AND q176Sql (encode
     * rollup) so the training spelling lives in one place. */
-  private def bpeChainSqlCte(k: Int): String = {
+  private def bpeChainSqlCte(k: Int): String =
+    s"""$wordSqlCte,
+       |${bpeChainSqlCteNoWords(k)}""".stripMargin
+
+  /** the distinct-word CTE both tokenizer families train on — ONE
+    * spelling so composed oracles (q193) can't duplicate it. */
+  private[graft] val wordSqlCte: String =
+    """w AS (
+      | SELECT term AS word, count(*) AS wc FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      | WHERE len(term) > 0 GROUP BY term)""".stripMargin
+
+  /** the BPE chain CTEs assuming `w` is already in scope (q193's
+    * composition partner of unigramSqlCtesNoW). */
+  private[graft] def bpeChainSqlCteNoWords(k: Int): String = {
     val steps = (1 to k).map { step =>
       val prev = s"seg${step - 1}"
       s"""p$step AS (
@@ -2039,11 +2058,7 @@ object TextQueries {
          |    ' ' || a || b || ' '), ' '), '  ') AS seg
          | FROM $prev, m$step)""".stripMargin
     }.mkString(",\n")
-    s"""w AS (
-       | SELECT term AS word, count(*) AS wc FROM (
-       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-       | WHERE len(term) > 0 GROUP BY term),
-       |seg0 AS (
+    s"""seg0 AS (
        | SELECT word, wc,
        |  list_append(list_transform(generate_series(1, len(word)),
        |    i -> word[i:i]), '</w>') AS seg
@@ -2265,7 +2280,8 @@ object TextQueries {
       .groupBy($"word").agg(count(lit(1)).as("wc"))
       .localCheckpoint(true)
     val subs = words
-      .select($"wc", explode(expr(uniSubsExpr)).as("piece"))
+      // _outer: dodge InferFiltersFromGenerate; words are non-empty
+      .select($"wc", explode_outer(expr(uniSubsExpr)).as("piece"))
       .groupBy($"piece").agg(sum($"wc").as("f0"))
       .localCheckpoint(true)
     val multi = subs.filter(length($"piece") > 1)
@@ -2280,7 +2296,8 @@ object TextQueries {
     // per-word piece→cost map over the word's own substrings ∩ vocab
     // (bounded: ≤ len·UniMaxPiece entries — the lookup the row-local
     // enumeration folds over; the vocab side broadcasts)
-    val pm = words.select($"word", explode(expr(uniSubsExpr)).as("piece"))
+    val pm = words
+      .select($"word", explode_outer(expr(uniSubsExpr)).as("piece"))
       .distinct()
       .join(broadcast(vocab.select($"piece", $"cost6")), "piece")
       .groupBy($"word")
@@ -2310,11 +2327,14 @@ object TextQueries {
     * row_number) — same costs, same tie-break as the Spark HOF
     * spelling. Ends with w, vocab, best in scope. */
   private[graft] def unigramSqlCtes: String =
-    s"""w AS (
-       | SELECT term AS word, count(*) AS wc FROM (
-       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-       | WHERE len(term) > 0 GROUP BY term),
-       |s1 AS (SELECT word, wc,
+    s"""$wordSqlCte,
+       |$unigramSqlCtesNoW""".stripMargin
+
+  /** the unigram chain CTEs ASSUMING `w` (the distinct-word table)
+    * is already in scope — so q193 can compose the unigram and BPE
+    * chains over ONE shared `w` without a duplicate-CTE error. */
+  private[graft] def unigramSqlCtesNoW: String =
+    s"""s1 AS (SELECT word, wc,
        |        unnest(generate_series(1, len(word))) AS st FROM w),
        |s2 AS (SELECT word, wc, st,
        |        unnest(generate_series(st,
@@ -2422,7 +2442,220 @@ object TextQueries {
        | (SELECT vocab_used FROM vu) AS vocab_used
        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // q193: TOKENIZER A/B COMPARISON — the readout a tokenizer swap
+  // actually decides on: BOTH families trained on the same corpus
+  // (q173's BPE chain, q191's unigram chain — each over the ONE
+  // shared distinct-word table), their encodings joined per
+  // language into the fertility sheet: word/char volumes, tokens
+  // under each family, chars-per-token, and the per-language
+  // winner. Accounting conventions carried verbatim from each
+  // family's own rollout gate: BPE token count = symbol count of
+  // the final segmentation INCLUDING the '</w>' word-end marker
+  // (Sennrich's accounting, q176); unigram = the optimal-
+  // segmentation piece count (q192) — the comparison is between
+  // the rollout numbers each tokenizer would actually publish.
+  //
+  // Scale: both chains train on the Heaps-bounded distinct-word
+  // table (corpus scanned once for (lang, word) counts); the A/B
+  // join is distinct-word-sized, the result |lang|-sized.
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    tokenizerAb(documents(s, dir))
+
+  /** q193's core over an explicit corpus frame so TokenizerAbSpec can
+    * plant a hand-computable one. */
+  private[graft] def tokenizerAb(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (bseg, _) = bpeChain(docs, BpeK)
+    val (_, _, ubest) = unigramChain(docs)
+    val wl = docs
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+    wl.join(bseg.select($"word", size($"seg").cast("long").as("nb")),
+        "word")
+      .join(ubest.select($"word", $"m".as("nu")), "word")
+      .groupBy($"lang")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * length($"word")).as("n_chars"),
+        sum($"n" * $"nb").as("bpe_tokens"),
+        sum($"n" * $"nu").as("uni_tokens"))
+      .withColumn("bpe_cpt",
+        floor($"n_chars" / $"bpe_tokens".cast("double") * 1e6 + 0.5) /
+          lit(1e6))
+      .withColumn("uni_cpt",
+        floor($"n_chars" / $"uni_tokens".cast("double") * 1e6 + 0.5) /
+          lit(1e6))
+      .withColumn("winner",
+        when($"uni_tokens" < $"bpe_tokens", lit("unigram"))
+          .when($"bpe_tokens" < $"uni_tokens", lit("bpe"))
+          .otherwise(lit("tie")))
+      .select($"lang", $"n_words", $"n_chars", $"bpe_tokens",
+        $"uni_tokens", $"bpe_cpt", $"uni_cpt", $"winner")
+      .orderBy($"lang")
+  }
+
+  private lazy val q193Sql =
+    s"""WITH $wordSqlCte,
+       |${bpeChainSqlCteNoWords(BpeK)},
+       |$unigramSqlCtesNoW,
+       |wl AS (
+       | SELECT lang, term AS word, count(*) AS n FROM (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term
+       |  FROM documents)
+       | WHERE len(term) > 0 GROUP BY lang, term),
+       |enc AS (SELECT lang, n, len(word) AS wlen,
+       |         len(sb.seg) AS nb, ub.m AS nu
+       |        FROM wl
+       |        JOIN seg$BpeK sb USING (word)
+       |        JOIN best ub USING (word)),
+       |acc AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       |         CAST(sum(n * wlen) AS BIGINT) AS n_chars,
+       |         CAST(sum(n * nb) AS BIGINT) AS bpe_tokens,
+       |         CAST(sum(n * nu) AS BIGINT) AS uni_tokens
+       |        FROM enc GROUP BY lang)
+       |SELECT lang, n_words, n_chars, bpe_tokens, uni_tokens,
+       | floor(CAST(n_chars AS DOUBLE) / bpe_tokens * 1000000 + 0.5)
+       |   / 1000000 AS bpe_cpt,
+       | floor(CAST(n_chars AS DOUBLE) / uni_tokens * 1000000 + 0.5)
+       |   / 1000000 AS uni_cpt,
+       | CASE WHEN uni_tokens < bpe_tokens THEN 'unigram'
+       |      WHEN bpe_tokens < uni_tokens THEN 'bpe'
+       |      ELSE 'tie' END AS winner
+       |FROM acc ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q194: UNIMAX BUDGET ALLOCATION (Chung et al. 2023) — the
+  // multilingual sampling step q127's proportional mixing can't
+  // express: given a global token BUDGET and a per-language EPOCH
+  // CAP, water-fill the budget across languages — uniform-first,
+  // each language clipped at cap·n_tokens — then select documents
+  // greedily (md5 rank, cumulative tokens) up to each language's
+  // allocation. Low-resource languages repeat up to the cap;
+  // high-resource ones are downsampled to the equal share. The
+  // waterfall is exact integer arithmetic: languages ascending by
+  // capacity, the binding set is provably a prefix (a language is
+  // capped iff cap_i·(langs remaining) fits the remaining budget),
+  // the unbound share is one integer division with the remainder
+  // distributed +1 to the first (pool mod m) unbound languages —
+  // so sum(alloc) = least(budget, total capacity) EXACTLY, a
+  // UnimaxSpec invariant.
+  //
+  // Scale: the waterfall runs over the |languages|-sized rollup
+  // (the one intentionally-global window — bounded by language
+  // count, never corpus size); doc selection is one per-language
+  // rank+cumsum window, the q127/q131 discipline.
+  private val UnimaxCap = 2L
+
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    unimaxAlloc(documents(s, dir))
+
+  /** q194's core over an explicit corpus frame (UnimaxSpec plants
+    * hand-computable waterfalls). Budget = (3·total tokens) div 2 —
+    * scale-free, and between one epoch and the cap so both regimes
+    * (capped + downsampled) appear on real data. */
+  private[graft] def unimaxAlloc(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dt = docs.select($"lang", $"doc_id",
+      expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS LONG)")
+        .as("n_tok"))
+    val pl = dt.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("capacity", $"n_tokens" * lit(UnimaxCap))
+    val tot = pl.agg(expr("(sum(n_tokens) * 3) div 2").as("budget"),
+      count(lit(1)).as("nl"))
+    val w = Window.orderBy($"capacity", $"lang")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = pl.crossJoin(broadcast(tot))
+      .withColumn("i",
+        row_number().over(Window.orderBy($"capacity", $"lang")).cast("long"))
+      .withColumn("cumc", sum($"capacity").over(w))
+      .withColumn("bind",
+        $"capacity" * ($"nl" - $"i" + 1) <= $"budget" - ($"cumc" - $"capacity"))
+    val kv = rk.agg(
+      coalesce(min(when(!$"bind", $"i")) - 1, max($"i")).as("k"))
+    val rk2 = rk.crossJoin(broadcast(kv))
+    val ck = rk2.agg(
+      coalesce(max(when($"i" <= $"k", $"cumc")), lit(0L)).as("c_k"))
+    val al = rk2.crossJoin(broadcast(ck))
+      .withColumn("alloc", when($"i" <= $"k", $"capacity").otherwise(expr(
+        """(budget - c_k) div (nl - k) +
+          | (CASE WHEN i - k <= (budget - c_k) % (nl - k)
+          |  THEN 1 ELSE 0 END)""".stripMargin)))
+    val sw = Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("unimax:"), $"doc_id")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = dt.withColumn("cum", sum($"n_tok").over(sw))
+    val kept = sel.join(broadcast(al.select($"lang", $"alloc")), "lang")
+      .filter($"cum" <= $"alloc")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("kept_docs"), sum($"n_tok").as("kept_tokens"))
+    al.join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"n_tokens", $"capacity", $"alloc",
+        ($"alloc" === $"capacity").as("at_cap"),
+        expr("(alloc * 1000000) div n_tokens").as("epochs6"),
+        coalesce($"kept_docs", lit(0L)).as("kept_docs"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
+      .orderBy($"lang")
+  }
+
+  private lazy val q194Sql =
+    s"""WITH dt AS (
+       | SELECT lang, doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+       |    AS BIGINT) AS n_tok
+       | FROM documents),
+       |pl AS (SELECT lang, count(*) AS n_docs,
+       |        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |        CAST(sum(n_tok) * $UnimaxCap AS BIGINT) AS capacity
+       |       FROM dt GROUP BY lang),
+       |tt AS (SELECT CAST(sum(n_tokens) * 3 // 2 AS BIGINT) AS budget,
+       |        CAST(count(*) AS BIGINT) AS nl FROM pl),
+       |rk AS (SELECT pl.*, budget, nl,
+       |        CAST(row_number() OVER (ORDER BY capacity, lang)
+       |          AS BIGINT) AS i,
+       |        CAST(sum(capacity) OVER (ORDER BY capacity, lang
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc
+       |       FROM pl, tt),
+       |bd AS (SELECT rk.*,
+       |        (capacity * (nl - i + 1) <= budget - (cumc - capacity))
+       |          AS bind
+       |       FROM rk),
+       |kv AS (SELECT coalesce(min(CASE WHEN NOT bind THEN i END) - 1,
+       |          max(i)) AS k FROM bd),
+       |ck AS (SELECT coalesce(max(CASE WHEN i <= k THEN cumc END), 0)
+       |          AS c_k FROM bd, kv),
+       |al AS (SELECT bd.*, k, c_k,
+       |        CASE WHEN i <= k THEN capacity
+       |         ELSE (budget - c_k) // (nl - k) +
+       |          (CASE WHEN i - k <= (budget - c_k) % (nl - k)
+       |           THEN 1 ELSE 0 END) END AS alloc
+       |       FROM bd, kv, ck),
+       |sel AS (SELECT lang, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY lang
+       |          ORDER BY md5('unimax:' || CAST(doc_id AS VARCHAR)), doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |        FROM dt),
+       |kept AS (SELECT sel.lang, count(*) AS kept_docs,
+       |          CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+       |         FROM sel JOIN al USING (lang)
+       |         WHERE cum <= alloc GROUP BY sel.lang)
+       |SELECT al.lang, n_docs, n_tokens, capacity,
+       | CAST(alloc AS BIGINT) AS alloc,
+       | (alloc = capacity) AS at_cap,
+       | CAST((alloc * 1000000) // n_tokens AS BIGINT) AS epochs6,
+       | CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+       | CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+       |FROM al LEFT JOIN kept USING (lang)
+       |ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q194_unimax_alloc", q194, Some(q194Sql),
+      "UNIMAX multilingual budget allocation: epoch-capped integer water-fill + greedy per-language doc selection"),
+    Q("q193_tokenizer_ab", q193, Some(q193Sql),
+      "tokenizer A/B: BPE vs unigram-LM trained on the same corpus, per-language fertility/compression sheet + winner"),
     Q("q191_unigram_train", q191, Some(q191Sql),
       "unigram-LM (SentencePiece) tokenizer training: substring seed vocab, integer surprisal costs, exact Viterbi E-step + M-step recount"),
     Q("q192_unigram_encode", q192, Some(q192Sql),
