@@ -756,12 +756,13 @@ object SimilarityQueries {
 
   private[graft] def ivfadcRanked(s: SparkSession, dir: String,
       qsample: DataFrame, nprobe: Int = IVFPQ_NPROBE,
-      r: Int = IVFPQ_R): DataFrame = {
+      r: Int = IVFPQ_R, encPre: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val e = unitVecs(s, dir)
     // corpus pass: cell + PQ codes, row-local (native expressions) —
-    // the persistable index (one definition, shared with AnnIndexSpec)
-    val enc = ivfadcIndex(s, dir)
+    // the persistable index (one definition, shared with AnnIndexSpec);
+    // q196 passes a checkpointed build so its nprobe sweep encodes once
+    val enc = encPre.getOrElse(ivfadcIndex(s, dir))
     // query vectors, built ONCE and shared by the probe chain and the
     // exact re-rank (each duplicate subplan would re-run the corpus
     // normalize pass — the re-execution class 295434a fixed for CPC)
@@ -2565,7 +2566,133 @@ object SimilarityQueries {
        |SELECT q_id, rn, vec_id AS neighbor_id, sim, adot FROM r
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
+  // q196: ANN TUNING FRONTIER — the recall-vs-cost sheet an ANN
+  // deployment publishes before fixing nprobe: for each nprobe in
+  // TuneProbes the full IVFADC serve chain (probed cells → ADC
+  // shortlist R → exact top-5 re-rank) is scored against brute
+  // cosine ground truth (computed ONCE), reporting the two axes of
+  // the tuning trade — macro recall@5 (integer micro-units: exact
+  // hit counts over 5·nq, no float convention) and the TOTAL ADC
+  // candidate volume (= Σ probed-cell sizes − the query's own
+  // vector; the work a serve pays, exactly countable from the cell
+  // histogram). The nprobe=6 row reproduces q118's operating point;
+  // the sheet shows what 1/2/4 would have bought.
+  //
+  // Scale: the corpus is encoded ONCE (the checkpointed ivfadcIndex
+  // artifact is shared across the sweep via encPre); everything else
+  // is per-query bounded — the mask chain runs once to max(nprobe)
+  // and each setting just reads a wider prefix of its cells.
+  private val TuneProbes = Seq(1, 2, 4, 6)
+
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = querySample(s, dir, ANN_QK).select($"vec_id".as("q_id"))
+      .localCheckpoint(true)
+    val e = unitVecs(s, dir)
+    val enc = ivfadcIndex(s, dir).localCheckpoint(true)
+    val cellsz = enc.groupBy($"cell").agg(count(lit(1)).as("cn"))
+      .localCheckpoint(true)
+    val qv = e.join(qs, e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"))
+    val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    val gt = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rn", row_number().over(wb)).filter($"rn" <= 5)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    val chain = maskChain(
+      qv.withColumn("c1", cellCol(s, $"qv"))
+        .withColumn("s1", cellScoresCol(s, $"qv")),
+      TuneProbes.max).localCheckpoint(true)
+    val sheets = TuneProbes.map { np =>
+      val top5 = ivfadcRanked(s, dir, qs, np, IVFPQ_R, Some(enc))
+        .filter($"rv" <= 5).select($"q_id", $"vec_id")
+      val hits = top5.join(gt, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      val cand = chain
+        .withColumn("cell",
+          explode(array((1 to np).map(i => col(s"c$i")): _*)))
+        .select($"q_id", $"cell")
+        .join(cellsz, Seq("cell"))
+        .groupBy($"q_id").agg((sum($"cn") - 1).as("cq"))
+        .agg(sum($"cq").as("total_candidates"),
+          count(lit(1)).as("nq"))
+      cand.crossJoin(hits)
+        .select(lit(np).as("nprobe"), $"nq".as("n_queries"),
+          $"total_candidates", $"hits",
+          expr("(hits * 1000000) div (5 * nq)").as("recall6"))
+    }
+    sheets.reduce(_.unionByName(_)).orderBy($"nprobe")
+  }
+
+  private lazy val q196Sql = {
+    val perNp = TuneProbes.map { np =>
+      val cells = (1 to np).map(r => s"c$r").mkString("[", ", ", "]")
+      s"""pr$np AS (SELECT q_id, unnest($cells) AS cell
+         |          FROM p${TuneProbes.max}),
+         |ad$np AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9) AS adist2
+         |          FROM codes c
+         |           JOIN bc ON c.vec_id = bc.vec_id
+         |           JOIN pr$np p ON bc.cell = p.cell
+         |           JOIN lut l ON p.q_id = l.q_id AND c.m = l.m
+         |            AND c.j = l.j
+         |          WHERE c.vec_id <> p.q_id
+         |          GROUP BY p.q_id, c.vec_id),
+         |sl$np AS (SELECT q_id, vec_id FROM
+         |           (SELECT q_id, vec_id, row_number() OVER
+         |             (PARTITION BY q_id ORDER BY adist2, vec_id) AS ar
+         |            FROM ad$np)
+         |          WHERE ar <= $IVFPQ_R),
+         |r$np AS (SELECT q_id, vec_id FROM (
+         |          SELECT sl$np.q_id, sl$np.vec_id, row_number() OVER (
+         |           PARTITION BY sl$np.q_id ORDER BY
+         |            round(list_sum(list_transform(list_zip(qvf.qv, e.v),
+         |              z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+         |            sl$np.vec_id) AS rn
+         |          FROM sl$np JOIN e USING (vec_id)
+         |           JOIN qvf ON sl$np.q_id = qvf.q_id)
+         |         WHERE rn <= 5),
+         |cand$np AS (SELECT q_id, CAST(sum(cn) - 1 AS BIGINT) AS cq
+         |            FROM pr$np JOIN csz USING (cell) GROUP BY q_id),
+         |row$np AS (SELECT $np AS nprobe,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM cand$np)
+         |              AS n_queries,
+         |            (SELECT CAST(sum(cq) AS BIGINT) FROM cand$np)
+         |              AS total_candidates,
+         |            (SELECT CAST(count(*) AS BIGINT)
+         |             FROM r$np JOIN gt USING (q_id, vec_id)) AS hits,
+         |            (SELECT CAST(count(*) * 1000000 //
+         |              (5 * (SELECT count(*) FROM cand$np)) AS BIGINT)
+         |             FROM r$np JOIN gt USING (q_id, vec_id)) AS recall6)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = TuneProbes.map(np => s"SELECT * FROM row$np")
+      .mkString(" UNION ALL ")
+    s"""WITH $pqPreambleSql,
+       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
+       |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn FROM bc
+       |        GROUP BY cell),
+       |qvf AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |        WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
+       |        ${cellScoresSql("v")} AS s1
+       |       FROM e WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |${maskChainSql("p", TuneProbes.max)},
+       |gt AS (SELECT q_id, vec_id FROM (
+       |        SELECT qvf.q_id, e.vec_id, row_number() OVER (
+       |         PARTITION BY qvf.q_id ORDER BY
+       |          round(list_sum(list_transform(list_zip(qvf.qv, e.v),
+       |            z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+       |          e.vec_id) AS rn
+       |        FROM qvf JOIN e ON e.vec_id <> qvf.q_id)
+       |       WHERE rn <= 5),
+       |$perNp
+       |SELECT * FROM ($union) ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q196_ann_tuning", q196, Some(q196Sql),
+      "ANN tuning frontier: recall@5 vs ADC candidate volume for nprobe in {1,2,4,6} over the shared IVFADC index, brute ground truth"),
     Q("q190_sq8_ann", q190, Some(q190Sql),
       "SQ8 scalar-quantized ANN: int8 symmetric-dot shortlist (exact int64 scores, no rounding convention) + exact cosine re-rank"),
     Q("q187_fully_served_rag", q187, Some(q185Sql),

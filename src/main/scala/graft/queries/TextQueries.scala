@@ -2322,6 +2322,95 @@ object TextQueries {
       .orderBy($"piece")
   }
 
+  // q195: UNIGRAM EM ITERATION + VOCABULARY PRUNING — the step that
+  // makes q191 the real SentencePiece training loop: after the first
+  // EM round, multi-char pieces the Viterbi never used (f1 = 0) are
+  // PRUNED (single chars always survive — the segmentability floor),
+  // costs are re-estimated from the round-1 Viterbi counts
+  // (cost2 = −ln(f1/T1) in integer micro-units; unused singles get
+  // the UniBig sentinel), and the exact E-step re-runs under the
+  // pruned, re-costed vocabulary. The gate pins the full round-2
+  // vocab table (piece, f1, cost2_6, f2) — pruning, re-costing, and
+  // the second Viterbi pass all cross-engine. Scale: identical to
+  // q191 (everything over the Heaps-bounded distinct-word table; the
+  // oracle reuses the SAME mask-decomposition CTE for both rounds).
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    unigramRound2(documents(s, dir))
+
+  /** q195's core over an explicit corpus (UnigramSpec plants a
+    * corpus where a seeded multi-char piece is provably pruned). */
+  private[graft] def unigramRound2(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (words, vocab, best) = unigramChain(docs)
+    val f1 = best
+      .select($"wc", explode(split($"seg", "\\|")).as("piece"))
+      .groupBy($"piece").agg(sum($"wc").as("f1"))
+    val v1 = vocab.join(f1, Seq("piece"), "left")
+      .select($"piece", coalesce($"f1", lit(0L)).as("f1"))
+      .filter(length($"piece") === 1 || $"f1" > 0)
+      .localCheckpoint(true)
+    val t1 = v1.agg(sum($"f1").as("t1"))
+    val v2 = v1.crossJoin(broadcast(t1))
+      .withColumn("cost6",
+        when($"f1" > 0,
+          floor(log($"t1".cast("double") / $"f1") * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(UniBig)))
+      .select($"piece", $"f1", $"cost6")
+      .localCheckpoint(true)
+    val pm2 = words
+      .select($"word", explode_outer(expr(uniSubsExpr)).as("piece"))
+      .distinct()
+      .join(broadcast(v2.select($"piece", $"cost6")), "piece")
+      .groupBy($"word")
+      .agg(map_from_entries(collect_set(struct($"piece", $"cost6")))
+        .as("pm"))
+    val best2 = words.join(pm2, "word")
+      .withColumn("b", expr(uniBestExpr))
+      .select($"wc", $"b.seg".as("seg"))
+    val f2 = best2
+      .select($"wc", explode(split($"seg", "\\|")).as("piece"))
+      .groupBy($"piece").agg(sum($"wc").as("f2"))
+    v2.join(f2, Seq("piece"), "left")
+      .select($"piece", $"f1", $"cost6".as("cost2_6"),
+        coalesce($"f2", lit(0L)).as("f2"))
+      .orderBy($"piece")
+  }
+
+  private lazy val q195Sql =
+    s"""WITH $unigramSqlCtes,
+       |f1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f1 FROM (
+       |        SELECT wc, unnest(string_split(seg, '|')) AS piece
+       |        FROM best) GROUP BY piece),
+       |v1 AS (SELECT vocab.piece,
+       |        CAST(coalesce(f1.f1, 0) AS BIGINT) AS f1
+       |       FROM vocab LEFT JOIN f1 USING (piece)
+       |       WHERE len(vocab.piece) = 1 OR coalesce(f1.f1, 0) > 0),
+       |t1 AS (SELECT CAST(sum(f1) AS BIGINT) AS t1 FROM v1),
+       |v2 AS (SELECT piece, f1,
+       |        CASE WHEN f1 > 0 THEN
+       |         CAST(floor(ln(CAST(t1 AS DOUBLE) / f1) * 1000000 + 0.5)
+       |           AS BIGINT)
+       |        ELSE $UniBig END AS cost6
+       |       FROM v1, t1),
+       |costed2 AS (SELECT word, wc, mask, any_value(m) AS m,
+       |             CAST(sum(coalesce(v2.cost6, $UniBig)) AS BIGINT)
+       |               AS cost,
+       |             string_agg(pcr.piece, '|' ORDER BY i) AS seg
+       |            FROM pcr LEFT JOIN v2 USING (piece)
+       |            GROUP BY word, wc, mask),
+       |best2 AS (SELECT wc, seg FROM (
+       |           SELECT wc, seg, row_number() OVER (
+       |            PARTITION BY word ORDER BY cost, m, seg) AS rn
+       |           FROM costed2) WHERE rn = 1),
+       |f2 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f2 FROM (
+       |        SELECT wc, unnest(string_split(seg, '|')) AS piece
+       |        FROM best2) GROUP BY piece)
+       |SELECT v2.piece, v2.f1, v2.cost6 AS cost2_6,
+       | CAST(coalesce(f2.f2, 0) AS BIGINT) AS f2
+       |FROM v2 LEFT JOIN f2 USING (piece)
+       |ORDER BY piece""".stripMargin
+
   /** the unigram chain as oracle CTEs (no leading WITH): relational
     * enumeration (mask rows → piece rows → LEFT JOIN vocab → best by
     * row_number) — same costs, same tie-break as the Spark HOF
@@ -2656,6 +2745,8 @@ object TextQueries {
       "UNIMAX multilingual budget allocation: epoch-capped integer water-fill + greedy per-language doc selection"),
     Q("q193_tokenizer_ab", q193, Some(q193Sql),
       "tokenizer A/B: BPE vs unigram-LM trained on the same corpus, per-language fertility/compression sheet + winner"),
+    Q("q195_unigram_prune", q195, Some(q195Sql),
+      "unigram EM iteration + vocab pruning: unused multi-char pieces dropped, costs re-estimated from Viterbi counts, exact second E-step"),
     Q("q191_unigram_train", q191, Some(q191Sql),
       "unigram-LM (SentencePiece) tokenizer training: substring seed vocab, integer surprisal costs, exact Viterbi E-step + M-step recount"),
     Q("q192_unigram_encode", q192, Some(q192Sql),

@@ -97,6 +97,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(rDepth >= 0.85, f"fused recall@5 at equal depth = $rDepth%.3f")
   }
 
+  test("q196 tuning frontier: recall non-decreasing, candidate volume strictly increasing in nprobe") {
+    val rows = Registry.byName("q196_ann_tuning").run(spark, sf01)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 6))
+    val cand = rows.map(_.getLong(2))
+    val rec = rows.map(_.getLong(4))
+    assert(cand.zip(cand.tail).forall { case (a, b) => a < b },
+      cand.toSeq)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      rec.toSeq)
+    // the nprobe=6 row is q118's operating point: recall@5 >= 0.8
+    // (PqRecallSpec's floor for the same chain)
+    assert(rec.last >= 800000L, rec.toSeq)
+    info(s"frontier: ${rows.map(r =>
+      s"np=${r.getInt(0)} cand=${r.getLong(2)} recall6=${r.getLong(4)}")
+      .mkString(", ")}")
+  }
+
   test("registry q51/q54 match the shipped parameterized schedules") {
     val q51 = Registry.byName("q51_ann_lsh").run(spark, sf01).collect()
     val p51 = SimilarityQueries.lshAnn(spark, sf01, 2).collect()

@@ -48,6 +48,38 @@ class UnigramSpec extends SparkSpec {
     assert(b._1 == "abcde" && b._2 == 2, b)
   }
 
+  test("q195 round 2: re-costing from Viterbi counts, unused single kept at the sentinel") {
+    import spark.implicits._
+    // "ab ab b" (the worked example): round-1 Viterbi used ab(2), b(1)
+    // and never a. Round 2 keeps a (single-char floor, sentinel cost),
+    // re-costs from T1 = 3: cost(ab) = ln(3/2) -> 405465 micro-units,
+    // cost(b) = ln(3) -> 1098612; the second E-step is a fixed point
+    // (f2 = f1).
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val rows = TextQueries.unigramRound2(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("a", "b", "ab"), rows)
+    assert(rows("ab") == ((2L, 405465L, 2L)), rows("ab"))
+    assert(rows("b") == ((1L, 1098612L, 1L)), rows("b"))
+    assert(rows("a")._1 == 0L && rows("a")._3 == 0L &&
+      rows("a")._2 > 1000000000L, rows("a"))
+  }
+
+  test("q195 pruning: a seeded multi-char piece the Viterbi never used is dropped") {
+    import spark.implicits._
+    // "abc abc": the seed vocabulary contains ab, bc, abc (each f0=2)
+    // but round-1 Viterbi segments [abc] whole — ab and bc end round 1
+    // with f1 = 0 and must be PRUNED, while abc survives at
+    // cost2 = ln(2/2) = 0 and singles stay as the sentinel floor.
+    val docs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val rows = TextQueries.unigramRound2(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("a", "b", "c", "abc"), rows)
+    assert(rows("abc") == ((2L, 0L, 2L)), rows("abc"))
+  }
+
   test("q191/q192 non-vacuity on the real corpus: compression through multi-char pieces") {
     val vocabRows = Registry.byName("q191_unigram_train").run(spark, sf)
       .collect()
