@@ -2646,6 +2646,25 @@ object TextQueries {
   private[graft] def unimaxAlloc(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val (al, keptDocs) = unimaxParts(docs)
+    val kept = keptDocs.groupBy($"lang")
+      .agg(count(lit(1)).as("kept_docs"), sum($"n_tok").as("kept_tokens"))
+    al.join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"n_tokens", $"capacity", $"alloc",
+        ($"alloc" === $"capacity").as("at_cap"),
+        expr("(alloc * 1000000) div n_tokens").as("epochs6"),
+        coalesce($"kept_docs", lit(0L)).as("kept_docs"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** (al, keptDocs) of the UNIMAX chain: al = the per-language
+    * waterfall sheet; keptDocs = (lang, doc_id, n_tok), the greedy
+    * selection — q197's release pipeline consumes the doc set. */
+  private[graft] def unimaxParts(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val dt = docs.select($"lang", $"doc_id",
       expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS LONG)")
@@ -2677,25 +2696,23 @@ object TextQueries {
       .orderBy(md5(concat(lit("unimax:"), $"doc_id")), $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sel = dt.withColumn("cum", sum($"n_tok").over(sw))
-    val kept = sel.join(broadcast(al.select($"lang", $"alloc")), "lang")
+    val keptDocs = sel
+      .join(broadcast(al.select($"lang", $"alloc")), "lang")
       .filter($"cum" <= $"alloc")
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("kept_docs"), sum($"n_tok").as("kept_tokens"))
-    al.join(kept, Seq("lang"), "left")
-      .select($"lang", $"n_docs", $"n_tokens", $"capacity", $"alloc",
-        ($"alloc" === $"capacity").as("at_cap"),
-        expr("(alloc * 1000000) div n_tokens").as("epochs6"),
-        coalesce($"kept_docs", lit(0L)).as("kept_docs"),
-        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
-      .orderBy($"lang")
+      .select($"lang", $"doc_id", $"n_tok")
+    (al, keptDocs)
   }
 
-  private lazy val q194Sql =
-    s"""WITH dt AS (
+  /** the UNIMAX chain as oracle CTEs over an arbitrary
+    * (doc_id, lang, text) source — ends with dt, al, sel in scope
+    * (sel carries doc_id so q197's release pipeline can take the
+    * kept SET, not just the counts). */
+  private def unimaxSqlCtes(src: String): String =
+    s"""dt AS (
        | SELECT lang, doc_id,
        |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
        |    AS BIGINT) AS n_tok
-       | FROM documents),
+       | FROM $src),
        |pl AS (SELECT lang, count(*) AS n_docs,
        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |        CAST(sum(n_tok) * $UnimaxCap AS BIGINT) AS capacity
@@ -2722,11 +2739,14 @@ object TextQueries {
        |          (CASE WHEN i - k <= (budget - c_k) % (nl - k)
        |           THEN 1 ELSE 0 END) END AS alloc
        |       FROM bd, kv, ck),
-       |sel AS (SELECT lang, n_tok,
+       |sel AS (SELECT lang, doc_id, n_tok,
        |         CAST(sum(n_tok) OVER (PARTITION BY lang
        |          ORDER BY md5('unimax:' || CAST(doc_id AS VARCHAR)), doc_id
        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |        FROM dt),
+       |        FROM dt)""".stripMargin
+
+  private lazy val q194Sql =
+    s"""WITH ${unimaxSqlCtes("documents")},
        |kept AS (SELECT sel.lang, count(*) AS kept_docs,
        |          CAST(sum(n_tok) AS BIGINT) AS kept_tokens
        |         FROM sel JOIN al USING (lang)
@@ -2740,7 +2760,113 @@ object TextQueries {
        |FROM al LEFT JOIN kept USING (lang)
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q197: CORPUS RELEASE MANIFEST — the one query that ships a
+  // training corpus: benchmark split (the one md5 family every
+  // decontamination gate shares) → EXACT 8-gram decontamination
+  // screen (q189's attribution join as a semijoin: any train doc
+  // sharing one exact 8-gram with a bench doc is dropped) →
+  // exact-dup keep-first (md5 fingerprint, min doc_id — q117's
+  // spelling) → UNIMAX budget selection (q194's waterfall over the
+  // survivors) → fixed-budget shard packing (q131's hierarchical
+  // next-fit) → the per-(lang, shard) release manifest with doc
+  // and in-shard-layout checksums (q139's discipline: the checksums
+  // pin EVERY doc's membership, order, and offset, so the gate
+  // certifies the whole pipeline composition, not just counts).
+  //
+  // Scale: every stage is a proven-posture reuse — the screen's
+  // n-gram sets are row-local with the bench side broadcast, the
+  // dup window is keyed by fingerprint, the waterfall is
+  // |langs|-sized, and the packing prefix-sum is hierarchical.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    releaseManifest(documents(s, dir))
+  }
+
+  /** the per-doc released set (lang, doc_id, n_tok, shard,
+    * cum_before) — factored so ReleaseSpec can audit membership
+    * directly (no doc in the bench split, no duplicate fingerprint,
+    * no bench 8-gram overlap). */
+  private[graft] def releaseDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = DedupQueries.BloomScreen.withBenchSplit(docs)
+    val train = d.filter($"hx" >= DedupQueries.BloomScreen.BenchMax)
+      .select($"doc_id", $"lang", $"text")
+    val bench = d.filter($"hx" < DedupQueries.BloomScreen.BenchMax)
+      .select($"doc_id", $"text")
+    val contaminated = DedupQueries
+      .ngramAttribution(train.select($"doc_id", $"text"), bench,
+        DedupQueries.AttrW)
+      .select($"doc_id").distinct()
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
+    val uniq = clean.withColumn("fp", md5($"text"))
+      .withColumn("rk", row_number().over(wFp)).filter($"rk" === 1)
+      .select($"doc_id", $"lang", $"text")
+      .localCheckpoint(true)
+    val (_, keptIds) = unimaxParts(uniq)
+    packShardsOf(uniq.join(keptIds.select($"doc_id"), "doc_id"),
+      hierarchical = true)
+  }
+
+  private[graft] def releaseManifest(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    releaseDocs(docs)
+      .groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum($"doc_id").as("docs_checksum"),
+        sum(($"cum_before" - $"shard" * lit(PackB)) * $"doc_id")
+          .as("layout_checksum"))
+      .orderBy($"lang", $"shard")
+  }
+
+  private lazy val q197Sql =
+    s"""WITH rd AS (
+       | SELECT doc_id, lang, text, string_split(text, ' ') AS t,
+       |  substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+       | FROM documents),
+       |g AS (SELECT DISTINCT doc_id, hx,
+       |       unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
+       |      FROM rd),
+       |cont AS (SELECT DISTINCT c.doc_id FROM g c JOIN g b USING (ng)
+       |         WHERE b.hx < '${DedupQueries.BloomScreen.BenchMax}'
+       |          AND c.hx >= '${DedupQueries.BloomScreen.BenchMax}'),
+       |clean AS (SELECT doc_id, lang, text FROM rd
+       |          WHERE hx >= '${DedupQueries.BloomScreen.BenchMax}'
+       |           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+       |uniq AS (SELECT doc_id, lang, text FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |            ORDER BY doc_id) AS drk
+       |          FROM clean) WHERE drk = 1),
+       |${unimaxSqlCtes("uniq")},
+       |kd AS (SELECT sel.doc_id FROM sel JOIN al USING (lang)
+       |       WHERE cum <= alloc),
+       |pd AS (SELECT u.doc_id, u.lang,
+       |        CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
+       |       FROM uniq u JOIN kd USING (doc_id)),
+       |o AS (SELECT doc_id, lang, p_tok,
+       |       coalesce(sum(p_tok) OVER (PARTITION BY lang
+       |         ORDER BY md5(concat('pack:', CAST(doc_id AS VARCHAR))),
+       |          doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS cum_before
+       |      FROM pd),
+       |sh AS (SELECT doc_id, lang, p_tok, cum_before,
+       |        cum_before // $PackB AS shard FROM o)
+       |SELECT lang, CAST(shard AS BIGINT) AS shard,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(p_tok) AS BIGINT) AS n_tokens,
+       | CAST(sum(doc_id) AS BIGINT) AS docs_checksum,
+       | CAST(sum((cum_before - shard * $PackB) * doc_id) AS BIGINT)
+       |   AS layout_checksum
+       |FROM sh GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q197_release_manifest", q197, Some(q197Sql),
+      "corpus release manifest: exact 8-gram decontamination -> dup keep-first -> UNIMAX selection -> shard packing, checksummed per (lang, shard)"),
     Q("q194_unimax_alloc", q194, Some(q194Sql),
       "UNIMAX multilingual budget allocation: epoch-capped integer water-fill + greedy per-language doc selection"),
     Q("q193_tokenizer_ab", q193, Some(q193Sql),
