@@ -775,7 +775,7 @@ object TextQueries {
     * task ever sorts more than a bucket. ShardPackSpec pins per-doc
     * equality of the two forms; the flat spelling survives below as
     * the spec's reference. */
-  private val PackB = 4096L
+  private[graft] val PackB = 4096L
 
   /** per-doc (lang, doc_id, n_tok, shard) under streaming next-fit —
     * `hierarchical` picks the bounded two-level prefix-sum or the
@@ -2783,11 +2783,13 @@ object TextQueries {
     releaseManifest(documents(s, dir))
   }
 
-  /** the per-doc released set (lang, doc_id, n_tok, shard,
-    * cum_before) — factored so ReleaseSpec can audit membership
-    * directly (no doc in the bench split, no duplicate fingerprint,
-    * no bench 8-gram overlap). */
-  private[graft] def releaseDocs(docs: DataFrame): DataFrame = {
+  /** the shared release-chain intermediates — (d = bench-split
+    * corpus, contaminated train ids, ranked = clean train docs with
+    * their dup rank, uniq = the rank-1 survivors, keptIds = the
+    * UNIMAX selection over uniq). q197's manifest and q198's funnel
+    * consume the SAME chain, so the two gates cannot drift. */
+  private[graft] def releaseStages(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2796,17 +2798,37 @@ object TextQueries {
       .select($"doc_id", $"lang", $"text")
     val bench = d.filter($"hx" < DedupQueries.BloomScreen.BenchMax)
       .select($"doc_id", $"text")
+    // materialize each expensive stage ONCE: the attribution join is
+    // consumed by both the anti-join and the funnel's disposition
+    // column (a slim id-set checkpoint), and the dup-rank window by
+    // uniq AND the funnel (one corpus-size checkpoint; uniq stays a
+    // lazy filter over it) — without these, q198's three join
+    // branches each re-ran the 8-gram attribution (measured 9.7 s →
+    // ~q197-parity at sf0.1)
     val contaminated = DedupQueries
       .ngramAttribution(train.select($"doc_id", $"text"), bench,
         DedupQueries.AttrW)
       .select($"doc_id").distinct()
+      .localCheckpoint(true)
     val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
     val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
-    val uniq = clean.withColumn("fp", md5($"text"))
-      .withColumn("rk", row_number().over(wFp)).filter($"rk" === 1)
-      .select($"doc_id", $"lang", $"text")
+    val ranked = clean.withColumn("fp", md5($"text"))
+      .withColumn("rk", row_number().over(wFp))
       .localCheckpoint(true)
+    val uniq = ranked.filter($"rk" === 1)
+      .select($"doc_id", $"lang", $"text")
     val (_, keptIds) = unimaxParts(uniq)
+    (d, contaminated, ranked, uniq, keptIds)
+  }
+
+  /** the per-doc released set (lang, doc_id, n_tok, shard,
+    * cum_before) — factored so ReleaseSpec can audit membership
+    * directly (no doc in the bench split, no duplicate fingerprint,
+    * no bench 8-gram overlap). */
+  private[graft] def releaseDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (_, _, _, uniq, keptIds) = releaseStages(docs)
     packShardsOf(uniq.join(keptIds.select($"doc_id"), "doc_id"),
       hierarchical = true)
   }
@@ -2823,11 +2845,17 @@ object TextQueries {
       .orderBy($"lang", $"shard")
   }
 
-  private lazy val q197Sql =
-    s"""WITH rd AS (
+  /** the release chain as oracle CTEs over an arbitrary
+    * (doc_id, lang, text) source — rd (split + bench hex), cont
+    * (contaminated train ids), rkd (clean train docs with dup rank),
+    * uniq (the rank-1 survivors), the UNIMAX chain over uniq, and kd
+    * (the kept ids) — q197Sql, q198Sql, and q199's streaming-tail
+    * oracle compose over ONE spelling. */
+  private[graft] def releaseSqlCtes(src: String = "documents"): String =
+    s"""rd AS (
        | SELECT doc_id, lang, text, string_split(text, ' ') AS t,
        |  substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
-       | FROM documents),
+       | FROM $src),
        |g AS (SELECT DISTINCT doc_id, hx,
        |       unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
        |      FROM rd),
@@ -2837,13 +2865,17 @@ object TextQueries {
        |clean AS (SELECT doc_id, lang, text FROM rd
        |          WHERE hx >= '${DedupQueries.BloomScreen.BenchMax}'
        |           AND doc_id NOT IN (SELECT doc_id FROM cont)),
-       |uniq AS (SELECT doc_id, lang, text FROM (
-       |          SELECT *, row_number() OVER (PARTITION BY md5(text)
-       |            ORDER BY doc_id) AS drk
-       |          FROM clean) WHERE drk = 1),
+       |rkd AS (SELECT doc_id, lang, text,
+       |         row_number() OVER (PARTITION BY md5(text)
+       |          ORDER BY doc_id) AS drk
+       |        FROM clean),
+       |uniq AS (SELECT doc_id, lang, text FROM rkd WHERE drk = 1),
        |${unimaxSqlCtes("uniq")},
        |kd AS (SELECT sel.doc_id FROM sel JOIN al USING (lang)
-       |       WHERE cum <= alloc),
+       |       WHERE cum <= alloc)""".stripMargin
+
+  private lazy val q197Sql =
+    s"""WITH ${releaseSqlCtes()},
        |pd AS (SELECT u.doc_id, u.lang,
        |        CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
        |       FROM uniq u JOIN kd USING (doc_id)),
@@ -2864,7 +2896,68 @@ object TextQueries {
        |   AS layout_checksum
        |FROM sh GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q198: RELEASE FUNNEL DATASHEET — the per-language disposition
+  // accounting a corpus release publishes alongside q197's manifest:
+  // every source doc lands in exactly one stage (bench | contaminated
+  // | duplicate | over_budget | released), with doc and token volumes
+  // per (lang, stage). Conservation (stages partition the corpus) is
+  // structural — the CASE is exhaustive over one row per doc — and
+  // ReleaseSpec re-asserts it against raw totals plus agreement of
+  // the released stage with the manifest rollup.
+  //
+  // Scale: the chain is q197's (shared via releaseStages, one
+  // spelling); the disposition frame is slim — (doc_id, lang, hx,
+  // n_tok) left-joined against three bounded id sets (contaminated,
+  // dup ranks, kept ids), so TEXT never rides any funnel join.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    releaseFunnel(documents(s, dir))
+  }
+
+  private[graft] def releaseFunnel(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (d, contaminated, ranked, _, keptIds) = releaseStages(docs)
+    val base = d.select($"doc_id", $"lang", $"hx",
+      size(toks($"text")).cast("long").as("n_tok"))
+    base
+      .join(contaminated.withColumn("is_cont", lit(true)),
+        Seq("doc_id"), "left")
+      .join(ranked.select($"doc_id", $"rk"), Seq("doc_id"), "left")
+      .join(keptIds.select($"doc_id").withColumn("is_kept", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("stage",
+        when($"hx" < DedupQueries.BloomScreen.BenchMax, lit("bench"))
+          .when($"is_cont", lit("contaminated"))
+          .when($"rk" > 1, lit("duplicate"))
+          .when($"is_kept".isNull, lit("over_budget"))
+          .otherwise(lit("released")))
+      .groupBy($"lang", $"stage")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"lang", $"stage")
+  }
+
+  private lazy val q198Sql =
+    s"""WITH ${releaseSqlCtes()},
+       |disp AS (SELECT lang, CAST(len(t) AS BIGINT) AS n_tok,
+       |  CASE WHEN hx < '${DedupQueries.BloomScreen.BenchMax}'
+       |        THEN 'bench'
+       |       WHEN doc_id IN (SELECT doc_id FROM cont)
+       |        THEN 'contaminated'
+       |       WHEN doc_id IN (SELECT doc_id FROM rkd WHERE drk > 1)
+       |        THEN 'duplicate'
+       |       WHEN doc_id NOT IN (SELECT doc_id FROM kd)
+       |        THEN 'over_budget'
+       |       ELSE 'released' END AS stage
+       | FROM rd)
+       |SELECT lang, stage, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM disp GROUP BY lang, stage ORDER BY lang, stage""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q198_release_funnel", q198, Some(q198Sql),
+      "release funnel datasheet: per-(lang, stage) doc/token disposition — bench | contaminated | duplicate | over_budget | released"),
     Q("q197_release_manifest", q197, Some(q197Sql),
       "corpus release manifest: exact 8-gram decontamination -> dup keep-first -> UNIMAX selection -> shard packing, checksummed per (lang, shard)"),
     Q("q194_unimax_alloc", q194, Some(q194Sql),

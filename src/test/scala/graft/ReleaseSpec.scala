@@ -48,6 +48,31 @@ class ReleaseSpec extends SparkSpec {
       released.agg(sum($"n_tok")).collect()(0).getLong(0))
   }
 
+  test("funnel: stages partition the corpus per language and agree with the manifest") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val funnel = TextQueries.releaseFunnel(docs).localCheckpoint(true)
+    // exactly one stage per doc → per-lang stage sums equal raw totals
+    val totals = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("t_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("t_tokens"))
+    val fTotals = funnel.groupBy($"lang")
+      .agg(sum($"n_docs").as("f_docs"), sum($"n_tokens").as("f_tokens"))
+    val mismatch = totals.join(fTotals, "lang")
+      .filter($"t_docs" =!= $"f_docs" || $"t_tokens" =!= $"f_tokens")
+    assert(mismatch.count() == 0)
+    // the released stage is exactly the manifest rollup, per language
+    val rel = funnel.filter($"stage" === "released")
+      .select($"lang", $"n_docs", $"n_tokens")
+    val man = Registry.byName("q197_release_manifest").run(spark, sf)
+      .groupBy($"lang")
+      .agg(sum($"n_docs").as("m_docs"), sum($"n_tokens").as("m_tokens"))
+    val disagree = rel.join(man, "lang")
+      .filter($"n_docs" =!= $"m_docs" || $"n_tokens" =!= $"m_tokens")
+    assert(disagree.count() == 0)
+    assert(rel.count() == man.count())
+  }
+
   test("a planted contaminated doc and a planted later-duplicate are both excluded") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf)
