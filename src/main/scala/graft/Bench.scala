@@ -62,6 +62,10 @@ object Bench {
       // and the chunk postings index q186 serves from (same
       // one-build-per-snapshot amortization; chunk_index_sec)
       graft.queries.SimilarityQueries.warmChunkIndex(spark, sfDir)
+      // and q199's frozen-release sidecars (one release build per
+      // corpus snapshot; release_build_sec) so the gate measures the
+      // marginal ingest cost
+      graft.queries.StreamingQueries.warmFrozenRelease(spark, sfDir)
       // the DFT-blend trajectory family and the curation DAG carry
       // ~8 s of first-plan codegen (q89 measured 10.4 s cold vs 2.1 s
       // warm at sf0.1) — warm both plan families at sf0.001 so the
@@ -128,8 +132,10 @@ object Bench {
       graft.queries.SimilarityQueries.indexBuildNanos.get() / 1e9
     val chunkIdxSec =
       graft.queries.SimilarityQueries.chunkIndexBuildNanos.get() / 1e9
+    val relSec =
+      graft.queries.StreamingQueries.releaseBuildNanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"sf":"$sfDir"}"""
     println(line)
     // persist a copy the driver (or a debugging human) can always
     // find, independent of stdout-tail truncation

@@ -1441,7 +1441,213 @@ object StreamingQueries {
        |FROM ctf JOIN cdl USING (doc_id, chunk_idx)
        |GROUP BY term ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q199: STREAMING RELEASE-TAIL INGEST — the 22nd gate, and the
+  // streaming continuation of q197's corpus release: a FROZEN release
+  // (the q197 chain over the already-indexed IngestSplit two-thirds)
+  // publishes its sidecar state once — the benchmark 8-gram bloom
+  // blob (a plan literal, q130's pattern at the attribution width:
+  // BloomScreen.ShingleW == AttrW == 8), the released-fingerprint
+  // set, and per-language released token totals. Newly-crawled docs
+  // then stream through the SAME three screens state-free: bench
+  // membership (row-local hx), exact-8-gram contamination (native
+  // bloomAny against the frozen blob — zero corpus-side shuffle), and
+  // dup-vs-released (stream-static broadcast anti-join on the
+  // fingerprint). Survivors append to the corpus tail sink;
+  // compaction (merge-on-read, q177's discipline) keep-firsts
+  // within-crawl dups and packs the tail with q131's hierarchical
+  // next-fit CONTINUING each language's running token offset from the
+  // frozen release — tail shard ids extend the frozen manifest, so
+  // the first tail doc lands inside the base's last partial shard.
+  //
+  // Honest semantics, documented: the screens are as fresh as the
+  // last release — new BENCH docs arriving in the crawl are excluded
+  // from the tail (they are eval data) but do not retro-screen the
+  // already-released corpus, and the UNIMAX budget is not re-opened;
+  // both are the batch re-release (q197). StreamReleaseSpec pins the
+  // continuation property and plants an in-crawl released-dup + a
+  // bench-overlapping doc.
+  //
+  // Scale: the stream side is filter + project + one broadcast
+  // anti-join (no state store, no stream-side shuffle); the sidecar
+  // state is release-time batch work amortized across every ingest
+  // micro-batch; compaction is the sink table's own maintenance job.
+  /** frozen per-release sidecar state: (bench 8-gram bloom blob,
+    * released fingerprints, per-lang released token totals). */
+  private[graft] def releaseFrozenState(base: DataFrame)
+      : (Array[Byte], DataFrame, DataFrame) = {
+    val s = base.sparkSession
+    import s.implicits._
+    val screen = DedupQueries.BloomScreen
+    val blob = screen.withShingles(
+        screen.withBenchSplit(base).filter($"hx" < screen.BenchMax))
+      .select(explode_outer($"shs").as("sh")).filter($"sh".isNotNull)
+      .coalesce(8)
+      .agg(graft.expr.GraftFunctions
+        .bloomAgg(s, $"sh", screen.NBits, screen.K).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    val rel = TextQueries.releaseDocs(base).localCheckpoint(true)
+    val relFps = rel.select($"doc_id").join(base, "doc_id")
+      .select(md5($"text").as("fp")).distinct().localCheckpoint(true)
+    val langTot = rel.groupBy($"lang")
+      .agg(sum($"n_tok").as("base_tokens")).localCheckpoint(true)
+    (blob, relFps, langTot)
+  }
+
+  /** the stateless in-stream screen — factored so StreamReleaseSpec
+    * can drive the IDENTICAL plan over planted batch frames (the q140
+    * signaturesOf discipline: batch and stream spellings cannot
+    * diverge). */
+  private[graft] def releaseTailScreen(newDocs: DataFrame,
+      blob: Array[Byte], relFps: DataFrame): DataFrame = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    val screen = DedupQueries.BloomScreen
+    screen.withBenchSplit(newDocs)
+      .filter($"hx" >= screen.BenchMax)
+      .filter(!graft.expr.GraftFunctions
+        .bloomAny(s, lit(blob), screen.tokens($"text")))
+      .withColumn("fp", md5($"text"))
+      .join(broadcast(relFps), Seq("fp"), "left_anti")
+      .select($"doc_id", $"lang", $"text")
+  }
+
+  /** merge-on-read compaction of the tail sink: keep-first
+    * within-crawl dups, then q131's hierarchical packing with each
+    * language's cumsum OFFSET by the frozen release's token total. */
+  private[graft] def tailManifest(sunk: DataFrame,
+      langTot: DataFrame): DataFrame = {
+    val s = sunk.sparkSession
+    import s.implicits._
+    val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
+    val kept = sunk.withColumn("fp", md5($"text"))
+      .withColumn("krk", row_number().over(wFp)).filter($"krk" === 1)
+      .select($"doc_id", $"lang", $"text")
+    TextQueries.packShardsOf(kept, hierarchical = true)
+      .join(broadcast(langTot), Seq("lang"), "left")
+      .withColumn("cum_tail",
+        coalesce($"base_tokens", lit(0L)) + $"cum_before")
+      .withColumn("tshard", expr(s"cum_tail div ${TextQueries.PackB}L"))
+      .groupBy($"lang", $"tshard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum($"doc_id").as("docs_checksum"),
+        sum(($"cum_tail" - $"tshard" * lit(TextQueries.PackB)) * $"doc_id")
+          .as("layout_checksum"))
+      .select($"lang", $"tshard".as("shard"), $"n_docs", $"n_tokens",
+        $"docs_checksum", $"layout_checksum")
+      .orderBy($"lang", $"shard")
+  }
+
+  /** memoized frozen-release sidecar state per (dir, table version) —
+    * the production amortization: the release build runs ONCE per
+    * release, every ingest micro-batch reuses its sidecars (blob,
+    * fingerprints, totals). Same discipline as benchBlob /
+    * streamFixtureDir; build wall-clock is reported by Bench as
+    * release_build_sec so the amortization stays auditable. */
+  private val releaseStateCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (Array[Byte], DataFrame, DataFrame)]()
+  private[graft] val releaseBuildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def frozenReleaseFor(s: SparkSession, dir: String)
+      : (Array[Byte], DataFrame, DataFrame) = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    releaseStateCache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val split = DedupQueries.IngestSplit
+      val base = split.withIx(graft.Tables.documents(s, dir))
+        .filter(col("ix") >= split.NewMax)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val st = releaseFrozenState(base)
+      releaseBuildNanos.addAndGet(System.nanoTime() - t0)
+      st
+    })
+  }
+
+  /** Bench warmup hook: pre-build (and memoize) the measured sfDir's
+    * frozen-release sidecars so q199 measures the MARGINAL ingest
+    * cost — the screens + sink + compaction, not the once-per-release
+    * batch build. */
+  private[graft] def warmFrozenRelease(s: SparkSession, dir: String): Unit = {
+    frozenReleaseFor(s, dir); ()
+  }
+
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = DedupQueries.IngestSplit
+    val (blob, relFps, langTot) = frozenReleaseFor(s, dir)
+    graft.Scratch.withScratchDir("graft_q199") { scratch =>
+      val accepted = releaseTailScreen(
+        split.withIx(multiFileStream(s, dir, "documents"))
+          .filter($"ix" < split.NewMax)
+          .select($"doc_id", $"lang", $"text"),
+        blob, relFps)
+      tailManifest(runToSink(s, accepted, scratch), langTot)
+    }
+  }
+
+  private lazy val q199Sql = {
+    val screen = DedupQueries.BloomScreen
+    val P = TextQueries.PackB
+    s"""WITH ixd AS (
+       | SELECT doc_id, lang, text,
+       |  ${DedupQueries.IngestSplit.IxSql} AS ix
+       | FROM documents),
+       |base AS (SELECT doc_id, lang, text FROM ixd
+       |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |${TextQueries.releaseSqlCtes("base")},
+       |relpd AS (SELECT u.doc_id, u.lang, u.text,
+       |        CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
+       |       FROM uniq u JOIN kd USING (doc_id)),
+       |relfp AS (SELECT DISTINCT md5(text) AS fp FROM relpd),
+       |ltot AS (SELECT lang, CAST(sum(p_tok) AS BIGINT) AS base_tokens
+       |         FROM relpd GROUP BY lang),
+       |bg AS (SELECT DISTINCT
+       |        unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
+       |       FROM rd WHERE hx < '${screen.BenchMax}'),
+       |nd AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t,
+       |        substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+       |       FROM ixd WHERE ix < '${DedupQueries.IngestSplit.NewMax}'),
+       |nhit AS (SELECT DISTINCT n.doc_id FROM (
+       |          SELECT doc_id,
+       |           unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
+       |          FROM nd WHERE hx >= '${screen.BenchMax}') n
+       |         JOIN bg USING (ng)),
+       |acc AS (SELECT doc_id, lang, text FROM nd
+       |        WHERE hx >= '${screen.BenchMax}'
+       |         AND doc_id NOT IN (SELECT doc_id FROM nhit)
+       |         AND md5(text) NOT IN (SELECT fp FROM relfp)),
+       |kf AS (SELECT doc_id, lang, text FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |          ORDER BY doc_id) AS krk
+       |        FROM acc) WHERE krk = 1),
+       |tp AS (SELECT doc_id, lang,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS p_tok
+       |       FROM kf),
+       |ot AS (SELECT doc_id, lang, p_tok,
+       |        coalesce(sum(p_tok) OVER (PARTITION BY lang
+       |         ORDER BY md5(concat('pack:', CAST(doc_id AS VARCHAR))),
+       |          doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         AS lcum
+       |       FROM tp),
+       |tl AS (SELECT ot.doc_id, ot.lang, ot.p_tok,
+       |        coalesce(ltot.base_tokens, 0) + ot.lcum AS cum_tail,
+       |        (coalesce(ltot.base_tokens, 0) + ot.lcum) // $P AS shard
+       |       FROM ot LEFT JOIN ltot USING (lang))
+       |SELECT lang, CAST(shard AS BIGINT) AS shard,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(p_tok) AS BIGINT) AS n_tokens,
+       | CAST(sum(doc_id) AS BIGINT) AS docs_checksum,
+       | CAST(sum((cum_tail - shard * $P) * doc_id) AS BIGINT)
+       |   AS layout_checksum
+       |FROM tl GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q199_stream_release_tail", q199, Some(q199Sql),
+      "§2.10 streaming release-tail ingest: frozen-release screens (bench hx, bloom 8-gram, released-fp anti-join) state-free in-stream, tail shards continue the q197 manifest"),
     Q("q188_stream_chunk_index", q188, Some(q188Sql),
       "§2.10 streaming chunk-postings maintenance: stateless row-local chunk deltas + merge-on-read compaction ≡ the batch chunk index"),
     Q("q183_stream_ann_index", q183, Some(q183Sql),

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, Registry, StreamingQueries, TextQueries}
+
+/** q199's streaming release-tail ingest, pinned three ways the DuckDB
+  * oracle can't: (1) stream ≡ batch for the WHOLE gate (the factored
+  * screen + compaction driven over the static new split equals the
+  * streamed sink's manifest row-for-row — q140's shared-spelling
+  * discipline); (2) the continuation property (each language's first
+  * tail shard is the frozen release's last partial shard); (3) the
+  * three screens each drop a planted doc for their OWN reason. */
+class StreamReleaseSpec extends SparkSpec {
+
+  private def baseAndNew() = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .withColumn("ix",
+        substring(md5(concat(lit("ingest:"), $"doc_id")), 1, 2))
+    (docs.filter($"ix" >= "55").select($"doc_id", $"lang", $"text"),
+      docs.filter($"ix" < "55").select($"doc_id", $"lang", $"text"))
+  }
+
+  test("stream equals batch, and tail shards continue the frozen release") {
+    import spark.implicits._
+    val (base, newDocs) = baseAndNew()
+    val (blob, relFps, langTot) = StreamingQueries.releaseFrozenState(base)
+
+    val streamed = Registry.byName("q199_stream_release_tail")
+      .run(spark, sf).localCheckpoint(true)
+    val batch = StreamingQueries.tailManifest(
+      StreamingQueries.releaseTailScreen(newDocs, blob, relFps), langTot)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+
+    // continuation: for each lang with both base and tail rows, the
+    // first tail shard is where the frozen release's cumsum left off
+    val firstTail = streamed.groupBy($"lang")
+      .agg(min($"shard").as("first_shard"))
+    val expected = langTot.withColumn("exp_shard",
+      expr(s"base_tokens div ${TextQueries.PackB}L"))
+    val wrong = firstTail.join(expected, "lang")
+      .filter($"first_shard" =!= $"exp_shard")
+    assert(wrong.count() == 0)
+    assert(firstTail.join(expected, "lang").count() > 0)
+  }
+
+  test("each screen drops a planted doc for its own reason") {
+    import spark.implicits._
+    val (base, _) = baseAndNew()
+    val (blob, relFps, langTot) = StreamingQueries.releaseFrozenState(base)
+    val screen = DedupQueries.BloomScreen
+
+    // a released doc's text (fp screen) and a bench doc's first 8
+    // tokens (bloom screen); plant ids are searched for the TRAIN hx
+    // family so the bench screen isn't what drops them
+    val relText = TextQueries.releaseDocs(base)
+      .orderBy($"doc_id").limit(1)
+      .join(base, "doc_id").select($"text").collect()(0).getString(0)
+    val benchText = screen.withBenchSplit(base)
+      .filter($"hx" < screen.BenchMax)
+      .filter(size(split($"text", " ")) >= 8)
+      .orderBy($"doc_id").limit(1).collect()(0).getAs[String]("text")
+    val leak = benchText.split(" ").take(8).mkString(" ")
+    val mx = base.agg(max($"doc_id")).collect()(0).getLong(0) + 1000
+    def trainId(from: Long): Long = Iterator.iterate(from)(_ + 1)
+      .find { id =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"bench:$id".getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString >= screen.BenchMax
+      }.get
+    val idDup = trainId(mx)
+    val idLeak = trainId(idDup + 1)
+    val idOk = trainId(idLeak + 1)
+    val planted = Seq(
+      (idDup, relText, "en"),
+      (idLeak, s"$leak tail filler words here", "en"),
+      (idOk, "wholly original never repeated content zz", "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = StreamingQueries
+      .releaseTailScreen(planted, blob, relFps)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(idDup), "released-dup passed the fp screen")
+    assert(!kept.contains(idLeak), "bench 8-gram passed the bloom screen")
+    assert(kept.contains(idOk), "clean doc was over-dropped")
+
+    // and a lang unseen in the base release starts at shard 0
+    val t0 = StreamingQueries.tailManifest(
+      Seq((idOk, "zz", "newlang " * 5)).toDF("doc_id", "lang", "text"),
+      langTot)
+    assert(t0.collect()(0).getAs[Long]("shard") == 0L)
+  }
+}
