@@ -1475,7 +1475,7 @@ object StreamingQueries {
   /** frozen per-release sidecar state: (bench 8-gram bloom blob,
     * released fingerprints, per-lang released token totals). */
   private[graft] def releaseFrozenState(base: DataFrame)
-      : (Array[Byte], DataFrame, DataFrame) = {
+      : (Array[Byte], DataFrame, DataFrame, DataFrame) = {
     val s = base.sparkSession
     import s.implicits._
     val screen = DedupQueries.BloomScreen
@@ -1491,7 +1491,7 @@ object StreamingQueries {
       .select(md5($"text").as("fp")).distinct().localCheckpoint(true)
     val langTot = rel.groupBy($"lang")
       .agg(sum($"n_tok").as("base_tokens")).localCheckpoint(true)
-    (blob, relFps, langTot)
+    (blob, relFps, langTot, rel)
   }
 
   /** the stateless in-stream screen — factored so StreamReleaseSpec
@@ -1515,19 +1515,33 @@ object StreamingQueries {
   /** merge-on-read compaction of the tail sink: keep-first
     * within-crawl dups, then q131's hierarchical packing with each
     * language's cumsum OFFSET by the frozen release's token total. */
-  private[graft] def tailManifest(sunk: DataFrame,
+  /** the compacted tail per doc — keep-first within-crawl dups, then
+    * q131's hierarchical packing with each language's cumsum OFFSET by
+    * the frozen release's token total. q199 rolls this into the tail
+    * manifest; q200's drift audit consumes the doc set. */
+  private[graft] def tailDocs(sunk: DataFrame,
       langTot: DataFrame): DataFrame = {
     val s = sunk.sparkSession
     import s.implicits._
+    // digest at the sink scan (the q175 discipline): the keep-first
+    // window and the packing shuffle ~50-byte digests, never text
     val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
-    val kept = sunk.withColumn("fp", md5($"text"))
+    val kept = sunk.select($"doc_id", $"lang", md5($"text").as("fp"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
       .withColumn("krk", row_number().over(wFp)).filter($"krk" === 1)
-      .select($"doc_id", $"lang", $"text")
-    TextQueries.packShardsOf(kept, hierarchical = true)
+      .select($"lang", $"doc_id", $"n_tok")
+    TextQueries.packShardsOfCounts(kept, hierarchical = true)
       .join(broadcast(langTot), Seq("lang"), "left")
       .withColumn("cum_tail",
         coalesce($"base_tokens", lit(0L)) + $"cum_before")
       .withColumn("tshard", expr(s"cum_tail div ${TextQueries.PackB}L"))
+  }
+
+  private[graft] def tailManifest(sunk: DataFrame,
+      langTot: DataFrame): DataFrame = {
+    val s = sunk.sparkSession
+    import s.implicits._
+    tailDocs(sunk, langTot)
       .groupBy($"lang", $"tshard")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         sum($"doc_id").as("docs_checksum"),
@@ -1545,12 +1559,13 @@ object StreamingQueries {
     * streamFixtureDir; build wall-clock is reported by Bench as
     * release_build_sec so the amortization stays auditable. */
   private val releaseStateCache = new java.util.concurrent
-    .ConcurrentHashMap[String, (Array[Byte], DataFrame, DataFrame)]()
+    .ConcurrentHashMap[String,
+      (Array[Byte], DataFrame, DataFrame, DataFrame)]()
   private[graft] val releaseBuildNanos =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[graft] def frozenReleaseFor(s: SparkSession, dir: String)
-      : (Array[Byte], DataFrame, DataFrame) = {
+      : (Array[Byte], DataFrame, DataFrame, DataFrame) = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
     releaseStateCache.computeIfAbsent(key, _ => {
@@ -1576,7 +1591,7 @@ object StreamingQueries {
   private def q199(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val split = DedupQueries.IngestSplit
-    val (blob, relFps, langTot) = frozenReleaseFor(s, dir)
+    val (blob, relFps, langTot, _) = frozenReleaseFor(s, dir)
     graft.Scratch.withScratchDir("graft_q199") { scratch =>
       val accepted = releaseTailScreen(
         split.withIx(multiFileStream(s, dir, "documents"))
@@ -1645,7 +1660,113 @@ object StreamingQueries {
        |FROM tl GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q200: INCREMENTAL-VS-RE-RELEASE DRIFT AUDIT — the measurement
+  // behind q199's documented staleness: the incremental corpus state
+  // (frozen base release + compacted streamed tail) diffed against a
+  // FULL batch re-release over base + crawl, per (lang, status) with
+  // doc/token volumes and a membership checksum. The three honest
+  // drift sources, each now a measured number instead of a caveat:
+  // new bench docs retro-contaminate already-released base docs
+  // (inc_only), the UNIMAX budget re-opens over the grown corpus and
+  // reshuffles the greedy md5-rank selection (both directions), and
+  // cross-crawl duplicates resolve to min doc_id in the re-release
+  // but keep the released copy incrementally. status = both means
+  // the incremental path already agrees with what a re-release
+  // would ship.
+  //
+  // Scale: two release chains (each the proven q197 posture) + one
+  // slim (lang, doc_id, n_tok) full-outer join — text rides neither
+  // the union nor the diff.
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = DedupQueries.IngestSplit
+    val (blob, relFps, langTot, relB) = frozenReleaseFor(s, dir)
+    val docs = graft.Tables.documents(s, dir)
+    val newD = split.withIx(docs).filter($"ix" < split.NewMax)
+      .select($"doc_id", $"lang", $"text")
+    val tail = tailDocs(releaseTailScreen(newD, blob, relFps), langTot)
+      .select($"lang", $"doc_id", $"n_tok")
+    val inc = relB.select($"lang", $"doc_id", $"n_tok").unionByName(tail)
+    val ful = TextQueries
+      .releaseDocs(docs.select($"doc_id", $"lang", $"text"))
+      .select($"lang".as("f_lang"), $"doc_id", $"n_tok".as("f_tok"))
+    inc.select($"lang".as("i_lang"), $"doc_id", $"n_tok".as("i_tok"))
+      .join(ful, Seq("doc_id"), "full_outer")
+      .withColumn("lang", coalesce($"i_lang", $"f_lang"))
+      .withColumn("status",
+        when($"i_tok".isNotNull && $"f_tok".isNotNull, lit("both"))
+          .when($"i_tok".isNotNull, lit("inc_only"))
+          .otherwise(lit("full_only")))
+      .groupBy($"lang", $"status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"i_tok", $"f_tok")).as("n_tokens"),
+        sum($"doc_id").as("docs_checksum"))
+      .orderBy($"lang", $"status")
+  }
+
+  private lazy val q200Sql = {
+    val screen = DedupQueries.BloomScreen
+    s"""WITH ixd AS (
+       | SELECT doc_id, lang, text,
+       |  ${DedupQueries.IngestSplit.IxSql} AS ix
+       | FROM documents),
+       |base AS (SELECT doc_id, lang, text FROM ixd
+       |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |newd AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t,
+       |          substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           AS hx
+       |         FROM ixd WHERE ix < '${DedupQueries.IngestSplit.NewMax}'),
+       |inc AS (
+       | SELECT lang, doc_id, p_tok FROM (
+       |  WITH ${TextQueries.releaseSqlCtes("base")},
+       |  relpd AS (SELECT u.doc_id, u.lang, u.text,
+       |          CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
+       |         FROM uniq u JOIN kd USING (doc_id)),
+       |  relfp AS (SELECT DISTINCT md5(text) AS fp FROM relpd),
+       |  bg AS (SELECT DISTINCT
+       |          unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
+       |         FROM rd WHERE hx < '${screen.BenchMax}'),
+       |  nhit AS (SELECT DISTINCT n.doc_id FROM (
+       |            SELECT doc_id,
+       |             unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
+       |            FROM newd WHERE hx >= '${screen.BenchMax}') n
+       |           JOIN bg USING (ng)),
+       |  acc AS (SELECT doc_id, lang, text FROM newd
+       |          WHERE hx >= '${screen.BenchMax}'
+       |           AND doc_id NOT IN (SELECT doc_id FROM nhit)
+       |           AND md5(text) NOT IN (SELECT fp FROM relfp)),
+       |  kf AS (SELECT doc_id, lang, text FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |            ORDER BY doc_id) AS krk
+       |          FROM acc) WHERE krk = 1)
+       |  SELECT lang, doc_id, p_tok FROM relpd
+       |  UNION ALL
+       |  SELECT lang, doc_id,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS p_tok
+       |  FROM kf)),
+       |ful AS (
+       | SELECT lang, doc_id, p_tok FROM (
+       |  WITH ${TextQueries.releaseSqlCtes("documents")}
+       |  SELECT u.lang, u.doc_id,
+       |   CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
+       |  FROM uniq u JOIN kd USING (doc_id)))
+       |SELECT coalesce(i.lang, f.lang) AS lang,
+       | CASE WHEN i.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
+       |       THEN 'both'
+       |      WHEN i.doc_id IS NOT NULL THEN 'inc_only'
+       |      ELSE 'full_only' END AS status,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(coalesce(i.p_tok, f.p_tok)) AS BIGINT) AS n_tokens,
+       | CAST(sum(coalesce(i.doc_id, f.doc_id)) AS BIGINT)
+       |   AS docs_checksum
+       |FROM inc i FULL OUTER JOIN ful f ON i.doc_id = f.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, status""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q200_release_drift", q200, Some(q200Sql),
+      "incremental-vs-re-release drift audit: (frozen release + streamed tail) FULL OUTER diffed against a batch re-release, per (lang, status)"),
     Q("q199_stream_release_tail", q199, Some(q199Sql),
       "§2.10 streaming release-tail ingest: frozen-release screens (bench hx, bloom 8-gram, released-fp anti-join) state-free in-stream, tail shards continue the q197 manifest"),
     Q("q188_stream_chunk_index", q188, Some(q188Sql),

@@ -799,11 +799,22 @@ object TextQueries {
       hierarchical: Boolean, prefixLen: Int = 1): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    packShardsOfCounts(docs.select($"lang", $"doc_id",
+      size(toks($"text")).cast("long").as("n_tok")), hierarchical,
+      prefixLen)
+  }
+
+  /** the packing over a pre-counted (lang, doc_id, n_tok) frame — the
+    * release chain counts tokens AT THE SCAN (the q175 digest
+    * discipline) so no packing exchange ever carries text. */
+  private[graft] def packShardsOfCounts(docs: DataFrame,
+      hierarchical: Boolean, prefixLen: Int = 1): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen $prefixLen")
     val d = docs
       .withColumn("pkey", md5(concat(lit("pack:"), $"doc_id")))
-      .withColumn("n_tok", size(toks($"text")).cast("long"))
     val withCum =
       if (!hierarchical) {
         val w = Window.partitionBy($"lang").orderBy($"pkey", $"doc_id")
@@ -2665,10 +2676,19 @@ object TextQueries {
       : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val dt = docs.select($"lang", $"doc_id",
+    unimaxPartsCounts(docs.select($"lang", $"doc_id",
       expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS LONG)")
-        .as("n_tok"))
+        .as("n_tok")))
+  }
+
+  /** the UNIMAX chain over a pre-counted (lang, doc_id, n_tok) frame
+    * (nonzero-length tokens) — the release chain feeds its scan-time
+    * digest so the selection window never shuffles text. */
+  private[graft] def unimaxPartsCounts(dt: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val s = dt.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val pl = dt.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
       .withColumn("capacity", $"n_tokens" * lit(UnimaxCap))
@@ -2801,7 +2821,7 @@ object TextQueries {
     // materialize each expensive stage ONCE: the attribution join is
     // consumed by both the anti-join and the funnel's disposition
     // column (a slim id-set checkpoint), and the dup-rank window by
-    // uniq AND the funnel (one corpus-size checkpoint; uniq stays a
+    // uniq AND the funnel (one digest-size checkpoint; uniq stays a
     // lazy filter over it) — without these, q198's three join
     // branches each re-ran the 8-gram attribution (measured 9.7 s →
     // ~q197-parity at sf0.1)
@@ -2810,14 +2830,27 @@ object TextQueries {
         DedupQueries.AttrW)
       .select($"doc_id").distinct()
       .localCheckpoint(true)
-    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // the q175 discipline applied to the whole chain: fingerprint and
+    // token-count text AT THE SCAN (row-local digest projection), so
+    // the dup-rank window, the UNIMAX selection, and the packing all
+    // shuffle ~50-byte digests — no exchange after this line carries
+    // the corpus (PlanShapeSpec locks q197/q198/q200). n_tok = plain
+    // split (the packing count); n_tok_u = nonzero-length tokens (the
+    // UNIMAX count) — both spellings mirrored in the oracle CTEs.
+    val digest = train.select($"doc_id", $"lang",
+      md5($"text").as("fp"),
+      size(split($"text", " ")).cast("long").as("n_tok"),
+      expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS LONG)")
+        .as("n_tok_u"))
+    val cleanDigest = digest.join(contaminated, Seq("doc_id"), "left_anti")
     val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
-    val ranked = clean.withColumn("fp", md5($"text"))
+    val ranked = cleanDigest
       .withColumn("rk", row_number().over(wFp))
       .localCheckpoint(true)
     val uniq = ranked.filter($"rk" === 1)
-      .select($"doc_id", $"lang", $"text")
-    val (_, keptIds) = unimaxParts(uniq)
+      .select($"doc_id", $"lang", $"fp", $"n_tok", $"n_tok_u")
+    val (_, keptIds) = unimaxPartsCounts(
+      uniq.select($"lang", $"doc_id", $"n_tok_u".as("n_tok")))
     (d, contaminated, ranked, uniq, keptIds)
   }
 
@@ -2829,7 +2862,9 @@ object TextQueries {
     val s = docs.sparkSession
     import s.implicits._
     val (_, _, _, uniq, keptIds) = releaseStages(docs)
-    packShardsOf(uniq.join(keptIds.select($"doc_id"), "doc_id"),
+    packShardsOfCounts(
+      uniq.join(keptIds.select($"doc_id"), "doc_id")
+        .select($"lang", $"doc_id", $"n_tok"),
       hierarchical = true)
   }
 

@@ -466,6 +466,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exch.contains("text#"), exch)
   }
 
+  test("q197/q198/q200: the release family shuffles digests, never text") {
+    // the chain fingerprints and token-counts text AT THE SCAN
+    // (releaseStages' digest projection); every exchange after it —
+    // dup-rank window, UNIMAX selection, packing, funnel joins, the
+    // drift diff — must carry ~50-byte digests, not the corpus
+    for (q <- Seq("q197_release_manifest", "q198_release_funnel",
+        "q200_release_drift")) {
+      val p = plan(q)
+      val exch = p.linesIterator.filter(_.contains("Exchange"))
+        .mkString("\n")
+      assert(!exch.contains("text#"), s"$q ships text:\n$exch")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+  }
+
   test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
     // shares docNllFrame with q129, so q129's join locks are asserted
     // here too (3 hash-keyed pair-stream joins, the broadcast-N BNLJ

@@ -24,7 +24,8 @@ class StreamReleaseSpec extends SparkSpec {
   test("stream equals batch, and tail shards continue the frozen release") {
     import spark.implicits._
     val (base, newDocs) = baseAndNew()
-    val (blob, relFps, langTot) = StreamingQueries.releaseFrozenState(base)
+    val (blob, relFps, langTot, _) =
+      StreamingQueries.releaseFrozenState(base)
 
     val streamed = Registry.byName("q199_stream_release_tail")
       .run(spark, sf).localCheckpoint(true)
@@ -49,7 +50,8 @@ class StreamReleaseSpec extends SparkSpec {
   test("each screen drops a planted doc for its own reason") {
     import spark.implicits._
     val (base, _) = baseAndNew()
-    val (blob, relFps, langTot) = StreamingQueries.releaseFrozenState(base)
+    val (blob, relFps, langTot, _) =
+      StreamingQueries.releaseFrozenState(base)
     val screen = DedupQueries.BloomScreen
 
     // a released doc's text (fp screen) and a bench doc's first 8
@@ -90,5 +92,31 @@ class StreamReleaseSpec extends SparkSpec {
       Seq((idOk, "zz", "newlang " * 5)).toDF("doc_id", "lang", "text"),
       langTot)
     assert(t0.collect()(0).getAs[Long]("shard") == 0L)
+  }
+
+  test("q200 drift audit: statuses partition inc and full exactly") {
+    import spark.implicits._
+    val (base, newDocs) = baseAndNew()
+    val (blob, relFps, langTot, relB) =
+      StreamingQueries.releaseFrozenState(base)
+    val audit = Registry.byName("q200_release_drift")
+      .run(spark, sf).localCheckpoint(true)
+    def tot(statuses: String*): (Long, Long) = {
+      val r = audit.filter($"status".isin(statuses: _*))
+        .agg(sum($"n_docs"), sum($"n_tokens")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // inc = frozen release + compacted tail, recomputed independently
+    val tail = StreamingQueries.tailDocs(
+      StreamingQueries.releaseTailScreen(newDocs, blob, relFps), langTot)
+    val incDocs = relB.count() + tail.count()
+    val incToks = relB.agg(sum($"n_tok")).collect()(0).getLong(0) +
+      tail.agg(sum($"n_tok")).collect()(0).getLong(0)
+    assert(tot("both", "inc_only") == ((incDocs, incToks)))
+    // full = the batch re-release over everything
+    val ful = TextQueries.releaseDocs(
+      graft.Tables.documents(spark, sf).select($"doc_id", $"lang", $"text"))
+    assert(tot("both", "full_only") ==
+      ((ful.count(), ful.agg(sum($"n_tok")).collect()(0).getLong(0))))
   }
 }
