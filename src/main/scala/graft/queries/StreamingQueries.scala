@@ -1487,8 +1487,12 @@ object StreamingQueries {
         .bloomAgg(s, $"sh", screen.NBits, screen.K).as("bloom"))
       .head().getAs[Array[Byte]](0)
     val rel = TextQueries.releaseDocs(base).localCheckpoint(true)
-    val relFps = rel.select($"doc_id").join(base, "doc_id")
-      .select(md5($"text").as("fp")).distinct().localCheckpoint(true)
+    // fingerprint at the scan, THEN join the released ids — the build
+    // joins (doc_id, fp) digests, not text (the q175 discipline,
+    // applied to the sidecar build too)
+    val relFps = base.select($"doc_id", md5($"text").as("fp"))
+      .join(rel.select($"doc_id"), "doc_id")
+      .select($"fp").distinct().localCheckpoint(true)
     val langTot = rel.groupBy($"lang")
       .agg(sum($"n_tok").as("base_tokens")).localCheckpoint(true)
     (blob, relFps, langTot, rel)
@@ -1602,8 +1606,39 @@ object StreamingQueries {
     }
   }
 
-  private lazy val q199Sql = {
+  /** the frozen-sidecar + stream-screen chain as oracle CTEs over a
+    * new-docs CTE `nd` (doc_id, lang, text, t, hx), with the release
+    * chain's rd/uniq/kd already in scope: relpd (released docs +
+    * token counts), relfp (released fingerprints), bg (frozen bench
+    * 8-grams), nhit (new docs sharing one), acc (screen survivors),
+    * kf (within-crawl keep-first) — q199Sql and q200Sql compose over
+    * ONE spelling, so the streamed gate and the drift audit cannot
+    * disagree about what the screens mean. */
+  private def tailSqlCtes(nd: String): String = {
     val screen = DedupQueries.BloomScreen
+    s"""relpd AS (SELECT u.doc_id, u.lang, u.text,
+       |        CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
+       |       FROM uniq u JOIN kd USING (doc_id)),
+       |relfp AS (SELECT DISTINCT md5(text) AS fp FROM relpd),
+       |bg AS (SELECT DISTINCT
+       |        unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
+       |       FROM rd WHERE hx < '${screen.BenchMax}'),
+       |nhit AS (SELECT DISTINCT n.doc_id FROM (
+       |          SELECT doc_id,
+       |           unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
+       |          FROM $nd WHERE hx >= '${screen.BenchMax}') n
+       |         JOIN bg USING (ng)),
+       |acc AS (SELECT doc_id, lang, text FROM $nd
+       |        WHERE hx >= '${screen.BenchMax}'
+       |         AND doc_id NOT IN (SELECT doc_id FROM nhit)
+       |         AND md5(text) NOT IN (SELECT fp FROM relfp)),
+       |kf AS (SELECT doc_id, lang, text FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |          ORDER BY doc_id) AS krk
+       |        FROM acc) WHERE krk = 1)""".stripMargin
+  }
+
+  private lazy val q199Sql = {
     val P = TextQueries.PackB
     s"""WITH ixd AS (
        | SELECT doc_id, lang, text,
@@ -1611,32 +1646,13 @@ object StreamingQueries {
        | FROM documents),
        |base AS (SELECT doc_id, lang, text FROM ixd
        |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
-       |${TextQueries.releaseSqlCtes("base")},
-       |relpd AS (SELECT u.doc_id, u.lang, u.text,
-       |        CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
-       |       FROM uniq u JOIN kd USING (doc_id)),
-       |relfp AS (SELECT DISTINCT md5(text) AS fp FROM relpd),
-       |ltot AS (SELECT lang, CAST(sum(p_tok) AS BIGINT) AS base_tokens
-       |         FROM relpd GROUP BY lang),
-       |bg AS (SELECT DISTINCT
-       |        unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
-       |       FROM rd WHERE hx < '${screen.BenchMax}'),
        |nd AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t,
        |        substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
        |       FROM ixd WHERE ix < '${DedupQueries.IngestSplit.NewMax}'),
-       |nhit AS (SELECT DISTINCT n.doc_id FROM (
-       |          SELECT doc_id,
-       |           unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
-       |          FROM nd WHERE hx >= '${screen.BenchMax}') n
-       |         JOIN bg USING (ng)),
-       |acc AS (SELECT doc_id, lang, text FROM nd
-       |        WHERE hx >= '${screen.BenchMax}'
-       |         AND doc_id NOT IN (SELECT doc_id FROM nhit)
-       |         AND md5(text) NOT IN (SELECT fp FROM relfp)),
-       |kf AS (SELECT doc_id, lang, text FROM (
-       |        SELECT *, row_number() OVER (PARTITION BY md5(text)
-       |          ORDER BY doc_id) AS krk
-       |        FROM acc) WHERE krk = 1),
+       |${TextQueries.releaseSqlCtes("base")},
+       |${tailSqlCtes("nd")},
+       |ltot AS (SELECT lang, CAST(sum(p_tok) AS BIGINT) AS base_tokens
+       |         FROM relpd GROUP BY lang),
        |tp AS (SELECT doc_id, lang,
        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS p_tok
        |       FROM kf),
@@ -1706,7 +1722,6 @@ object StreamingQueries {
   }
 
   private lazy val q200Sql = {
-    val screen = DedupQueries.BloomScreen
     s"""WITH ixd AS (
        | SELECT doc_id, lang, text,
        |  ${DedupQueries.IngestSplit.IxSql} AS ix
@@ -1720,26 +1735,7 @@ object StreamingQueries {
        |inc AS (
        | SELECT lang, doc_id, p_tok FROM (
        |  WITH ${TextQueries.releaseSqlCtes("base")},
-       |  relpd AS (SELECT u.doc_id, u.lang, u.text,
-       |          CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
-       |         FROM uniq u JOIN kd USING (doc_id)),
-       |  relfp AS (SELECT DISTINCT md5(text) AS fp FROM relpd),
-       |  bg AS (SELECT DISTINCT
-       |          unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
-       |         FROM rd WHERE hx < '${screen.BenchMax}'),
-       |  nhit AS (SELECT DISTINCT n.doc_id FROM (
-       |            SELECT doc_id,
-       |             unnest(${DedupQueries.ngramSql(DedupQueries.AttrW)}) AS ng
-       |            FROM newd WHERE hx >= '${screen.BenchMax}') n
-       |           JOIN bg USING (ng)),
-       |  acc AS (SELECT doc_id, lang, text FROM newd
-       |          WHERE hx >= '${screen.BenchMax}'
-       |           AND doc_id NOT IN (SELECT doc_id FROM nhit)
-       |           AND md5(text) NOT IN (SELECT fp FROM relfp)),
-       |  kf AS (SELECT doc_id, lang, text FROM (
-       |          SELECT *, row_number() OVER (PARTITION BY md5(text)
-       |            ORDER BY doc_id) AS krk
-       |          FROM acc) WHERE krk = 1)
+       |  ${tailSqlCtes("newd")}
        |  SELECT lang, doc_id, p_tok FROM relpd
        |  UNION ALL
        |  SELECT lang, doc_id,
