@@ -91,19 +91,29 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // SPARK_GRAFT_REPS=N: time each query N times and report the MIN —
+    // the single cold sweep the driver runs records 1.5-5× host-
+    // contention outliers (r12: q137 34.6 s vs 6.7 s solo; same class
+    // every round), and min-of-N reflects the plan's cost, not the
+    // host's weather. Default stays 1 (one honest cold pass).
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink, not count(): count() lets Catalyst PRUNE every
-        // aggregate/projection column the row count doesn't need, so
-        // it times the grouping but not the work (a percentile sketch
-        // benched as 0 s). The noop write evaluates every output
-        // column and discards the rows — the honest throughput action.
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink, not count(): count() lets Catalyst PRUNE every
+          // aggregate/projection column the row count doesn't need, so
+          // it times the grouping but not the work (a percentile sketch
+          // benched as 0 s). The noop write evaluates every output
+          // column and discards the rows — the honest throughput action.
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
     }
     // The driver stores and parses only the LAST 2000 chars of this
     // process's output; with 120+ full query names the JSON line was
@@ -135,7 +145,7 @@ object Bench {
     val relSec =
       graft.queries.StreamingQueries.releaseBuildNanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"sf":"$sfDir"}"""
     println(line)
     // persist a copy the driver (or a debugging human) can always
     // find, independent of stdout-tail truncation
@@ -145,17 +155,15 @@ object Bench {
         java.nio.file.Paths.get("tmp/bench_self.json"), line + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
-    // re-print as the VERY LAST stdout act (after spark.stop): the
-    // driver parses only the output tail, and r1–r9 all recorded
-    // parsed:null — test the last-line-placement hypothesis
-    println(line)
-    // …r10-r12 showed the hypothesis false for a different reason:
-    // the FULL line itself now exceeds the driver's ~2000-char tail
-    // window (175 queries × ~14 chars), so its head — including
-    // "metric" and the total — is always cut. Emit a COMPACT line
-    // as the true last act: short enough to survive any tail
-    // window, carrying the total + where the per-query numbers live
-    // (tmp/bench_self.json holds the full line either way).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}""")
+    // The driver parses only the last ~2000 chars of stdout, and the
+    // FULL line (190 queries × ~14 chars) always overflows that
+    // window, so its head — "metric" and the total — is cut
+    // (BENCH_r01..r13 all parsed:null). The full line above is
+    // printed ONCE (plus tmp/bench_self.json); the true last stdout
+    // act is this COMPACT line — short enough to survive any tail
+    // window, carrying the total + where the per-query numbers live.
+    // It is the ONLY other "metric":"total" line (ADVICE r13: no
+    // duplicate full-line reprint, so consumers can't double-count).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}""")
   }
 }

@@ -1571,7 +1571,15 @@ object StreamingQueries {
   private[graft] def frozenReleaseFor(s: SparkSession, dir: String)
       : (Array[Byte], DataFrame, DataFrame, DataFrame) = {
     val src = new java.io.File(s"$dir/documents.parquet")
-    val key = s"$dir:${src.lastModified}:${src.length}"
+    // key includes the SparkContext's applicationId (ADVICE r13): the
+    // cached tuple holds localCheckpoint'ed DataFrames whose RDDs are
+    // bound to the building session — a SECOND SparkSession in the
+    // same JVM must rebuild, not inherit another (possibly stopped)
+    // session's checkpointed blocks. (The annIndexDir/chunkIndexDir/
+    // streamFixture caches are exempt by construction: they memoize
+    // only on-disk parquet PATHS, which any session can re-read.)
+    val key =
+      s"${s.sparkContext.applicationId}:$dir:${src.lastModified}:${src.length}"
     releaseStateCache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
       val split = DedupQueries.IngestSplit

@@ -2235,15 +2235,21 @@ object TextQueries {
   //
   // Scale: everything trains on the DISTINCT-word table (Heaps-
   // bounded; the corpus is scanned once — q173's posture). The
-  // enumeration is exponential in WORD LENGTH, not corpus size:
-  // ≤ 2^15 masks for any ≤16-char word, evaluated as one row-local
-  // HOF chain (zero shuffle); a >thousand-char token would use the
-  // O(len·UniMaxPiece) Viterbi fold (the bpeApply family) — at the
-  // gate's data the enumeration IS the exact reference the fold
-  // would be pinned against.
+  // enumeration is exponential in WORD LENGTH, not corpus size, so it
+  // is GUARDED: words of ≤ UniEnumMax (16) chars enumerate ≤ 2^15 cut
+  // masks as one row-local HOF chain (zero shuffle); any longer word
+  // — a URL, a hash, CJK text without spaces, anything a real crawl
+  // contains — routes through the O(len·UniMaxPiece) bounded Viterbi
+  // fold below, which computes the IDENTICAL optimum (UnigramSpec
+  // pins fold ≡ enumeration per word, including the (cost, m, seg)
+  // tie-break, and plants a 64-char token that the unguarded
+  // enumeration could not represent: sequence() caps at 2^31 elements
+  // around len 33, and memory dies well before — ~2^24 masks × ~30
+  // bytes ≈ 0.5 GiB per row at len 25).
   private val UniMaxPiece = 4
   private val UniV = 48
   private val UniBig = 1000000000000L
+  private[graft] val UniEnumMax = 16
 
   /** every (≤ UniMaxPiece)-char substring of `word`, as a SQL expr
     * over a row with a `word` column. */
@@ -2256,8 +2262,9 @@ object TextQueries {
   /** the per-word optimal segmentation under the piece-cost map `pm`:
     * array_min over all cut masks of (cost, m, seg) — exhaustive, so
     * exactly the Viterbi optimum with a total deterministic
-    * tie-break. */
-  private def uniBestExpr: String = {
+    * tie-break. Exponential in word length; uniBestExpr guards it at
+    * UniEnumMax chars (spec-pinned ≡ the bounded fold). */
+  private[graft] def uniBestEnumExpr: String = {
     val bd = "concat(array(0L), " +
       "filter(CASE WHEN char_length(word) <= 1 " +
       "THEN CAST(array() AS ARRAY<BIGINT>) " +
@@ -2277,6 +2284,50 @@ object TextQueries {
        |    'm', size(ps),
        |    'seg', array_join(ps, '|'))))""".stripMargin
   }
+
+  /** the same optimum as a BOUNDED Viterbi fold — O(len·UniMaxPiece)
+    * work and O(len) state instead of 2^(len−1) masks, for words past
+    * the enumeration guard. DP over char positions: element_at(acc,
+    * j + 1) = the optimal (cost, m, seg) struct covering the first j
+    * chars (acc(1) = the empty prefix); step i minimizes over the ≤
+    * UniMaxPiece pieces ENDING at i. The (cost, m, seg) tie-break is
+    * the enumeration's own, and it is DP-safe: appending a fixed
+    * piece preserves the struct order (costs shift by a constant, m
+    * by one, and seg strings compared only when cost AND m tie —
+    * equal piece count over an equal prefix means equal seg LENGTH,
+    * and appending the same suffix to equal-length strings preserves
+    * lexicographic order) — so pointwise-minimal prefix states
+    * compose to the global minimum, and fold ≡ enumeration exactly
+    * (UnigramSpec pins it per word). */
+  private[graft] def uniBestFoldExpr: String = {
+    val piece = "substring(word, st, i - st + 1)"
+    val cand =
+      s"""named_struct(
+         |      'cost', element_at(acc, st).cost +
+         |        coalesce(try_element_at(pm, $piece), ${UniBig}L),
+         |      'm', element_at(acc, st).m + 1,
+         |      'seg', CASE WHEN st = 1 THEN $piece
+         |             ELSE concat(element_at(acc, st).seg, '|', $piece)
+         |             END)""".stripMargin
+    s"""element_at(
+       |  aggregate(
+       |    sequence(1, char_length(word)),
+       |    array(named_struct('cost', 0L, 'm', 0, 'seg', '')),
+       |    (acc, i) -> concat(acc, array(array_min(transform(
+       |      sequence(greatest(1, i - ${UniMaxPiece - 1}), i),
+       |      st -> $cand))))),
+       |  char_length(word) + 1)""".stripMargin
+  }
+
+  /** guarded dispatch: exhaustive enumeration for ≤ UniEnumMax-char
+    * words (the oracle-mirrored gate path — the test corpora's words
+    * are all ≤ 8 chars), the bounded fold for anything longer, so an
+    * adversarial real-world token can never blow up the E-step at
+    * runtime. Both branches produce the identical struct. */
+  private def uniBestExpr: String =
+    s"""CASE WHEN char_length(word) <= $UniEnumMax
+       | THEN $uniBestEnumExpr
+       | ELSE $uniBestFoldExpr END""".stripMargin
 
   /** (words, vocab, best) of the unigram chain: words = (word, wc);
     * vocab = (piece, f0, cost6); best = (word, wc, m, seg) — the

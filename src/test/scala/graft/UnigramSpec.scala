@@ -80,6 +80,46 @@ class UnigramSpec extends SparkSpec {
     assert(rows("abc") == ((2L, 0L, 2L)), rows("abc"))
   }
 
+  test("long-word guard: bounded Viterbi fold ≡ exhaustive enumeration per word") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, typedLit}
+    // words up to the guard length, under a vocab with competing
+    // multi-char pieces — every (cost, m, seg) struct must match the
+    // exhaustive enumeration EXACTLY, tie-break included
+    val words = Seq("a", "ab", "ba", "abcab", "banana", "abcdefgh",
+      "aaaabbbb", "abab", "abcdabcdabcdabcd", "cdcdcdcd")
+    val vocab = Map[String, Long]("a" -> 10L, "b" -> 20L, "c" -> 30L,
+      "d" -> 40L, "e" -> 50L, "f" -> 60L, "g" -> 70L, "h" -> 80L,
+      "n" -> 15L, "ab" -> 5L, "ba" -> 7L, "abc" -> 3L, "cd" -> 9L,
+      "na" -> 6L, "nan" -> 4L, "abcd" -> 2L)
+    val both = words.toDF("word").withColumn("pm", typedLit(vocab))
+      .select($"word",
+        expr(TextQueries.uniBestEnumExpr).as("e"),
+        expr(TextQueries.uniBestFoldExpr).as("f"))
+      .collect()
+    both.foreach { r =>
+      assert(r.get(1) == r.get(2), s"fold != enum for '${r.getString(0)}'")
+    }
+  }
+
+  test("a 64-char token routes through the fold instead of blowing up the E-step") {
+    import spark.implicits._
+    // pre-guard, this word OOMed/overflowed: 2^63 cut masks. Now it
+    // takes the bounded fold: vocab seeds x/xx/xxx/xxxx from its own
+    // substrings, and 16 × 'xxxx' is the provable optimum (minimum
+    // piece count 64/4 = 16, and any shorter piece only adds pieces
+    // at near-equal unit cost).
+    val long = "x" * 64
+    assert(long.length > TextQueries.UniEnumMax)
+    val docs = Seq((1L, s"ab ab b $long")).toDF("doc_id", "text")
+    val (_, _, best) = TextQueries.unigramChain(docs)
+    val b = best.collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(b(long) == ((16, Seq.fill(16)("xxxx").mkString("|"))), b(long))
+    // the short words still take the (oracle-mirrored) enumeration path
+    assert(b("ab") == ((1, "ab")), b("ab"))
+  }
+
   test("q191/q192 non-vacuity on the real corpus: compression through multi-char pieces") {
     val vocabRows = Registry.byName("q191_unigram_train").run(spark, sf)
       .collect()
