@@ -2734,9 +2734,27 @@ object TextQueries {
 
   /** the UNIMAX chain over a pre-counted (lang, doc_id, n_tok) frame
     * (nonzero-length tokens) — the release chain feeds its scan-time
-    * digest so the selection window never shuffles text. */
-  private[graft] def unimaxPartsCounts(dt: DataFrame)
-      : (DataFrame, DataFrame) = {
+    * digest so the selection window never shuffles text.
+    *
+    * The greedy SELECTION cumsum is computed HIERARCHICALLY (q131's
+    * bucketed two-level prefix sum): a flat
+    * `sum(n_tok) over (partition by lang order by md5-rank)` makes
+    * each language's ENTIRE digest stream sort in ONE task — with a
+    * handful of languages at 100 TB, that is the single-task-sort
+    * scale killer (the shape q168's global cumsum had before it was
+    * decomposed). Instead: bucket by the leading hex char of the md5
+    * order key (the bucket prefix respects the global (md5, doc_id)
+    * order by construction), run the inclusive cumsum per
+    * (lang, bucket) — a bounded in-partition sort — and rebuild the
+    * global running total by adding each bucket's preceding-buckets
+    * token total (a 16-rows-per-lang rollup, broadcast back). The
+    * offset decomposition is exact integer arithmetic, so the greedy
+    * cut — and every gate hash downstream (q194/q197/q198/q199/q200)
+    * — is bit-identical to the flat form; UnimaxSpec pins
+    * hierarchical ≡ flat per doc, ShardPackSpec-style. The flat
+    * spelling survives as the spec's reference. */
+  private[graft] def unimaxPartsCounts(dt: DataFrame,
+      hierarchical: Boolean = true): (DataFrame, DataFrame) = {
     val s = dt.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2763,10 +2781,35 @@ object TextQueries {
         """(budget - c_k) div (nl - k) +
           | (CASE WHEN i - k <= (budget - c_k) % (nl - k)
           |  THEN 1 ELSE 0 END)""".stripMargin)))
-    val sw = Window.partitionBy($"lang")
-      .orderBy(md5(concat(lit("unimax:"), $"doc_id")), $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sel = dt.withColumn("cum", sum($"n_tok").over(sw))
+    val sel =
+      if (!hierarchical) {
+        val sw = Window.partitionBy($"lang")
+          .orderBy(md5(concat(lit("unimax:"), $"doc_id")), $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dt.withColumn("cum", sum($"n_tok").over(sw))
+      } else {
+        // materialize the slim keyed digest ONCE (the packShards
+        // barrier): the local-cumsum and bucket-offset branches both
+        // consume it
+        val keyed = dt
+          .withColumn("ukey", md5(concat(lit("unimax:"), $"doc_id")))
+          .withColumn("bkt", substring($"ukey", 1, 1))
+          .localCheckpoint(true)
+        val wLocal = Window.partitionBy($"lang", $"bkt")
+          .orderBy($"ukey", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = keyed.withColumn("lcum", sum($"n_tok").over(wLocal))
+        // 16 rows per lang: bucket token totals → exclusive prefix sum
+        val offs = keyed.groupBy($"lang", $"bkt")
+          .agg(sum($"n_tok").as("btok"))
+          .withColumn("boff",
+            coalesce(sum($"btok").over(Window.partitionBy($"lang")
+              .orderBy($"bkt").rowsBetween(
+                Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"lang", $"bkt", $"boff")
+        local.join(broadcast(offs), Seq("lang", "bkt"))
+          .withColumn("cum", $"boff" + $"lcum")
+      }
     val keptDocs = sel
       .join(broadcast(al.select($"lang", $"alloc")), "lang")
       .filter($"cum" <= $"alloc")

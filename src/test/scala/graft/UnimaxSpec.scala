@@ -52,6 +52,26 @@ class UnimaxSpec extends SparkSpec {
     assert(rows.values.map(_._4).sum == 153L)
   }
 
+  test("hierarchical selection cumsum ≡ flat window per doc (real corpus)") {
+    import spark.implicits._
+    // the greedy selection's two spellings — the shipped bucketed
+    // two-level prefix sum and the reference per-language flat window
+    // — must keep the IDENTICAL doc set (the offset decomposition is
+    // exact integer arithmetic), the ShardPackSpec discipline applied
+    // to the UNIMAX/release selection.
+    val dt = graft.Tables.documents(spark, sf)
+      .selectExpr("lang", "doc_id",
+        "CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS LONG) AS n_tok")
+    val (_, hier) = TextQueries.unimaxPartsCounts(dt)
+    val (_, flat) = TextQueries.unimaxPartsCounts(dt, hierarchical = false)
+    val h = hier.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val f = flat.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(h.nonEmpty && h == f,
+      s"hier-only: ${(h -- f).take(3)}; flat-only: ${(f -- h).take(3)}")
+  }
+
   test("real corpus: budget conserved exactly, selection never exceeds the allocation") {
     val rows = Registry.byName("q194_unimax_alloc").run(spark, sf)
       .collect()
