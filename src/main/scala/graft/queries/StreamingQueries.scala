@@ -1464,18 +1464,30 @@ object StreamingQueries {
   // last release — new BENCH docs arriving in the crawl are excluded
   // from the tail (they are eval data) but do not retro-screen the
   // already-released corpus, and the UNIMAX budget is not re-opened;
-  // both are the batch re-release (q197). StreamReleaseSpec pins the
-  // continuation property and plants an in-crawl released-dup + a
-  // bench-overlapping doc.
+  // both are the batch re-release (q197). The contamination screen is
+  // EXACT end-to-end (ADVICE r13): the stream side's bloom probe is a
+  // PREFILTER that only flags candidates (one-sided error: a false
+  // positive can flag a clean doc, never the reverse), and compaction
+  // re-verifies every flagged doc against the frozen bench 8-GRAM SET
+  // sidecar with the q189 exact join — so a bloom false positive can
+  // delay a clean doc one compaction, never drop it, and the gate's
+  // exact-join oracle holds on EVERY corpus, not just FP-free ones.
+  // StreamReleaseSpec pins the continuation property, plants an
+  // in-crawl released-dup + a bench-overlapping doc, and pins that a
+  // bloom-flagged clean doc survives compaction.
   //
   // Scale: the stream side is filter + project + one broadcast
   // anti-join (no state store, no stream-side shuffle); the sidecar
   // state is release-time batch work amortized across every ingest
-  // micro-batch; compaction is the sink table's own maintenance job.
+  // micro-batch; compaction is the sink table's own maintenance job,
+  // and its exact-verify join only carries the FLAGGED docs' n-grams
+  // (bounded by contamination volume + the bloom FP rate, not corpus
+  // size) against the broadcast-size bench set.
   /** frozen per-release sidecar state: (bench 8-gram bloom blob,
-    * released fingerprints, per-lang released token totals). */
+    * released fingerprints, per-lang released token totals, released
+    * docs, the exact bench 8-gram set). */
   private[graft] def releaseFrozenState(base: DataFrame)
-      : (Array[Byte], DataFrame, DataFrame, DataFrame) = {
+      : (Array[Byte], DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = base.sparkSession
     import s.implicits._
     val screen = DedupQueries.BloomScreen
@@ -1486,6 +1498,17 @@ object StreamingQueries {
       .agg(graft.expr.GraftFunctions
         .bloomAgg(s, $"sh", screen.NBits, screen.K).as("bloom"))
       .head().getAs[Array[Byte]](0)
+    // the exact bench n-gram set (ShingleW == AttrW == 8 — one
+    // width for the bloom build, the probe, and the exact verify):
+    // compaction's ground truth for bloom-flagged candidates
+    val w = DedupQueries.AttrW
+    val benchNg = screen.withBenchSplit(base)
+      .filter($"hx" < screen.BenchMax)
+      .withColumn("t", screen.tokens($"text"))
+      .filter(size($"t") >= w)
+      .withColumn("ngs", array_distinct(expr(DedupQueries.ngramExpr(w))))
+      .select(explode_outer($"ngs").as("ng"))
+      .distinct().localCheckpoint(true)
     val rel = TextQueries.releaseDocs(base).localCheckpoint(true)
     // fingerprint at the scan, THEN join the released ids — the build
     // joins (doc_id, fp) digests, not text (the q175 discipline,
@@ -1495,13 +1518,16 @@ object StreamingQueries {
       .select($"fp").distinct().localCheckpoint(true)
     val langTot = rel.groupBy($"lang")
       .agg(sum($"n_tok").as("base_tokens")).localCheckpoint(true)
-    (blob, relFps, langTot, rel)
+    (blob, relFps, langTot, rel, benchNg)
   }
 
   /** the stateless in-stream screen — factored so StreamReleaseSpec
     * can drive the IDENTICAL plan over planted batch frames (the q140
     * signaturesOf discipline: batch and stream spellings cannot
-    * diverge). */
+    * diverge). The bloom probe FLAGS contamination candidates instead
+    * of dropping them — compaction's exact verify (tailDocs) makes
+    * the final call, so the screen chain has exact-8-gram semantics
+    * even when the bloom false-positives. */
   private[graft] def releaseTailScreen(newDocs: DataFrame,
       blob: Array[Byte], relFps: DataFrame): DataFrame = {
     val s = newDocs.sparkSession
@@ -1509,28 +1535,41 @@ object StreamingQueries {
     val screen = DedupQueries.BloomScreen
     screen.withBenchSplit(newDocs)
       .filter($"hx" >= screen.BenchMax)
-      .filter(!graft.expr.GraftFunctions
-        .bloomAny(s, lit(blob), screen.tokens($"text")))
       .withColumn("fp", md5($"text"))
       .join(broadcast(relFps), Seq("fp"), "left_anti")
-      .select($"doc_id", $"lang", $"text")
+      .withColumn("bloom_hit", graft.expr.GraftFunctions
+        .bloomAny(s, lit(blob), screen.tokens($"text")))
+      .select($"doc_id", $"lang", $"text", $"bloom_hit")
   }
 
-  /** merge-on-read compaction of the tail sink: keep-first
-    * within-crawl dups, then q131's hierarchical packing with each
-    * language's cumsum OFFSET by the frozen release's token total. */
-  /** the compacted tail per doc — keep-first within-crawl dups, then
-    * q131's hierarchical packing with each language's cumsum OFFSET by
-    * the frozen release's token total. q199 rolls this into the tail
-    * manifest; q200's drift audit consumes the doc set. */
+  /** the compacted tail per doc — exact-verify of the bloom-flagged
+    * contamination candidates (drop only docs truly sharing a bench
+    * 8-gram — the q189 join, confined to the flagged subset), then
+    * keep-first within-crawl dups, then q131's hierarchical packing
+    * with each language's cumsum OFFSET by the frozen release's token
+    * total. q199 rolls this into the tail manifest; q200's drift
+    * audit consumes the doc set. */
   private[graft] def tailDocs(sunk: DataFrame,
-      langTot: DataFrame): DataFrame = {
+      langTot: DataFrame, benchNg: DataFrame): DataFrame = {
     val s = sunk.sparkSession
     import s.implicits._
+    val w = DedupQueries.AttrW
+    // exact verify: only flagged docs build n-grams (row-local
+    // array_distinct, the q189 posture); confirmed = a real shared
+    // 8-gram with the frozen bench set
+    val confirmed = sunk.filter($"bloom_hit")
+      .withColumn("t", DedupQueries.BloomScreen.tokens($"text"))
+      .filter(size($"t") >= w)
+      .withColumn("ngs", array_distinct(expr(DedupQueries.ngramExpr(w))))
+      .select($"doc_id", explode_outer($"ngs").as("ng"))
+      .join(broadcast(benchNg), "ng")
+      .select($"doc_id").distinct()
     // digest at the sink scan (the q175 discipline): the keep-first
     // window and the packing shuffle ~50-byte digests, never text
     val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
-    val kept = sunk.select($"doc_id", $"lang", md5($"text").as("fp"),
+    val kept = sunk
+      .join(confirmed, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", md5($"text").as("fp"),
         size(split($"text", " ")).cast("long").as("n_tok"))
       .withColumn("krk", row_number().over(wFp)).filter($"krk" === 1)
       .select($"lang", $"doc_id", $"n_tok")
@@ -1542,10 +1581,10 @@ object StreamingQueries {
   }
 
   private[graft] def tailManifest(sunk: DataFrame,
-      langTot: DataFrame): DataFrame = {
+      langTot: DataFrame, benchNg: DataFrame): DataFrame = {
     val s = sunk.sparkSession
     import s.implicits._
-    tailDocs(sunk, langTot)
+    tailDocs(sunk, langTot, benchNg)
       .groupBy($"lang", $"tshard")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         sum($"doc_id").as("docs_checksum"),
@@ -1564,12 +1603,12 @@ object StreamingQueries {
     * release_build_sec so the amortization stays auditable. */
   private val releaseStateCache = new java.util.concurrent
     .ConcurrentHashMap[String,
-      (Array[Byte], DataFrame, DataFrame, DataFrame)]()
+      (Array[Byte], DataFrame, DataFrame, DataFrame, DataFrame)]()
   private[graft] val releaseBuildNanos =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[graft] def frozenReleaseFor(s: SparkSession, dir: String)
-      : (Array[Byte], DataFrame, DataFrame, DataFrame) = {
+      : (Array[Byte], DataFrame, DataFrame, DataFrame, DataFrame) = {
     val src = new java.io.File(s"$dir/documents.parquet")
     // key includes the SparkContext's applicationId (ADVICE r13): the
     // cached tuple holds localCheckpoint'ed DataFrames whose RDDs are
@@ -1603,14 +1642,14 @@ object StreamingQueries {
   private def q199(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val split = DedupQueries.IngestSplit
-    val (blob, relFps, langTot, _) = frozenReleaseFor(s, dir)
+    val (blob, relFps, langTot, _, benchNg) = frozenReleaseFor(s, dir)
     graft.Scratch.withScratchDir("graft_q199") { scratch =>
       val accepted = releaseTailScreen(
         split.withIx(multiFileStream(s, dir, "documents"))
           .filter($"ix" < split.NewMax)
           .select($"doc_id", $"lang", $"text"),
         blob, relFps)
-      tailManifest(runToSink(s, accepted, scratch), langTot)
+      tailManifest(runToSink(s, accepted, scratch), langTot, benchNg)
     }
   }
 
@@ -1705,11 +1744,12 @@ object StreamingQueries {
   private def q200(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val split = DedupQueries.IngestSplit
-    val (blob, relFps, langTot, relB) = frozenReleaseFor(s, dir)
+    val (blob, relFps, langTot, relB, benchNg) = frozenReleaseFor(s, dir)
     val docs = graft.Tables.documents(s, dir)
     val newD = split.withIx(docs).filter($"ix" < split.NewMax)
       .select($"doc_id", $"lang", $"text")
-    val tail = tailDocs(releaseTailScreen(newD, blob, relFps), langTot)
+    val tail =
+      tailDocs(releaseTailScreen(newD, blob, relFps), langTot, benchNg)
       .select($"lang", $"doc_id", $"n_tok")
     val inc = relB.select($"lang", $"doc_id", $"n_tok").unionByName(tail)
     val ful = TextQueries

@@ -24,13 +24,14 @@ class StreamReleaseSpec extends SparkSpec {
   test("stream equals batch, and tail shards continue the frozen release") {
     import spark.implicits._
     val (base, newDocs) = baseAndNew()
-    val (blob, relFps, langTot, _) =
+    val (blob, relFps, langTot, _, benchNg) =
       StreamingQueries.releaseFrozenState(base)
 
     val streamed = Registry.byName("q199_stream_release_tail")
       .run(spark, sf).localCheckpoint(true)
     val batch = StreamingQueries.tailManifest(
-      StreamingQueries.releaseTailScreen(newDocs, blob, relFps), langTot)
+      StreamingQueries.releaseTailScreen(newDocs, blob, relFps), langTot,
+      benchNg)
     assert(streamed.count() > 0)
     assert(streamed.except(batch).count() == 0)
     assert(batch.except(streamed).count() == 0)
@@ -50,7 +51,7 @@ class StreamReleaseSpec extends SparkSpec {
   test("each screen drops a planted doc for its own reason") {
     import spark.implicits._
     val (base, _) = baseAndNew()
-    val (blob, relFps, langTot, _) =
+    val (blob, relFps, langTot, _, benchNg) =
       StreamingQueries.releaseFrozenState(base)
     val screen = DedupQueries.BloomScreen
 
@@ -80,24 +81,44 @@ class StreamReleaseSpec extends SparkSpec {
       (idLeak, s"$leak tail filler words here", "en"),
       (idOk, "wholly original never repeated content zz", "en"))
       .toDF("doc_id", "text", "lang")
-    val kept = StreamingQueries
-      .releaseTailScreen(planted, blob, relFps)
-      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val screened = StreamingQueries
+      .releaseTailScreen(planted, blob, relFps).localCheckpoint(true)
+    val kept = screened.collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("bloom_hit")).toMap
     assert(!kept.contains(idDup), "released-dup passed the fp screen")
-    assert(!kept.contains(idLeak), "bench 8-gram passed the bloom screen")
-    assert(kept.contains(idOk), "clean doc was over-dropped")
+    // the bloom screen FLAGS the bench-8-gram doc (it stays in the
+    // stream for compaction's exact verify — ADVICE r13 semantics)
+    assert(kept.get(idLeak) == Some(true), "bench 8-gram not flagged")
+    assert(kept.get(idOk) == Some(false), "clean doc spuriously flagged")
+    // compaction's exact verify makes the final call: the true leak
+    // is dropped, the clean doc ships
+    val compacted = StreamingQueries.tailDocs(screened, langTot, benchNg)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(!compacted.contains(idLeak), "confirmed leak passed compaction")
+    assert(compacted.contains(idOk), "clean doc was over-dropped")
+
+    // a bloom FALSE POSITIVE — a clean doc wrongly flagged — survives
+    // the exact verify instead of being silently dropped (the
+    // one-sided-error recovery the flag-then-verify split exists for)
+    val falsePos = Seq((idOk, "en",
+        "wholly original never repeated content zz", true))
+      .toDF("doc_id", "lang", "text", "bloom_hit")
+    val fpKept = StreamingQueries.tailDocs(falsePos, langTot, benchNg)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(fpKept.contains(idOk), "bloom false positive was dropped")
 
     // and a lang unseen in the base release starts at shard 0
     val t0 = StreamingQueries.tailManifest(
-      Seq((idOk, "zz", "newlang " * 5)).toDF("doc_id", "lang", "text"),
-      langTot)
+      Seq((idOk, "zz", "newlang " * 5, false))
+        .toDF("doc_id", "lang", "text", "bloom_hit"),
+      langTot, benchNg)
     assert(t0.collect()(0).getAs[Long]("shard") == 0L)
   }
 
   test("q200 drift audit: statuses partition inc and full exactly") {
     import spark.implicits._
     val (base, newDocs) = baseAndNew()
-    val (blob, relFps, langTot, relB) =
+    val (blob, relFps, langTot, relB, benchNg) =
       StreamingQueries.releaseFrozenState(base)
     val audit = Registry.byName("q200_release_drift")
       .run(spark, sf).localCheckpoint(true)
@@ -108,7 +129,8 @@ class StreamReleaseSpec extends SparkSpec {
     }
     // inc = frozen release + compacted tail, recomputed independently
     val tail = StreamingQueries.tailDocs(
-      StreamingQueries.releaseTailScreen(newDocs, blob, relFps), langTot)
+      StreamingQueries.releaseTailScreen(newDocs, blob, relFps), langTot,
+      benchNg)
     val incDocs = relB.count() + tail.count()
     val incToks = relB.agg(sum($"n_tok")).collect()(0).getLong(0) +
       tail.agg(sum($"n_tok")).collect()(0).getLong(0)
