@@ -1808,7 +1808,120 @@ object StreamingQueries {
        |GROUP BY 1, 2 ORDER BY lang, status""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q201: RELEASE ROLL-FORWARD — the write-side q200's audit was
+  // missing: the batch re-release over base + crawl MATERIALIZES as
+  // release v2, and the manifest history becomes a VERSIONED
+  // dimension (the q175 SCD2 spelling applied to q197's manifest,
+  // keyed by (lang, shard)): an unchanged shard's v1 row stays open;
+  // a changed shard closes its v1 row at version 2 and opens a v2
+  // row; a shard only v2 ships opens at 2; a shard v2 retires closes
+  // with no successor (tombstone). valid_from/valid_to are RELEASE
+  // VERSIONS (deterministic — no wall clock), so the gate pins the
+  // whole lineage cross-engine: v2's manifest rows, which v1 rows
+  // survived, and which closed. After the roll-forward the frozen
+  // sidecars rebuild from v2 (releaseFrozenState over base + crawl —
+  // the same build, new source); StreamReleaseSpec pins that
+  // re-ingesting the already-ingested crawl against the v2 sidecars
+  // adds NO doc the re-release already ships (drift → structural
+  // zero on released docs).
+  //
+  // Scale: two release chains (the proven q197 posture; the v1 side
+  // is the CACHED frozen-release doc set — one rollup, no re-run) +
+  // one full-outer join on the |lang × shard|-sized manifests — the
+  // lineage math never touches docs, let alone text.
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, _, _, relB, _) = frozenReleaseFor(s, dir)
+    val docs = graft.Tables.documents(s, dir)
+    releaseLineage(
+      TextQueries.manifestOf(relB),
+      TextQueries.releaseManifest(docs.select($"doc_id", $"lang", $"text")))
+  }
+
+  /** the SCD2 lineage over two manifest versions — factored so
+    * StreamReleaseSpec can drive planted manifests. */
+  private[graft] def releaseLineage(v1: DataFrame, v2: DataFrame)
+      : DataFrame = {
+    val s = v1.sparkSession
+    import s.implicits._
+    val j = v1.select($"lang", $"shard", $"n_docs".as("a_nd"),
+        $"n_tokens".as("a_nt"), $"docs_checksum".as("a_dc"),
+        $"layout_checksum".as("a_lc"))
+      .join(v2.select($"lang", $"shard", $"n_docs".as("b_nd"),
+          $"n_tokens".as("b_nt"), $"docs_checksum".as("b_dc"),
+          $"layout_checksum".as("b_lc")),
+        Seq("lang", "shard"), "full_outer")
+      .localCheckpoint(true)
+    val same = $"a_nd" === $"b_nd" && $"a_nt" === $"b_nt" &&
+      $"a_dc" === $"b_dc" && $"a_lc" === $"b_lc"
+    val rows = j.filter($"a_nd".isNotNull)
+      .select($"lang", $"shard", $"a_nd".as("n_docs"),
+        $"a_nt".as("n_tokens"), $"a_dc".as("docs_checksum"),
+        $"a_lc".as("layout_checksum"), lit(1L).as("ver"))
+      .unionByName(j.filter($"b_nd".isNotNull && ($"a_nd".isNull || !same))
+        .select($"lang", $"shard", $"b_nd".as("n_docs"),
+          $"b_nt".as("n_tokens"), $"b_dc".as("docs_checksum"),
+          $"b_lc".as("layout_checksum"), lit(2L).as("ver")))
+      .unionByName(j.filter($"b_nd".isNull)
+        .select($"lang", $"shard", lit(null).cast("long").as("n_docs"),
+          lit(null).cast("long").as("n_tokens"),
+          lit(null).cast("long").as("docs_checksum"),
+          lit(null).cast("long").as("layout_checksum"),
+          lit(2L).as("ver")))
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"ver")
+    rows.withColumn("valid_to", lead($"ver", 1).over(w))
+      .filter($"n_docs".isNotNull)
+      .select($"lang", $"shard", $"n_docs", $"n_tokens",
+        $"docs_checksum", $"layout_checksum", $"ver".as("valid_from"),
+        $"valid_to", $"valid_to".isNull.as("is_current"))
+      .orderBy($"lang", $"shard", $"valid_from")
+  }
+
+  private lazy val q201Sql =
+    s"""WITH ixd AS (
+       | SELECT doc_id, lang, text,
+       |  ${DedupQueries.IngestSplit.IxSql} AS ix
+       | FROM documents),
+       |base AS (SELECT doc_id, lang, text FROM ixd
+       |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |v1 AS (SELECT * FROM (${TextQueries.releaseManifestSql("base")})),
+       |v2 AS (SELECT * FROM (
+       |  ${TextQueries.releaseManifestSql("documents")})),
+       |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+       |       coalesce(a.shard, b.shard) AS shard,
+       |       a.n_docs AS a_nd, a.n_tokens AS a_nt,
+       |       a.docs_checksum AS a_dc, a.layout_checksum AS a_lc,
+       |       b.n_docs AS b_nd, b.n_tokens AS b_nt,
+       |       b.docs_checksum AS b_dc, b.layout_checksum AS b_lc
+       |      FROM v1 a FULL OUTER JOIN v2 b
+       |       ON a.lang = b.lang AND a.shard = b.shard),
+       |r AS (SELECT lang, shard, a_nd AS n_docs, a_nt AS n_tokens,
+       |       a_dc AS docs_checksum, a_lc AS layout_checksum,
+       |       CAST(1 AS BIGINT) AS ver
+       |      FROM j WHERE a_nd IS NOT NULL
+       |      UNION ALL
+       |      SELECT lang, shard, b_nd, b_nt, b_dc, b_lc,
+       |       CAST(2 AS BIGINT)
+       |      FROM j WHERE b_nd IS NOT NULL AND (a_nd IS NULL
+       |       OR a_nd <> b_nd OR a_nt <> b_nt OR a_dc <> b_dc
+       |       OR a_lc <> b_lc)
+       |      UNION ALL
+       |      SELECT lang, shard, NULL, NULL, NULL, NULL,
+       |       CAST(2 AS BIGINT)
+       |      FROM j WHERE b_nd IS NULL),
+       |v AS (SELECT *, lead(ver) OVER (PARTITION BY lang, shard
+       |        ORDER BY ver) AS valid_to
+       |      FROM r)
+       |SELECT lang, shard, n_docs, n_tokens, docs_checksum,
+       | layout_checksum, ver AS valid_from, valid_to,
+       | valid_to IS NULL AS is_current
+       |FROM v WHERE n_docs IS NOT NULL
+       |ORDER BY lang, shard, valid_from""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q201_release_rollforward", q201, Some(q201Sql),
+      "release roll-forward: the batch re-release materialized as v2 with an SCD2 version-lineage manifest (valid_from/valid_to per (lang, shard))"),
     Q("q200_release_drift", q200, Some(q200Sql),
       "incremental-vs-re-release drift audit: (frozen release + streamed tail) FULL OUTER diffed against a batch re-release, per (lang, status)"),
     Q("q199_stream_release_tail", q199, Some(q199Sql),

@@ -2962,10 +2962,14 @@ object TextQueries {
       hierarchical = true)
   }
 
-  private[graft] def releaseManifest(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  /** the per-(lang, shard) manifest rollup over a released-docs frame
+    * (lang, doc_id, n_tok, shard, cum_before) — factored so q201's
+    * lineage gate can roll up the FROZEN release (the cached sidecar
+    * doc set) without re-running the chain. */
+  private[graft] def manifestOf(relDocs: DataFrame): DataFrame = {
+    val s = relDocs.sparkSession
     import s.implicits._
-    releaseDocs(docs)
+    relDocs
       .groupBy($"lang", $"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         sum($"doc_id").as("docs_checksum"),
@@ -2973,6 +2977,9 @@ object TextQueries {
           .as("layout_checksum"))
       .orderBy($"lang", $"shard")
   }
+
+  private[graft] def releaseManifest(docs: DataFrame): DataFrame =
+    manifestOf(releaseDocs(docs))
 
   /** the release chain as oracle CTEs over an arbitrary
     * (doc_id, lang, text) source — rd (split + bench hex), cont
@@ -3003,8 +3010,13 @@ object TextQueries {
        |kd AS (SELECT sel.doc_id FROM sel JOIN al USING (lang)
        |       WHERE cum <= alloc)""".stripMargin
 
-  private lazy val q197Sql =
-    s"""WITH ${releaseSqlCtes()},
+  /** the FULL q197 manifest as one self-contained WITH…SELECT over an
+    * arbitrary (doc_id, lang, text) source — nestable inside a
+    * parenthesized subquery (the q200Sql trick), so q201's lineage
+    * oracle can run the chain twice (v1 over `base`, v2 over
+    * `documents`) without CTE-name collisions. */
+  private[graft] def releaseManifestSql(src: String = "documents"): String =
+    s"""WITH ${releaseSqlCtes(src)},
        |pd AS (SELECT u.doc_id, u.lang,
        |        CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
        |       FROM uniq u JOIN kd USING (doc_id)),
@@ -3024,6 +3036,8 @@ object TextQueries {
        | CAST(sum((cum_before - shard * $PackB) * doc_id) AS BIGINT)
        |   AS layout_checksum
        |FROM sh GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
+  private lazy val q197Sql = releaseManifestSql()
 
   // ---------------------------------------------------------------
   // q198: RELEASE FUNNEL DATASHEET — the per-language disposition

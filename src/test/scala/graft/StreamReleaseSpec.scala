@@ -115,6 +115,44 @@ class StreamReleaseSpec extends SparkSpec {
     assert(t0.collect()(0).getAs[Long]("shard") == 0L)
   }
 
+  test("q201 roll-forward: lineage rows are SCD2-consistent, and v2 sidecars re-ingest the crawl to zero released-doc drift") {
+    import spark.implicits._
+    val (base, newDocs) = baseAndNew()
+    val lineage = Registry.byName("q201_release_rollforward")
+      .run(spark, sf).localCheckpoint(true)
+    assert(lineage.count() > 0)
+    // SCD2 shape: per (lang, shard) at most one open row; closed rows
+    // end exactly where a successor (or tombstone) begins
+    val perKey = lineage.groupBy($"lang", $"shard")
+      .agg(sum(when($"is_current", 1L).otherwise(0L)).as("n_open"),
+        count(lit(1)).as("n_rows"))
+    assert(perKey.filter($"n_open" > 1).count() == 0)
+    assert(lineage.filter(!$"is_current" && $"valid_to" =!= 2L)
+      .count() == 0)
+    // current rows = exactly the v2 manifest
+    val v2 = graft.queries.TextQueries.releaseManifest(
+      graft.Tables.documents(spark, sf)
+        .select($"doc_id", $"lang", $"text"))
+    val cur = lineage.filter($"is_current")
+      .select($"lang", $"shard", $"n_docs", $"n_tokens",
+        $"docs_checksum", $"layout_checksum")
+    assert(cur.except(v2).count() == 0 && v2.except(cur).count() == 0)
+
+    // roll forward the sidecars: v2's frozen state is the same build
+    // over base + crawl; re-ingesting the ALREADY-INGESTED crawl
+    // against it must add no doc the re-release already ships (the
+    // fp screen sees them as released) — drift vs v2 is structurally
+    // zero on released docs
+    val all = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+    val (blob2, relFps2, langTot2, rel2, benchNg2) =
+      StreamingQueries.releaseFrozenState(all)
+    val tail2 = StreamingQueries.tailDocs(
+      StreamingQueries.releaseTailScreen(newDocs, blob2, relFps2),
+      langTot2, benchNg2)
+    assert(tail2.join(rel2.select($"doc_id"), "doc_id").count() == 0)
+  }
+
   test("q200 drift audit: statuses partition inc and full exactly") {
     import spark.implicits._
     val (base, newDocs) = baseAndNew()
