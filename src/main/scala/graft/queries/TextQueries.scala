@@ -2473,6 +2473,148 @@ object TextQueries {
        |FROM v2 LEFT JOIN f2 USING (piece)
        |ORDER BY piece""".stripMargin
 
+  // q202: UNIGRAM EM-TO-VOCAB-TARGET LOOP — the training loop a
+  // tokenizer shipper actually runs (Kudo 2018 §3.2: repeat
+  // re-estimate → prune until the vocabulary hits a target size),
+  // generalizing q195's single round. Each round r: exact Viterbi
+  // E-step under the current costs → recount → prune (multi-char
+  // pieces the Viterbi never used drop — q195's rule — then the
+  // survivors cap at K_r by (count desc, piece), Kudo's
+  // lowest-loss-first pruning in count form) → re-estimate costs from
+  // the kept counts. The prune schedule is GEOMETRIC —
+  // K_r = max(target, ceil(UniV / 2^r)) — so the loop-until-target
+  // has a compile-time bound R = ceil(log2(UniV / target)) and runs
+  // EXACTLY R rounds; that keeps "until |multi vocab| ≤ target" a
+  // structural guarantee while the oracle stays a static CTE chain
+  // (the q173 fixed-K-merges discipline applied to EM rounds). The
+  // gate pins the FULL per-round vocabulary (round, piece, f, cost6)
+  // — sizes, membership, counts, and re-estimated costs of every
+  // round, cross-engine.
+  //
+  // Scale: identical to q191/q195 — R bounded E-steps over the
+  // Heaps-bounded distinct-word table, the vocab side broadcast,
+  // per-round state checkpointed so plans stay flat.
+  private[graft] val UniTarget = 16
+
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    unigramToTarget(documents(s, dir), UniTarget)
+
+  /** rounds needed for the geometric schedule to provably reach the
+    * target multi-char vocab size. */
+  private[graft] def uniPruneRounds(target: Int): Int =
+    math.max(1,
+      math.ceil(math.log(UniV.toDouble / target) / math.log(2.0)).toInt)
+
+  /** round r's multi-char keep cap. */
+  private[graft] def uniKeepK(target: Int, r: Int): Int =
+    math.max(target, math.ceil(UniV / math.pow(2.0, r)).toInt)
+
+  /** one exact E-step + recount under an explicit (piece, cost6)
+    * vocabulary → (piece, f) Viterbi counts. */
+  private def uniEStep(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val pm = words
+      .select($"word", explode_outer(expr(uniSubsExpr)).as("piece"))
+      .distinct()
+      .join(broadcast(vocab), "piece")
+      .groupBy($"word")
+      .agg(map_from_entries(collect_set(struct($"piece", $"cost6")))
+        .as("pm"))
+    words.join(pm, "word")
+      .withColumn("b", expr(uniBestExpr))
+      .select($"wc", explode(split($"b.seg", "\\|")).as("piece"))
+      .groupBy($"piece").agg(sum($"wc").as("f"))
+  }
+
+  /** q202's core, parameterized by target so UnigramSpec can pin a
+    * hand-computable deep-prune run (target = 1 → 6 rounds). */
+  private[graft] def unigramToTarget(docs: DataFrame, target: Int)
+      : DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (words, vocab0, best0) = unigramChain(docs)
+    val rounds = uniPruneRounds(target)
+    var fCur = best0
+      .select($"wc", explode(split($"seg", "\\|")).as("piece"))
+      .groupBy($"piece").agg(sum($"wc").as("f"))
+    var vocab = vocab0.select($"piece", $"cost6")
+    val sheets = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      if (r > 1) fCur = uniEStep(words, vocab)
+      val c = vocab.select($"piece").join(fCur, Seq("piece"), "left")
+        .select($"piece", coalesce($"f", lit(0L)).as("f"))
+      val keep = c.filter(length($"piece") === 1)
+        .unionByName(c.filter(length($"piece") > 1 && $"f" > 0)
+          .orderBy($"f".desc, $"piece").limit(uniKeepK(target, r)))
+      val t = keep.agg(sum($"f").as("t"))
+      val v = keep.crossJoin(broadcast(t))
+        .withColumn("cost6",
+          when($"f" > 0,
+            floor(log($"t".cast("double") / $"f") * 1e6 + 0.5)
+              .cast("long"))
+            .otherwise(lit(UniBig)))
+        .select($"piece", $"f", $"cost6")
+        .localCheckpoint(true)
+      sheets += v.select(lit(r.toLong).as("round"), $"piece", $"f",
+        $"cost6")
+      vocab = v.select($"piece", $"cost6")
+    }
+    sheets.result().reduce(_.unionByName(_)).orderBy($"round", $"piece")
+  }
+
+  private[graft] def unigramToTargetSql(target: Int): String = {
+    val rounds = uniPruneRounds(target)
+    val rcte = (1 to rounds).map { r =>
+      val fPrev =
+        if (r == 1)
+          s"""fr1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f FROM (
+             |        SELECT wc, unnest(string_split(seg, '|')) AS piece
+             |        FROM best) GROUP BY piece)""".stripMargin
+        else
+          s"""cst$r AS (SELECT word, wc, mask, any_value(m) AS m,
+             |         CAST(sum(coalesce(vr${r - 1}.cost6, $UniBig))
+             |           AS BIGINT) AS cost,
+             |         string_agg(pcr.piece, '|' ORDER BY i) AS seg
+             |        FROM pcr LEFT JOIN vr${r - 1} USING (piece)
+             |        GROUP BY word, wc, mask),
+             |bst$r AS (SELECT wc, seg FROM (
+             |         SELECT wc, seg, row_number() OVER (
+             |          PARTITION BY word ORDER BY cost, m, seg) AS rn
+             |         FROM cst$r) WHERE rn = 1),
+             |fr$r AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f FROM (
+             |        SELECT wc, unnest(string_split(seg, '|')) AS piece
+             |        FROM bst$r) GROUP BY piece)""".stripMargin
+      val vPrev = if (r == 1) "vocab" else s"vr${r - 1}"
+      s"""$fPrev,
+         |cr$r AS (SELECT $vPrev.piece,
+         |         CAST(coalesce(fr$r.f, 0) AS BIGINT) AS f
+         |        FROM $vPrev LEFT JOIN fr$r USING (piece)),
+         |kp$r AS (SELECT piece, f FROM cr$r WHERE len(piece) = 1
+         |        UNION ALL
+         |        SELECT piece, f FROM (
+         |         SELECT piece, f FROM cr$r
+         |         WHERE len(piece) > 1 AND f > 0
+         |         ORDER BY f DESC, piece LIMIT ${uniKeepK(target, r)})),
+         |tr$r AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM kp$r),
+         |vr$r AS (SELECT piece, f,
+         |         CASE WHEN f > 0 THEN
+         |          CAST(floor(ln(CAST(t AS DOUBLE) / f) * 1000000 + 0.5)
+         |            AS BIGINT)
+         |         ELSE $UniBig END AS cost6
+         |        FROM kp$r, tr$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, piece, f, cost6 FROM vr$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $unigramSqlCtes,
+       |$rcte
+       |SELECT * FROM ($union) ORDER BY round, piece""".stripMargin
+  }
+
+  private lazy val q202Sql = unigramToTargetSql(UniTarget)
+
   /** the unigram chain as oracle CTEs (no leading WITH): relational
     * enumeration (mask rows → piece rows → LEFT JOIN vocab → best by
     * row_number) — same costs, same tie-break as the Spark HOF
@@ -3109,6 +3251,8 @@ object TextQueries {
       "tokenizer A/B: BPE vs unigram-LM trained on the same corpus, per-language fertility/compression sheet + winner"),
     Q("q195_unigram_prune", q195, Some(q195Sql),
       "unigram EM iteration + vocab pruning: unused multi-char pieces dropped, costs re-estimated from Viterbi counts, exact second E-step"),
+    Q("q202_unigram_to_target", q202, Some(q202Sql),
+      "unigram EM-to-vocab-target loop (Kudo): geometric prune schedule to |multi vocab| <= target, full per-round vocab gated"),
     Q("q191_unigram_train", q191, Some(q191Sql),
       "unigram-LM (SentencePiece) tokenizer training: substring seed vocab, integer surprisal costs, exact Viterbi E-step + M-step recount"),
     Q("q192_unigram_encode", q192, Some(q192Sql),

@@ -80,6 +80,57 @@ class UnigramSpec extends SparkSpec {
     assert(rows("abc") == ((2L, 0L, 2L)), rows("abc"))
   }
 
+  test("q202 EM-to-target: hand-computed deep prune (target 1, six rounds)") {
+    import spark.implicits._
+    // corpus "ab cd cd": seed f0 a1 b1 c2 d2 ab1 cd2 (T0 = 9); the
+    // round-1 Viterbi keeps whole words (one piece beats two at these
+    // costs) so f = {ab→1, cd→2, singles→0}. target = 1 ⇒ R =
+    // ceil(log2(48)) = 6 rounds with caps 24,12,6,3,2,1: rounds 1-5
+    // keep both multis (T = 3: cost(ab) = ln(3) → 1098612,
+    // cost(cd) = ln(3/2) → 405465, unused singles at the sentinel);
+    // round 6 caps at 1 ⇒ ab is pruned (lower count), cd survives at
+    // cost ln(2/2) = 0.
+    assert(TextQueries.uniPruneRounds(1) == 6)
+    val docs = Seq((1L, "ab cd cd")).toDF("doc_id", "text")
+    val rows = TextQueries.unigramToTarget(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val sentinel = 1000000000000L
+    for (r <- 1L to 5L) {
+      assert(rows((r, "ab")) == ((1L, 1098612L)), s"round $r ab")
+      assert(rows((r, "cd")) == ((2L, 405465L)), s"round $r cd")
+      Seq("a", "b", "c", "d").foreach { p =>
+        assert(rows((r, p)) == ((0L, sentinel)), s"round $r $p")
+      }
+    }
+    assert(rows((6L, "cd")) == ((2L, 0L)), rows.get((6L, "cd")))
+    assert(!rows.contains((6L, "ab")), "ab survived the round-6 cap")
+    assert(rows.size == 6 * 5 + 5, rows.size) // 6/round r1-5, 5 in r6
+  }
+
+  test("q202 on the real corpus: multi vocab reaches the target, singles never pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sheet = Registry.byName("q202_unigram_to_target").run(spark, sf)
+      .localCheckpoint(true)
+    val rounds = TextQueries.uniPruneRounds(TextQueries.UniTarget)
+    val multiPerRound = sheet
+      .filter(length($"piece") > 1)
+      .groupBy($"round").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multiPerRound.keySet == (1L to rounds.toLong).toSet)
+    assert(multiPerRound(rounds.toLong) <= TextQueries.UniTarget.toLong,
+      multiPerRound)
+    // monotone non-increasing multi vocab across rounds
+    (2L to rounds.toLong).foreach { r =>
+      assert(multiPerRound(r) <= multiPerRound(r - 1), multiPerRound)
+    }
+    // the single-char floor is identical every round
+    val singlesByRound = sheet.filter(length($"piece") === 1)
+      .groupBy($"round").count().collect().map(_.getLong(1)).toSet
+    assert(singlesByRound.size == 1, singlesByRound)
+  }
+
   test("long-word guard: bounded Viterbi fold ≡ exhaustive enumeration per word") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, typedLit}
