@@ -2625,35 +2625,44 @@ object SimilarityQueries {
     sheets.reduce(_.unionByName(_)).orderBy($"nprobe")
   }
 
+  /** the per-nprobe IVFADC sweep CTEs (probed cells → ADC shortlist →
+    * exact top-5 → candidate volume), assuming p`chainMax`, codes, bc,
+    * csz, lut, qvf, e in scope — ONE spelling shared by q196Sql and
+    * q203Sql so the two frontier gates cannot drift. */
+  private def ivfSweepCtes(np: Int, chainMax: Int): String = {
+    val cells = (1 to np).map(r => s"c$r").mkString("[", ", ", "]")
+    s"""pr$np AS (SELECT q_id, unnest($cells) AS cell
+       |          FROM p$chainMax),
+       |ad$np AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9) AS adist2
+       |          FROM codes c
+       |           JOIN bc ON c.vec_id = bc.vec_id
+       |           JOIN pr$np p ON bc.cell = p.cell
+       |           JOIN lut l ON p.q_id = l.q_id AND c.m = l.m
+       |            AND c.j = l.j
+       |          WHERE c.vec_id <> p.q_id
+       |          GROUP BY p.q_id, c.vec_id),
+       |sl$np AS (SELECT q_id, vec_id FROM
+       |           (SELECT q_id, vec_id, row_number() OVER
+       |             (PARTITION BY q_id ORDER BY adist2, vec_id) AS ar
+       |            FROM ad$np)
+       |          WHERE ar <= $IVFPQ_R),
+       |r$np AS (SELECT q_id, vec_id FROM (
+       |          SELECT sl$np.q_id, sl$np.vec_id, row_number() OVER (
+       |           PARTITION BY sl$np.q_id ORDER BY
+       |            round(list_sum(list_transform(list_zip(qvf.qv, e.v),
+       |              z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+       |            sl$np.vec_id) AS rn
+       |          FROM sl$np JOIN e USING (vec_id)
+       |           JOIN qvf ON sl$np.q_id = qvf.q_id)
+       |         WHERE rn <= 5),
+       |cand$np AS (SELECT q_id, CAST(sum(cn) - 1 AS BIGINT) AS cq
+       |            FROM pr$np JOIN csz USING (cell) GROUP BY q_id)"""
+      .stripMargin
+  }
+
   private lazy val q196Sql = {
     val perNp = TuneProbes.map { np =>
-      val cells = (1 to np).map(r => s"c$r").mkString("[", ", ", "]")
-      s"""pr$np AS (SELECT q_id, unnest($cells) AS cell
-         |          FROM p${TuneProbes.max}),
-         |ad$np AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9) AS adist2
-         |          FROM codes c
-         |           JOIN bc ON c.vec_id = bc.vec_id
-         |           JOIN pr$np p ON bc.cell = p.cell
-         |           JOIN lut l ON p.q_id = l.q_id AND c.m = l.m
-         |            AND c.j = l.j
-         |          WHERE c.vec_id <> p.q_id
-         |          GROUP BY p.q_id, c.vec_id),
-         |sl$np AS (SELECT q_id, vec_id FROM
-         |           (SELECT q_id, vec_id, row_number() OVER
-         |             (PARTITION BY q_id ORDER BY adist2, vec_id) AS ar
-         |            FROM ad$np)
-         |          WHERE ar <= $IVFPQ_R),
-         |r$np AS (SELECT q_id, vec_id FROM (
-         |          SELECT sl$np.q_id, sl$np.vec_id, row_number() OVER (
-         |           PARTITION BY sl$np.q_id ORDER BY
-         |            round(list_sum(list_transform(list_zip(qvf.qv, e.v),
-         |              z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
-         |            sl$np.vec_id) AS rn
-         |          FROM sl$np JOIN e USING (vec_id)
-         |           JOIN qvf ON sl$np.q_id = qvf.q_id)
-         |         WHERE rn <= 5),
-         |cand$np AS (SELECT q_id, CAST(sum(cn) - 1 AS BIGINT) AS cq
-         |            FROM pr$np JOIN csz USING (cell) GROUP BY q_id),
+      s"""${ivfSweepCtes(np, TuneProbes.max)},
          |row$np AS (SELECT $np AS nprobe,
          |            (SELECT CAST(count(*) AS BIGINT) FROM cand$np)
          |              AS n_queries,
@@ -2690,7 +2699,251 @@ object SimilarityQueries {
        |SELECT * FROM ($union) ORDER BY nprobe""".stripMargin
   }
 
+  // q203: CROSS-FAMILY ANN FRONTIER — the sheet a deployment decides
+  // a quantizer on, extending q196's single-family nprobe sweep to
+  // all three quantizer families the engine ships: IVFADC (q118),
+  // SQ8 (q190), and multi-probe LSH (q51), two operating points each,
+  // against ONE brute-cosine ground truth computed once over the
+  // shared unit-vector space. The axes are the honest cost split:
+  // approx_candidates = vectors scored with the family's CHEAP
+  // arithmetic (ADC lookups / int8 dots; 0 for LSH, which has no
+  // approximate scoring stage — its candidates go straight to exact),
+  // exact_candidates = vectors paying a full float dot (the shortlist
+  // re-rank, or every bucket candidate for LSH), and recall@5 in
+  // exact integer micro-units. The nprobe=6 row reproduces q118's
+  // operating point, SQ8@32 reproduces q190's, LSH@2 is q51's probe
+  // schedule at depth 5.
+  //
+  // Scale: each family keeps its own proven posture (probed cells /
+  // one int8 column scan / bucket joins — nothing all-pairs); the
+  // per-family scored frames are checkpointed ONCE and both operating
+  // points read prefixes (the q196 sweep discipline), and the sheet
+  // itself is six rows.
+  private val FrontierProbes = Seq(2, 6)
+  private val FrontierSqR = Seq(8, 32)
+  private val FrontierHams = Seq(1, 2)
+
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = querySample(s, dir, ANN_QK).select($"vec_id".as("q_id"))
+      .localCheckpoint(true)
+    val e = unitVecs(s, dir).localCheckpoint(true)
+    val qv = e.join(qs, e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv")).localCheckpoint(true)
+    val nqDf = qs.agg(count(lit(1)).as("nq"))
+    val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    val gt = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rn", row_number().over(wb)).filter($"rn" <= 5)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    def sheet(family: String, setting: Int, approx: DataFrame,
+        exact: DataFrame, top5: DataFrame): DataFrame = {
+      val hits = top5.join(gt, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      approx.crossJoin(exact).crossJoin(hits).crossJoin(broadcast(nqDf))
+        .select(lit(family).as("family"), lit(setting.toLong).as("setting"),
+          $"nq".as("n_queries"), $"approx_candidates",
+          $"exact_candidates", $"hits",
+          expr("(hits * 1000000) div (5 * nq)").as("recall6"))
+    }
+    // IVFADC: shared index build + one mask chain to max(nprobe)
+    val enc = ivfadcIndex(s, dir).localCheckpoint(true)
+    val cellsz = enc.groupBy($"cell").agg(count(lit(1)).as("cn"))
+      .localCheckpoint(true)
+    val chain = maskChain(
+      qv.withColumn("c1", cellCol(s, $"qv"))
+        .withColumn("s1", cellScoresCol(s, $"qv")),
+      FrontierProbes.max).localCheckpoint(true)
+    val ivfRows = FrontierProbes.map { np =>
+      val probed = chain
+        .withColumn("cell",
+          explode(array((1 to np).map(i => col(s"c$i")): _*)))
+        .select($"q_id", $"cell")
+      val approx = probed.join(cellsz, Seq("cell"))
+        .groupBy($"q_id").agg((sum($"cn") - 1).as("cq"))
+        .agg(sum($"cq").as("approx_candidates"))
+      val ranked = ivfadcRanked(s, dir, qs, np, IVFPQ_R, Some(enc))
+        .localCheckpoint(true)
+      sheet("ivfadc", np, approx,
+        ranked.agg(count(lit(1)).as("exact_candidates")),
+        ranked.filter($"rv" <= 5).select($"q_id", $"vec_id"))
+    }
+    // SQ8: one int8 scan scored + ranked once; settings read prefixes
+    val c = sqCodes(s, dir)
+    val qc = c.join(qs, c("vec_id") === qs("q_id"))
+      .select($"q_id", $"c".as("qc"))
+    val wa = Window.partitionBy($"q_id").orderBy($"adot".desc, $"vec_id")
+    val scored = broadcast(qc)
+      .join(c.select($"vec_id", $"c"), $"vec_id" =!= $"q_id")
+      .withColumn("adot", expr(
+        "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("ar", row_number().over(wa))
+      .select($"q_id", $"vec_id", $"ar")
+      .localCheckpoint(true)
+    val w5 = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    val sqRows = FrontierSqR.map { rr =>
+      val short = scored.filter($"ar" <= rr).select($"q_id", $"vec_id")
+      val top5 = broadcast(short).join(e, "vec_id")
+        .join(broadcast(qv), "q_id")
+        .withColumn("sim",
+          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+        .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      sheet("sq8", rr,
+        scored.agg(count(lit(1)).as("approx_candidates")),
+        short.agg(count(lit(1)).as("exact_candidates")), top5)
+    }
+    // LSH: bucketed corpus computed once; schedules share it
+    val lb = e.withColumn("bucket", bucketCol(s, $"v"))
+      .localCheckpoint(true)
+    val qb = lb.join(qs, lb("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"), $"bucket".as("home"))
+    val lshRows = FrontierHams.map { h =>
+      val probes = qb.withColumn("bucket", explode(array(
+          probeMasks(h).map(m => $"home".bitwiseXOR(lit(m))): _*)))
+        .select($"q_id", $"qv", $"bucket")
+      val cand = broadcast(probes)
+        .join(lb.select($"vec_id", $"v", $"bucket"), Seq("bucket"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("sim",
+          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+        .select($"q_id", $"vec_id", $"sim")
+        .localCheckpoint(true)
+      val top5 = cand.withColumn("rn", row_number().over(w5))
+        .filter($"rn" <= 5).select($"q_id", $"vec_id")
+      sheet("lsh", h,
+        nqDf.select((lit(0L) * $"nq").as("approx_candidates")),
+        cand.agg(count(lit(1)).as("exact_candidates")), top5)
+    }
+    (ivfRows ++ sqRows ++ lshRows).reduce(_.unionByName(_))
+      .orderBy($"family", $"setting")
+  }
+
+  private lazy val q203Sql = {
+    val maxNp = FrontierProbes.max
+    val ivf = FrontierProbes.map { np =>
+      s"""${ivfSweepCtes(np, maxNp)},
+         |irow$np AS (SELECT 'ivfadc' AS family,
+         |            CAST($np AS BIGINT) AS setting,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM qvf)
+         |              AS n_queries,
+         |            (SELECT CAST(sum(cq) AS BIGINT) FROM cand$np)
+         |              AS approx_candidates,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM sl$np)
+         |              AS exact_candidates,
+         |            (SELECT CAST(count(*) AS BIGINT)
+         |             FROM r$np JOIN gt USING (q_id, vec_id)) AS hits,
+         |            (SELECT CAST(count(*) * 1000000 //
+         |              (5 * (SELECT count(*) FROM qvf)) AS BIGINT)
+         |             FROM r$np JOIN gt USING (q_id, vec_id))
+         |              AS recall6)""".stripMargin
+    }.mkString(",\n")
+    val sq = FrontierSqR.map { rr =>
+      s"""sq5x$rr AS (SELECT q_id, vec_id FROM (
+         |           SELECT sqr.q_id, sqr.vec_id, row_number() OVER (
+         |            PARTITION BY sqr.q_id ORDER BY
+         |             round(list_sum(list_transform(list_zip(qvf.qv, e.v),
+         |               z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+         |             sqr.vec_id) AS rn
+         |           FROM sqr JOIN e USING (vec_id)
+         |            JOIN qvf ON sqr.q_id = qvf.q_id
+         |           WHERE sqr.ar <= $rr)
+         |          WHERE rn <= 5),
+         |srow$rr AS (SELECT 'sq8' AS family,
+         |            CAST($rr AS BIGINT) AS setting,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM qvf)
+         |              AS n_queries,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM sqr)
+         |              AS approx_candidates,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM sqr
+         |             WHERE ar <= $rr) AS exact_candidates,
+         |            (SELECT CAST(count(*) AS BIGINT)
+         |             FROM sq5x$rr JOIN gt USING (q_id, vec_id)) AS hits,
+         |            (SELECT CAST(count(*) * 1000000 //
+         |              (5 * (SELECT count(*) FROM qvf)) AS BIGINT)
+         |             FROM sq5x$rr JOIN gt USING (q_id, vec_id))
+         |              AS recall6)""".stripMargin
+    }.mkString(",\n")
+    val lsh = FrontierHams.map { h =>
+      val probes = probeMasks(h)
+        .map(m => if (m == 0L) "bucket" else s"xor(bucket, $m)")
+        .mkString("[", ", ", "]")
+      s"""lq$h AS (SELECT vec_id AS q_id, v AS qv,
+         |         unnest($probes) AS bucket
+         |        FROM lb WHERE vec_id IN ${sampleSql(ANN_QK)}),
+         |lc$h AS (SELECT q_id, qv, vec_id, v FROM lq$h
+         |         JOIN lb USING (bucket) WHERE vec_id <> q_id),
+         |l5x$h AS (SELECT q_id, vec_id FROM (
+         |          SELECT q_id, vec_id, row_number() OVER (
+         |           PARTITION BY q_id ORDER BY
+         |            round(list_sum(list_transform(list_zip(qv, v),
+         |              z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+         |            vec_id) AS rn
+         |          FROM lc$h) WHERE rn <= 5),
+         |lrow$h AS (SELECT 'lsh' AS family,
+         |           CAST($h AS BIGINT) AS setting,
+         |           (SELECT CAST(count(*) AS BIGINT) FROM qvf)
+         |             AS n_queries,
+         |           CAST(0 AS BIGINT) AS approx_candidates,
+         |           (SELECT CAST(count(*) AS BIGINT) FROM lc$h)
+         |             AS exact_candidates,
+         |           (SELECT CAST(count(*) AS BIGINT)
+         |            FROM l5x$h JOIN gt USING (q_id, vec_id)) AS hits,
+         |           (SELECT CAST(count(*) * 1000000 //
+         |             (5 * (SELECT count(*) FROM qvf)) AS BIGINT)
+         |            FROM l5x$h JOIN gt USING (q_id, vec_id))
+         |             AS recall6)""".stripMargin
+    }.mkString(",\n")
+    val union =
+      (FrontierProbes.map(np => s"SELECT * FROM irow$np") ++
+        FrontierSqR.map(rr => s"SELECT * FROM srow$rr") ++
+        FrontierHams.map(h => s"SELECT * FROM lrow$h"))
+        .mkString(" UNION ALL ")
+    s"""WITH $pqPreambleSql,
+       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
+       |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn FROM bc
+       |        GROUP BY cell),
+       |qvf AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |        WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
+       |        ${cellScoresSql("v")} AS s1
+       |       FROM e WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |${maskChainSql("p", maxNp)},
+       |gt AS (SELECT q_id, vec_id FROM (
+       |        SELECT qvf.q_id, e.vec_id, row_number() OVER (
+       |         PARTITION BY qvf.q_id ORDER BY
+       |          round(list_sum(list_transform(list_zip(qvf.qv, e.v),
+       |            z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+       |          e.vec_id) AS rn
+       |        FROM qvf JOIN e ON e.vec_id <> qvf.q_id)
+       |       WHERE rn <= 5),
+       |sqm AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+       |        FROM e),
+       |sqc AS (SELECT vec_id, v,
+       |         list_transform(v, x -> CAST(round(x * 127 / sqm.mx)
+       |           AS BIGINT)) AS c
+       |        FROM e, sqm),
+       |sqq AS (SELECT vec_id AS q_id, c AS qc FROM sqc
+       |        WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |sqp AS (SELECT q_id, sqc.vec_id,
+       |         CAST(list_sum(list_transform(list_zip(qc, sqc.c),
+       |           z -> z[1] * z[2])) AS BIGINT) AS adot
+       |        FROM sqq JOIN sqc ON sqc.vec_id <> q_id),
+       |sqr AS (SELECT q_id, vec_id, adot, row_number() OVER (
+       |         PARTITION BY q_id ORDER BY adot DESC, vec_id) AS ar
+       |        FROM sqp),
+       |lb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+       |$ivf,
+       |$sq,
+       |$lsh
+       |SELECT * FROM ($union) ORDER BY family, setting""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q203_ann_frontier", q203, Some(q203Sql),
+      "cross-family ANN frontier: IVFADC / SQ8 / multi-probe LSH at two operating points each, one shared brute ground truth, approx vs exact candidate volumes + recall@5"),
     Q("q196_ann_tuning", q196, Some(q196Sql),
       "ANN tuning frontier: recall@5 vs ADC candidate volume for nprobe in {1,2,4,6} over the shared IVFADC index, brute ground truth"),
     Q("q190_sq8_ann", q190, Some(q190Sql),

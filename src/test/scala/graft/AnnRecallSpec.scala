@@ -115,6 +115,41 @@ class AnnRecallSpec extends SparkSpec {
       .mkString(", ")}")
   }
 
+  test("q203 cross-family frontier: per-family monotonicity and the documented cost split") {
+    val rows = Registry.byName("q203_ann_frontier").run(spark, sf01)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))))
+      .toMap // (family, setting) -> (nq, approx, exact, recall6)
+    assert(rows.keySet == Set(("ivfadc", 2L), ("ivfadc", 6L),
+      ("sq8", 8L), ("sq8", 32L), ("lsh", 1L), ("lsh", 2L)))
+    // one shared query sample across families
+    assert(rows.values.map(_._1).toSet.size == 1)
+    val nq = rows.values.head._1
+    // within each family: deeper setting => recall non-decreasing,
+    // exact-scored volume non-decreasing
+    for ((fam, lo, hi) <- Seq(("ivfadc", 2L, 6L), ("sq8", 8L, 32L),
+        ("lsh", 1L, 2L))) {
+      assert(rows((fam, hi))._4 >= rows((fam, lo))._4, s"$fam recall")
+      assert(rows((fam, hi))._3 >= rows((fam, lo))._3, s"$fam exact")
+    }
+    // the cost-split contract: IVFADC's exact re-rank never exceeds
+    // its ADC volume; SQ8's approx volume is the full scan at BOTH
+    // settings (the setting only moves the exact shortlist, capped at
+    // R per query); LSH has no approximate stage
+    assert(rows(("ivfadc", 6L))._3 <= rows(("ivfadc", 6L))._2)
+    assert(rows(("sq8", 8L))._2 == rows(("sq8", 32L))._2)
+    assert(rows(("sq8", 8L))._3 <= 8L * nq &&
+      rows(("sq8", 32L))._3 <= 32L * nq)
+    assert(rows(("lsh", 1L))._2 == 0L && rows(("lsh", 2L))._2 == 0L)
+    // operating-point floors: IVFADC@6 reproduces q118 (>= 0.8); the
+    // full-scan SQ8 shortlist is the strongest family here
+    assert(rows(("ivfadc", 6L))._4 >= 800000L, rows(("ivfadc", 6L)))
+    assert(rows(("sq8", 32L))._4 >= rows(("ivfadc", 6L))._4)
+    info(rows.toSeq.sortBy(_._1).map { case ((f, st), v) =>
+      s"$f@$st exact=${v._3} recall6=${v._4}" }.mkString(", "))
+  }
+
   test("registry q51/q54 match the shipped parameterized schedules") {
     val q51 = Registry.byName("q51_ann_lsh").run(spark, sf01).collect()
     val p51 = SimilarityQueries.lshAnn(spark, sf01, 2).collect()
