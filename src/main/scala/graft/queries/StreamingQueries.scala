@@ -1919,7 +1919,95 @@ object StreamingQueries {
        |FROM v WHERE n_docs IS NOT NULL
        |ORDER BY lang, shard, valid_from""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q204: RELEASE RETENTION/CHURN ROLLUP — the per-release-pair
+  // readout q201's lineage enables (the KMV family's retention
+  // spelling applied to releases): v1's released doc set FULL OUTER
+  // diffed against v2's per language — docs/tokens retained, churned
+  // out (v1 only: retro-contamination, cross-crawl dup resolution,
+  // budget re-opening), newly shipped (v2 only) — plus the retention
+  // ratio in exact integer micro-units. Where q200 audits the
+  // INCREMENTAL state against a re-release, this audits RELEASE
+  // AGAINST RELEASE: the number a data consumer pins a cache/training
+  // restart decision on.
+  //
+  // Scale: the v1 side is the cached frozen-release doc set (one
+  // rollup), v2 the proven q197 chain; the diff is one slim
+  // (lang, doc_id, n_tok) full-outer join — text rides nothing.
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, _, _, relB, _) = frozenReleaseFor(s, dir)
+    val docs = graft.Tables.documents(s, dir)
+    val v1 = relB.select($"lang", $"doc_id", $"n_tok")
+    val v2 = TextQueries
+      .releaseDocs(docs.select($"doc_id", $"lang", $"text"))
+      .select($"lang", $"doc_id", $"n_tok")
+    v1.select($"lang".as("l1"), $"doc_id", $"n_tok".as("t1"))
+      .join(v2.select($"lang".as("l2"), $"doc_id", $"n_tok".as("t2")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("lang", coalesce($"l1", $"l2"))
+      .groupBy($"lang")
+      .agg(
+        sum(when($"t1".isNotNull && $"t2".isNotNull, 1L).otherwise(0L))
+          .as("retained_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNotNull, $"t1")
+          .otherwise(0L)).as("retained_tokens"),
+        sum(when($"t1".isNotNull && $"t2".isNull, 1L).otherwise(0L))
+          .as("churned_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNull, $"t1").otherwise(0L))
+          .as("churned_tokens"),
+        sum(when($"t1".isNull, 1L).otherwise(0L)).as("new_docs"),
+        sum(when($"t1".isNull, $"t2").otherwise(0L)).as("new_tokens"))
+      .withColumn("retention6", expr(
+        """CASE WHEN retained_docs + churned_docs > 0
+          |THEN (retained_docs * 1000000) div (retained_docs + churned_docs)
+          |END""".stripMargin))
+      .orderBy($"lang")
+  }
+
+  private lazy val q204Sql =
+    s"""WITH ixd AS (
+       | SELECT doc_id, lang, text,
+       |  ${DedupQueries.IngestSplit.IxSql} AS ix
+       | FROM documents),
+       |base AS (SELECT doc_id, lang, text FROM ixd
+       |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |r1 AS (SELECT lang, doc_id, p_tok FROM (
+       |  WITH ${TextQueries.releaseSqlCtes("base")}
+       |  SELECT u.lang, u.doc_id,
+       |   CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
+       |  FROM uniq u JOIN kd USING (doc_id))),
+       |r2 AS (SELECT lang, doc_id, p_tok FROM (
+       |  WITH ${TextQueries.releaseSqlCtes("documents")}
+       |  SELECT u.lang, u.doc_id,
+       |   CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
+       |  FROM uniq u JOIN kd USING (doc_id))),
+       |j AS (SELECT coalesce(r1.lang, r2.lang) AS lang,
+       |       r1.p_tok AS t1, r2.p_tok AS t2
+       |      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+       |SELECT lang,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS retained_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS retained_tokens,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS churned_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS churned_tokens,
+       | CAST(sum(CASE WHEN t1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS new_docs,
+       | CAST(sum(CASE WHEN t1 IS NULL THEN t2 ELSE 0 END) AS BIGINT)
+       |   AS new_tokens,
+       | CAST(CASE WHEN sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |  THEN sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |    THEN 1 ELSE 0 END) * 1000000 //
+       |   sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS retention6
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q204_release_retention", q204, Some(q204Sql),
+      "release-pair retention/churn rollup: v1 vs v2 released doc sets per language — retained/churned/new docs+tokens, retention ratio in micro-units"),
     Q("q201_release_rollforward", q201, Some(q201Sql),
       "release roll-forward: the batch re-release materialized as v2 with an SCD2 version-lineage manifest (valid_from/valid_to per (lang, shard))"),
     Q("q200_release_drift", q200, Some(q200Sql),

@@ -153,6 +153,31 @@ class StreamReleaseSpec extends SparkSpec {
     assert(tail2.join(rel2.select($"doc_id"), "doc_id").count() == 0)
   }
 
+  test("q204 retention rollup: retained+churned = v1, retained+new = v2") {
+    import spark.implicits._
+    val (base, _) = baseAndNew()
+    val ret = Registry.byName("q204_release_retention").run(spark, sf)
+      .localCheckpoint(true)
+    val v1 = graft.queries.TextQueries.releaseDocs(base)
+    val v2 = graft.queries.TextQueries.releaseDocs(
+      graft.Tables.documents(spark, sf)
+        .select($"doc_id", $"lang", $"text"))
+    val agg = ret.agg(sum($"retained_docs"), sum($"churned_docs"),
+      sum($"new_docs"), sum($"retained_tokens") + sum($"churned_tokens"),
+      sum($"retained_tokens") + sum($"new_tokens")).collect()(0)
+    assert(agg.getLong(0) + agg.getLong(1) == v1.count())
+    assert(agg.getLong(0) + agg.getLong(2) == v2.count())
+    assert(agg.getLong(3) ==
+      v1.agg(sum($"n_tok")).collect()(0).getLong(0))
+    assert(agg.getLong(4) ==
+      v2.agg(sum($"n_tok")).collect()(0).getLong(0))
+    // retention is a proper micro-unit ratio per language
+    ret.collect().foreach { r =>
+      val r6 = r.getLong(7)
+      assert(r6 >= 0L && r6 <= 1000000L, r)
+    }
+  }
+
   test("q200 drift audit: statuses partition inc and full exactly") {
     import spark.implicits._
     val (base, newDocs) = baseAndNew()
