@@ -481,6 +481,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q194: the UNIMAX selection cumsum is bucketed, not a per-language corpus sort") {
+    // the greedy selection's cumsum must run per (lang, md5-bucket)
+    // — the two-level prefix sum (UnimaxSpec pins hierarchical ≡
+    // flat). A Window partitioned by lang ALONE over the doc stream
+    // was the single-task-sort scale killer (verdict r13 #1): assert
+    // the bucketed window is in the plan, and that every Sort keyed
+    // on the selection's md5 order also carries the bucket key.
+    val p = plan("q194_unimax_alloc")
+    assert(p.contains("bkt"), p.take(2000))
+    val sorts = p.linesIterator
+      .filter(l => l.contains("Sort ") && l.contains("ukey"))
+      .mkString("\n")
+    assert(sorts.nonEmpty && sorts.linesIterator.forall(_.contains("bkt")),
+      sorts)
+  }
+
   test("q133: tercile split adds ONE rank window over q129's LM, nothing else") {
     // shares docNllFrame with q129, so q129's join locks are asserted
     // here too (3 hash-keyed pair-stream joins, the broadcast-N BNLJ
