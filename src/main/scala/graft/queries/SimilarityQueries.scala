@@ -2701,24 +2701,30 @@ object SimilarityQueries {
 
   // q203: CROSS-FAMILY ANN FRONTIER — the sheet a deployment decides
   // a quantizer on, extending q196's single-family nprobe sweep to
-  // all three quantizer families the engine ships: IVFADC (q118),
-  // SQ8 (q190), and multi-probe LSH (q51), two operating points each,
-  // against ONE brute-cosine ground truth computed once over the
-  // shared unit-vector space. The axes are the honest cost split:
-  // approx_candidates = vectors scored with the family's CHEAP
-  // arithmetic (ADC lookups / int8 dots; 0 for LSH, which has no
-  // approximate scoring stage — its candidates go straight to exact),
-  // exact_candidates = vectors paying a full float dot (the shortlist
-  // re-rank, or every bucket candidate for LSH), and recall@5 in
-  // exact integer micro-units. The nprobe=6 row reproduces q118's
-  // operating point, SQ8@32 reproduces q190's, LSH@2 is q51's probe
-  // schedule at depth 5.
+  // every quantizer configuration the engine ships: IVFADC (q118),
+  // full-scan SQ8 (q190), SQ8-IN-CELL (the composed scale path — IVF
+  // cell routing with int8 symmetric-dot scoring inside the probed
+  // cells, SQ8's 4× codes buying ADC-free scoring while IVF buys the
+  // nprobe/CELLS scan reduction), and multi-probe LSH (q51) — two
+  // operating points each, against ONE brute-cosine ground truth
+  // computed once over the shared unit-vector space. The axes are the
+  // honest cost split: approx_candidates = vectors scored with the
+  // family's CHEAP arithmetic (ADC lookups / int8 dots; 0 for LSH,
+  // which has no approximate scoring stage — its candidates go
+  // straight to exact), exact_candidates = vectors paying a full
+  // float dot (the shortlist re-rank, or every bucket candidate for
+  // LSH), and recall@5 in exact integer micro-units. The nprobe=6 row
+  // reproduces q118's operating point, SQ8@32 reproduces q190's,
+  // LSH@2 is q51's probe schedule at depth 5; sq8cell shares
+  // ivfadc's probed cells row-for-row (the spec pins equal approx
+  // volumes), so the sheet isolates the SCORER choice at fixed
+  // routing.
   //
   // Scale: each family keeps its own proven posture (probed cells /
   // one int8 column scan / bucket joins — nothing all-pairs); the
   // per-family scored frames are checkpointed ONCE and both operating
   // points read prefixes (the q196 sweep discipline), and the sheet
-  // itself is six rows.
+  // itself is eight rows.
   private val FrontierProbes = Seq(2, 6)
   private val FrontierSqR = Seq(8, 32)
   private val FrontierHams = Seq(1, 2)
@@ -2795,6 +2801,38 @@ object SimilarityQueries {
         scored.agg(count(lit(1)).as("approx_candidates")),
         short.agg(count(lit(1)).as("exact_candidates")), top5)
     }
+    // SQ8-IN-CELL: the composed quantizer — the SAME probed cells as
+    // the ivfadc rows (shared chain/cellsz), int8 dots inside them
+    val cellCodes = c.select($"vec_id", $"c")
+      .join(enc.select($"vec_id", $"cell"), "vec_id")
+      .localCheckpoint(true)
+    val sqCellRows = FrontierProbes.map { np =>
+      val probed = chain
+        .withColumn("cell",
+          explode(array((1 to np).map(i => col(s"c$i")): _*)))
+        .select($"q_id", $"cell")
+      val approx = probed.join(cellsz, Seq("cell"))
+        .groupBy($"q_id").agg((sum($"cn") - 1).as("cq"))
+        .agg(sum($"cq").as("approx_candidates"))
+      val short = cellCodes.join(broadcast(probed), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(broadcast(qc), Seq("q_id"))
+        .withColumn("adot", expr(
+          "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("ar", row_number().over(wa))
+        .filter($"ar" <= SQ_R)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint(true)
+      val top5 = broadcast(short).join(e, "vec_id")
+        .join(broadcast(qv), "q_id")
+        .withColumn("sim",
+          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+        .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+      sheet("sq8cell", np, approx,
+        short.agg(count(lit(1)).as("exact_candidates")), top5)
+    }
     // LSH: bucketed corpus computed once; schedules share it
     val lb = e.withColumn("bucket", bucketCol(s, $"v"))
       .localCheckpoint(true)
@@ -2817,7 +2855,8 @@ object SimilarityQueries {
         nqDf.select((lit(0L) * $"nq").as("approx_candidates")),
         cand.agg(count(lit(1)).as("exact_candidates")), top5)
     }
-    (ivfRows ++ sqRows ++ lshRows).reduce(_.unionByName(_))
+    (ivfRows ++ sqRows ++ sqCellRows ++ lshRows)
+      .reduce(_.unionByName(_))
       .orderBy($"family", $"setting")
   }
 
@@ -2866,6 +2905,43 @@ object SimilarityQueries {
          |             FROM sq5x$rr JOIN gt USING (q_id, vec_id))
          |              AS recall6)""".stripMargin
     }.mkString(",\n")
+    val sqCell = FrontierProbes.map { np =>
+      s"""scp$np AS (SELECT p.q_id, sqc.vec_id,
+         |           CAST(list_sum(list_transform(list_zip(sqq.qc, sqc.c),
+         |             z -> z[1] * z[2])) AS BIGINT) AS adot
+         |          FROM pr$np p
+         |           JOIN sqq ON sqq.q_id = p.q_id
+         |           JOIN bc ON bc.cell = p.cell
+         |           JOIN sqc ON sqc.vec_id = bc.vec_id
+         |          WHERE sqc.vec_id <> p.q_id),
+         |scs$np AS (SELECT q_id, vec_id FROM (
+         |           SELECT q_id, vec_id, row_number() OVER (
+         |            PARTITION BY q_id ORDER BY adot DESC, vec_id) AS ar
+         |           FROM scp$np) WHERE ar <= $SQ_R),
+         |sc5$np AS (SELECT q_id, vec_id FROM (
+         |           SELECT scs$np.q_id, scs$np.vec_id, row_number() OVER (
+         |            PARTITION BY scs$np.q_id ORDER BY
+         |             round(list_sum(list_transform(list_zip(qvf.qv, e.v),
+         |               z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+         |             scs$np.vec_id) AS rn
+         |           FROM scs$np JOIN e USING (vec_id)
+         |            JOIN qvf ON scs$np.q_id = qvf.q_id)
+         |          WHERE rn <= 5),
+         |crow$np AS (SELECT 'sq8cell' AS family,
+         |            CAST($np AS BIGINT) AS setting,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM qvf)
+         |              AS n_queries,
+         |            (SELECT CAST(sum(cq) AS BIGINT) FROM cand$np)
+         |              AS approx_candidates,
+         |            (SELECT CAST(count(*) AS BIGINT) FROM scs$np)
+         |              AS exact_candidates,
+         |            (SELECT CAST(count(*) AS BIGINT)
+         |             FROM sc5$np JOIN gt USING (q_id, vec_id)) AS hits,
+         |            (SELECT CAST(count(*) * 1000000 //
+         |              (5 * (SELECT count(*) FROM qvf)) AS BIGINT)
+         |             FROM sc5$np JOIN gt USING (q_id, vec_id))
+         |              AS recall6)""".stripMargin
+    }.mkString(",\n")
     val lsh = FrontierHams.map { h =>
       val probes = probeMasks(h)
         .map(m => if (m == 0L) "bucket" else s"xor(bucket, $m)")
@@ -2899,6 +2975,7 @@ object SimilarityQueries {
     val union =
       (FrontierProbes.map(np => s"SELECT * FROM irow$np") ++
         FrontierSqR.map(rr => s"SELECT * FROM srow$rr") ++
+        FrontierProbes.map(np => s"SELECT * FROM crow$np") ++
         FrontierHams.map(h => s"SELECT * FROM lrow$h"))
         .mkString(" UNION ALL ")
     s"""WITH $pqPreambleSql,
@@ -2937,6 +3014,7 @@ object SimilarityQueries {
        |lb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
        |$ivf,
        |$sq,
+       |$sqCell,
        |$lsh
        |SELECT * FROM ($union) ORDER BY family, setting""".stripMargin
   }

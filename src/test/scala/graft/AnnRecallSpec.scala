@@ -122,14 +122,15 @@ class AnnRecallSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))))
       .toMap // (family, setting) -> (nq, approx, exact, recall6)
     assert(rows.keySet == Set(("ivfadc", 2L), ("ivfadc", 6L),
-      ("sq8", 8L), ("sq8", 32L), ("lsh", 1L), ("lsh", 2L)))
+      ("sq8", 8L), ("sq8", 32L), ("sq8cell", 2L), ("sq8cell", 6L),
+      ("lsh", 1L), ("lsh", 2L)))
     // one shared query sample across families
     assert(rows.values.map(_._1).toSet.size == 1)
     val nq = rows.values.head._1
     // within each family: deeper setting => recall non-decreasing,
     // exact-scored volume non-decreasing
     for ((fam, lo, hi) <- Seq(("ivfadc", 2L, 6L), ("sq8", 8L, 32L),
-        ("lsh", 1L, 2L))) {
+        ("sq8cell", 2L, 6L), ("lsh", 1L, 2L))) {
       assert(rows((fam, hi))._4 >= rows((fam, lo))._4, s"$fam recall")
       assert(rows((fam, hi))._3 >= rows((fam, lo))._3, s"$fam exact")
     }
@@ -142,6 +143,12 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows(("sq8", 8L))._3 <= 8L * nq &&
       rows(("sq8", 32L))._3 <= 32L * nq)
     assert(rows(("lsh", 1L))._2 == 0L && rows(("lsh", 2L))._2 == 0L)
+    // sq8cell shares ivfadc's probed cells EXACTLY (same routing,
+    // different in-cell scorer) — the sheet isolates the scorer choice
+    for (np <- Seq(2L, 6L)) {
+      assert(rows(("sq8cell", np))._2 == rows(("ivfadc", np))._2, np)
+      assert(rows(("sq8cell", np))._3 <= 32L * nq, np)
+    }
     // operating-point floors: IVFADC@6 reproduces q118 (>= 0.8); the
     // full-scan SQ8 shortlist is the strongest family here
     assert(rows(("ivfadc", 6L))._4 >= 800000L, rows(("ivfadc", 6L)))
