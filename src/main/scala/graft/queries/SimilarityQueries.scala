@@ -2589,6 +2589,11 @@ object SimilarityQueries {
     val qs = querySample(s, dir, ANN_QK).select($"vec_id".as("q_id"))
       .localCheckpoint(true)
     val e = unitVecs(s, dir)
+    // inline native encode, checkpointed once for the sweep — measured
+    // FASTER than reading the persisted cell-partitioned index back at
+    // every decade tried (the tuning sheet touches ALL cells, so the
+    // partitioned layout buys nothing here; the pruned-read serving
+    // story is q181's)
     val enc = ivfadcIndex(s, dir).localCheckpoint(true)
     val cellsz = enc.groupBy($"cell").agg(count(lit(1)).as("cn"))
       .localCheckpoint(true)
@@ -2754,6 +2759,11 @@ object SimilarityQueries {
           expr("(hits * 1000000) div (5 * nq)").as("recall6"))
     }
     // IVFADC: shared index build + one mask chain to max(nprobe)
+    // inline native encode, checkpointed once for the sweep — measured
+    // FASTER than reading the persisted cell-partitioned index back at
+    // every decade tried (the tuning sheet touches ALL cells, so the
+    // partitioned layout buys nothing here; the pruned-read serving
+    // story is q181's)
     val enc = ivfadcIndex(s, dir).localCheckpoint(true)
     val cellsz = enc.groupBy($"cell").agg(count(lit(1)).as("cn"))
       .localCheckpoint(true)
