@@ -99,7 +99,10 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      // boundary-aware match: "q16" selects q16_string_funcs, not
+      // q160-q169 (a bare startsWith matched ten extra queries)
+      .filter { case (n, _) =>
+        only.forall(_.exists(o => n == o || n.startsWith(o + "_"))) }
       .map {
       case (name, fn) =>
         val times = (1 to reps).map { _ =>

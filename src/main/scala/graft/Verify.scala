@@ -21,7 +21,9 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      // boundary-aware match (mirrors Bench): "q16" ≠ q160-q169
+      .filter { case (name, _) =>
+        only.forall(_.exists(o => name == o || name.startsWith(o + "_"))) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
