@@ -66,6 +66,9 @@ object Bench {
       // corpus snapshot; release_build_sec) so the gate measures the
       // marginal ingest cost
       graft.queries.StreamingQueries.warmFrozenRelease(spark, sfDir)
+      // and release v2 (the materialized roll-forward q201/q204 read;
+      // one re-release build per corpus snapshot, release_v2_sec)
+      graft.queries.StreamingQueries.warmReleaseV2(spark, sfDir)
       // the DFT-blend trajectory family and the curation DAG carry
       // ~8 s of first-plan codegen (q89 measured 10.4 s cold vs 2.1 s
       // warm at sf0.1) — warm both plan families at sf0.001 so the
@@ -147,8 +150,10 @@ object Bench {
       graft.queries.SimilarityQueries.chunkIndexBuildNanos.get() / 1e9
     val relSec =
       graft.queries.StreamingQueries.releaseBuildNanos.get() / 1e9
+    val relV2Sec =
+      graft.queries.StreamingQueries.releaseV2Nanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"sf":"$sfDir"}"""
     println(line)
     // persist a copy the driver (or a debugging human) can always
     // find, independent of stdout-tail truncation

@@ -1639,6 +1639,36 @@ object StreamingQueries {
     frozenReleaseFor(s, dir); ()
   }
 
+  /** memoized release v2 (the batch re-release over base + crawl) —
+    * materializing it ONCE is what q201's roll-forward MEANS, and
+    * q204's retention rollup reads the same artifact; build wall-clock
+    * reported as release_v2_sec. q200 deliberately does NOT use this:
+    * its documented cost is the drift audit INCLUDING a live
+    * re-release (the number that tells a deployment what the
+    * staleness fix costs end to end). */
+  private val releaseV2Cache = new java.util.concurrent
+    .ConcurrentHashMap[String, DataFrame]()
+  private[graft] val releaseV2Nanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def releaseV2For(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key =
+      s"${s.sparkContext.applicationId}:$dir:${src.lastModified}:${src.length}"
+    releaseV2Cache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val v2 = TextQueries.releaseDocs(graft.Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text")))
+        .localCheckpoint(true)
+      releaseV2Nanos.addAndGet(System.nanoTime() - t0)
+      v2
+    })
+  }
+
+  private[graft] def warmReleaseV2(s: SparkSession, dir: String): Unit = {
+    releaseV2For(s, dir); ()
+  }
+
   private def q199(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val split = DedupQueries.IngestSplit
@@ -1833,10 +1863,9 @@ object StreamingQueries {
   private def q201(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, _, _, relB, _) = frozenReleaseFor(s, dir)
-    val docs = graft.Tables.documents(s, dir)
     releaseLineage(
       TextQueries.manifestOf(relB),
-      TextQueries.releaseManifest(docs.select($"doc_id", $"lang", $"text")))
+      TextQueries.manifestOf(releaseV2For(s, dir)))
   }
 
   /** the SCD2 lineage over two manifest versions — factored so
@@ -1937,10 +1966,8 @@ object StreamingQueries {
   private def q204(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, _, _, relB, _) = frozenReleaseFor(s, dir)
-    val docs = graft.Tables.documents(s, dir)
     val v1 = relB.select($"lang", $"doc_id", $"n_tok")
-    val v2 = TextQueries
-      .releaseDocs(docs.select($"doc_id", $"lang", $"text"))
+    val v2 = releaseV2For(s, dir)
       .select($"lang", $"doc_id", $"n_tok")
     v1.select($"lang".as("l1"), $"doc_id", $"n_tok".as("t1"))
       .join(v2.select($"lang".as("l2"), $"doc_id", $"n_tok".as("t2")),
