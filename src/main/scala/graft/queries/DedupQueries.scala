@@ -147,7 +147,7 @@ object DedupQueries {
     * vs "already indexed" (the batch-built corpus band index). Same
     * deterministic-md5-split idiom as BloomScreen's benchmark split;
     * ix < NewMax ≈ 1/3 of the corpus is "new". */
-  private[queries] object IngestSplit {
+  private[graft] object IngestSplit {
     val NewMax = "55"
     /** first-2-hex of md5("ingest:"+doc_id) as column `ix`. */
     def withIx(d: DataFrame): DataFrame =

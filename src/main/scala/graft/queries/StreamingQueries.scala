@@ -1966,9 +1966,17 @@ object StreamingQueries {
   private def q204(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, _, _, relB, _) = frozenReleaseFor(s, dir)
-    val v1 = relB.select($"lang", $"doc_id", $"n_tok")
-    val v2 = releaseV2For(s, dir)
-      .select($"lang", $"doc_id", $"n_tok")
+    retentionOf(relB.select($"lang", $"doc_id", $"n_tok"),
+      releaseV2For(s, dir).select($"lang", $"doc_id", $"n_tok"))
+      .orderBy($"lang")
+  }
+
+  /** the per-language retention rollup between two released doc sets
+    * — ONE spelling shared by q204 (one pair) and q205 (the 3-version
+    * chain's two adjacent pairs), so the gates cannot drift. */
+  private def retentionOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val s = v1.sparkSession
+    import s.implicits._
     v1.select($"lang".as("l1"), $"doc_id", $"n_tok".as("t1"))
       .join(v2.select($"lang".as("l2"), $"doc_id", $"n_tok".as("t2")),
         Seq("doc_id"), "full_outer")
@@ -1989,30 +1997,24 @@ object StreamingQueries {
         """CASE WHEN retained_docs + churned_docs > 0
           |THEN (retained_docs * 1000000) div (retained_docs + churned_docs)
           |END""".stripMargin))
-      .orderBy($"lang")
   }
 
-  private lazy val q204Sql =
-    s"""WITH ixd AS (
-       | SELECT doc_id, lang, text,
-       |  ${DedupQueries.IngestSplit.IxSql} AS ix
-       | FROM documents),
-       |base AS (SELECT doc_id, lang, text FROM ixd
-       |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
-       |r1 AS (SELECT lang, doc_id, p_tok FROM (
-       |  WITH ${TextQueries.releaseSqlCtes("base")}
+  /** one released-doc-set CTE body over a source CTE (the nested
+    * releaseSqlCtes trick) — shared by q204Sql and q205Sql. */
+  private def relSetSql(src: String): String =
+    s"""(SELECT lang, doc_id, p_tok FROM (
+       |  WITH ${TextQueries.releaseSqlCtes(src)}
        |  SELECT u.lang, u.doc_id,
        |   CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
-       |  FROM uniq u JOIN kd USING (doc_id))),
-       |r2 AS (SELECT lang, doc_id, p_tok FROM (
-       |  WITH ${TextQueries.releaseSqlCtes("documents")}
-       |  SELECT u.lang, u.doc_id,
-       |   CAST(len(string_split(u.text, ' ')) AS BIGINT) AS p_tok
-       |  FROM uniq u JOIN kd USING (doc_id))),
-       |j AS (SELECT coalesce(r1.lang, r2.lang) AS lang,
-       |       r1.p_tok AS t1, r2.p_tok AS t2
-       |      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
-       |SELECT lang,
+       |  FROM uniq u JOIN kd USING (doc_id)))""".stripMargin
+
+  /** the retention rollup SELECT over two released-set CTEs, with an
+    * optional pair label — the ONE oracle spelling behind q204 and
+    * both of q205's adjacent pairs. */
+  private def retentionSelectSql(a: String, b: String,
+      pair: Option[String]): String = {
+    val pairCol = pair.map(l => s"'$l' AS pair, ").getOrElse("")
+    s"""SELECT ${pairCol}lang,
        | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
        |   THEN 1 ELSE 0 END) AS BIGINT) AS retained_docs,
        | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
@@ -2030,9 +2032,86 @@ object StreamingQueries {
        |    THEN 1 ELSE 0 END) * 1000000 //
        |   sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
        |  END AS BIGINT) AS retention6
-       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+       |FROM (SELECT coalesce($a.lang, $b.lang) AS lang,
+       |       $a.p_tok AS t1, $b.p_tok AS t2
+       |      FROM $a FULL OUTER JOIN $b ON $a.doc_id = $b.doc_id)
+       |GROUP BY ${if (pair.isDefined) "pair, lang" else "lang"}"""
+      .stripMargin
+  }
+
+  private lazy val q204Sql =
+    s"""WITH ixd AS (
+       | SELECT doc_id, lang, text,
+       |  ${DedupQueries.IngestSplit.IxSql} AS ix
+       | FROM documents),
+       |base AS (SELECT doc_id, lang, text FROM ixd
+       |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |r1 AS ${relSetSql("base")},
+       |r2 AS ${relSetSql("documents")}
+       |${retentionSelectSql("r1", "r2", None)}
+       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q205: 3-VERSION RELEASE LINEAGE RETENTION — the per-adjacent-pair
+  // churn sheet a release SERIES publishes (the rollup the 2-version
+  // q204 spells, applied down a version chain): three releases built
+  // from the growing corpus (v1 = the frozen base, v2 = base + the
+  // first crawl wave, v3 = everything — the ingest-hex split gives
+  // deterministic waves), and for each adjacent pair the per-language
+  // retained/churned/new volumes + retention ratio. Retention between
+  // NON-adjacent versions composes from the pairs only when churn is
+  // monotone — which budget re-opening breaks — so the gate publishes
+  // the pairs a consumer actually compares; conservation per pair
+  // (retained + churned = the older release, retained + new = the
+  // newer) is spec-pinned against independently recomputed sets.
+  //
+  // Scale: v1 and v3 are the cached release artifacts (zero re-run);
+  // only the middle version's chain runs live, and both pair diffs
+  // are slim (lang, doc_id, n_tok) full-outer joins over the ONE
+  // checkpointed middle set.
+  private[graft] val IngestMid = "2b"
+
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = DedupQueries.IngestSplit
+    val (_, _, _, relB, _) = frozenReleaseFor(s, dir)
+    val v1 = relB.select($"lang", $"doc_id", $"n_tok")
+    val vMid = TextQueries.releaseDocs(
+        split.withIx(graft.Tables.documents(s, dir))
+          .filter($"ix" >= IngestMid)
+          .select($"doc_id", $"lang", $"text"))
+      .select($"lang", $"doc_id", $"n_tok")
+      .localCheckpoint(true)
+    val v3 = releaseV2For(s, dir).select($"lang", $"doc_id", $"n_tok")
+    retentionOf(v1, vMid).withColumn("pair", lit("v1_v2"))
+      .unionByName(retentionOf(vMid, v3).withColumn("pair", lit("v2_v3")))
+      .select($"pair", $"lang", $"retained_docs", $"retained_tokens",
+        $"churned_docs", $"churned_tokens", $"new_docs", $"new_tokens",
+        $"retention6")
+      .orderBy($"pair", $"lang")
+  }
+
+  private lazy val q205Sql =
+    s"""WITH ixd AS (
+       | SELECT doc_id, lang, text,
+       |  ${DedupQueries.IngestSplit.IxSql} AS ix
+       | FROM documents),
+       |b1 AS (SELECT doc_id, lang, text FROM ixd
+       |       WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |b2 AS (SELECT doc_id, lang, text FROM ixd
+       |       WHERE ix >= '$IngestMid'),
+       |r1 AS ${relSetSql("b1")},
+       |r2 AS ${relSetSql("b2")},
+       |r3 AS ${relSetSql("documents")}
+       |SELECT * FROM (
+       |${retentionSelectSql("r1", "r2", Some("v1_v2"))}
+       |UNION ALL
+       |${retentionSelectSql("r2", "r3", Some("v2_v3"))})
+       |ORDER BY pair, lang""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q205_release_series", q205, Some(q205Sql),
+      "3-version release lineage retention: adjacent-pair retained/churned/new rollups down a deterministic release series (v1 frozen, v3 the materialized roll-forward)"),
     Q("q204_release_retention", q204, Some(q204Sql),
       "release-pair retention/churn rollup: v1 vs v2 released doc sets per language — retained/churned/new docs+tokens, retention ratio in micro-units"),
     Q("q201_release_rollforward", q201, Some(q201Sql),

@@ -178,6 +178,36 @@ class StreamReleaseSpec extends SparkSpec {
     }
   }
 
+  test("q205 release series: each adjacent pair conserves against its own versions") {
+    import spark.implicits._
+    val split = DedupQueries.IngestSplit
+    val docs = graft.Tables.documents(spark, sf)
+    def relOf(minIx: String) = graft.queries.TextQueries.releaseDocs(
+      split.withIx(docs).filter($"ix" >= minIx)
+        .select($"doc_id", $"lang", $"text"))
+    val sizes = Map(
+      "v1" -> relOf(split.NewMax).count(),
+      "v2" -> relOf(StreamingQueries.IngestMid).count(),
+      "v3" -> graft.queries.TextQueries.releaseDocs(
+        docs.select($"doc_id", $"lang", $"text")).count())
+    // the series grows: each wave can only add corpus
+    assert(sizes("v1") <= sizes("v2") || sizes("v2") <= sizes("v3"))
+    val sheet = Registry.byName("q205_release_series").run(spark, sf)
+      .localCheckpoint(true)
+    def tot(pair: String) = {
+      val r = sheet.filter($"pair" === pair)
+        .agg(sum($"retained_docs"), sum($"churned_docs"),
+          sum($"new_docs")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (ret12, chr12, new12) = tot("v1_v2")
+    val (ret23, chr23, new23) = tot("v2_v3")
+    assert(ret12 + chr12 == sizes("v1"), (ret12, chr12, sizes("v1")))
+    assert(ret12 + new12 == sizes("v2"), (ret12, new12, sizes("v2")))
+    assert(ret23 + chr23 == sizes("v2"), (ret23, chr23, sizes("v2")))
+    assert(ret23 + new23 == sizes("v3"), (ret23, new23, sizes("v3")))
+  }
+
   test("q200 drift audit: statuses partition inc and full exactly") {
     import spark.implicits._
     val (base, newDocs) = baseAndNew()
