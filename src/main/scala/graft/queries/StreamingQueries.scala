@@ -1974,7 +1974,7 @@ object StreamingQueries {
   /** the per-language retention rollup between two released doc sets
     * — ONE spelling shared by q204 (one pair) and q205 (the 3-version
     * chain's two adjacent pairs), so the gates cannot drift. */
-  private def retentionOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+  private[graft] def retentionOf(v1: DataFrame, v2: DataFrame): DataFrame = {
     val s = v1.sparkSession
     import s.implicits._
     v1.select($"lang".as("l1"), $"doc_id", $"n_tok".as("t1"))

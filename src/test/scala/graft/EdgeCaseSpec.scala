@@ -222,4 +222,42 @@ class EdgeCaseSpec extends SparkSpec {
       s"n_pos=${r.getLong(1)} n_neg=${r.getLong(2)}")
     assert(math.abs(r.getDouble(0) - 0.75) < 1e-12, s"auc=${r.getDouble(0)}")
   }
+
+  test("release chain: a corpus whose every doc is benchmark releases nothing, without throwing") {
+    // hunt doc_ids whose md5("bench:"+id) first-2-hex < BenchMax — the
+    // all-bench corpus: the train side is empty, so the manifest, the
+    // funnel (one bench stage), and UNIMAX must all degrade cleanly
+    val benchIds = Iterator.iterate(1L)(_ + 1).filter { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bench:$id".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString <
+        graft.queries.DedupQueries.BloomScreen.BenchMax
+    }.take(3).toSeq
+    val docs = benchIds.map(id => (id, "alpha beta gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(graft.queries.TextQueries.releaseManifest(docs).count() == 0)
+    val funnel = graft.queries.TextQueries.releaseFunnel(docs).collect()
+    assert(funnel.map(_.getString(1)).toSet == Set("bench"))
+    assert(funnel.map(_.getLong(2)).sum == 3L)
+  }
+
+  test("UNIMAX: a single-language corpus allocates min(budget, capacity) to it") {
+    val docs = Seq((1L, "a b c d", "solo"), (2L, "e f", "solo"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.queries.TextQueries.unimaxAlloc(docs).collect()
+    assert(r.length == 1)
+    // capacity = 12, budget = 6*3 div 2 = 9 < 12: the one language is
+    // unbound and takes the whole budget
+    assert(r(0).getLong(4) == 9L && !r(0).getBoolean(5), r(0))
+  }
+
+  test("retention rollup: disjoint releases read as zero retention, full churn + full new") {
+    val v1 = Seq(("en", 1L, 4L), ("en", 2L, 2L)).toDF("lang", "doc_id", "n_tok")
+    val v2 = Seq(("en", 3L, 5L)).toDF("lang", "doc_id", "n_tok")
+    val r = graft.queries.StreamingQueries.retentionOf(v1, v2)
+      .collect()(0)
+    assert(r.getLong(1) == 0L && r.getLong(3) == 2L && r.getLong(5) == 1L,
+      r)
+    assert(r.getLong(7) == 0L, s"retention6=${r.getLong(7)}")
+  }
 }
