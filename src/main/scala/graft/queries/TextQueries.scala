@@ -2239,7 +2239,7 @@ object TextQueries {
   // is GUARDED: words of ≤ UniEnumMax (16) chars enumerate ≤ 2^15 cut
   // masks as one row-local HOF chain (zero shuffle); any longer word
   // — a URL, a hash, CJK text without spaces, anything a real crawl
-  // contains — routes through the O(len·UniMaxPiece) bounded Viterbi
+  // contains — routes through the O(len²) bounded Viterbi
   // fold below, which computes the IDENTICAL optimum (UnigramSpec
   // pins fold ≡ enumeration per word, including the (cost, m, seg)
   // tie-break, and plants a 64-char token that the unguarded
@@ -2285,26 +2285,38 @@ object TextQueries {
        |    'seg', array_join(ps, '|'))))""".stripMargin
   }
 
-  /** the same optimum as a BOUNDED Viterbi fold — O(len·UniMaxPiece)
-    * work and O(len) state instead of 2^(len−1) masks, for words past
-    * the enumeration guard. DP over char positions: element_at(acc,
+  /** the same optimum as a BOUNDED Viterbi fold — O(len²) work and
+    * O(len) state instead of 2^(len−1) masks, for words past the
+    * enumeration guard. DP over char positions: element_at(acc,
     * j + 1) = the optimal (cost, m, seg) struct covering the first j
-    * chars (acc(1) = the empty prefix); step i minimizes over the ≤
-    * UniMaxPiece pieces ENDING at i. The (cost, m, seg) tie-break is
-    * the enumeration's own, and it is DP-safe: appending a fixed
-    * piece preserves the struct order (costs shift by a constant, m
-    * by one, and seg strings compared only when cost AND m tie —
-    * equal piece count over an equal prefix means equal seg LENGTH,
-    * and appending the same suffix to equal-length strings preserves
-    * lexicographic order) — so pointwise-minimal prefix states
-    * compose to the global minimum, and fold ≡ enumeration exactly
-    * (UnigramSpec pins it per word). */
+    * chars (acc(1) = the empty prefix); step i minimizes over ALL
+    * pieces ENDING at i — in-model candidates are ≤ UniMaxPiece long
+    * (pm can contain nothing longer), but LONGER pieces stay legal at
+    * the UniBig sentinel, exactly like the enumeration: one long
+    * unknown SPAN can be the optimum (it beats two adjacent unknown
+    * pieces by a whole sentinel — the Kudo <unk>-span semantics, and
+    * the spelling the DuckDB oracle enumerates; a seeded-random
+    * UnigramSpec case caught the capped-window variant diverging
+    * here). The (cost, m, seg) tie-break is the enumeration's own,
+    * and it is DP-safe: appending a fixed piece preserves the struct
+    * order (costs shift by a constant, m by one, and seg strings
+    * compared only when cost AND m tie — equal piece count over an
+    * equal prefix means equal total seg LENGTH, and lexicographic
+    * order on equal-length strings is append-stable) — so
+    * pointwise-minimal prefix states compose to the global minimum,
+    * and fold ≡ enumeration exactly (UnigramSpec pins it per word on
+    * hand-picked AND 300 seeded-random (word, vocab) cases). A len-L
+    * token costs L²/2 row-local struct ops — a 10k-char blob is ~5e7
+    * ops, slow but bounded and spill-free, vs the enumeration's
+    * impossible 2^L. */
   private[graft] def uniBestFoldExpr: String = {
     val piece = "substring(word, st, i - st + 1)"
     val cand =
       s"""named_struct(
          |      'cost', element_at(acc, st).cost +
-         |        coalesce(try_element_at(pm, $piece), ${UniBig}L),
+         |        (CASE WHEN i - st + 1 <= $UniMaxPiece
+         |         THEN coalesce(try_element_at(pm, $piece), ${UniBig}L)
+         |         ELSE ${UniBig}L END),
          |      'm', element_at(acc, st).m + 1,
          |      'seg', CASE WHEN st = 1 THEN $piece
          |             ELSE concat(element_at(acc, st).seg, '|', $piece)
@@ -2314,7 +2326,7 @@ object TextQueries {
        |    sequence(1, char_length(word)),
        |    array(named_struct('cost', 0L, 'm', 0, 'seg', '')),
        |    (acc, i) -> concat(acc, array(array_min(transform(
-       |      sequence(greatest(1, i - ${UniMaxPiece - 1}), i),
+       |      sequence(1, i),
        |      st -> $cand))))),
        |  char_length(word) + 1)""".stripMargin
   }

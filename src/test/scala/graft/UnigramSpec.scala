@@ -153,6 +153,45 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("fold ≡ enumeration on 300 seeded-random (word, vocab) cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // the DP-equivalence claim is the subtlest proof in the chain
+    // (the (cost, m, seg) tie-break must be preserved by appending a
+    // fixed piece) — exercise it well beyond the hand-picked words:
+    // random words over a small alphabet (lengths 1..14, so the
+    // enumeration stays representable) against random vocabularies
+    // with random integer costs, including vocabularies missing some
+    // single chars (the UniBig fallback path) and duplicate-cost
+    // pieces (ties decided by the seg string alone).
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    val cases = (1 to 300).map { _ =>
+      val len = 1 + rnd.nextInt(14)
+      val word = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      val subs = (for {
+        st <- 0 until len; w <- 1 to math.min(4, len - st)
+      } yield word.substring(st, st + w)).distinct
+      val vocab = subs.flatMap { p =>
+        // singles kept with p=0.8, multis with p=0.5; costs collide
+        // often (small range) to stress the tie-break
+        val keep = if (p.length == 1) rnd.nextDouble() < 0.8
+        else rnd.nextDouble() < 0.5
+        if (keep) Some(p -> (100000L * (1 + rnd.nextInt(6)))) else None
+      }.toMap
+      (word, vocab)
+    }
+    val both = cases.toDF("word", "pm")
+      .select($"word",
+        expr(TextQueries.uniBestEnumExpr).as("e"),
+        expr(TextQueries.uniBestFoldExpr).as("f"))
+      .collect()
+    both.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"fold != enum for '${r.getString(0)}': ${r.get(1)} vs ${r.get(2)}")
+    }
+  }
+
   test("a 64-char token routes through the fold instead of blowing up the E-step") {
     import spark.implicits._
     // pre-guard, this word OOMed/overflowed: 2^63 cut masks. Now it
