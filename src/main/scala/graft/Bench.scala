@@ -119,7 +119,11 @@ object Bench {
           catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        // (min, first-rep): min excludes session-memoized-artifact and
+        // JIT warmth that reps>=2 inherit; the first-rep COLD time is
+        // kept alongside so cross-round comparisons against reps=1
+        // sweeps can normalize (ADVICE r14)
+        name -> (times.min, times.head)
     }
     // The driver stores and parses only the LAST 2000 chars of this
     // process's output; with 120+ full query names the JSON line was
@@ -135,9 +139,16 @@ object Bench {
     val ids = results.map { case (k, _) => shortId(k) }
     require(ids.distinct.size == ids.size,
       s"duplicate bench short ids: ${ids.diff(ids.distinct).distinct.mkString(",")}")
-    val qs = results.map { case (k, v) => s"\"" + shortId(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, (v, _)) => s"\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // cold (first-rep) per-query times, only meaningful when reps>=2;
+    // kept in the persisted artifact so min-of-N rounds stay
+    // comparable to one-cold-pass rounds (ADVICE r14)
+    val coldQs =
+      if (reps <= 1) ""
+      else results.map { case (k, (_, c)) => s"\"" + shortId(k) + "\":" + fmt(c) }
+        .mkString(""","cold":{""", ",", "}")
+    val total = results.map(_._2._1).sum
     // fixture_sec: one-time stream-replica build cost (excluded from
     // per-query timings by the warmup — reported so the amortization
     // is auditable, per ADVICE r9)
@@ -153,7 +164,15 @@ object Bench {
     val relV2Sec =
       graft.queries.StreamingQueries.releaseV2Nanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"sf":"$sfDir"}"""
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
+    // compact line FIRST as well as last: whatever window a consumer
+    // reads (head or tail of the post-measurement output), one copy of
+    // the short parseable line lands inside it; stderr carries a third
+    // copy with no sbt [info] prefix.
+    println(compact)
+    System.err.println(compact)
     println(line)
     // persist a copy the driver (or a debugging human) can always
     // find, independent of stdout-tail truncation
@@ -170,8 +189,9 @@ object Bench {
     // printed ONCE (plus tmp/bench_self.json); the true last stdout
     // act is this COMPACT line — short enough to survive any tail
     // window, carrying the total + where the per-query numbers live.
-    // It is the ONLY other "metric":"total" line (ADVICE r13: no
-    // duplicate full-line reprint, so consumers can't double-count).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}""")
+    // The identical compact line also opened the post-measurement
+    // output (above) — consumers reading either window find one copy;
+    // both copies are byte-identical so de-duplication is trivial.
+    println(compact)
   }
 }

@@ -462,7 +462,7 @@ object MlQueries {
       val means = assigned
         .select($"cell", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cell", $"dim").agg(round(avg($"x"), 6).as("mx"))
-      broadcast(grid).join(means, Seq("cell", "dim"), "left")
+      grid.join(broadcast(means), Seq("cell", "dim"), "left")
         .crossJoin(broadcast(cm))
         .withColumn("mx", coalesce($"mx",
           element_at(element_at($"m", $"cell" + 1), $"dim" + 1)))

@@ -1617,8 +1617,13 @@ object StreamingQueries {
     // session's checkpointed blocks. (The annIndexDir/chunkIndexDir/
     // streamFixture caches are exempt by construction: they memoize
     // only on-disk parquet PATHS, which any session can re-read.)
-    val key =
-      s"${s.sparkContext.applicationId}:$dir:${src.lastModified}:${src.length}"
+    val app = s.sparkContext.applicationId
+    val key = s"$app:$dir:${src.lastModified}:${src.length}"
+    // evict entries owned by OTHER applicationIds (ADVICE r14): their
+    // sessions are gone (or will never be read again from this one),
+    // so a JVM that cycles SparkSessions doesn't accumulate dead
+    // checkpointed-DataFrame references without bound.
+    releaseStateCache.keySet.removeIf(k => !k.startsWith(app + ":"))
     releaseStateCache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
       val split = DedupQueries.IngestSplit
@@ -1653,8 +1658,9 @@ object StreamingQueries {
 
   private[graft] def releaseV2For(s: SparkSession, dir: String): DataFrame = {
     val src = new java.io.File(s"$dir/documents.parquet")
-    val key =
-      s"${s.sparkContext.applicationId}:$dir:${src.lastModified}:${src.length}"
+    val app = s.sparkContext.applicationId
+    val key = s"$app:$dir:${src.lastModified}:${src.length}"
+    releaseV2Cache.keySet.removeIf(k => !k.startsWith(app + ":"))
     releaseV2Cache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
       val v2 = TextQueries.releaseDocs(graft.Tables.documents(s, dir)

@@ -2661,7 +2661,13 @@ object TextQueries {
        |          FROM v0, tot),
        |mk AS (SELECT word, wc,
        |        unnest(generate_series(0,
-       |          CAST(2 ** (len(word) - 1) AS BIGINT) - 1)) AS mask
+       |          CAST(2 ** (CASE WHEN len(word) <= $UniEnumMax
+       |                THEN len(word)
+       |                ELSE CAST(error('unigram oracle: word longer than
+       | $UniEnumMax chars - the exhaustive-enumeration bound; the Spark
+       | side takes the bounded Viterbi fold here, so oracle coverage
+       | must stop LOUDLY instead of exploding 2^(len-1) masks')
+       |                 AS BIGINT) END - 1) AS BIGINT) - 1)) AS mask
        |       FROM w),
        |bm AS (SELECT word, wc, mask,
        |        list_concat(list_concat([CAST(0 AS BIGINT)],

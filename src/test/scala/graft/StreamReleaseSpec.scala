@@ -191,7 +191,8 @@ class StreamReleaseSpec extends SparkSpec {
       "v3" -> graft.queries.TextQueries.releaseDocs(
         docs.select($"doc_id", $"lang", $"text")).count())
     // the series grows: each wave can only add corpus
-    assert(sizes("v1") <= sizes("v2") || sizes("v2") <= sizes("v3"))
+    assert(sizes("v1") <= sizes("v2") && sizes("v2") <= sizes("v3"),
+      sizes)
     val sheet = Registry.byName("q205_release_series").run(spark, sf)
       .localCheckpoint(true)
     def tot(pair: String) = {
