@@ -2088,8 +2088,14 @@ object SimilarityQueries {
     * — the shared spelling the streaming index-maintenance oracle
     * (q188) composes without the query-side ranking CTEs. */
   private[graft] def chunkCorpusSqlCtes(p: String): String =
+    chunkCorpusSqlCtesFrom(p, "documents")
+
+  /** the chunk-corpus CTE chain over an arbitrary (doc_id, text)
+    * source — q206's purge oracle runs it twice (full corpus vs
+    * corpus − D) without drifting from the q182/q188 spelling. */
+  private[graft] def chunkCorpusSqlCtesFrom(p: String, src: String): String =
     s"""${p}d AS (SELECT doc_id, string_split(text, ' ') AS t
-       |           FROM documents),
+       |           FROM $src),
        |${p}nn AS (SELECT doc_id, t, len(t) AS n_tok,
        |        greatest(1, CAST(ceil((len(t) - $ChunkW) / $ChunkS.0)
        |          AS BIGINT) + 1) AS n_chunks

@@ -1193,23 +1193,32 @@ object StreamingQueries {
     * gate pins the compacted index (df, cf, Σ doc_id·tf checksum per
     * term) equal to the one-shot batch inverted index — stream ≡
     * batch, q115/q162's foundation maintained incrementally. */
+  /** the per-doc postings extractor (doc_id, term, tf) — row-local,
+    * so the SAME spelling serves q177's stream deltas and q206's
+    * batch-built artifact (stream ≡ batch is q177's own gate). */
+  private[graft] def docPostingsOf(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    src
+      .select($"doc_id", split($"text", " ").as("toks"))
+      // _outer: dodge InferFiltersFromGenerate — the inferred
+      // size(e)>0 filter re-inlines the whole postings transform
+      // below the projection (measured 12x on q189's n-gram twin);
+      // an all-empty-token doc yields one null row, dropped below
+      // (plain explode dropped the doc at the Generate)
+      .select($"doc_id", explode_outer(expr(
+        "transform(array_distinct(filter(toks, t -> length(t) > 0)), " +
+          "t -> struct(t AS term, size(filter(toks, x -> x = t)) AS tf))"))
+        .as("p"))
+      .filter($"p".isNotNull)
+      .select($"doc_id", $"p.term".as("term"),
+        $"p.tf".cast("long").as("tf"))
+  }
+
   private def q177(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q177") { scratch =>
-      val postings = multiFileStream(s, dir, "documents")
-        .select($"doc_id", split($"text", " ").as("toks"))
-        // _outer: dodge InferFiltersFromGenerate — the inferred
-        // size(e)>0 filter re-inlines the whole postings transform
-        // below the projection (measured 12x on q189's n-gram twin);
-        // an all-empty-token doc yields one null row, dropped below
-        // (plain explode dropped the doc at the Generate)
-        .select($"doc_id", explode_outer(expr(
-          "transform(array_distinct(filter(toks, t -> length(t) > 0)), " +
-            "t -> struct(t AS term, size(filter(toks, x -> x = t)) AS tf))"))
-          .as("p"))
-        .filter($"p".isNotNull)
-        .select($"doc_id", $"p.term".as("term"),
-          $"p.tf".cast("long").as("tf"))
+      val postings = docPostingsOf(multiFileStream(s, dir, "documents"))
       runToSink(s, postings, scratch)
         .groupBy($"term")
         .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
@@ -1331,11 +1340,19 @@ object StreamingQueries {
     * the embeddings file stream — q183's delta pipeline, factored so
     * StreamAnnIndexSpec can sink the raw deltas and pin them against
     * the batch ivfadcIndex row for row. */
-  private[graft] def annIndexDeltas(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annIndexDeltas(s: SparkSession, dir: String): DataFrame =
+    annIndexDeltasOf(s, dir, multiFileStream(s, dir, "embeddings"))
+
+  /** the per-row IVFADC encode over an arbitrary (vec_id, embedding)
+    * source — shared by q183's stream deltas and q206's batch-built
+    * artifact (the codebook/centroids stay the FROZEN trained model
+    * either way). */
+  private[graft] def annIndexDeltasOf(s: SparkSession, dir: String,
+      src: DataFrame): DataFrame = {
     import s.implicits._
     val cb = SimilarityQueries.pqCodebookNested(s, dir)
       .withColumn("k", lit(1))
-    multiFileStream(s, dir, "embeddings")
+    src
       .select($"vec_id", $"embedding".cast("array<double>").as("v0"))
       .withColumn("nrm", graft.ops.ArrayOps.l2Norm(s, $"v0"))
       .select($"vec_id", transform($"v0", x => x / $"nrm").as("v"))
@@ -1393,11 +1410,18 @@ object StreamingQueries {
     * recomputed independently by the oracle (the SHARED
     * chunkCorpusSqlCtes spelling — the gate and the q182/q185 ranking
     * oracles cannot drift apart). */
-  private[graft] def chunkIndexDeltas(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chunkIndexDeltas(s: SparkSession, dir: String): DataFrame =
+    chunkIndexDeltasOf(multiFileStream(s, dir, "documents"))
+
+  /** the per-doc chunk-postings extractor over an arbitrary
+    * (doc_id, text) source — shared by q188's stream deltas and
+    * q206's batch-built artifact. */
+  private[graft] def chunkIndexDeltasOf(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
     import s.implicits._
     val W = SimilarityQueries.ChunkW
     val St = SimilarityQueries.ChunkS
-    multiFileStream(s, dir, "documents")
+    src
       .select($"doc_id", split($"text", " ").as("t"))
       .withColumn("n_tok", size($"t").cast("long"))
       .withColumn("n_chunks", greatest(lit(1L),
@@ -2115,7 +2139,205 @@ object StreamingQueries {
        |${retentionSelectSql("r2", "r3", Some("v2_v3"))})
        |ORDER BY pair, lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q206: TAKEDOWN PURGE ACROSS THE ARTIFACT FAMILY — the one
+  // lifecycle verb the served artifacts lacked (the round-14 verdict's
+  // top gap): given a doc set D (takedowns/opt-outs — here an
+  // md5-derived 1/16 sample, so the oracle can name the same set),
+  // the purge must remove D from EVERY served artifact without a full
+  // rebuild. The artifacts are the maintenance triple's sinks — doc
+  // postings (q177), chunk postings (q188), ANN codes (q183, keyed by
+  // vec_id: a takedown feed names artifact keys) — each pre-built
+  // once (batch, the same row-local extractor the streams use; stream
+  // ≡ batch is those gates' own theorem). The takedown FEED is the
+  // streamed element, exactly as deployed: requests arrive
+  // continuously, append key tombstones through a real streaming sink
+  // (file-sink manifest → exactly-once tombstones), and the readable
+  // artifact is the merge-on-read compaction = deltas ANTI JOIN
+  // tombstones (q178's delete semantics applied to the index family).
+  // The gate is the purge contract itself: every compacted artifact
+  // hash-equal to a from-scratch rebuild over corpus − D (the oracle
+  // recomputes each artifact from the base tables with D excluded),
+  // rolled into per-(artifact, key-bucket) digests with the funnel
+  // columns a takedown audit publishes (rows before/purged/after,
+  // live keys, artifact checksums). The PQ codebook and IVF centroids
+  // stay the FROZEN trained model on both sides — a purge removes a
+  // vector's codes from the index, it does not retrain the quantizer
+  // (that is a model-release decision, q201's territory).
+  //
+  // The release manifest is deliberately NOT purged-in-place here:
+  // released shards pack docs by cumulative token offsets, so removing
+  // a doc shifts every later offset — the honest release purge is a
+  // roll-forward (q207), not a tombstone.
+  //
+  // Scale: tombstones are |D|-sized and broadcast; each anti-join
+  // prunes at the artifact's own key, no exchange carries text or
+  // vectors; the rollups are bounded (16 buckets × 3 artifacts).
+  private[graft] object Takedown {
+    /** 1/16 of keys: substr(md5('purge:' || key), 1, 1) = Hex. */
+    val Hex = "0"
+    def purged(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      substring(md5(concat(lit("purge:"), key.cast("string"))), 1, 1) ===
+        Hex
+    def sql(key: String): String =
+      s"substr(md5('purge:' || CAST($key AS VARCHAR)), 1, 1) = '$Hex'"
+  }
+
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q206") { scratch =>
+      val docs = graft.Tables.documents(s, dir).select($"doc_id", $"text")
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      // the pre-existing artifacts (delta tables a production sink
+      // holds): batch-built with the SAME row-local extractors the
+      // q177/q183/q188 streams run
+      docPostingsOf(docs).write.parquet(scratch + "/doc_postings")
+      chunkIndexDeltasOf(docs).write.parquet(scratch + "/chunk_postings")
+      annIndexDeltasOf(s, dir, embs).write.parquet(scratch + "/ann_codes")
+      // the takedown feed, streamed: key tombstones through a real
+      // AvailableNow streaming sink (one per key space)
+      val docTomb = runToSink(s,
+        multiFileStream(s, dir, "documents")
+          .filter(Takedown.purged($"doc_id")).select($"doc_id"),
+        scratch + "/tomb_doc").localCheckpoint(true)
+      val vecTomb = runToSink(s,
+        multiFileStream(s, dir, "embeddings")
+          .filter(Takedown.purged($"vec_id")).select($"vec_id"),
+        scratch + "/tomb_vec").localCheckpoint(true)
+      // merge-on-read compaction + per-bucket funnel: rows is the
+      // delta table projected to (bucket, k, c1, c2); the purged
+      // artifact is rows ANTI JOIN tombstones on the artifact key
+      // `key` is the TOMBSTONE key (what a takedown names); `k` the
+      // artifact's own index key (term / vec_id) — live-key counts
+      // report the latter
+      def funnel(artifact: String, rows: DataFrame, tomb: DataFrame,
+          key: String): DataFrame = {
+        val after = rows.join(broadcast(tomb), Seq(key), "left_anti")
+        val b = rows.groupBy($"bucket")
+          .agg(count(lit(1)).as("rows_before"))
+        val a = after.groupBy($"bucket")
+          .agg(count(lit(1)).as("rows_after"),
+            countDistinct($"k").as("keys_after"),
+            sum($"c1").as("chk1"), sum($"c2").as("chk2"))
+        b.join(a, Seq("bucket"), "full_outer")
+          .select(lit(artifact).as("artifact"), $"bucket",
+            coalesce($"rows_before", lit(0L)).as("rows_before"),
+            (coalesce($"rows_before", lit(0L)) -
+              coalesce($"rows_after", lit(0L))).as("rows_purged"),
+            coalesce($"rows_after", lit(0L)).as("rows_after"),
+            coalesce($"keys_after", lit(0L)).as("keys_after"),
+            coalesce($"chk1", lit(0L)).as("chk1"),
+            coalesce($"chk2", lit(0L)).as("chk2"))
+      }
+      val dp = s.read.parquet(scratch + "/doc_postings")
+        .select(substring(md5($"term"), 1, 1).as("bucket"),
+          $"doc_id", $"term".as("k"),
+          ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
+      val cp = s.read.parquet(scratch + "/chunk_postings")
+        .select(substring(md5($"term"), 1, 1).as("bucket"),
+          $"doc_id", $"term".as("k"),
+          ($"doc_id" * $"tf" * ($"chunk_idx" + 1)).as("c1"),
+          ($"dl" * $"tf").as("c2"))
+      val ac = s.read.parquet(scratch + "/ann_codes")
+        .withColumn("cchk", expr(
+          "aggregate(zip_with(codes, sequence(1, size(codes)), " +
+            "(c, i) -> CAST(c AS BIGINT) * i), CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc + x)"))
+        .select($"cell".cast("string").as("bucket"), $"vec_id",
+          $"vec_id".as("k"),
+          ($"vec_id" * $"cchk").as("c1"), $"cchk".as("c2"))
+      funnel("ann_codes", ac, vecTomb, "vec_id")
+        .unionByName(funnel("chunk_postings", cp, docTomb, "doc_id"))
+        .unionByName(funnel("doc_postings", dp, docTomb, "doc_id"))
+        .orderBy($"artifact", $"bucket")
+    }
+  }
+
+  private lazy val q206Sql = {
+    val cellS = SimilarityQueries.cellSql("v")
+    s"""WITH ${SimilarityQueries.pqPreambleSqlForAnnSample},
+       |pd AS (SELECT doc_id, text FROM documents
+       |       WHERE NOT (${Takedown.sql("doc_id")})),
+       |tfb AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |       WHERE len(term) > 0 GROUP BY doc_id, term),
+       |tfa AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM pd)
+       |       WHERE len(term) > 0 GROUP BY doc_id, term),
+       |dpb AS (SELECT substr(md5(term), 1, 1) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_before
+       |        FROM tfb GROUP BY 1),
+       |dpa AS (SELECT substr(md5(term), 1, 1) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_after,
+       |         CAST(count(DISTINCT term) AS BIGINT) AS keys_after,
+       |         CAST(sum(doc_id * tf) AS BIGINT) AS chk1,
+       |         CAST(sum(tf) AS BIGINT) AS chk2
+       |        FROM tfa GROUP BY 1),
+       |${SimilarityQueries.chunkCorpusSqlCtesFrom("xb", "documents")},
+       |${SimilarityQueries.chunkCorpusSqlCtesFrom("xa", "pd")},
+       |cpb AS (SELECT substr(md5(term), 1, 1) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_before
+       |        FROM xbctf GROUP BY 1),
+       |cpa AS (SELECT substr(md5(term), 1, 1) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_after,
+       |         CAST(count(DISTINCT term) AS BIGINT) AS keys_after,
+       |         CAST(sum(doc_id * tf * (chunk_idx + 1)) AS BIGINT) AS chk1,
+       |         CAST(sum(cdl.dl * tf) AS BIGINT) AS chk2
+       |        FROM xactf ctf JOIN xacdl cdl USING (doc_id, chunk_idx)
+       |        GROUP BY 1),
+       |bc AS (SELECT vec_id, $cellS AS cell FROM e),
+       |cc AS (SELECT c.vec_id, bc.cell,
+       |        CAST(sum((c.m + 1) * c.j) AS BIGINT) AS cchk
+       |       FROM codes c JOIN bc ON c.vec_id = bc.vec_id
+       |       GROUP BY c.vec_id, bc.cell),
+       |acb AS (SELECT CAST(cell AS VARCHAR) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_before
+       |        FROM cc GROUP BY 1),
+       |aca AS (SELECT CAST(cell AS VARCHAR) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS rows_after,
+       |         CAST(count(DISTINCT vec_id) AS BIGINT) AS keys_after,
+       |         CAST(sum(vec_id * cchk) AS BIGINT) AS chk1,
+       |         CAST(sum(cchk) AS BIGINT) AS chk2
+       |        FROM cc WHERE NOT (${Takedown.sql("vec_id")})
+       |        GROUP BY 1),
+       |fun AS (
+       | SELECT 'doc_postings' AS artifact,
+       |  coalesce(b.bucket, a.bucket) AS bucket,
+       |  coalesce(b.rows_before, 0) AS rows_before,
+       |  coalesce(b.rows_before, 0) - coalesce(a.rows_after, 0)
+       |    AS rows_purged,
+       |  coalesce(a.rows_after, 0) AS rows_after,
+       |  coalesce(a.keys_after, 0) AS keys_after,
+       |  coalesce(a.chk1, 0) AS chk1, coalesce(a.chk2, 0) AS chk2
+       | FROM dpb b FULL OUTER JOIN dpa a ON b.bucket = a.bucket
+       | UNION ALL
+       | SELECT 'chunk_postings', coalesce(b.bucket, a.bucket),
+       |  coalesce(b.rows_before, 0),
+       |  coalesce(b.rows_before, 0) - coalesce(a.rows_after, 0),
+       |  coalesce(a.rows_after, 0), coalesce(a.keys_after, 0),
+       |  coalesce(a.chk1, 0), coalesce(a.chk2, 0)
+       | FROM cpb b FULL OUTER JOIN cpa a ON b.bucket = a.bucket
+       | UNION ALL
+       | SELECT 'ann_codes', coalesce(b.bucket, a.bucket),
+       |  coalesce(b.rows_before, 0),
+       |  coalesce(b.rows_before, 0) - coalesce(a.rows_after, 0),
+       |  coalesce(a.rows_after, 0), coalesce(a.keys_after, 0),
+       |  coalesce(a.chk1, 0), coalesce(a.chk2, 0)
+       | FROM acb b FULL OUTER JOIN aca a ON b.bucket = a.bucket)
+       |SELECT CAST(rows_before AS BIGINT) AS rows_before,
+       | CAST(rows_purged AS BIGINT) AS rows_purged,
+       | CAST(rows_after AS BIGINT) AS rows_after,
+       | CAST(keys_after AS BIGINT) AS keys_after,
+       | CAST(chk1 AS BIGINT) AS chk1, CAST(chk2 AS BIGINT) AS chk2,
+       | artifact, bucket
+       |FROM fun ORDER BY artifact, bucket""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q206_takedown_purge", q206, Some(q206Sql),
+      "takedown purge across the artifact family: streamed key tombstones + merge-on-read anti-join compaction over doc postings / chunk postings / ANN codes, gated ≡ a from-scratch rebuild over corpus − D, with per-bucket purge-funnel digests"),
     Q("q205_release_series", q205, Some(q205Sql),
       "3-version release lineage retention: adjacent-pair retained/churned/new rollups down a deterministic release series (v1 frozen, v3 the materialized roll-forward)"),
     Q("q204_release_retention", q204, Some(q204Sql),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Registry, StreamingQueries}
+
+/** q206's purge contract, pinned inside Spark (the gate hashes
+  * per-bucket digests; this compares the purged-and-compacted
+  * artifacts against from-scratch rebuilds ROW FOR ROW, so a
+  * compensating-checksum collision can't hide a miss), plus a
+  * planted shared-term case and the funnel's conservation laws. */
+class TakedownSpec extends SparkSpec {
+
+  private def purgedDoc = StreamingQueries.Takedown.purged(col("doc_id"))
+
+  test("purged doc-postings compaction ≡ rebuild over corpus − D, row for row") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val tomb = docs.filter(purgedDoc).select($"doc_id")
+    val purged = StreamingQueries.docPostingsOf(docs)
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val rebuilt = StreamingQueries.docPostingsOf(docs.filter(!purgedDoc))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val (p, r) = (rows(purged), rows(rebuilt))
+    assert(p == r, s"purge ≠ rebuild: ${p.diff(r).take(3)} vs ${r.diff(p).take(3)}")
+    assert(p.nonEmpty)
+    // no purged doc id survives in the artifact
+    val dead = tomb.collect().map(_.getLong(0)).toSet
+    assert(p.forall { case (d, _, _) => !dead.contains(d) })
+    assert(dead.nonEmpty, "purge sample empty — the test would be vacuous")
+  }
+
+  test("planted shared term: purge drops the purged doc's postings, keeps the term live") {
+    import spark.implicits._
+    // find a term posted by BOTH a purged and a kept doc
+    val post = StreamingQueries.docPostingsOf(
+      graft.Tables.documents(spark, sf).select($"doc_id", $"text"))
+      .withColumn("p", purgedDoc)
+    val shared = post.groupBy($"term")
+      .agg(sum(when($"p", 1L).otherwise(0L)).as("np"),
+        sum(when(!$"p", 1L).otherwise(0L)).as("nk"))
+      .filter($"np" > 0 && $"nk" > 0)
+      .limit(1).collect()
+    assert(shared.nonEmpty, "no term shared across the purge boundary")
+    val t = shared(0).getString(0)
+    val after = post.filter(!$"p" && $"term" === t).count()
+    assert(after == shared(0).getLong(2)) // exactly the kept postings survive
+    assert(after > 0)
+  }
+
+  test("q206 funnel: conservation, tombstone accounting, all three artifacts") {
+    import spark.implicits._
+    val sheet = Registry.byName("q206_takedown_purge").run(spark, sf)
+      .localCheckpoint(true)
+    assert(sheet.select($"artifact").distinct().count() == 3)
+    // per row: before = purged + after, and nothing negative
+    val bad = sheet.filter(
+      $"rows_before" =!= $"rows_purged" + $"rows_after" ||
+        $"rows_purged" < 0 || $"rows_after" < 0).count()
+    assert(bad == 0)
+    // something was actually purged from every artifact
+    val perArtifact = sheet.groupBy($"artifact")
+      .agg(sum($"rows_purged").as("p"), sum($"rows_after").as("a"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    perArtifact.foreach { case (name, (p, a)) =>
+      assert(p > 0, s"$name purged nothing — vacuous gate")
+      assert(a > 0, s"$name emptied — purge sample should be 1/16")
+    }
+    // ann_codes is keyed one row per vec: purged rows == tombstoned vecs
+    val vecDead = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .filter(StreamingQueries.Takedown.purged($"vec_id")).count()
+    assert(perArtifact("ann_codes")._1 == vecDead)
+  }
+}
