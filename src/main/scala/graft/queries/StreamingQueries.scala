@@ -2335,7 +2335,101 @@ object StreamingQueries {
        |FROM fun ORDER BY artifact, bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q207: PURGE-AWARE RELEASE ROLL-FORWARD — the release-family verb
+  // q206 deliberately leaves out: released shards pack docs by
+  // cumulative token offsets, so removing a doc shifts every later
+  // offset — a release is purged by ROLLING FORWARD (q201's machinery)
+  // over corpus − D, not by tombstoning shards. v3 = the full release
+  // chain over the takedown-filtered corpus; the gate is the q204
+  // retention rollup with the exit reason SPLIT: docs leaving
+  // v2 → v3 because they are IN D (purged_takedown — the compliance
+  // number) vs docs leaving because the UNIMAX budget re-opened over
+  // the shrunken corpus and reshuffled the greedy selection
+  // (churned_budget — the collateral number a consumer prices
+  // separately). A takedown audit needs both: "we removed what was
+  // named" and "this much else moved as a consequence".
+  //
+  // Scale: the v2 side is the memoized release artifact (zero
+  // re-run); v3 is one q197-posture chain; the diff is a slim
+  // (lang, doc_id, n_tok) full-outer join — text rides nothing.
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v2 = releaseV2For(s, dir).select($"lang", $"doc_id", $"n_tok")
+    val v3 = TextQueries.releaseDocs(
+        graft.Tables.documents(s, dir)
+          .filter(!Takedown.purged($"doc_id"))
+          .select($"doc_id", $"lang", $"text"))
+      .select($"lang", $"doc_id", $"n_tok")
+    v2.select($"lang".as("l1"), $"doc_id", $"n_tok".as("t1"))
+      .join(v3.select($"lang".as("l2"), $"doc_id", $"n_tok".as("t2")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("lang", coalesce($"l1", $"l2"))
+      .withColumn("in_d", Takedown.purged($"doc_id"))
+      .groupBy($"lang")
+      .agg(
+        sum(when($"t1".isNotNull && $"t2".isNotNull, 1L).otherwise(0L))
+          .as("retained_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNotNull, $"t1")
+          .otherwise(0L)).as("retained_tokens"),
+        sum(when($"t1".isNotNull && $"t2".isNull && $"in_d", 1L)
+          .otherwise(0L)).as("purged_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNull && $"in_d", $"t1")
+          .otherwise(0L)).as("purged_tokens"),
+        sum(when($"t1".isNotNull && $"t2".isNull && !$"in_d", 1L)
+          .otherwise(0L)).as("churned_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNull && !$"in_d", $"t1")
+          .otherwise(0L)).as("churned_tokens"),
+        sum(when($"t1".isNull, 1L).otherwise(0L)).as("new_docs"),
+        sum(when($"t1".isNull, $"t2").otherwise(0L)).as("new_tokens"))
+      .withColumn("retention6", expr(
+        """CASE WHEN retained_docs + purged_docs + churned_docs > 0
+          |THEN (retained_docs * 1000000)
+          | div (retained_docs + purged_docs + churned_docs)
+          |END""".stripMargin))
+      .orderBy($"lang")
+  }
+
+  private lazy val q207Sql =
+    s"""WITH pd AS (SELECT doc_id, lang, text FROM documents
+       |       WHERE NOT (${Takedown.sql("doc_id")})),
+       |r2 AS ${relSetSql("documents")},
+       |r3 AS ${relSetSql("pd")},
+       |j AS (SELECT coalesce(r2.lang, r3.lang) AS lang,
+       |       coalesce(r2.doc_id, r3.doc_id) AS doc_id,
+       |       r2.p_tok AS t1, r3.p_tok AS t2
+       |      FROM r2 FULL OUTER JOIN r3 ON r2.doc_id = r3.doc_id)
+       |SELECT lang,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS retained_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS retained_tokens,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   AND (${Takedown.sql("doc_id")})
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS purged_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   AND (${Takedown.sql("doc_id")})
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS purged_tokens,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   AND NOT (${Takedown.sql("doc_id")})
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS churned_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   AND NOT (${Takedown.sql("doc_id")})
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS churned_tokens,
+       | CAST(sum(CASE WHEN t1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS new_docs,
+       | CAST(sum(CASE WHEN t1 IS NULL THEN t2 ELSE 0 END) AS BIGINT)
+       |   AS new_tokens,
+       | CAST(CASE WHEN sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |  THEN sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |    THEN 1 ELSE 0 END) * 1000000 //
+       |   sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS retention6
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q207_purge_rollforward", q207, Some(q207Sql),
+      "purge-aware release roll-forward: v3 rebuilt over corpus − D, retention rollup with the exit reason split (purged_takedown vs churned_budget) per language"),
     Q("q206_takedown_purge", q206, Some(q206Sql),
       "takedown purge across the artifact family: streamed key tombstones + merge-on-read anti-join compaction over doc postings / chunk postings / ANN codes, gated ≡ a from-scratch rebuild over corpus − D, with per-bucket purge-funnel digests"),
     Q("q205_release_series", q205, Some(q205Sql),

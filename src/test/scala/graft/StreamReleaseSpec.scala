@@ -235,4 +235,32 @@ class StreamReleaseSpec extends SparkSpec {
     assert(tot("both", "full_only") ==
       ((ful.count(), ful.agg(sum($"n_tok")).collect()(0).getLong(0))))
   }
+
+  test("q207 purge roll-forward: no doc of D in any v3 shard; reasons conserve") {
+    import spark.implicits._
+    val purged = StreamingQueries.Takedown.purged($"doc_id")
+    val v3 = TextQueries.releaseDocs(
+      graft.Tables.documents(spark, sf).filter(!purged)
+        .select($"doc_id", $"lang", $"text"))
+      .localCheckpoint(true)
+    // the compliance property: a taken-down doc appears in NO current
+    // shard of the rolled-forward release
+    assert(v3.filter(purged).count() == 0)
+    assert(v3.count() > 0)
+    val v2 = TextQueries.releaseDocs(
+      graft.Tables.documents(spark, sf).select($"doc_id", $"lang", $"text"))
+    val sheet = Registry.byName("q207_purge_rollforward").run(spark, sf)
+    val r = sheet.agg(sum($"retained_docs"), sum($"purged_docs"),
+      sum($"churned_docs"), sum($"new_docs")).collect()(0)
+    val (ret, pur, chr, nw) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // every v2 doc exits into exactly one bucket; v3 = retained + new
+    assert(ret + pur + chr == v2.count(), (ret, pur, chr, v2.count()))
+    assert(ret + nw == v3.count(), (ret, nw, v3.count()))
+    // the takedown actually bit: v2 ships docs from D, all exit as
+    // purged_takedown (none can be "retained" — v3 excluded them)
+    val v2InD = v2.filter(purged).count()
+    assert(v2InD > 0, "no released doc in D — the reason split is vacuous")
+    assert(pur == v2InD, (pur, v2InD))
+  }
 }
