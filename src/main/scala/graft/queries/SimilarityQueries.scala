@@ -487,7 +487,7 @@ object SimilarityQueries {
     * a rebalance of the one-file local scan — profiled at 0.87 s warm
     * as a single-task interpreted fold, and q114 consumes this frame
     * five times (encode, codebook, LUT, query vectors, re-rank). */
-  private def unitVecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def unitVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)

@@ -2427,7 +2427,161 @@ object StreamingQueries {
        |  END AS BIGINT) AS retention6
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q208: SQ8 CODE MAINTENANCE + RE-SCALE AUDIT — the upkeep twin the
+  // scalar quantizer lacked (q183 maintains IVFADC codes; q203 made
+  // SQ8-in-cell the attractive in-cell scorer, but its int8 codes
+  // depend on a GLOBAL scale — the corpus-wide max |component| — that
+  // drifts as the corpus grows). Two halves, exactly the production
+  // split:
+  //  (1) MAINTENANCE: newly arriving embeddings stream through the
+  //      int8 encode against the FROZEN base scale (a broadcast 1-row
+  //      plan literal — stream-static, stateless, replay-exact) plus
+  //      the frozen IVF cell assignment, appending (vec_id, cell,
+  //      codes) deltas; the readable artifact is base codes ∪ deltas.
+  //  (2) RE-SCALE AUDIT: the full-corpus scale is recomputed and every
+  //      vector re-encoded under it; the gate publishes, per cell, the
+  //      compacted artifact's checksums under BOTH scales, how many
+  //      vectors' codes would change, and the scale drift in exact
+  //      micro-units with the re-scale decision bit (drift > 1%).
+  //      A deployment runs the audit cheaply and re-encodes only when
+  //      the bit fires — the alternative (re-encode every ingest) is
+  //      a full-corpus pass per batch.
+  // Every published number is integer (int8 code sums, counts,
+  // micro-unit drift): the only doubles are max-aggregations and one
+  // division, both order-free — no rounding convention to defend.
+  //
+  // Scale: the encode is row-local against two broadcast scalars; the
+  // audit joins slim (vec_id, codes) frames on vec_id and rolls up to
+  // |cells| rows. At 100 TB the re-encode-on-fire is the one
+  // full-corpus pass, which is the point of gating it on drift.
+  private val Sq8DriftThresh6 = 1010000L // re-scale when mx grows > 1%
+
+  private[graft] def vecIxOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    substring(md5(concat(lit("ingest:"), c.cast("string"))), 1, 2)
+
+  private def sq8Enc(v: org.apache.spark.sql.Column,
+      mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(v, x => round(x * 127 / mx, 0).cast("long"))
+
+  /** the frozen base scale: max |component| over the base split's
+    * unit vectors (a 1-row frame, broadcast as a plan literal). */
+  private[graft] def sq8FrozenScale(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    SimilarityQueries.unitVecs(s, dir)
+      .filter(vecIxOf($"vec_id") >= DedupQueries.IngestSplit.NewMax)
+      .agg(max(expr("array_max(transform(v, x -> abs(x)))")).as("mx"))
+  }
+
+  /** (vec_id, cell, c) — the SQ8-in-cell encode of a unit-vector
+    * frame at a given 1-row scale; ONE spelling for the batch base
+    * artifact, the streamed deltas, and the spec's row-level pins. */
+  private[graft] def sq8CodesAt(u: DataFrame, mx: DataFrame): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    u.withColumn("k", lit(1))
+      .join(broadcast(mx.withColumn("k", lit(1))), "k")
+      .select($"vec_id", SimilarityQueries.cellCol(s, $"v").as("cell"),
+        sq8Enc($"v", $"mx").as("c"))
+  }
+
+  /** q208's streamed maintenance deltas: NEW embeddings through the
+    * frozen-scale encode (stream-static broadcast, q183's pattern). */
+  private[graft] def sq8Deltas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mxBase = sq8FrozenScale(s, dir)
+    sq8CodesAt(
+      multiFileStream(s, dir, "embeddings")
+        .filter(vecIxOf($"vec_id") < DedupQueries.IngestSplit.NewMax)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v0"))
+        .withColumn("nrm", graft.ops.ArrayOps.l2Norm(s, $"v0"))
+        .select($"vec_id", transform($"v0", x => x / $"nrm").as("v")),
+      mxBase)
+  }
+
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q208") { scratch =>
+      val split = DedupQueries.IngestSplit
+      val u = SimilarityQueries.unitVecs(s, dir)
+      val mxBase = sq8FrozenScale(s, dir)
+      // the pre-existing artifact: base vectors encoded at the frozen
+      // scale (one batch pass per release, like ivfadcIndex)
+      sq8CodesAt(u.filter(vecIxOf($"vec_id") >= split.NewMax), mxBase)
+        .write.parquet(scratch + "/codes_base")
+      val compacted = s.read.parquet(scratch + "/codes_base")
+        .unionByName(runToSink(s, sq8Deltas(s, dir), scratch))
+      // re-scale audit: full-corpus scale, every vector re-encoded
+      val mxFull = u
+        .agg(max(expr("array_max(transform(v, x -> abs(x)))")).as("mxf"))
+      val rescaled = u.crossJoin(broadcast(mxFull))
+        .select($"vec_id", sq8Enc($"v", $"mxf").as("cr"))
+      def cchk(c: String) = expr(
+        s"aggregate(zip_with($c, sequence(1, size($c)), " +
+          "(x, i) -> x * i), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      compacted.join(rescaled, "vec_id")
+        .crossJoin(broadcast(
+          mxBase.crossJoin(mxFull).select(
+            floor($"mxf" / $"mx" * 1e6 + 0.5).cast("long").as("drift6"))))
+        .groupBy($"cell", $"drift6")
+        .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("vec_checksum"),
+          sum($"vec_id" * cchk("c")).as("chk_frozen"),
+          sum($"vec_id" * cchk("cr")).as("chk_rescaled"),
+          sum(when($"c" =!= $"cr", 1L).otherwise(0L)).as("n_changed"))
+        .select($"cell", $"n_vecs", $"vec_checksum", $"chk_frozen",
+          $"chk_rescaled", $"n_changed", $"drift6",
+          ($"drift6" > Sq8DriftThresh6).as("would_rescale"))
+        .orderBy($"cell")
+    }
+  }
+
+  private lazy val q208Sql = {
+    val cellS = SimilarityQueries.cellSql("v")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, v0,
+       |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
+       |       FROM e0),
+       |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v,
+       |       substr(md5('ingest:' || CAST(vec_id AS VARCHAR)), 1, 2)
+       |         AS ix
+       |      FROM en),
+       |mb AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mx
+       |       FROM e WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |mf AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS mxf
+       |       FROM e),
+       |cf AS (SELECT vec_id, $cellS AS cell,
+       |        list_transform(v, x -> CAST(round(x * 127 / mb.mx)
+       |          AS BIGINT)) AS c,
+       |        list_transform(v, x -> CAST(round(x * 127 / mf.mxf)
+       |          AS BIGINT)) AS cr
+       |       FROM e, mb, mf),
+       |ck AS (SELECT vec_id, cell,
+       |        CAST(list_sum(list_transform(list_zip(c,
+       |          generate_series(1, len(c))), z -> z[1] * z[2]))
+       |          AS BIGINT) AS kf,
+       |        CAST(list_sum(list_transform(list_zip(cr,
+       |          generate_series(1, len(cr))), z -> z[1] * z[2]))
+       |          AS BIGINT) AS kr,
+       |        CASE WHEN c <> cr THEN 1 ELSE 0 END AS chg
+       |       FROM cf),
+       |dr AS (SELECT CAST(floor(mf.mxf / mb.mx * 1000000 + 0.5)
+       |         AS BIGINT) AS drift6 FROM mb, mf)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       | CAST(sum(vec_id) AS BIGINT) AS vec_checksum,
+       | CAST(sum(vec_id * kf) AS BIGINT) AS chk_frozen,
+       | CAST(sum(vec_id * kr) AS BIGINT) AS chk_rescaled,
+       | CAST(sum(chg) AS BIGINT) AS n_changed,
+       | dr.drift6 AS drift6,
+       | dr.drift6 > $Sq8DriftThresh6 AS would_rescale
+       |FROM ck, dr GROUP BY cell, dr.drift6 ORDER BY cell""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q208_sq8_maintain", q208, Some(q208Sql),
+      "SQ8 code maintenance + re-scale audit: streamed frozen-scale int8 deltas over the base artifact; per-cell checksums under frozen vs recomputed global scale, code-change counts, micro-unit drift and the re-scale decision bit"),
     Q("q207_purge_rollforward", q207, Some(q207Sql),
       "purge-aware release roll-forward: v3 rebuilt over corpus − D, retention rollup with the exit reason split (purged_takedown vs churned_budget) per language"),
     Q("q206_takedown_purge", q206, Some(q206Sql),
