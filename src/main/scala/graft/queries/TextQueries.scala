@@ -2345,7 +2345,11 @@ object TextQueries {
     * vocab = (piece, f0, cost6); best = (word, wc, m, seg) — the
     * occurrence-weighted optimal segmentations. Shared by q191
     * (training gate), q192 (rollout) and UnigramSpec. */
-  private[graft] def unigramChain(docs: DataFrame)
+  /** (words, vocab0 = (piece, f0), tot = 1-row t0) — the unigram seed
+    * statistics shared by the hard chain (q191) and the soft-EM
+    * chain (q209): one corpus scan for (word, wc), the substring
+    * counts, and the singles + top-UniV-multi seed vocabulary. */
+  private[graft] def uniSeed(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
@@ -2362,6 +2366,14 @@ object TextQueries {
       .orderBy($"f0".desc, $"piece").limit(UniV)
     val vocab0 = subs.filter(length($"piece") === 1).unionByName(multi)
     val tot = vocab0.agg(sum($"f0").as("t0"))
+    (words, vocab0, tot)
+  }
+
+  private[graft] def unigramChain(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (words, vocab0, tot) = uniSeed(docs)
     val vocab = vocab0.crossJoin(broadcast(tot))
       .withColumn("cost6",
         floor(log($"t0".cast("double") / $"f0") * 1e6 + 0.5).cast("long"))
@@ -3258,7 +3270,232 @@ object TextQueries {
        | CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM disp GROUP BY lang, stage ORDER BY lang, stage""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q209: SOFT-EM UNIGRAM E-STEP (expected counts) — the fidelity gap
+  // the round-14 verdict names: q191/q195/q202 re-estimate from the
+  // single BEST segmentation per word (hard EM / Viterbi counts);
+  // SentencePiece's E-step (Kudo 2018 §3.2, reference tokenizer
+  // training) accumulates EXPECTED piece frequencies over ALL
+  // segmentations — forward-backward on the segmentation lattice.
+  // Two rounds ship: round 1 over the seed statistics, round 2 over
+  // Laplace-smoothed round-1 expectations ((e6+1)/(t6+|V|) — the
+  // smoothing keeps every lattice edge positive without a sentinel).
+  // Viterbi remains the serving/encode path (q192) and the gate twin.
+  //
+  // CROSS-ENGINE DETERMINISM BY CONSTRUCTION, not by rounding hope:
+  // the lattice edge weights are RATIONAL — p(piece) = f/t, one IEEE
+  // division of exactly-representable integers — and the DP uses only
+  // +, ×, ÷ in a pinned evaluation order (inner sums k = 1..4
+  // ascending, left-associated; the occupancy chain left-associated),
+  // so every intermediate double is bit-identical in Spark and DuckDB:
+  // NO transcendentals anywhere (the Viterbi family's ln lives only in
+  // its display costs). Expected counts publish as exact integers:
+  // e6 = Σ floor(α(st−1)·p·β(en)/Z · wc · 1e6 + ½) per lattice edge,
+  // with out-of-vocab edges at a fixed 1e-12 and their mass pooled
+  // under '<unk>'. The oracle mirrors the DP with recursive CTEs
+  // carrying the α/β prefix lists — same unrolled k-order, same
+  // association — so the gate pins the forward-backward itself.
+  //
+  // Scale: row-local O(len · UniMaxPiece) folds over the Heaps-bounded
+  // distinct-word table (cheaper than the Viterbi ENUMERATION it sits
+  // beside); no guard needed — the DP is bounded by construction at
+  // any word length. The only exchanges are the seed groupBys q191
+  // already pays and a |pieces|-sized aggregation of integer counts.
+  private val UniUnkP = "CAST(1e-12 AS DOUBLE)"
+
+  private def uniEdgeP(st: String, k: String): String =
+    s"coalesce(try_element_at(pm, substring(word, $st, $k)), $UniUnkP)"
+
+  /** forward list: element_at(al, i + 1) = α_i; α_0 = 1,
+    * α_i = Σ_{k=1..min(4,i)} α_{i−k} · p(word[i−k+1 .. i]). */
+  private[graft] def uniAlphaExpr: String =
+    s"""aggregate(
+       |  sequence(1, char_length(word)),
+       |  array(CAST(1.0 AS DOUBLE)),
+       |  (acc, i) -> concat(acc, array(
+       |    aggregate(sequence(1, least($UniMaxPiece, i)),
+       |      CAST(0.0 AS DOUBLE),
+       |      (s, k) -> s + element_at(acc, i - k + 1) *
+       |        ${uniEdgeP("i - k + 1", "k")}))))""".stripMargin
+
+  /** backward list: element_at(bl, L − i + 1) = β_i; β_L = 1,
+    * β_i = Σ_{k=1..min(4,L−i)} p(word[i+1 .. i+k]) · β_{i+k}. */
+  private[graft] def uniBetaExpr: String =
+    s"""aggregate(
+       |  sequence(char_length(word) - 1, 0, -1),
+       |  array(CAST(1.0 AS DOUBLE)),
+       |  (acc, i) -> concat(acc, array(
+       |    aggregate(
+       |      sequence(1, least($UniMaxPiece, char_length(word) - i)),
+       |      CAST(0.0 AS DOUBLE),
+       |      (s, k) -> s + ${uniEdgeP("i + 1", "k")} *
+       |        element_at(acc, char_length(word) - (i + k) + 1)))))"""
+      .stripMargin
+
+  private def uniEdgeStructsExpr: String =
+    s"""flatten(transform(sequence(1, char_length(word)),
+       |  st -> transform(
+       |    sequence(st, least(char_length(word), st + ${UniMaxPiece - 1})),
+       |    en -> named_struct('st', st, 'en', en))))""".stripMargin
+
+  /** one soft E-step over vocabP = (piece, p): returns
+    * (piece | '<unk>', e6) — expected counts in exact micro-units. */
+  private[graft] def uniSoftEStep(words: DataFrame, vocabP: DataFrame)
+      : DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val pm = words
+      .select($"word", explode_outer(expr(uniSubsExpr)).as("piece"))
+      .distinct()
+      .join(broadcast(vocabP), "piece")
+      .groupBy($"word")
+      .agg(map_from_entries(collect_set(struct($"piece", $"p"))).as("pm"))
+    val contrib = words.join(pm, "word")
+      .withColumn("al", expr(uniAlphaExpr))
+      .withColumn("bl", expr(uniBetaExpr))
+      .select($"word", $"wc", $"pm", $"al", $"bl",
+        explode(expr(uniEdgeStructsExpr)).as("e"))
+      .withColumn("piece",
+        expr("substring(word, e.st, e.en - e.st + 1)"))
+      .withColumn("c6", expr(
+        s"""CAST(floor(element_at(al, e.st) *
+           | coalesce(try_element_at(pm, piece), $UniUnkP) *
+           | element_at(bl, char_length(word) - e.en + 1) /
+           | element_at(al, char_length(word) + 1) *
+           | CAST(wc AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE))
+           |AS BIGINT)""".stripMargin))
+      .groupBy($"piece").agg(sum($"c6").as("e6raw"))
+    contrib
+      .join(broadcast(vocabP.select($"piece", lit(1).as("inv"))),
+        Seq("piece"), "left")
+      .select(when($"inv".isNotNull, $"piece").otherwise("<unk>")
+        .as("piece"), $"e6raw")
+      .groupBy($"piece").agg(sum($"e6raw").as("e6"))
+  }
+
+  /** the two gated soft-EM rounds over an explicit corpus (UnigramSpec
+    * plants corpora where soft and hard EM provably diverge). */
+  private[graft] def uniSoftRounds(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (words, vocab0, tot) = uniSeed(docs)
+    val vp1 = vocab0.crossJoin(broadcast(tot))
+      .select($"piece", ($"f0".cast("double") / $"t0").as("p"))
+    val g1 = uniSoftEStep(words, vp1).localCheckpoint(true)
+    val t6 = g1.filter($"piece" =!= "<unk>")
+      .agg(sum($"e6").as("t"), count(lit(1)).as("nv"))
+    val vp2 = g1.filter($"piece" =!= "<unk>").crossJoin(broadcast(t6))
+      .select($"piece",
+        (($"e6" + 1).cast("double") / ($"t" + $"nv")).as("p"))
+    val g2 = uniSoftEStep(words, vp2)
+    g1.select(lit(1L).as("round"), $"piece", $"e6")
+      .unionByName(g2.select(lit(2L).as("round"), $"piece", $"e6"))
+      .orderBy($"round", $"piece")
+  }
+
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    uniSoftRounds(documents(s, dir))
+
+  /** the soft E-step as oracle CTEs for round `r` over prob CTE `vp`:
+    * recursive α/β list-carrying DP with the SAME unrolled k-order
+    * and association as the Spark folds. Requires `w` and `sed` in
+    * scope; ends with g$r = (piece | '<unk>', e6). */
+  private def uniSoftStepSql(r: Int, vp: String): String =
+    s"""ep$r AS (SELECT e.word, e.wc, e.st, e.en, e.piece,
+       |         coalesce(v.p, CAST(1e-12 AS DOUBLE)) AS p
+       |        FROM sed e LEFT JOIN $vp v USING (piece)),
+       |fa$r AS (
+       | SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS al FROM w
+       | UNION ALL
+       | SELECT word, i + 1, list_append(al,
+       |   (CASE WHEN i + 1 >= 1 THEN al[i + 1] *
+       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
+       |      AND e.st = fa$r.i + 1 AND e.en = fa$r.i + 1)
+       |    ELSE CAST(0 AS DOUBLE) END)
+       |   + (CASE WHEN i + 1 >= 2 THEN al[i] *
+       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
+       |      AND e.st = fa$r.i AND e.en = fa$r.i + 1)
+       |    ELSE CAST(0 AS DOUBLE) END)
+       |   + (CASE WHEN i + 1 >= 3 THEN al[i - 1] *
+       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
+       |      AND e.st = fa$r.i - 1 AND e.en = fa$r.i + 1)
+       |    ELSE CAST(0 AS DOUBLE) END)
+       |   + (CASE WHEN i + 1 >= 4 THEN al[i - 2] *
+       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
+       |      AND e.st = fa$r.i - 2 AND e.en = fa$r.i + 1)
+       |    ELSE CAST(0 AS DOUBLE) END))
+       | FROM fa$r WHERE i < len(word)),
+       |fb$r AS (
+       | SELECT word, len(word) AS i, [CAST(1 AS DOUBLE)] AS bl FROM w
+       | UNION ALL
+       | SELECT word, i - 1, list_append(bl,
+       |   (CASE WHEN len(word) - i + 1 >= 1 THEN
+       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
+       |      AND e.st = fb$r.i AND e.en = fb$r.i)
+       |      * bl[len(word) - i + 1]
+       |    ELSE CAST(0 AS DOUBLE) END)
+       |   + (CASE WHEN len(word) - i + 1 >= 2 THEN
+       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
+       |      AND e.st = fb$r.i AND e.en = fb$r.i + 1)
+       |      * bl[len(word) - i]
+       |    ELSE CAST(0 AS DOUBLE) END)
+       |   + (CASE WHEN len(word) - i + 1 >= 3 THEN
+       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
+       |      AND e.st = fb$r.i AND e.en = fb$r.i + 2)
+       |      * bl[len(word) - i - 1]
+       |    ELSE CAST(0 AS DOUBLE) END)
+       |   + (CASE WHEN len(word) - i + 1 >= 4 THEN
+       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
+       |      AND e.st = fb$r.i AND e.en = fb$r.i + 3)
+       |      * bl[len(word) - i - 2]
+       |    ELSE CAST(0 AS DOUBLE) END))
+       | FROM fb$r WHERE i > 0),
+       |fz$r AS (SELECT word, al FROM fa$r WHERE i = len(word)),
+       |bz$r AS (SELECT word, bl FROM fb$r WHERE i = 0),
+       |oc$r AS (SELECT e.piece,
+       |         CAST(floor(fz$r.al[e.st] * e.p *
+       |           bz$r.bl[len(e.word) - e.en + 1] /
+       |           fz$r.al[len(e.word) + 1] *
+       |           CAST(e.wc AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE))
+       |          AS BIGINT) AS c6
+       |        FROM ep$r e JOIN fz$r ON e.word = fz$r.word
+       |         JOIN bz$r ON e.word = bz$r.word),
+       |ag$r AS (SELECT piece, CAST(sum(c6) AS BIGINT) AS e6
+       |        FROM oc$r GROUP BY piece),
+       |g$r AS (SELECT CASE WHEN piece IN (SELECT piece FROM $vp)
+       |          THEN piece ELSE '<unk>' END AS piece,
+       |         CAST(sum(e6) AS BIGINT) AS e6
+       |        FROM ag$r GROUP BY 1)""".stripMargin
+
+  private lazy val q209Sql =
+    s"""WITH RECURSIVE $unigramSqlCtes,
+       |sed AS (SELECT word, wc, st, en,
+       |         substr(word, CAST(st AS INT), CAST(en - st + 1 AS INT))
+       |           AS piece
+       |        FROM (SELECT word, wc, st,
+       |               unnest(generate_series(st,
+       |                 least(len(word), st + ${UniMaxPiece - 1}))) AS en
+       |              FROM (SELECT word, wc,
+       |                     unnest(generate_series(1, len(word))) AS st
+       |                    FROM w))),
+       |vp1 AS (SELECT piece, CAST(f0 AS DOUBLE) / t0 AS p
+       |        FROM v0, tot),
+       |${uniSoftStepSql(1, "vp1")},
+       |t61 AS (SELECT CAST(sum(e6) AS BIGINT) AS t,
+       |         CAST(count(*) AS BIGINT) AS nv
+       |        FROM g1 WHERE piece <> '<unk>'),
+       |vp2 AS (SELECT piece, CAST(e6 + 1 AS DOUBLE) / (t + nv) AS p
+       |        FROM g1, t61 WHERE piece <> '<unk>'),
+       |${uniSoftStepSql(2, "vp2")}
+       |SELECT * FROM (
+       | SELECT CAST(1 AS BIGINT) AS round, piece, e6 FROM g1
+       | UNION ALL
+       | SELECT CAST(2 AS BIGINT) AS round, piece, e6 FROM g2)
+       |ORDER BY round, piece""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q209_unigram_soft_em", q209, Some(q209Sql),
+      "soft-EM unigram E-step: lattice forward-backward expected counts in exact micro-units (rational edge probabilities, zero transcendentals), two rounds with Laplace-smoothed re-estimation; '<unk>' pools out-of-vocab mass"),
     Q("q198_release_funnel", q198, Some(q198Sql),
       "release funnel datasheet: per-(lang, stage) doc/token disposition — bench | contaminated | duplicate | over_budget | released"),
     Q("q197_release_manifest", q197, Some(q197Sql),

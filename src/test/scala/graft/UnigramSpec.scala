@@ -224,4 +224,62 @@ class UnigramSpec extends SparkSpec {
     // optimal segmentation beats character splitting: > 1 char/token
     assert(enc.forall(r => r.getDouble(4) > 1.0), enc.mkString("\n"))
   }
+
+  test("soft EM: hand-computed forward-backward, divergence from hard EM, conservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus: "ab ab ab a b" — words ab(×3), a(×1), b(×1).
+    // seed: f0(a) = 3+1 = 4, f0(b) = 3+1 = 4, f0(ab) = 3; t0 = 11.
+    val docs = Seq((1L, "ab ab ab a b")).toDF("doc_id", "text")
+    val soft = TextQueries.uniSoftRounds(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // replicate the DP with the SAME doubles and association
+    val (pa, pb, pab) = (4.0 / 11, 4.0 / 11, 3.0 / 11)
+    // word "ab": α_1 = α_0·p(a); α_2 = (α_1·p(b)) + (α_0·p(ab))
+    val a1 = 0.0 + 1.0 * pa
+    val z = (0.0 + a1 * pb) + 1.0 * pab
+    // β_1 = p(b)·β_2; edges (1,1)=a, (1,2)=ab, (2,2)=b
+    val b1 = 0.0 + pb * 1.0
+    def c6(occ: Double, wc: Double): Long =
+      math.floor(occ * wc * 1e6 + 0.5).toLong
+    val eA = c6(1.0 * pa * b1 / z, 3.0) + c6(1.0 * pa * 1.0 / pa, 1.0)
+    val eB = c6(a1 * pb * 1.0 / z, 3.0) + c6(1.0 * pb * 1.0 / pb, 1.0)
+    val eAb = c6(1.0 * pab * 1.0 / z, 3.0)
+    assert(soft((1L, "a")) == eA, (soft((1L, "a")), eA))
+    assert(soft((1L, "b")) == eB)
+    assert(soft((1L, "ab")) == eAb)
+    // DIVERGENCE from hard EM: Viterbi segments every "ab" as [ab]
+    // (one rare piece beats two), so hard f1(a) = 1 (the bare "a")
+    // — but the soft E-step credits 'a' fractionally from "ab" too
+    val hard = TextQueries.unigramChain(docs)._3.collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(hard("ab") == "ab") // the hard path takes the whole word
+    assert(soft((1L, "a")) > 1000000L, soft) // > the hard count of 1·1e6
+    // CONSERVATION: each char position is covered by exactly one piece
+    // in every segmentation, so Σ e6(piece)·len(piece) ≈ 1e6 · total
+    // chars (5 floor-rounded edge terms → slack ≤ 3)
+    val lenSum = soft.collect { case ((1L, p), e) => p.length * e }.sum
+    assert(math.abs(lenSum - 8000000L) <= 3L, lenSum)
+    // round 2 exists, stays conservative, and re-weights
+    val r2 = soft.collect { case ((2L, p), e) => p -> e }
+    assert(r2.nonEmpty)
+    val lenSum2 = r2.map { case (p, e) => p.length * e }.sum
+    assert(math.abs(lenSum2 - 8000000L) <= 3L, lenSum2)
+    assert(r2.toMap != soft.collect { case ((1L, p), e) => p -> e }.toMap)
+  }
+
+  test("soft EM pools out-of-vocab mass under <unk> and stays conservative there") {
+    import spark.implicits._
+    // a corpus whose substring count exceeds UniV = 48 multi-char
+    // pieces, so some lattice edges are out-of-vocab: 26 distinct
+    // 4-char words of distinct letters → 26·(3+2+1) = 156 multi
+    // candidates, only 48 kept
+    val ws = ('a' to 'z').map(c => s"$c${(c + 1).toChar}x${(c + 2).toChar}")
+    val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+    val soft = TextQueries.uniSoftRounds(docs)
+      .filter(org.apache.spark.sql.functions.col("round") === 1L)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(soft.contains("<unk>"), soft.keySet)
+    assert(soft("<unk>") > 0L)
+  }
 }
