@@ -62,6 +62,9 @@ object Bench {
       // and the chunk postings index q186 serves from (same
       // one-build-per-snapshot amortization; chunk_index_sec)
       graft.queries.SimilarityQueries.warmChunkIndex(spark, sfDir)
+      // and the doc postings index q181's served lexical branch reads
+      // (doc_index_sec)
+      graft.queries.SimilarityQueries.warmDocIndex(spark, sfDir)
       // and q199's frozen-release sidecars (one release build per
       // corpus snapshot; release_build_sec) so the gate measures the
       // marginal ingest cost
@@ -159,12 +162,14 @@ object Bench {
       graft.queries.SimilarityQueries.indexBuildNanos.get() / 1e9
     val chunkIdxSec =
       graft.queries.SimilarityQueries.chunkIndexBuildNanos.get() / 1e9
+    val docIdxSec =
+      graft.queries.SimilarityQueries.docIndexBuildNanos.get() / 1e9
     val relSec =
       graft.queries.StreamingQueries.releaseBuildNanos.get() / 1e9
     val relV2Sec =
       graft.queries.StreamingQueries.releaseV2Nanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
     // compact line FIRST as well as last: whatever window a consumer

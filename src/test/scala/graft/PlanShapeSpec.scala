@@ -395,6 +395,11 @@ class PlanShapeSpec extends SparkSpec {
     // the plan — codes come from the persisted artifact only (the
     // whole point of q181 vs q172)
     assert(!p.contains("graft_pq_encode"), "serve path re-encodes")
+    // the lexical branch is SERVED too (round 15): probe terms push
+    // into the persisted doc-postings scan — no corpus tokenize
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(term")),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
   test("q186: probe terms push into the persisted postings scan") {
@@ -430,6 +435,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("posexplode") && !p.contains("PosExplode"),
       "serve path re-chunks the corpus")
     assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q187 serve path: the fused serving collects keep the job count bounded") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // warm the memoized artifacts + JIT so the counted run is the
+    // marginal serve, not index builds
+    Registry.byName("q187_fully_served_rag").run(spark, sf).collect()
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Registry.byName("q187_fully_served_rag").run(spark, sf).collect()
+      // listener events are posted synchronously enough for job
+      // STARTS (they precede the action's return); a short settle
+      // covers the async bus without private API access
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // measured on this harness: 78 jobs per warm serve before round
+    // 15 (each localCheckpoint + literal-collect pair two jobs, the
+    // lexical branch re-tokenizing the corpus), 64 after localized()
+    // fusion + the served doc-postings branch. Most of the remainder
+    // are per-broadcast-exchange jobs (~85 ms scheduling each — the
+    // measured q187 floor is ~100% scheduling, PERF.md round 14).
+    // The bound leaves modest slack; a regression re-splitting the
+    // collect pairs or re-adding the corpus tokenize lands above it.
+    assert(n.get() <= 70, s"serve path scheduled ${n.get()} jobs")
   }
 
   test("q180: context assembly broadcasts the fused top-5; no doc_id shuffle ships text") {
