@@ -72,6 +72,9 @@ object Bench {
       // and release v2 (the materialized roll-forward q201/q204 read;
       // one re-release build per corpus snapshot, release_v2_sec)
       graft.queries.StreamingQueries.warmReleaseV2(spark, sfDir)
+      // and q206's purge-target delta artifacts (a deployment purges
+      // artifacts that already exist; purge_artifacts_sec)
+      graft.queries.StreamingQueries.warmPurgeArtifacts(spark, sfDir)
       // the DFT-blend trajectory family and the curation DAG carry
       // ~8 s of first-plan codegen (q89 measured 10.4 s cold vs 2.1 s
       // warm at sf0.1) — warm both plan families at sf0.001 so the
@@ -168,8 +171,10 @@ object Bench {
       graft.queries.StreamingQueries.releaseBuildNanos.get() / 1e9
     val relV2Sec =
       graft.queries.StreamingQueries.releaseV2Nanos.get() / 1e9
+    val purgeArtSec =
+      graft.queries.StreamingQueries.purgeArtifactNanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
     // compact line FIRST as well as last: whatever window a consumer
