@@ -3400,59 +3400,64 @@ object TextQueries {
     * recursive α/β list-carrying DP with the SAME unrolled k-order
     * and association as the Spark folds. Requires `w` and `sed` in
     * scope; ends with g$r = (piece | '<unk>', e6). */
-  private def uniSoftStepSql(r: Int, vp: String): String =
+  private def uniSoftStepSql(r: Int, vp: String): String = {
+    val M = UniMaxPiece
+    // the forward/backward recursions carry a POSITIONAL per-word
+    // edge-probability list (epl[(en-1)·M + k] = p of the k-char
+    // piece ending at en; invalid slots hold a guarded 0) in the
+    // recursion seed itself, so the recursive steps are pure list
+    // indexing — no correlated subqueries (DuckDB mis-evaluates
+    // correlated scalar subqueries against MATERIALIZED CTEs inside
+    // recursive CTEs: nulls/garbage observed under several
+    // materialization combinations), and each round's chain
+    // evaluates ONCE behind the materialized boundaries.
+    def faTerm(k: Int): String = {
+      val al = s"al[i + ${2 - k}]"
+      s"""(CASE WHEN i + 1 >= $k THEN $al * epl[i * $M + $k]
+         |    ELSE CAST(0 AS DOUBLE) END)""".stripMargin
+    }
+    def fbTerm(k: Int): String = {
+      val bl = s"bl[ln - i + ${2 - k}]"
+      s"""(CASE WHEN ln - i + 1 >= $k
+         |    THEN epl[(i + ${k - 2}) * $M + $k] * $bl
+         |    ELSE CAST(0 AS DOUBLE) END)""".stripMargin
+    }
     s"""ep$r AS (SELECT e.word, e.wc, e.st, e.en, e.piece,
        |         coalesce(v.p, CAST(1e-12 AS DOUBLE)) AS p
        |        FROM sed e LEFT JOIN $vp v USING (piece)),
+       |epw$r AS MATERIALIZED (
+       | SELECT g.word, any_value(g.ln) AS ln,
+       |  list(CASE WHEN g.piece IS NULL THEN CAST(0 AS DOUBLE)
+       |        ELSE coalesce(v.p, CAST(1e-12 AS DOUBLE)) END
+       |       ORDER BY g.en, g.k) AS epl
+       | FROM (SELECT we.word, we.ln, we.en, ks.k,
+       |        CASE WHEN we.en - ks.k + 1 >= 1
+       |         THEN substr(we.word, CAST(we.en - ks.k + 1 AS INT),
+       |           CAST(ks.k AS INT)) END AS piece
+       |       FROM (SELECT word, len(word) AS ln,
+       |              unnest(generate_series(1, len(word))) AS en
+       |             FROM w) we
+       |       CROSS JOIN (SELECT unnest(generate_series(1, $M)) AS k)
+       |        ks) g
+       | LEFT JOIN $vp v ON g.piece = v.piece
+       | GROUP BY g.word),
        |fa$r AS (
-       | SELECT word, 0 AS i, [CAST(1 AS DOUBLE)] AS al FROM w
+       | SELECT word, ln, epl, 0 AS i, [CAST(1 AS DOUBLE)] AS al
+       | FROM epw$r
        | UNION ALL
-       | SELECT word, i + 1, list_append(al,
-       |   (CASE WHEN i + 1 >= 1 THEN al[i + 1] *
-       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
-       |      AND e.st = fa$r.i + 1 AND e.en = fa$r.i + 1)
-       |    ELSE CAST(0 AS DOUBLE) END)
-       |   + (CASE WHEN i + 1 >= 2 THEN al[i] *
-       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
-       |      AND e.st = fa$r.i AND e.en = fa$r.i + 1)
-       |    ELSE CAST(0 AS DOUBLE) END)
-       |   + (CASE WHEN i + 1 >= 3 THEN al[i - 1] *
-       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
-       |      AND e.st = fa$r.i - 1 AND e.en = fa$r.i + 1)
-       |    ELSE CAST(0 AS DOUBLE) END)
-       |   + (CASE WHEN i + 1 >= 4 THEN al[i - 2] *
-       |     (SELECT p FROM ep$r e WHERE e.word = fa$r.word
-       |      AND e.st = fa$r.i - 2 AND e.en = fa$r.i + 1)
-       |    ELSE CAST(0 AS DOUBLE) END))
-       | FROM fa$r WHERE i < len(word)),
+       | SELECT word, ln, epl, i + 1, list_append(al,
+       |   ${(1 to M).map(faTerm).mkString("\n   + ")})
+       | FROM fa$r WHERE i < ln),
        |fb$r AS (
-       | SELECT word, len(word) AS i, [CAST(1 AS DOUBLE)] AS bl FROM w
+       | SELECT word, ln, epl, ln AS i, [CAST(1 AS DOUBLE)] AS bl
+       | FROM epw$r
        | UNION ALL
-       | SELECT word, i - 1, list_append(bl,
-       |   (CASE WHEN len(word) - i + 1 >= 1 THEN
-       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
-       |      AND e.st = fb$r.i AND e.en = fb$r.i)
-       |      * bl[len(word) - i + 1]
-       |    ELSE CAST(0 AS DOUBLE) END)
-       |   + (CASE WHEN len(word) - i + 1 >= 2 THEN
-       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
-       |      AND e.st = fb$r.i AND e.en = fb$r.i + 1)
-       |      * bl[len(word) - i]
-       |    ELSE CAST(0 AS DOUBLE) END)
-       |   + (CASE WHEN len(word) - i + 1 >= 3 THEN
-       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
-       |      AND e.st = fb$r.i AND e.en = fb$r.i + 2)
-       |      * bl[len(word) - i - 1]
-       |    ELSE CAST(0 AS DOUBLE) END)
-       |   + (CASE WHEN len(word) - i + 1 >= 4 THEN
-       |     (SELECT p FROM ep$r e WHERE e.word = fb$r.word
-       |      AND e.st = fb$r.i AND e.en = fb$r.i + 3)
-       |      * bl[len(word) - i - 2]
-       |    ELSE CAST(0 AS DOUBLE) END))
+       | SELECT word, ln, epl, i - 1, list_append(bl,
+       |   ${(1 to M).map(fbTerm).mkString("\n   + ")})
        | FROM fb$r WHERE i > 0),
-       |fz$r AS (SELECT word, al FROM fa$r WHERE i = len(word)),
-       |bz$r AS (SELECT word, bl FROM fb$r WHERE i = 0),
-       |oc$r AS (SELECT e.piece,
+       |fz$r AS MATERIALIZED (SELECT word, al FROM fa$r WHERE i = ln),
+       |bz$r AS MATERIALIZED (SELECT word, bl FROM fb$r WHERE i = 0),
+       |oc$r AS MATERIALIZED (SELECT e.piece,
        |         CAST(floor(fz$r.al[e.st] * e.p *
        |           bz$r.bl[len(e.word) - e.en + 1] /
        |           fz$r.al[len(e.word) + 1] *
@@ -3460,12 +3465,90 @@ object TextQueries {
        |          AS BIGINT) AS c6
        |        FROM ep$r e JOIN fz$r ON e.word = fz$r.word
        |         JOIN bz$r ON e.word = bz$r.word),
-       |ag$r AS (SELECT piece, CAST(sum(c6) AS BIGINT) AS e6
+       |ag$r AS MATERIALIZED (SELECT piece, CAST(sum(c6) AS BIGINT) AS e6
        |        FROM oc$r GROUP BY piece),
-       |g$r AS (SELECT CASE WHEN piece IN (SELECT piece FROM $vp)
+       |g$r AS MATERIALIZED (SELECT CASE WHEN piece IN (SELECT piece FROM $vp)
        |          THEN piece ELSE '<unk>' END AS piece,
        |         CAST(sum(e6) AS BIGINT) AS e6
        |        FROM ag$r GROUP BY 1)""".stripMargin
+  }
+
+  // q210: SOFT-EM TO-VOCAB-TARGET — q202's training loop with q209's
+  // E-step: per round, expected counts (not Viterbi counts) drive the
+  // prune — singles always survive, multi-char pieces keep the top
+  // uniKeepK(target, r) by (e6 DESC, piece) among e6 > 0 — and the
+  // next round's edge probabilities are the Laplace-smoothed kept
+  // expectations. THE point of soft EM in Kudo's loop is gated here:
+  // a piece the Viterbi never uses (hard f1 = 0 → pruned by q202)
+  // keeps fractional mass from runner-up segmentations and can
+  // survive the soft prune (UnigramSpec plants exactly that corpus).
+  // Same compile-time round bound as q202 (geometric schedule), same
+  // bit-determinism as q209 (rational probabilities, pinned order,
+  // integer micro-unit counts).
+  private[graft] def uniSoftToTarget(docs: DataFrame, target: Int)
+      : DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (words, vocab0, tot) = uniSeed(docs)
+    val rounds = uniPruneRounds(target)
+    var vp = vocab0.crossJoin(broadcast(tot))
+      .select($"piece", ($"f0".cast("double") / $"t0").as("p"))
+    val sheets = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val g = uniSoftEStep(words, vp).filter($"piece" =!= "<unk>")
+      val keep = g.filter(length($"piece") === 1)
+        .unionByName(g.filter(length($"piece") > 1 && $"e6" > 0)
+          .orderBy($"e6".desc, $"piece").limit(uniKeepK(target, r)))
+        .localCheckpoint(true)
+      sheets += keep.select(lit(r.toLong).as("round"), $"piece", $"e6")
+      val t6 = keep.agg(sum($"e6").as("t"), count(lit(1)).as("nv"))
+      vp = keep.crossJoin(broadcast(t6))
+        .select($"piece",
+          (($"e6" + 1).cast("double") / ($"t" + $"nv")).as("p"))
+    }
+    sheets.result().reduce(_.unionByName(_)).orderBy($"round", $"piece")
+  }
+
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    uniSoftToTarget(documents(s, dir), UniTarget)
+
+  private lazy val q210Sql = {
+    val rounds = uniPruneRounds(UniTarget)
+    val rcte = (1 to rounds).map { r =>
+      val vp = if (r == 1) "vpt1" else s"vpt$r"
+      s"""${uniSoftStepSql(r, vp)},
+         |k$r AS MATERIALIZED (SELECT piece, e6 FROM g$r
+         |        WHERE len(piece) = 1 AND piece <> '<unk>'
+         |        UNION ALL
+         |        SELECT piece, e6 FROM (
+         |         SELECT piece, e6 FROM g$r
+         |         WHERE len(piece) > 1 AND piece <> '<unk>' AND e6 > 0
+         |         ORDER BY e6 DESC, piece
+         |         LIMIT ${uniKeepK(UniTarget, r)})),
+         |tt$r AS (SELECT CAST(sum(e6) AS BIGINT) AS t,
+         |          CAST(count(*) AS BIGINT) AS nv FROM k$r),
+         |vpt${r + 1} AS MATERIALIZED (SELECT piece, CAST(e6 + 1 AS DOUBLE) / (t + nv)
+         |           AS p
+         |          FROM k$r, tt$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, piece, e6 FROM k$r")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $unigramSqlCtes,
+       |sed AS (SELECT word, wc, st, en,
+       |         substr(word, CAST(st AS INT), CAST(en - st + 1 AS INT))
+       |           AS piece
+       |        FROM (SELECT word, wc, st,
+       |               unnest(generate_series(st,
+       |                 least(len(word), st + ${UniMaxPiece - 1}))) AS en
+       |              FROM (SELECT word, wc,
+       |                     unnest(generate_series(1, len(word))) AS st
+       |                    FROM w))),
+       |vpt1 AS (SELECT piece, CAST(f0 AS DOUBLE) / t0 AS p
+       |        FROM v0, tot),
+       |$rcte
+       |SELECT * FROM ($union) ORDER BY round, piece""".stripMargin
+  }
 
   private lazy val q209Sql =
     s"""WITH RECURSIVE $unigramSqlCtes,
@@ -3494,6 +3577,8 @@ object TextQueries {
        |ORDER BY round, piece""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q210_unigram_soft_target", q210, Some(q210Sql),
+      "soft-EM to-vocab-target loop: expected-count-driven pruning down the geometric schedule — Viterbi-unused pieces can survive on fractional mass (the point of soft EM), gated per round in exact micro-units"),
     Q("q209_unigram_soft_em", q209, Some(q209Sql),
       "soft-EM unigram E-step: lattice forward-backward expected counts in exact micro-units (rational edge probabilities, zero transcendentals), two rounds with Laplace-smoothed re-estimation; '<unk>' pools out-of-vocab mass"),
     Q("q198_release_funnel", q198, Some(q198Sql),

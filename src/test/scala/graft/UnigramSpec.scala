@@ -268,6 +268,45 @@ class UnigramSpec extends SparkSpec {
     assert(r2.toMap != soft.collect { case ((1L, p), e) => p -> e }.toMap)
   }
 
+  test("q210: the soft prune keeps Viterbi-unused pieces that hard EM drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus "abc abc abc": Viterbi always takes the whole word
+    // ([abc] costs one −ln(3/18), every split strictly more), so hard
+    // EM counts f1(ab) = f1(bc) = 0 and q195/q202 PRUNE them; the
+    // soft E-step credits both from runner-up segmentations
+    val docs = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val soft = TextQueries.uniSoftToTarget(docs, 16)
+      .filter($"round" === 1L).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(soft.contains("ab") && soft("ab") > 0L, soft)
+    assert(soft.contains("bc") && soft("bc") > 0L, soft)
+    assert(soft.contains("abc") && soft("abc") > soft("ab"), soft)
+    val hard = TextQueries.unigramRound2(docs).collect()
+      .map(_.getString(0)).toSet
+    assert(!hard.contains("ab") && !hard.contains("bc"),
+      s"hard EM kept the unused pieces: $hard")
+    // the divergence is exactly the soft-EM selling point: mass from
+    // non-optimal segmentations keeps candidate pieces alive
+  }
+
+  test("q210 on the real corpus: reaches the multi-vocab target, singles never pruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val sheet = TextQueries.uniSoftToTarget(docs, 16).localCheckpoint(true)
+    val rounds = sheet.agg(max($"round")).collect()(0).getLong(0)
+    val lastMulti = sheet.filter($"round" === rounds &&
+      length($"piece") > 1).count()
+    assert(lastMulti <= 16, lastMulti)
+    // every single-char piece of round 1 survives to the last round
+    val s1 = sheet.filter($"round" === 1L && length($"piece") === 1)
+      .select($"piece").collect().map(_.getString(0)).toSet
+    val sR = sheet.filter($"round" === rounds && length($"piece") === 1)
+      .select($"piece").collect().map(_.getString(0)).toSet
+    assert(s1 == sR && s1.nonEmpty)
+  }
+
   test("soft EM pools out-of-vocab mass under <unk> and stays conservative there") {
     import spark.implicits._
     // a corpus whose substring count exceeds UniV = 48 multi-char
