@@ -3350,7 +3350,13 @@ object TextQueries {
       .join(broadcast(vocabP), "piece")
       .groupBy($"word")
       .agg(map_from_entries(collect_set(struct($"piece", $"p"))).as("pm"))
-    val contrib = words.join(pm, "word")
+    // LEFT join + empty-map fallback: a word sharing NO substring with
+    // the vocab still has a lattice (all edges at the unk weight) —
+    // unreachable in the gates (vocab always ⊇ all singles) but the
+    // honest semantics, and the seeded-random spec pin exercises it
+    val contrib = words.join(pm, Seq("word"), "left")
+      .withColumn("pm",
+        coalesce($"pm", expr("CAST(map() AS MAP<STRING, DOUBLE>)")))
       .withColumn("al", expr(uniAlphaExpr))
       .withColumn("bl", expr(uniBetaExpr))
       .select($"word", $"wc", $"pm", $"al", $"bl",

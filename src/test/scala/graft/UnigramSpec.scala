@@ -307,6 +307,68 @@ class UnigramSpec extends SparkSpec {
     assert(s1 == sR && s1.nonEmpty)
   }
 
+  test("soft EM fold ≡ independent Scala forward-backward on 150 seeded-random cases") {
+    import spark.implicits._
+    // the registry gate pins Spark ≡ DuckDB; this pins BOTH against a
+    // third, independently-written reference (same pinned order — the
+    // contract), so a shared-spelling bug in the two SQL DPs can't
+    // hide. Random words over a 3-letter alphabet, random sub-vocab.
+    val rnd = new scala.util.Random(42)
+    val M = 4
+    val unk = 1e-12
+    def reference(word: String, p: Map[String, Double],
+        wc: Long): Map[String, Long] = {
+      val L = word.length
+      def pOf(piece: String) = p.getOrElse(piece, unk)
+      val al = new Array[Double](L + 1); al(0) = 1.0
+      for (i <- 1 to L) {
+        var s = 0.0
+        for (k <- 1 to math.min(M, i))
+          s = s + al(i - k) * pOf(word.substring(i - k, i))
+        al(i) = s
+      }
+      val bl = new Array[Double](L + 1); bl(L) = 1.0
+      for (i <- (L - 1) to 0 by -1) {
+        var s = 0.0
+        for (k <- 1 to math.min(M, L - i))
+          s = s + pOf(word.substring(i, i + k)) * bl(i + k)
+        bl(i) = s
+      }
+      val z = al(L)
+      val occ = for {
+        st <- 1 to L; en <- st to math.min(L, st + M - 1)
+        piece = word.substring(st - 1, en)
+      } yield piece -> math.floor(
+        al(st - 1) * pOf(piece) * bl(en) / z * wc.toDouble * 1e6 + 0.5)
+        .toLong
+      occ.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    }
+    val cases = (1 to 150).map { i =>
+      val len = 1 + rnd.nextInt(9)
+      val word = Seq.fill(len)("abc" (rnd.nextInt(3))).mkString
+      val wc = 1L + rnd.nextInt(20)
+      // random sub-vocab of the word's substrings with random probs
+      val subs = (for {
+        st <- 0 until len; en <- st + 1 to math.min(len, st + M)
+      } yield word.substring(st, en)).distinct
+      val vocab = subs.filter(_ => rnd.nextBoolean())
+        .map(s => s -> (0.001 + rnd.nextInt(999) / 1000.0)).toMap
+      (i.toLong, word, wc, vocab)
+    }
+    for ((i, word, wc, vocab) <- cases) {
+      val words = Seq((word, wc)).toDF("word", "wc")
+      val vp = vocab.toSeq.toDF("piece", "p")
+      val got = TextQueries.uniSoftEStep(words, vp).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ref = reference(word, vocab, wc)
+      val refKeyed = ref.toSeq
+        .map { case (k, v) => (if (vocab.contains(k)) k else "<unk>") -> v }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      assert(got == refKeyed,
+        s"case $i word=$word wc=$wc vocab=$vocab:\n $got\n vs $refKeyed")
+    }
+  }
+
   test("soft EM pools out-of-vocab mass under <unk> and stays conservative there") {
     import spark.implicits._
     // a corpus whose substring count exceeds UniV = 48 multi-char
