@@ -2222,6 +2222,36 @@ object StreamingQueries {
     purgeArtifactDir(s, dir); ()
   }
 
+  /** merge-on-read compaction + per-bucket funnel: `rows` is a delta
+    * table projected to (bucket, k, c1, c2) plus the tombstone key;
+    * the purged artifact is rows BROADCAST ANTI JOIN tombstones on
+    * `key` (the takedown names keys, so the hash side is |D|-sized —
+    * PlanShapeSpec locks the broadcast; a sort-merge LeftAnti would
+    * shuffle the whole artifact to delete a bounded set). `k` is the
+    * artifact's own index key (term / vec_id) — live-key counts
+    * report the latter. */
+  private[graft] def purgeFunnel(artifact: String, rows: DataFrame,
+      tomb: DataFrame, key: String): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val after = rows.join(broadcast(tomb), Seq(key), "left_anti")
+    val b = rows.groupBy($"bucket")
+      .agg(count(lit(1)).as("rows_before"))
+    val a = after.groupBy($"bucket")
+      .agg(count(lit(1)).as("rows_after"),
+        countDistinct($"k").as("keys_after"),
+        sum($"c1").as("chk1"), sum($"c2").as("chk2"))
+    b.join(a, Seq("bucket"), "full_outer")
+      .select(lit(artifact).as("artifact"), $"bucket",
+        coalesce($"rows_before", lit(0L)).as("rows_before"),
+        (coalesce($"rows_before", lit(0L)) -
+          coalesce($"rows_after", lit(0L))).as("rows_purged"),
+        coalesce($"rows_after", lit(0L)).as("rows_after"),
+        coalesce($"keys_after", lit(0L)).as("keys_after"),
+        coalesce($"chk1", lit(0L)).as("chk1"),
+        coalesce($"chk2", lit(0L)).as("chk2"))
+  }
+
   private def q206(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q206") { scratch =>
@@ -2236,31 +2266,6 @@ object StreamingQueries {
         multiFileStream(s, dir, "embeddings")
           .filter(Takedown.purged($"vec_id")).select($"vec_id"),
         scratch + "/tomb_vec").localCheckpoint(true)
-      // merge-on-read compaction + per-bucket funnel: rows is the
-      // delta table projected to (bucket, k, c1, c2); the purged
-      // artifact is rows ANTI JOIN tombstones on the artifact key
-      // `key` is the TOMBSTONE key (what a takedown names); `k` the
-      // artifact's own index key (term / vec_id) — live-key counts
-      // report the latter
-      def funnel(artifact: String, rows: DataFrame, tomb: DataFrame,
-          key: String): DataFrame = {
-        val after = rows.join(broadcast(tomb), Seq(key), "left_anti")
-        val b = rows.groupBy($"bucket")
-          .agg(count(lit(1)).as("rows_before"))
-        val a = after.groupBy($"bucket")
-          .agg(count(lit(1)).as("rows_after"),
-            countDistinct($"k").as("keys_after"),
-            sum($"c1").as("chk1"), sum($"c2").as("chk2"))
-        b.join(a, Seq("bucket"), "full_outer")
-          .select(lit(artifact).as("artifact"), $"bucket",
-            coalesce($"rows_before", lit(0L)).as("rows_before"),
-            (coalesce($"rows_before", lit(0L)) -
-              coalesce($"rows_after", lit(0L))).as("rows_purged"),
-            coalesce($"rows_after", lit(0L)).as("rows_after"),
-            coalesce($"keys_after", lit(0L)).as("keys_after"),
-            coalesce($"chk1", lit(0L)).as("chk1"),
-            coalesce($"chk2", lit(0L)).as("chk2"))
-      }
       val dp = s.read.parquet(art + "/doc_postings")
         .select(substring(md5($"term"), 1, 1).as("bucket"),
           $"doc_id", $"term".as("k"),
@@ -2278,9 +2283,9 @@ object StreamingQueries {
         .select($"cell".cast("string").as("bucket"), $"vec_id",
           $"vec_id".as("k"),
           ($"vec_id" * $"cchk").as("c1"), $"cchk".as("c2"))
-      funnel("ann_codes", ac, vecTomb, "vec_id")
-        .unionByName(funnel("chunk_postings", cp, docTomb, "doc_id"))
-        .unionByName(funnel("doc_postings", dp, docTomb, "doc_id"))
+      purgeFunnel("ann_codes", ac, vecTomb, "vec_id")
+        .unionByName(purgeFunnel("chunk_postings", cp, docTomb, "doc_id"))
+        .unionByName(purgeFunnel("doc_postings", dp, docTomb, "doc_id"))
         .orderBy($"artifact", $"bucket")
     }
   }

@@ -437,6 +437,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q206: the tombstone compaction is a BROADCAST anti-join; no artifact-sized shuffle") {
+    // the purge contract at 100 TB: the takedown set is |D|-sized and
+    // must build the hash side of the anti-join — a sort-merge
+    // LeftAnti would shuffle the full postings/codes artifact to
+    // delete a bounded key set. (q206's own result frame is
+    // materialized inside its scratch scope, so the shape is locked
+    // on the factored purgeFunnel directly.)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.StreamingQueries.docPostingsOf(
+      graft.Tables.documents(spark, sf).select($"doc_id", $"text"))
+      .select(substring(md5($"term"), 1, 1).as("bucket"), $"doc_id",
+        $"term".as("k"), ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
+    val tomb = graft.Tables.documents(spark, sf)
+      .filter(graft.queries.StreamingQueries.Takedown.purged($"doc_id"))
+      .select($"doc_id")
+    val p = graft.queries.StreamingQueries
+      .purgeFunnel("doc_postings", rows, tomb, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!"SortMergeJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      "the tombstone anti-join fell back to sort-merge")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q187 serve path: the fused serving collects keep the job count bounded") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     // warm the memoized artifacts + JIT so the counted run is the
