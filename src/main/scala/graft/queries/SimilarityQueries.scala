@@ -2228,10 +2228,18 @@ object SimilarityQueries {
        |              (SELECT sum(dl) FROM ${p}cdl) AS toktot)""".stripMargin
 
   private def chunkSqlCtes(p: String): String =
-    s"""${chunkCorpusSqlCtes(p)},
+    chunkSqlCtesFrom(p, "documents", retrSampleSql)
+
+  /** the chunk-ranking chain over an arbitrary (doc_id, text) source
+    * and query-sample subquery — q211's purged-serving oracle runs it
+    * over corpus − D with the takedown-filtered sample, without
+    * drifting from the q182/q185/q186 spelling. */
+  private def chunkSqlCtesFrom(p: String, src: String,
+      sample: String): String =
+    s"""${chunkCorpusSqlCtesFrom(p, src)},
        |${p}qtf AS (SELECT doc_id AS q_id, term, count(*) AS tf FROM (
        |         SELECT doc_id, unnest(t) AS term FROM ${p}d
-       |         WHERE doc_id IN $retrSampleSql)
+       |         WHERE doc_id IN $sample)
        |        GROUP BY doc_id, term),
        |${p}cqt AS (SELECT q_id, term FROM (
        |        SELECT ${p}qtf.q_id, ${p}qtf.term, row_number() OVER (
@@ -2264,6 +2272,94 @@ object SimilarityQueries {
        |        row_number() OVER (PARTITION BY q_id
        |         ORDER BY bm6 DESC, doc_id, chunk_idx) AS rn
        |       FROM ${p}bmc)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q211: TAKEDOWN-PURGED SERVING — the gate that closes q206's loop
+  // at the SERVE path: after a takedown, the chunk index must serve
+  // as if rebuilt from corpus − D — including the GLOBAL statistics
+  // (chunk count, token total, per-term df) that BM25 scores depend
+  // on — without any corpus re-scan. The purged artifact is the
+  // persisted chunk-postings delta table ANTI-JOINED with the
+  // tombstones (q206's compaction), and dict/df/dl/stats are
+  // RECOMPUTED FROM THE PURGED ARTIFACT ITSELF (every chunk owns ≥ 1
+  // posting row — even an empty-text doc posts its '' token — so the
+  // artifact determines the stats exactly). Queries sample from the
+  // non-purged ids (a taken-down doc must not be a query either).
+  // Gate: the ranked shortlist (q_id, rn, doc_id, chunk_idx, bm6) is
+  // hash-equal to the inline chunk chain recomputed by the oracle
+  // over corpus − D — stale-stats drift is structurally ZERO, which
+  // is the difference between this and a stats-unaware anti-join.
+  //
+  // Scale: the anti-join broadcasts |D|; the stat recomputes are
+  // slim aggregations over the artifact (no text, no corpus); the
+  // candidate walk is the proven q182 posture.
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val purgedDoc = StreamingQueries.Takedown.purged($"doc_id")
+    val tomb = documents(s, dir).filter(purgedDoc).select($"doc_id")
+    val ctf = s.read.parquet(
+        StreamingQueries.purgeArtifactDir(s, dir) + "/chunk_postings")
+      .select($"doc_id", $"chunk_idx", $"term", $"tf")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // consumed 4×: df, dl, stats, the walk
+    val cdl = ctf.groupBy($"doc_id", $"chunk_idx").agg(sum($"tf").as("dl"))
+    val cdf = ctf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = ctf.select($"doc_id", $"chunk_idx").distinct()
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(cdl.agg(sum($"dl").as("toktot")))
+    val qids = embeddings(s, dir).select($"vec_id")
+      .filter(!StreamingQueries.Takedown.purged($"vec_id"))
+      .withColumn("h", md5(concat(lit("q162:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(RetrQK)
+      .select($"vec_id".as("q_id"))
+    // only the (non-purged) sample docs tokenize — q186's discipline
+    val d = documents(s, dir).select($"doc_id", $"text")
+    val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
+      .select($"q_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
+    val qt = qtf.join(cdf, "term").crossJoin(broadcast(stats))
+      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+        * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
+      .filter($"rn" <= QTerms)
+      .select($"q_id", $"term")
+    broadcast(qt)
+      .join(ctf, "term")
+      .filter($"doc_id" =!= $"q_id")
+      .join(cdf, "term")
+      .join(cdl, Seq("doc_id", "chunk_idx"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * lit(Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * ($"dl" * $"n").cast("double") / $"toktot")))
+      .withColumn("c6", floor($"contrib" * 1e6 + 0.5).cast("long"))
+      .groupBy($"q_id", $"doc_id", $"chunk_idx").agg(sum($"c6").as("bm6"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id")
+          .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
+      .filter($"rn" <= ChunkShortlist)
+      .select($"q_id", $"rn", $"doc_id", $"chunk_idx", $"bm6")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q211Sql = {
+    val purgedSampleSql =
+      s"""(SELECT vec_id FROM embeddings
+         | WHERE NOT (${StreamingQueries.Takedown.sql("vec_id")})
+         | ORDER BY md5('q162:' || CAST(vec_id AS VARCHAR)), vec_id
+         | LIMIT $RetrQK)""".stripMargin
+    s"""WITH pd AS (SELECT doc_id, text FROM documents
+       |       WHERE NOT (${StreamingQueries.Takedown.sql("doc_id")})),
+       |${chunkSqlCtesFrom("pp", "pd", purgedSampleSql)}
+       |SELECT q_id, rn, doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       | CAST(bm6 AS BIGINT) AS bm6
+       |FROM pprk WHERE rn <= $ChunkShortlist
+       |ORDER BY q_id, rn""".stripMargin
+  }
 
   private lazy val q182Sql =
     s"""WITH ${chunkSqlCtes("")},
@@ -3147,6 +3243,8 @@ object SimilarityQueries {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q211_takedown_serve", q211, Some(q211Sql),
+      "takedown-purged serving: the chunk index anti-joined with tombstones serves EXACTLY like a rebuild over corpus − D — dict/df/dl/stats recomputed from the purged artifact itself, zero corpus re-scan, zero stale-stats drift"),
     Q("q203_ann_frontier", q203, Some(q203Sql),
       "cross-family ANN frontier: IVFADC / SQ8 / multi-probe LSH at two operating points each, one shared brute ground truth, approx vs exact candidate volumes + recall@5"),
     Q("q196_ann_tuning", q196, Some(q196Sql),

@@ -74,4 +74,36 @@ class TakedownSpec extends SparkSpec {
       .filter(StreamingQueries.Takedown.purged($"vec_id")).count()
     assert(perArtifact("ann_codes")._1 == vecDead)
   }
+
+  test("q211: purged serving excludes D everywhere, and the re-stats are load-bearing") {
+    import spark.implicits._
+    val sheet = Registry.byName("q211_takedown_serve").run(spark, sf)
+      .localCheckpoint(true)
+    assert(sheet.count() > 0)
+    // no taken-down doc appears as a query OR a served chunk
+    assert(sheet.filter(StreamingQueries.Takedown.purged($"doc_id"))
+      .count() == 0)
+    assert(sheet.filter(StreamingQueries.Takedown.purged($"q_id"))
+      .count() == 0)
+    // non-vacuity of the exact re-stats: BM25 under the FULL-corpus
+    // globals (a stats-unaware anti-join — the naive purge) must
+    // score differently somewhere, else the gate couldn't tell the
+    // two implementations apart. chunkRank over the full corpus,
+    // restricted to non-purged candidates, IS that naive variant.
+    val purged = StreamingQueries.Takedown.purged($"doc_id")
+    val qids = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id")
+      .filter(!StreamingQueries.Takedown.purged($"vec_id"))
+      .withColumn("h", md5(concat(lit("q162:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(8)
+      .select($"vec_id".as("q_id"))
+    val stale = graft.queries.SimilarityQueries.chunkRank(spark,
+        graft.Tables.documents(spark, sf).select($"doc_id", $"text"),
+        qids)
+      .filter(!purged && $"rn" <= 20)
+      .select($"q_id", $"doc_id", $"chunk_idx", $"bm6".as("stale6"))
+    val diff = sheet.join(stale, Seq("q_id", "doc_id", "chunk_idx"))
+      .filter($"bm6" =!= $"stale6").count()
+    assert(diff > 0, "stale-stats scoring agreed everywhere — the re-stats gate is vacuous")
+  }
 }
