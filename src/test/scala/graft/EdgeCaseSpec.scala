@@ -260,4 +260,28 @@ class EdgeCaseSpec extends SparkSpec {
       r)
     assert(r.getLong(7) == 0L, s"retention6=${r.getLong(7)}")
   }
+
+  test("purgeFunnel: a fully-tombstoned bucket survives with zeros; empty tombstones are a no-op") {
+    import graft.queries.StreamingQueries
+    // rows: bucket 'x' owned entirely by doc 1, bucket 'y' by doc 2
+    val rows = Seq(
+      ("x", 1L, "t1", 10L, 1L), ("x", 1L, "t2", 20L, 2L),
+      ("y", 2L, "t3", 30L, 3L))
+      .toDF("bucket", "doc_id", "k", "c1", "c2")
+    val tomb = Seq(1L).toDF("doc_id")
+    val out = StreamingQueries.purgeFunnel("a", rows, tomb, "doc_id")
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // bucket x: everything purged — the funnel row SURVIVES with
+    // zeros (the oracle's FULL OUTER + coalesce spelling), it does
+    // not vanish from the audit
+    assert(out("x") == ((2L, 2L, 0L, 0L, 0L, 0L)), out)
+    assert(out("y") == ((1L, 0L, 1L, 1L, 30L, 3L)), out)
+    // empty tombstone set: before == after everywhere
+    val none = Seq.empty[Long].toDF("doc_id")
+    val noop = StreamingQueries.purgeFunnel("a", rows, none, "doc_id")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(noop.forall { case (b, p, a) => p == 0L && b == a }, noop.toSeq)
+  }
 }
