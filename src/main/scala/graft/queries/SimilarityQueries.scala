@@ -2361,6 +2361,86 @@ object SimilarityQueries {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q212: TAKEDOWN-PURGED ANN SERVING — q211's vector twin: the
+  // persisted cell-partitioned IVFADC index anti-joined with vec
+  // tombstones serves EXACTLY like an index rebuilt over
+  // embeddings − D. Unlike BM25 there are no global statistics to
+  // re-derive — ADC scores are per-vector against the per-query LUT —
+  // so purge ≡ rebuild needs only (a) the quantizer staying the
+  // FROZEN trained model (codebook/centroids sampled from the
+  // original corpus on both sides — a purge removes codes, it does
+  // not retrain, q206's documented contract) and (b) queries sampled
+  // from non-purged ids. The gate pins the exact top-5 (ADC shortlist
+  // → exact cosine re-rank) against the oracle's rebuild over the
+  // takedown-filtered code table.
+  //
+  // Scale: the tombstone anti-join broadcasts |D| against the
+  // cell-partition-pruned index scan; everything downstream is the
+  // proven q118/q181 bounded posture.
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tombV = embeddings(s, dir).select($"vec_id")
+      .filter(StreamingQueries.Takedown.purged($"vec_id"))
+    val enc = s.read.parquet(annIndexDir(s, dir))
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
+      .join(broadcast(tombV), Seq("vec_id"), "left_anti")
+    val qs = embeddings(s, dir).select($"vec_id")
+      .filter(!StreamingQueries.Takedown.purged($"vec_id"))
+      .withColumn("h", md5(concat(lit("q162:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(RetrQK)
+      .select($"vec_id".as("q_id"))
+    ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, IVFPQ_R, Some(enc))
+      .filter($"rv" <= 5)
+      .select($"q_id", $"rv".as("rn"), $"vec_id".as("neighbor_id"),
+        $"sim")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q212Sql = {
+    val sample =
+      s"""(SELECT vec_id FROM embeddings
+         | WHERE NOT (${StreamingQueries.Takedown.sql("vec_id")})
+         | ORDER BY md5('q162:' || CAST(vec_id AS VARCHAR)), vec_id
+         | LIMIT $RetrQK)""".stripMargin
+    val chain = maskChainSql("p", IVFPQ_NPROBE)
+    val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
+    s"""WITH ${pqPreambleSqlFor(sample)},
+       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
+       |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
+       |        ${cellScoresSql("v")} AS s1
+       |       FROM e WHERE vec_id IN $sample),
+       |$chain,
+       |probed AS (SELECT q_id, unnest($cells) AS cell
+       |           FROM p$IVFPQ_NPROBE),
+       |ad AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9) AS adist2
+       |       FROM codes c
+       |        JOIN bc ON c.vec_id = bc.vec_id
+       |        JOIN probed p ON bc.cell = p.cell
+       |        JOIN lut l ON p.q_id = l.q_id AND c.m = l.m AND c.j = l.j
+       |       WHERE c.vec_id <> p.q_id
+       |        AND NOT (${StreamingQueries.Takedown.sql("c.vec_id")})
+       |       GROUP BY p.q_id, c.vec_id),
+       |sl AS (SELECT q_id, vec_id FROM
+       |        (SELECT q_id, vec_id, row_number() OVER
+       |          (PARTITION BY q_id ORDER BY adist2, vec_id) AS ar
+       |         FROM ad)
+       |       WHERE ar <= $IVFPQ_R),
+       |qvec AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |         WHERE vec_id IN $sample),
+       |rr AS (SELECT sl.q_id, sl.vec_id,
+       |        round(list_sum(list_transform(list_zip(qv, v),
+       |          z -> CAST(z[1] * z[2] AS DOUBLE))), 5) AS sim
+       |       FROM sl JOIN e USING (vec_id)
+       |        JOIN qvec ON sl.q_id = qvec.q_id),
+       |r AS (SELECT q_id, vec_id, sim,
+       |       row_number() OVER (PARTITION BY q_id
+       |                          ORDER BY sim DESC, vec_id) AS rn
+       |      FROM rr)
+       |SELECT q_id, rn, vec_id AS neighbor_id, sim FROM r
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   private lazy val q182Sql =
     s"""WITH ${chunkSqlCtes("")},
        |pk AS (SELECT rk.q_id, rk.rn, rk.doc_id,
@@ -3243,6 +3323,8 @@ object SimilarityQueries {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q212_takedown_ann_serve", q212, Some(q212Sql),
+      "takedown-purged ANN serving: the persisted IVFADC index anti-joined with vec tombstones serves the exact top-5 of a rebuild over embeddings − D (quantizer frozen, queries from non-purged ids)"),
     Q("q211_takedown_serve", q211, Some(q211Sql),
       "takedown-purged serving: the chunk index anti-joined with tombstones serves EXACTLY like a rebuild over corpus − D — dict/df/dl/stats recomputed from the purged artifact itself, zero corpus re-scan, zero stale-stats drift"),
     Q("q203_ann_frontier", q203, Some(q203Sql),

@@ -106,4 +106,27 @@ class TakedownSpec extends SparkSpec {
       .filter($"bm6" =!= $"stale6").count()
     assert(diff > 0, "stale-stats scoring agreed everywhere — the re-stats gate is vacuous")
   }
+
+  test("q212: purged-index ANN serving excludes D and equals a frozen-codebook rebuild") {
+    import spark.implicits._
+    val out = Registry.byName("q212_takedown_ann_serve").run(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.filter(StreamingQueries.Takedown
+      .purged($"neighbor_id")).count() == 0)
+    assert(out.filter(StreamingQueries.Takedown.purged($"q_id"))
+      .count() == 0)
+    // the purged persisted index rows ≡ a batch re-encode of
+    // embeddings − D under the FROZEN codebook, row for row (the
+    // reason serve ≡ rebuild holds with no stats to re-derive)
+    val purgedV = StreamingQueries.Takedown.purged($"vec_id")
+    val rebuilt = StreamingQueries.annIndexDeltasOf(spark, sf,
+      spark.read.parquet(s"$sf/embeddings.parquet").filter(!purgedV))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val purgedIdx = rows(
+      graft.queries.SimilarityQueries.ivfadcIndex(spark, sf)
+        .filter(!purgedV))
+    assert(purgedIdx == rows(rebuilt) && purgedIdx.nonEmpty)
+  }
 }
