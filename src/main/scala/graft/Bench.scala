@@ -75,6 +75,10 @@ object Bench {
       // and q206's purge-target delta artifacts (a deployment purges
       // artifacts that already exist; purge_artifacts_sec)
       graft.queries.StreamingQueries.warmPurgeArtifacts(spark, sfDir)
+      // and the compacted purged doc index q213's lexical branch
+      // serves from (the once-per-takedown-batch compaction job;
+      // purged_doc_index_sec)
+      graft.queries.SimilarityQueries.warmPurgedDocIndex(spark, sfDir)
       // the DFT-blend trajectory family and the curation DAG carry
       // ~8 s of first-plan codegen (q89 measured 10.4 s cold vs 2.1 s
       // warm at sf0.1) — warm both plan families at sf0.001 so the
@@ -173,8 +177,10 @@ object Bench {
       graft.queries.StreamingQueries.releaseV2Nanos.get() / 1e9
     val purgeArtSec =
       graft.queries.StreamingQueries.purgeArtifactNanos.get() / 1e9
+    val purgedDocIdxSec =
+      graft.queries.SimilarityQueries.purgedDocIndexNanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
     // compact line FIRST as well as last: whatever window a consumer

@@ -991,13 +991,19 @@ object SimilarityQueries {
   /** shared oracle CTE chain mirroring bm25Scores (ends in bm(q_id,
     * cand_id, bm6)). */
   private lazy val bm25SqlCte: String =
+    bm25SqlCteFrom("documents", retrSampleSql)
+
+  /** the doc-level BM25 chain over an arbitrary (doc_id, text) source
+    * and query-sample subquery — q213's purged-hybrid oracle runs it
+    * over corpus − D without drifting from the shared spelling. */
+  private def bm25SqlCteFrom(src: String, sample: String): String =
     s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |      FROM documents),
+       |      FROM $src),
        |tf AS (SELECT doc_id, term, count(*) AS tf
        |       FROM t GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |st AS (SELECT (SELECT count(*) FROM $src) AS n,
        |              (SELECT sum(dl) FROM dl) AS toktot),
        |qt AS (
        | SELECT q_id, term FROM (
@@ -1007,7 +1013,7 @@ object SimilarityQueries {
        |      * 1000000 + 0.5) AS BIGINT) DESC,
        |             tf.term) AS rn
        |  FROM tf JOIN df USING (term) CROSS JOIN st
-       |  WHERE tf.doc_id IN $retrSampleSql)
+       |  WHERE tf.doc_id IN $sample)
        | WHERE rn <= $QTerms),
        |bm AS (
        | SELECT q_id, cand_id, sum(c6) AS bm6 FROM (
@@ -1532,14 +1538,22 @@ object SimilarityQueries {
     * ending in `hyb(q_id, rn, doc_id, r6, rv, rt)` — the fused top-5
     * — so q172Sql (the ranking gate) and q180Sql (the context
     * assembly built on it) share one spelling. */
-  private lazy val annFusedSqlCte: String = {
+  private lazy val annFusedSqlCte: String =
+    annFusedSqlCteFrom(retrSampleSql, "", bm25SqlCte)
+
+  /** the fused hybrid chain parameterized by sample, an extra ad
+    * candidate predicate (q213 excludes the takedown set), and the
+    * lexical CTE body — one spelling for q172/q180/q181/q185 AND the
+    * purged-hybrid gate. */
+  private def annFusedSqlCteFrom(sample: String, adExtra: String,
+      bmCte: String): String = {
     val chain = maskChainSql("p", IVFPQ_NPROBE)
     val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r").mkString("[", ", ", "]")
-    s"""${pqPreambleSqlFor(retrSampleSql)},
+    s"""${pqPreambleSqlFor(sample)},
        |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM e),
        |p1 AS (SELECT vec_id AS q_id, v AS qv, ${cellSql("v")} AS c1,
        |        ${cellScoresSql("v")} AS s1
-       |       FROM e WHERE vec_id IN $retrSampleSql),
+       |       FROM e WHERE vec_id IN $sample),
        |$chain,
        |probed AS (SELECT q_id, unnest($cells) AS cell
        |           FROM p$IVFPQ_NPROBE),
@@ -1548,7 +1562,7 @@ object SimilarityQueries {
        |        JOIN bc ON c.vec_id = bc.vec_id
        |        JOIN probed p ON bc.cell = p.cell
        |        JOIN lut l ON p.q_id = l.q_id AND c.m = l.m AND c.j = l.j
-       |       WHERE c.vec_id <> p.q_id
+       |       WHERE c.vec_id <> p.q_id$adExtra
        |       GROUP BY p.q_id, c.vec_id),
        |sl AS (SELECT q_id, vec_id FROM
        |        (SELECT q_id, vec_id, row_number() OVER
@@ -1556,7 +1570,7 @@ object SimilarityQueries {
        |         FROM ad)
        |       WHERE ar <= $RetrR),
        |qvec AS (SELECT vec_id AS q_id, v AS qv FROM e
-       |         WHERE vec_id IN $retrSampleSql),
+       |         WHERE vec_id IN $sample),
        |rv AS (SELECT q_id, vec_id, rv FROM
        |        (SELECT q_id, vec_id,
        |          row_number() OVER (PARTITION BY q_id
@@ -1567,7 +1581,7 @@ object SimilarityQueries {
        |               FROM sl JOIN e USING (vec_id)
        |                JOIN qvec ON sl.q_id = qvec.q_id))
        |       WHERE rv <= $FuseD),
-       |$bm25SqlCte,
+       |$bmCte,
        |rt AS (SELECT q_id, cand_id,
        |        row_number() OVER (PARTITION BY q_id
        |         ORDER BY bm6 DESC, cand_id) AS rt
@@ -2439,6 +2453,134 @@ object SimilarityQueries {
        |      FROM rr)
        |SELECT q_id, rn, vec_id AS neighbor_id, sim FROM r
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q213: TAKEDOWN-PURGED HYBRID SERVING — the composition gate over
+  // q211/q212's halves: the FULL q181 hybrid (persisted IVFADC index
+  // + persisted doc-postings index + RRF fusion) served from
+  // tombstone-purged artifacts equals the hybrid rebuilt over
+  // corpus − D. The vector branch is q212's (frozen quantizer, no
+  // stats); the lexical branch applies q211's exact re-stats at doc
+  // granularity — df/n/toktot recomputed from the purged postings
+  // artifact (dl rides denormalized and a doc's own length is
+  // purge-invariant); queries sample from non-purged ids. Hash-equal
+  // top-5 RRF output ⇒ the serving tier honors takedowns end to end
+  // with zero corpus re-scan and zero drift.
+  /** the COMPACTED purged doc-postings index: docIndexDir's artifact
+    * tombstone-anti-joined once per (corpus, takedown set), with the
+    * dictionary and global stats RE-DERIVED from the purged postings
+    * (q211's exact re-stats at doc granularity) and re-persisted
+    * term-sorted. This is the compaction job a takedown batch runs
+    * ONCE — the serve path (q213) then reads purged artifacts at
+    * q181's cost instead of re-aggregating per query. Build time
+    * reported as purged_doc_index_sec. */
+  private val purgedDocIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val purgedDocIndexNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def purgedDocIndexDir(s: SparkSession, dir: String)
+      : String = {
+    import s.implicits._
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    purgedDocIndexCache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_pdocidx")
+      val tomb = documents(s, dir)
+        .filter(StreamingQueries.Takedown.purged($"doc_id"))
+        .select($"doc_id")
+      val postings = s.read.parquet(s"${docIndexDir(s, dir)}/postings")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      postings.repartitionByRange($"term").sortWithinPartitions($"term")
+        .write.mode("overwrite").parquet(s"$out/postings")
+      postings.groupBy($"term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$out/dict")
+      postings.select($"doc_id", $"dl").distinct()
+        .agg(count(lit(1)).as("n"), sum($"dl").as("toktot"))
+        .write.mode("overwrite").parquet(s"$out/stats")
+      purgedDocIndexNanos.addAndGet(System.nanoTime() - t0)
+      out
+    })
+  }
+
+  private[graft] def warmPurgedDocIndex(s: SparkSession, dir: String)
+      : Unit = {
+    purgedDocIndexDir(s, dir); ()
+  }
+
+  private def bm25RanksPurged(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame = {
+    import s.implicits._
+    val idx = purgedDocIndexDir(s, dir)
+    val postings = s.read.parquet(s"$idx/postings")
+    val dict = s.read.parquet(s"$idx/dict")
+    val stats = s.read.parquet(s"$idx/stats")
+    val d = documents(s, dir).select($"doc_id", $"text")
+    val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
+      .select($"q_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
+    val (qtRows, qt) = localized(qtf.join(dict, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+        * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
+      .filter($"rn" <= QTerms)
+      .select($"q_id", $"term", $"df"))
+    val terms = qtRows.map(_.getString(1)).distinct.sorted
+    postings.filter($"term".isin(terms: _*))
+      .withColumnRenamed("doc_id", "cand_id")
+      .join(broadcast(qt), "term")
+      .filter($"cand_id" =!= $"q_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * lit(Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * ($"dl" * $"n").cast("double") / $"toktot")))
+      .withColumn("c6", floor($"contrib" * 1e6 + 0.5).cast("long"))
+      .groupBy($"q_id", $"cand_id").agg(sum($"c6").as("bm6"))
+      .withColumn("rt", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+      .select($"q_id", $"cand_id", $"rt")
+  }
+
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tombV = embeddings(s, dir).select($"vec_id")
+      .filter(StreamingQueries.Takedown.purged($"vec_id"))
+    val enc = s.read.parquet(annIndexDir(s, dir))
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
+      .join(broadcast(tombV), Seq("vec_id"), "left_anti")
+    val qs = embeddings(s, dir).select($"vec_id")
+      .filter(!StreamingQueries.Takedown.purged($"vec_id"))
+      .withColumn("h", md5(concat(lit("q162:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(RetrQK)
+      .select($"vec_id".as("q_id"))
+    val rv = ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, RetrR, Some(enc))
+      .filter($"rv" <= FuseD)
+      .select($"q_id", $"vec_id", $"rv")
+    fuseRanks(rv, bm25RanksPurged(s, dir, qs))
+  }
+
+  private lazy val q213Sql = {
+    val sample =
+      s"""(SELECT vec_id FROM embeddings
+         | WHERE NOT (${StreamingQueries.Takedown.sql("vec_id")})
+         | ORDER BY md5('q162:' || CAST(vec_id AS VARCHAR)), vec_id
+         | LIMIT $RetrQK)""".stripMargin
+    val adExtra =
+      s"\n       AND NOT (${StreamingQueries.Takedown.sql("c.vec_id")})"
+    s"""WITH pdx AS (SELECT doc_id, text FROM documents
+       |        WHERE NOT (${StreamingQueries.Takedown.sql("doc_id")})),
+       |${annFusedSqlCteFrom(sample, adExtra, bm25SqlCteFrom("pdx", sample))}
+       |SELECT q_id, rn, doc_id, r6 / 1000000.0 AS rrf,
+       | rv AS vec_rank, rt AS text_rank
+       |FROM hyb ORDER BY q_id, rn""".stripMargin
   }
 
   private lazy val q182Sql =
@@ -3323,6 +3465,8 @@ object SimilarityQueries {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q213_takedown_hybrid_serve", q213, Some(q213Sql),
+      "takedown-purged hybrid serving: persisted ANN + doc-postings indexes tombstone-purged with exact re-stats, RRF-fused — hash-equal to the hybrid rebuilt over corpus − D"),
     Q("q212_takedown_ann_serve", q212, Some(q212Sql),
       "takedown-purged ANN serving: the persisted IVFADC index anti-joined with vec tombstones serves the exact top-5 of a rebuild over embeddings − D (quantizer frozen, queries from non-purged ids)"),
     Q("q211_takedown_serve", q211, Some(q211Sql),

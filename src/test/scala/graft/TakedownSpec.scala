@@ -129,4 +129,19 @@ class TakedownSpec extends SparkSpec {
         .filter(!purgedV))
     assert(purgedIdx == rows(rebuilt) && purgedIdx.nonEmpty)
   }
+
+  test("q213: the fused hybrid under takedown serves no doc of D on either branch") {
+    import spark.implicits._
+    val out = Registry.byName("q213_takedown_hybrid_serve").run(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.filter(StreamingQueries.Takedown.purged($"doc_id"))
+      .count() == 0)
+    assert(out.filter(StreamingQueries.Takedown.purged($"q_id"))
+      .count() == 0)
+    // both branches contribute (the fusion isn't degenerate): some
+    // served doc carries a vector rank, some a text rank
+    assert(out.filter($"vec_rank".isNotNull).count() > 0)
+    assert(out.filter($"text_rank".isNotNull).count() > 0)
+  }
 }
