@@ -130,6 +130,60 @@ class TakedownSpec extends SparkSpec {
     assert(purgedIdx == rows(rebuilt) && purgedIdx.nonEmpty)
   }
 
+  test("purge is arrival-order-invariant: tombstones win over later re-appends") {
+    import spark.implicits._
+    // merge-on-read purge must be an anti-join (commutative with
+    // appends), so a doc re-ingested AFTER its takedown is still
+    // purged — takedowns are final regardless of batch interleaving
+    val sink = tmpDir("graft_purge_order")
+    val wave1 = Seq((1L, "a", 2L), (2L, "b", 3L)).toDF("doc_id", "k", "tf")
+    val wave2 = Seq((1L, "a", 5L), (3L, "c", 1L)).toDF("doc_id", "k", "tf")
+    wave1.write.mode("append").parquet(s"$sink/deltas")
+    // tombstone for doc 1 lands BETWEEN the waves; wave2 re-appends 1
+    Seq(1L).toDF("doc_id").write.mode("append").parquet(s"$sink/tomb")
+    wave2.write.mode("append").parquet(s"$sink/deltas")
+    val compacted = spark.read.parquet(s"$sink/deltas")
+      .join(spark.read.parquet(s"$sink/tomb"), Seq("doc_id"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(compacted == Set((2L, "b", 3L), (3L, "c", 1L)), compacted)
+  }
+
+  test("vacuum: compaction rewrite preserves content and retires the delta+tombstone files") {
+    import spark.implicits._
+    // merge-on-read accumulates delta + tombstone files; VACUUM
+    // rewrites the compacted state once and deletes the superseded
+    // inputs — content-identical, file count collapsed
+    val root = tmpDir("graft_vacuum")
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    StreamingQueries.docPostingsOf(docs)
+      .repartition(8) // many delta files, as a real sink accumulates
+      .write.parquet(s"$root/deltas")
+    docs.filter(StreamingQueries.Takedown.purged($"doc_id"))
+      .select($"doc_id").write.parquet(s"$root/tomb")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(s"$root/deltas")
+      .join(spark.read.parquet(s"$root/tomb"), Seq("doc_id"), "left_anti")
+    val beforeRows = before.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val nDelta = files(s"$root/deltas").length
+    assert(nDelta >= 8)
+    // vacuum: rewrite compacted, then retire the inputs
+    before.coalesce(1).write.parquet(s"$root/compacted")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(s"$root/deltas"))
+    rmTree(new java.io.File(s"$root/tomb"))
+    val after = spark.read.parquet(s"$root/compacted").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == beforeRows && after.nonEmpty)
+    assert(files(s"$root/compacted").length == 1)
+    assert(!new java.io.File(s"$root/deltas").exists())
+  }
+
   test("q213: the fused hybrid under takedown serves no doc of D on either branch") {
     import spark.implicits._
     val out = Registry.byName("q213_takedown_hybrid_serve").run(spark, sf)
