@@ -79,6 +79,9 @@ object Bench {
       // serves from (the once-per-takedown-batch compaction job;
       // purged_doc_index_sec)
       graft.queries.SimilarityQueries.warmPurgedDocIndex(spark, sfDir)
+      // and the compacted purged chunk index + manifest q214's RAG
+      // stages serve from (purged_chunk_index_sec)
+      graft.queries.SimilarityQueries.warmPurgedChunkIndex(spark, sfDir)
       // the DFT-blend trajectory family and the curation DAG carry
       // ~8 s of first-plan codegen (q89 measured 10.4 s cold vs 2.1 s
       // warm at sf0.1) — warm both plan families at sf0.001 so the
@@ -179,8 +182,10 @@ object Bench {
       graft.queries.StreamingQueries.purgeArtifactNanos.get() / 1e9
     val purgedDocIdxSec =
       graft.queries.SimilarityQueries.purgedDocIndexNanos.get() / 1e9
+    val purgedChunkIdxSec =
+      graft.queries.SimilarityQueries.purgedChunkIndexNanos.get() / 1e9
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"purged_chunk_index_sec":${fmt(purgedChunkIdxSec)},"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
     // compact line FIRST as well as last: whatever window a consumer

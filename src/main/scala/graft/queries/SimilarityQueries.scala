@@ -2549,22 +2549,181 @@ object SimilarityQueries {
       .select($"q_id", $"cand_id", $"rt")
   }
 
-  private def q213(s: SparkSession, dir: String): DataFrame = {
+  /** the non-purged query sample shared by the whole takedown-serving
+    * family (q211-q214): a taken-down doc must not be a query. */
+  private def purgedQuerySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir).select($"vec_id")
+      .filter(!StreamingQueries.Takedown.purged($"vec_id"))
+      .withColumn("h", md5(concat(lit("q162:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(RetrQK)
+      .select($"vec_id".as("q_id"))
+  }
+
+  /** q213's fused hybrid over purged artifacts — factored so q214's
+    * fully-served RAG can take it as the doc-shortlist stage. */
+  private def purgedHybrid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tombV = embeddings(s, dir).select($"vec_id")
       .filter(StreamingQueries.Takedown.purged($"vec_id"))
     val enc = s.read.parquet(annIndexDir(s, dir))
       .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
       .join(broadcast(tombV), Seq("vec_id"), "left_anti")
-    val qs = embeddings(s, dir).select($"vec_id")
-      .filter(!StreamingQueries.Takedown.purged($"vec_id"))
-      .withColumn("h", md5(concat(lit("q162:"), $"vec_id".cast("string"))))
-      .orderBy($"h", $"vec_id").limit(RetrQK)
-      .select($"vec_id".as("q_id"))
+    val qs = purgedQuerySample(s, dir)
     val rv = ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, RetrR, Some(enc))
       .filter($"rv" <= FuseD)
       .select($"q_id", $"vec_id", $"rv")
     fuseRanks(rv, bm25RanksPurged(s, dir, qs))
+  }
+
+  private def q213(s: SparkSession, dir: String): DataFrame =
+    purgedHybrid(s, dir)
+
+  // ---------------------------------------------------------------
+  // q214: TAKEDOWN-PURGED FULLY-SERVED RAG — the capstone of the
+  // takedown-serving family: q187's complete composition (served doc
+  // shortlist → served chunk re-rank → served manifest pack) with
+  // EVERY artifact tombstone-purged and every global statistic
+  // re-derived from the purged artifact itself — hash-equal to the
+  // whole RAG pipeline rebuilt over corpus − D. Stage 1 is q213's
+  // purged hybrid; stage 2/3 read the COMPACTED purged chunk index
+  // (postings anti-joined + df/n/toktot re-derived + manifest
+  // anti-joined, re-persisted sorted — the once-per-takedown-batch
+  // job, purged_chunk_index_sec); chunk offsets/md5s are doc-local so
+  // purge-invariant for kept docs. A serving tier that passes this
+  // gate provably honors takedowns END TO END — retrieval, ranking,
+  // statistics, and the packed context — with zero corpus re-scan.
+  private val purgedChunkIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val purgedChunkIndexNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def purgedChunkIndexDir(s: SparkSession, dir: String)
+      : String = {
+    import s.implicits._
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    purgedChunkIndexCache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_pchunkidx")
+      val base = chunkIndexDir(s, dir)
+      val tomb = documents(s, dir)
+        .filter(StreamingQueries.Takedown.purged($"doc_id"))
+        .select($"doc_id")
+      val postings = s.read.parquet(s"$base/postings")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      postings.repartitionByRange($"term").sortWithinPartitions($"term")
+        .write.mode("overwrite").parquet(s"$out/postings")
+      postings.groupBy($"term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$out/dict")
+      postings.select($"doc_id", $"chunk_idx", $"dl").distinct()
+        .agg(count(lit(1)).as("n"), sum($"dl").as("toktot"))
+        .write.mode("overwrite").parquet(s"$out/stats")
+      s.read.parquet(s"$base/manifest")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id")
+        .write.mode("overwrite").parquet(s"$out/manifest")
+      purgedChunkIndexNanos.addAndGet(System.nanoTime() - t0)
+      out
+    })
+  }
+
+  private[graft] def warmPurgedChunkIndex(s: SparkSession, dir: String)
+      : Unit = {
+    purgedChunkIndexDir(s, dir); ()
+  }
+
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = purgedChunkIndexDir(s, dir)
+    val dict = s.read.parquet(s"$idx/dict")
+    val stats = s.read.parquet(s"$idx/stats")
+    val qids = purgedQuerySample(s, dir)
+    // stage 1 — the purged served doc shortlist (q213), one job
+    val (hybRows, hyb) = localized(purgedHybrid(s, dir)
+      .select($"q_id", $"rn".as("doc_rank"), $"doc_id"))
+    val docIds = hybRows.map(_.getLong(2)).distinct.sorted
+    val docLits = docIds.map(java.lang.Long.valueOf)
+    // stage 2 — probe terms vs the purged dictionary
+    val d = documents(s, dir).select($"doc_id", $"text")
+    val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
+      .select($"q_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
+    val (qtRows, qt) = localized(qtf.join(dict, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+        * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
+      .filter($"rn" <= QTerms)
+      .select($"q_id", $"term", $"df"))
+    val terms = qtRows.map(_.getString(1)).distinct.sorted
+    // stage 3 — purged postings walk, BOTH pushdowns
+    val scored = s.read.parquet(s"$idx/postings")
+      .filter($"term".isin(terms: _*) && $"doc_id".isin(docLits: _*))
+      .join(broadcast(qt), "term")
+      .filter($"doc_id" =!= $"q_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * lit(Bm25K1 + 1)) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * ($"dl" * $"n").cast("double") / $"toktot")))
+      .withColumn("c6", floor($"contrib" * 1e6 + 0.5).cast("long"))
+      .groupBy($"q_id", $"doc_id", $"chunk_idx").agg(sum($"c6").as("bm6"))
+    val within = scored.join(broadcast(hyb), Seq("q_id", "doc_id"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"q_id")
+          .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
+    // stage 4 — purged manifest pack
+    val manifest = s.read.parquet(s"$idx/manifest")
+      .filter($"doc_id".isin(docLits: _*))
+    within.join(manifest, Seq("doc_id", "chunk_idx"))
+      .withColumn("cum", sum($"chunk_len").over(
+        Window.partitionBy($"q_id").orderBy($"crn")))
+      .filter($"cum" <= ChunkBudget)
+      .select($"q_id", $"crn".as("rn"), $"doc_id", $"doc_rank",
+        $"chunk_idx", $"start_tok", $"chunk_len", $"chunk_md5", $"cum")
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q214Sql = {
+    val sample =
+      s"""(SELECT vec_id FROM embeddings
+         | WHERE NOT (${StreamingQueries.Takedown.sql("vec_id")})
+         | ORDER BY md5('q162:' || CAST(vec_id AS VARCHAR)), vec_id
+         | LIMIT $RetrQK)""".stripMargin
+    val adExtra =
+      s"\n       AND NOT (${StreamingQueries.Takedown.sql("c.vec_id")})"
+    s"""WITH pdx AS (SELECT doc_id, text FROM documents
+       |        WHERE NOT (${StreamingQueries.Takedown.sql("doc_id")})),
+       |${annFusedSqlCteFrom(sample, adExtra, bm25SqlCteFrom("pdx", sample))},
+       |${chunkSqlCtesFrom("ck", "pdx", sample)},
+       |wr AS (SELECT ckrk.q_id, h.rn AS doc_rank, ckrk.doc_id,
+       |        ckrk.chunk_idx,
+       |        row_number() OVER (PARTITION BY ckrk.q_id
+       |         ORDER BY ckrk.bm6 DESC, ckrk.doc_id, ckrk.chunk_idx)
+       |          AS crn
+       |       FROM ckrk JOIN hyb h
+       |        ON ckrk.q_id = h.q_id AND ckrk.doc_id = h.doc_id),
+       |pk AS (SELECT wr.q_id, wr.crn AS rn, wr.doc_id,
+       |        CAST(wr.doc_rank AS BIGINT) AS doc_rank,
+       |        CAST(wr.chunk_idx AS BIGINT) AS chunk_idx,
+       |        CAST(ckch.start_tok AS BIGINT) AS start_tok,
+       |        CAST(least($ChunkW, ckch.n_tok - ckch.chunk_idx * $ChunkS)
+       |          AS BIGINT) AS chunk_len,
+       |        md5(array_to_string(ckch.ct, ' ')) AS chunk_md5,
+       |        CAST(sum(least($ChunkW,
+       |          ckch.n_tok - ckch.chunk_idx * $ChunkS))
+       |         OVER (PARTITION BY wr.q_id ORDER BY wr.crn) AS BIGINT)
+       |          AS cum
+       |       FROM wr JOIN ckch ON wr.doc_id = ckch.doc_id
+       |                        AND wr.chunk_idx = ckch.chunk_idx)
+       |SELECT q_id, rn, doc_id, doc_rank, chunk_idx, start_tok,
+       | chunk_len, chunk_md5, cum
+       |FROM pk WHERE cum <= $ChunkBudget ORDER BY q_id, rn""".stripMargin
   }
 
   private lazy val q213Sql = {
@@ -3465,6 +3624,8 @@ object SimilarityQueries {
   }
 
   val queries: Seq[Q] = Seq(
+    Q("q214_takedown_full_rag", q214, Some(q214Sql),
+      "takedown-purged fully-served RAG: q187's complete composition over tombstone-purged artifacts with exact re-derived statistics — hash-equal to the whole pipeline rebuilt over corpus − D"),
     Q("q213_takedown_hybrid_serve", q213, Some(q213Sql),
       "takedown-purged hybrid serving: persisted ANN + doc-postings indexes tombstone-purged with exact re-stats, RRF-fused — hash-equal to the hybrid rebuilt over corpus − D"),
     Q("q212_takedown_ann_serve", q212, Some(q212Sql),

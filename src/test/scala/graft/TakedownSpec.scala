@@ -198,4 +198,23 @@ class TakedownSpec extends SparkSpec {
     assert(out.filter($"vec_rank".isNotNull).count() > 0)
     assert(out.filter($"text_rank".isNotNull).count() > 0)
   }
+
+  test("q214: the full purged RAG serves no doc of D and packs within budget") {
+    import spark.implicits._
+    val out = Registry.byName("q214_takedown_full_rag").run(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.filter(StreamingQueries.Takedown.purged($"doc_id"))
+      .count() == 0)
+    assert(out.filter(StreamingQueries.Takedown.purged($"q_id"))
+      .count() == 0)
+    // the packed context respects the budget and cum is monotone per query
+    assert(out.filter($"cum" > 192L).count() == 0)
+    val bad = out.select($"q_id", $"rn", $"cum")
+      .withColumn("prev", org.apache.spark.sql.functions.lag($"cum", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"rn")))
+      .filter($"prev".isNotNull && $"cum" <= $"prev").count()
+    assert(bad == 0)
+  }
 }
