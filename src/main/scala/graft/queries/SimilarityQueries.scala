@@ -2029,6 +2029,15 @@ object SimilarityQueries {
   private def localized(df: DataFrame)
       : (Array[org.apache.spark.sql.Row], DataFrame) = {
     val rows = df.collect()
+    // enforce the bounded-frame contract at the call site (ADVICE
+    // r15): serving frames are query-count-sized (≤ RetrQK · K ·
+    // nprobe ≈ hundreds) — a future caller passing a corpus-sized
+    // frame must fail HERE with a named contract, not later as a
+    // driver OOM
+    require(rows.length <= 16384,
+      s"localized() is for query-count-bounded serving frames only; " +
+        s"got ${rows.length} rows — this frame scales with data, " +
+        s"keep it distributed")
     val local = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
     (rows, local)

@@ -1643,11 +1643,14 @@ object StreamingQueries {
     // only on-disk parquet PATHS, which any session can re-read.)
     val app = s.sparkContext.applicationId
     val key = s"$app:$dir:${src.lastModified}:${src.length}"
-    // evict entries owned by OTHER applicationIds (ADVICE r14): their
-    // sessions are gone (or will never be read again from this one),
-    // so a JVM that cycles SparkSessions doesn't accumulate dead
-    // checkpointed-DataFrame references without bound.
-    releaseStateCache.keySet.removeIf(k => !k.startsWith(app + ":"))
+    // evict entries whose owning context is STOPPED (ADVICE r14/r15):
+    // a JVM that cycles SparkSessions doesn't accumulate dead
+    // checkpointed-DataFrame references without bound, while two LIVE
+    // contexts coexisting in one JVM keep their entries (the r14
+    // evict-other-appIds spelling made them evict each other on every
+    // lookup and rebuild the release state per query).
+    releaseStateCache.entrySet.removeIf(e =>
+      e.getValue._2.sparkSession.sparkContext.isStopped)
     releaseStateCache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
       val split = DedupQueries.IngestSplit
@@ -1684,7 +1687,9 @@ object StreamingQueries {
     val src = new java.io.File(s"$dir/documents.parquet")
     val app = s.sparkContext.applicationId
     val key = s"$app:$dir:${src.lastModified}:${src.length}"
-    releaseV2Cache.keySet.removeIf(k => !k.startsWith(app + ":"))
+    // stopped-owner eviction, same rationale as releaseStateCache
+    releaseV2Cache.entrySet.removeIf(e =>
+      e.getValue.sparkSession.sparkContext.isStopped)
     releaseV2Cache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
       val v2 = TextQueries.releaseDocs(graft.Tables.documents(s, dir)
@@ -2176,11 +2181,19 @@ object StreamingQueries {
   private[graft] object Takedown {
     /** 1/16 of keys: substr(md5('purge:' || key), 1, 1) = Hex. */
     val Hex = "0"
+    /** the takedown FEED as successive batches (q215): wave w purges
+      * hex Waves(w−1) of the key space — wave 1 IS q206's set, waves
+      * 2..N extend it, each another 1/16 of keys. */
+    val Waves = Seq("0", "1", "2")
+    def waveHex(key: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      substring(md5(concat(lit("purge:"), key.cast("string"))), 1, 1)
     def purged(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      substring(md5(concat(lit("purge:"), key.cast("string"))), 1, 1) ===
-        Hex
+      waveHex(key) === Hex
     def sql(key: String): String =
       s"substr(md5('purge:' || CAST($key AS VARCHAR)), 1, 1) = '$Hex'"
+    def waveHexSql(key: String): String =
+      s"substr(md5('purge:' || CAST($key AS VARCHAR)), 1, 1)"
   }
 
   /** the three delta artifacts q206 purges, built ONCE per corpus
@@ -2252,10 +2265,38 @@ object StreamingQueries {
         coalesce($"chk2", lit(0L)).as("chk2"))
   }
 
+  /** the three purge-auditable artifact projections over the memoized
+    * artifact dir — slim (bucket, key, k, c1, c2) rows with integer
+    * checksums, the takedown key first-class: ONE spelling for q206's
+    * funnel and q215's tombstone-wave audit, so the two gates cannot
+    * disagree about what a purge removes. */
+  private def purgeArtifactRows(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val art = purgeArtifactDir(s, dir)
+    val dp = s.read.parquet(art + "/doc_postings")
+      .select(substring(md5($"term"), 1, 1).as("bucket"),
+        $"doc_id", $"term".as("k"),
+        ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
+    val cp = s.read.parquet(art + "/chunk_postings")
+      .select(substring(md5($"term"), 1, 1).as("bucket"),
+        $"doc_id", $"term".as("k"),
+        ($"doc_id" * $"tf" * ($"chunk_idx" + 1)).as("c1"),
+        ($"dl" * $"tf").as("c2"))
+    val ac = s.read.parquet(art + "/ann_codes")
+      .withColumn("cchk", expr(
+        "aggregate(zip_with(codes, sequence(1, size(codes)), " +
+          "(c, i) -> CAST(c AS BIGINT) * i), CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + x)"))
+      .select($"cell".cast("string").as("bucket"), $"vec_id",
+        $"vec_id".as("k"),
+        ($"vec_id" * $"cchk").as("c1"), $"cchk".as("c2"))
+    (dp, cp, ac)
+  }
+
   private def q206(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q206") { scratch =>
-      val art = purgeArtifactDir(s, dir)
       // the takedown feed, streamed: key tombstones through a real
       // AvailableNow streaming sink (one per key space)
       val docTomb = runToSink(s,
@@ -2266,23 +2307,7 @@ object StreamingQueries {
         multiFileStream(s, dir, "embeddings")
           .filter(Takedown.purged($"vec_id")).select($"vec_id"),
         scratch + "/tomb_vec").localCheckpoint(true)
-      val dp = s.read.parquet(art + "/doc_postings")
-        .select(substring(md5($"term"), 1, 1).as("bucket"),
-          $"doc_id", $"term".as("k"),
-          ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
-      val cp = s.read.parquet(art + "/chunk_postings")
-        .select(substring(md5($"term"), 1, 1).as("bucket"),
-          $"doc_id", $"term".as("k"),
-          ($"doc_id" * $"tf" * ($"chunk_idx" + 1)).as("c1"),
-          ($"dl" * $"tf").as("c2"))
-      val ac = s.read.parquet(art + "/ann_codes")
-        .withColumn("cchk", expr(
-          "aggregate(zip_with(codes, sequence(1, size(codes)), " +
-            "(c, i) -> CAST(c AS BIGINT) * i), CAST(0 AS BIGINT), " +
-            "(acc, x) -> acc + x)"))
-        .select($"cell".cast("string").as("bucket"), $"vec_id",
-          $"vec_id".as("k"),
-          ($"vec_id" * $"cchk").as("c1"), $"cchk".as("c2"))
+      val (dp, cp, ac) = purgeArtifactRows(s, dir)
       purgeFunnel("ann_codes", ac, vecTomb, "vec_id")
         .unionByName(purgeFunnel("chunk_postings", cp, docTomb, "doc_id"))
         .unionByName(purgeFunnel("doc_postings", dp, docTomb, "doc_id"))

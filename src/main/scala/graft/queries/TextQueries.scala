@@ -2464,7 +2464,7 @@ object TextQueries {
   }
 
   private lazy val q195Sql =
-    s"""WITH $unigramSqlCtes,
+    s"""WITH RECURSIVE $unigramSqlCtes,
        |f1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f1 FROM (
        |        SELECT wc, unnest(string_split(seg, '|')) AS piece
        |        FROM best) GROUP BY piece),
@@ -2485,10 +2485,13 @@ object TextQueries {
        |             string_agg(pcr.piece, '|' ORDER BY i) AS seg
        |            FROM pcr LEFT JOIN v2 USING (piece)
        |            GROUP BY word, wc, mask),
+       |${uniFoldSqlCte("u2", "v2")},
        |best2 AS (SELECT wc, seg FROM (
        |           SELECT wc, seg, row_number() OVER (
        |            PARTITION BY word ORDER BY cost, m, seg) AS rn
-       |           FROM costed2) WHERE rn = 1),
+       |           FROM costed2) WHERE rn = 1
+       |          UNION ALL
+       |          SELECT wc, seg FROM u2bf),
        |f2 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f2 FROM (
        |        SELECT wc, unnest(string_split(seg, '|')) AS piece
        |        FROM best2) GROUP BY piece)
@@ -2602,10 +2605,13 @@ object TextQueries {
              |         string_agg(pcr.piece, '|' ORDER BY i) AS seg
              |        FROM pcr LEFT JOIN vr${r - 1} USING (piece)
              |        GROUP BY word, wc, mask),
+             |${uniFoldSqlCte(s"u$r", s"vr${r - 1}")},
              |bst$r AS (SELECT wc, seg FROM (
              |         SELECT wc, seg, row_number() OVER (
              |          PARTITION BY word ORDER BY cost, m, seg) AS rn
-             |         FROM cst$r) WHERE rn = 1),
+             |         FROM cst$r) WHERE rn = 1
+             |        UNION ALL
+             |        SELECT wc, seg FROM u${r}bf),
              |fr$r AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f FROM (
              |        SELECT wc, unnest(string_split(seg, '|')) AS piece
              |        FROM bst$r) GROUP BY piece)""".stripMargin
@@ -2632,7 +2638,7 @@ object TextQueries {
       .map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, piece, f, cost6 FROM vr$r")
       .mkString(" UNION ALL ")
-    s"""WITH $unigramSqlCtes,
+    s"""WITH RECURSIVE $unigramSqlCtes,
        |$rcte
        |SELECT * FROM ($union) ORDER BY round, piece""".stripMargin
   }
@@ -2673,14 +2679,9 @@ object TextQueries {
        |          FROM v0, tot),
        |mk AS (SELECT word, wc,
        |        unnest(generate_series(0,
-       |          CAST(2 ** (CASE WHEN len(word) <= $UniEnumMax
-       |                THEN len(word)
-       |                ELSE CAST(error('unigram oracle: word longer than
-       | $UniEnumMax chars - the exhaustive-enumeration bound; the Spark
-       | side takes the bounded Viterbi fold here, so oracle coverage
-       | must stop LOUDLY instead of exploding 2^(len-1) masks')
-       |                 AS BIGINT) END - 1) AS BIGINT) - 1)) AS mask
-       |       FROM w),
+       |          CAST(2 ** (len(word) - 1) AS BIGINT) - 1)) AS mask
+       |       FROM w WHERE len(word) <= $UniEnumMax),
+       |lw AS (SELECT word, wc FROM w WHERE len(word) > $UniEnumMax),
        |bm AS (SELECT word, wc, mask,
        |        list_concat(list_concat([CAST(0 AS BIGINT)],
        |          list_filter(generate_series(1, len(word) - 1),
@@ -2699,13 +2700,80 @@ object TextQueries {
        |            string_agg(pcr.piece, '|' ORDER BY i) AS seg
        |           FROM pcr LEFT JOIN vocab USING (piece)
        |           GROUP BY word, wc, mask),
+       |${uniFoldSqlCte("u0", "vocab")},
        |best AS (SELECT word, wc, m, seg FROM (
        |          SELECT word, wc, m, seg, row_number() OVER (
        |           PARTITION BY word ORDER BY cost, m, seg) AS rn
-       |          FROM costed) WHERE rn = 1)""".stripMargin
+       |          FROM costed) WHERE rn = 1
+       |         UNION ALL
+       |         SELECT word, wc, m, seg FROM u0bf)""".stripMargin
+
+  /** the bounded Viterbi fold (uniBestFoldExpr) as oracle CTEs over
+    * the words LONGER than UniEnumMax — the oracle branch of the
+    * Spark dispatch, so a corpus containing a URL/hash/CJK blob keeps
+    * FULL oracle coverage instead of aborting the gate (ADVICE r15:
+    * the old mk guard called error() and lost q191/q192/q193/q195/
+    * q202 on one long word). Same recursive list-carrying DP as the
+    * soft-EM oracle (uniSoftStepSql): the per-word edge-COST list
+    * (ecl[(en-1)·M + k] = cost6 of the k-char piece ending at en;
+    * out-of-vocab and invalid slots hold the UniBig sentinel) rides
+    * in the recursion seed, each step appends the min over ALL start
+    * positions st ≤ i+1 — pieces longer than UniMaxPiece stay legal
+    * at one UniBig (the Kudo <unk>-span semantics the enumeration
+    * has) — and the (cost, m, seg) struct sort IS the enumeration's
+    * ORDER BY cost, m, seg tie-break (list_sort on structs compares
+    * fields in declaration order). Fold ≡ enumeration pinned on 60
+    * seeded-random (word, vocab) cases at build time and by
+    * UnigramSpec's Spark-side 300-case pin of the identical
+    * recurrence. Parameterized by cost table `ct` = (piece, cost6)
+    * so each EM round's E-step (q195's v2, q202's vr_r) folds under
+    * its OWN costs, exactly like the pcr-join it mirrors. Requires
+    * `lw` in scope; ends with ${tag}bf = (word, wc, m, seg). */
+  private def uniFoldSqlCte(tag: String, ct: String): String = {
+    val M = UniMaxPiece
+    s"""${tag}ec AS MATERIALIZED (
+       | SELECT g.word, any_value(g.wc) AS wc, any_value(g.ln) AS ln,
+       |  list(CASE WHEN g.piece IS NULL THEN CAST($UniBig AS BIGINT)
+       |        ELSE coalesce(v.cost6, CAST($UniBig AS BIGINT)) END
+       |       ORDER BY g.en, g.k) AS ecl
+       | FROM (SELECT we.word, we.wc, we.ln, we.en, ks.k,
+       |        CASE WHEN we.en - ks.k + 1 >= 1
+       |         THEN substr(we.word, CAST(we.en - ks.k + 1 AS INT),
+       |           CAST(ks.k AS INT)) END AS piece
+       |       FROM (SELECT word, wc, len(word) AS ln,
+       |              unnest(generate_series(1, len(word))) AS en
+       |             FROM lw) we
+       |       CROSS JOIN (SELECT unnest(generate_series(1, $M)) AS k)
+       |        ks) g
+       | LEFT JOIN $ct v ON g.piece = v.piece
+       | GROUP BY g.word),
+       |${tag}fd AS (
+       | SELECT word, wc, ln, ecl, 0 AS i,
+       |  [{'cost': CAST(0 AS BIGINT), 'm': CAST(0 AS BIGINT),
+       |    'seg': ''}] AS acc
+       | FROM ${tag}ec
+       | UNION ALL
+       | SELECT word, wc, ln, ecl, i + 1, list_append(acc,
+       |   (list_sort(list_transform(generate_series(1, i + 1), st ->
+       |     {'cost': acc[st].cost +
+       |        (CASE WHEN i + 2 - st <= $M
+       |          THEN ecl[i * $M + (i + 2 - st)]
+       |          ELSE CAST($UniBig AS BIGINT) END),
+       |      'm': acc[st].m + 1,
+       |      'seg': CASE WHEN st = 1
+       |             THEN substr(word, CAST(st AS INT),
+       |               CAST(i + 2 - st AS INT))
+       |             ELSE acc[st].seg || '|' || substr(word,
+       |               CAST(st AS INT), CAST(i + 2 - st AS INT)) END}
+       |    ))[1]))
+       | FROM ${tag}fd WHERE i < ln),
+       |${tag}bf AS (SELECT word, wc, CAST(acc[ln + 1].m AS BIGINT) AS m,
+       |          acc[ln + 1].seg AS seg
+       |         FROM ${tag}fd WHERE i = ln)""".stripMargin
+  }
 
   private lazy val q191Sql =
-    s"""WITH $unigramSqlCtes,
+    s"""WITH RECURSIVE $unigramSqlCtes,
        |f1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS f1 FROM (
        |        SELECT wc, unnest(string_split(seg, '|')) AS piece
        |        FROM best) GROUP BY piece)
@@ -2746,7 +2814,7 @@ object TextQueries {
   }
 
   private lazy val q192Sql =
-    s"""WITH $unigramSqlCtes,
+    s"""WITH RECURSIVE $unigramSqlCtes,
        |wl AS (
        | SELECT lang, term AS word, count(*) AS n FROM (
        |  SELECT lang, unnest(string_split(text, ' ')) AS term
@@ -2819,7 +2887,7 @@ object TextQueries {
   }
 
   private lazy val q193Sql =
-    s"""WITH $wordSqlCte,
+    s"""WITH RECURSIVE $wordSqlCte,
        |${bpeChainSqlCteNoWords(BpeK)},
        |$unigramSqlCtesNoW,
        |wl AS (
