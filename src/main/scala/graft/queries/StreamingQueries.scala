@@ -2641,7 +2641,244 @@ object StreamingQueries {
        |FROM ck, dr GROUP BY cell, dr.drift6 ORDER BY cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q215: TOMBSTONE ACCUMULATION + VACUUM DECISION — the one
+  // assumption in the purge design that time erodes (round-15
+  // verdict's top gap): q206 proves ONE takedown batch, but
+  // production takedowns arrive as a feed forever — tombstones
+  // accumulate, the broadcast-|D| contract decays, and merge-on-read
+  // pays the anti-join on every read until a VACUUM rewrites the
+  // artifact and retires the tombstones. This gate runs the feed:
+  // Takedown.Waves successive takedown batches (disjoint 1/16 key
+  // slices; wave 1 IS q206's set) each stream key tombstones through
+  // a real AvailableNow sink; after each wave, each artifact
+  // publishes the audit a storage layer files — rows in the current
+  // state, dead rows (tombstoned-but-present), dead fraction in
+  // micro-units, and the VACUUM DECISION BIT (dead_frac6 >
+  // VacuumThresh6 = 10%). When the bit fires the vacuum actually
+  // runs: the live rows REWRITE the artifact (an honest full
+  // artifact write, the cost the threshold amortizes), the
+  // tombstone store retires, and the next wave's audit starts from
+  // the compacted state — q208's audit-plus-decision-bit shape
+  // applied to deletion debt. The live-row checksums/key counts per
+  // wave are vacuum-INVARIANT (live rows = rows whose key survives
+  // the cumulative takedown, whether or not a rewrite happened) and
+  // the oracle recomputes them from corpus − (D1 ∪ … ∪ Dw) — the
+  // post-vacuum ≡ rebuild pin; TakedownSpec pins wave-order
+  // invariance, the decision bit on a planted-threshold frame, and
+  // the vacuumed artifact ≡ rebuild row for row.
+  //
+  // Scale: per wave, one columnar scan of the artifact flags dead
+  // rows against the BROADCAST outstanding-tombstone store (which
+  // the vacuum keeps bounded — that is the point of the decision
+  // bit); the only full-artifact WRITE is the vacuum itself, fired
+  // by the threshold, not by the feed rate. Nothing carries text or
+  // vectors; the sheet is |artifacts × waves| rows.
+  private[graft] val VacuumThresh6 = 100000L // vacuum when > 10% dead
+
+  /** the per-artifact tombstone-wave audit: fold `tombs` (successive
+    * takedown batches of `key`s) over the artifact state, publishing
+    * one audit row per wave and RUNNING the vacuum when the bit
+    * fires. Exposed so TakedownSpec can drive planted frames through
+    * the identical machinery. `rows` must carry (key, k, c1, c2). */
+  private[graft] def tombstoneWaveAudit(artifact: String,
+      rows: DataFrame, tombs: Seq[DataFrame], key: String,
+      scratch: String): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    var live = rows
+    var outstanding = Vector.empty[DataFrame]
+    var vacN = 0
+    val sheet = Vector.newBuilder[
+      (String, Long, Long, Long, Long, Boolean, Long, Long, Long, Long,
+        Long)]
+    for ((t, i) <- tombs.zipWithIndex) {
+      outstanding :+= t.select(col(key))
+      val tomb = outstanding.reduce(_ unionByName _)
+      // one artifact scan: flag dead rows against the broadcast
+      // tombstone store, roll live checksums in the same pass
+      val r = live
+        .join(broadcast(tomb.withColumn("dd", lit(1))), Seq(key), "left")
+        .agg(count(lit(1)).as("rows_total"),
+          coalesce(sum(when($"dd" === 1, 1L)), lit(0L)).as("rows_dead"),
+          coalesce(sum(when($"dd".isNull, $"c1")), lit(0L)).as("chk1"),
+          coalesce(sum(when($"dd".isNull, $"c2")), lit(0L)).as("chk2"),
+          countDistinct(when($"dd".isNull, $"k")).as("keys_live"))
+        .head()
+      val total = r.getLong(0)
+      val dead = r.getLong(1)
+      val frac6 = if (total > 0) dead * 1000000L / total else 0L
+      val vac = frac6 > VacuumThresh6
+      val tombN = tomb.count()
+      if (vac) {
+        // the vacuum: rewrite live rows (the honest full-artifact
+        // write), retire the tombstone store
+        vacN += 1
+        val vdir = s"$scratch/${artifact}_vac$vacN"
+        live.join(broadcast(tomb), Seq(key), "left_anti")
+          .write.mode("overwrite").parquet(vdir)
+        live = s.read.parquet(vdir)
+        outstanding = Vector.empty
+      }
+      sheet += ((artifact, (i + 1).toLong, total, dead, frac6, vac,
+        total - dead, r.getLong(4), r.getLong(2), r.getLong(3),
+        if (vac) 0L else tombN))
+    }
+    sheet.result().toDF("artifact", "wave", "rows_total", "rows_dead",
+      "dead_frac6", "vacuumed", "rows_live", "keys_live", "chk1_live",
+      "chk2_live", "tomb_outstanding")
+  }
+
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q215") { scratch =>
+      // the takedown FEED: each wave a real streamed tombstone batch
+      val docT = Takedown.Waves.zipWithIndex.map { case (h, i) =>
+        runToSink(s, multiFileStream(s, dir, "documents")
+            .filter(Takedown.waveHex($"doc_id") === h).select($"doc_id"),
+          s"$scratch/td$i").localCheckpoint(true)
+      }
+      val vecT = Takedown.Waves.zipWithIndex.map { case (h, i) =>
+        runToSink(s, multiFileStream(s, dir, "embeddings")
+            .filter(Takedown.waveHex($"vec_id") === h).select($"vec_id"),
+          s"$scratch/tv$i").localCheckpoint(true)
+      }
+      val (dp, cp, ac) = purgeArtifactRows(s, dir)
+      tombstoneWaveAudit("ann_codes", ac, vecT, "vec_id", scratch)
+        .unionByName(
+          tombstoneWaveAudit("chunk_postings", cp, docT, "doc_id",
+            scratch))
+        .unionByName(
+          tombstoneWaveAudit("doc_postings", dp, docT, "doc_id",
+            scratch))
+        .orderBy($"artifact", $"wave")
+    }
+  }
+
+  /** the wave-arithmetic CTE chain for one artifact: from the scalar
+    * stat CTE `$p` (n_tot, n1..nN, and per-wave live chk/keys) and
+    * the tombstone-key-count CTE `tc` (columns `${tk}1..N`), unroll
+    * the vacuum recurrence — rows_total shrinks by whatever prior
+    * vacuums removed, dead rows carry over until a vacuum retires
+    * them — exactly the state machine tombstoneWaveAudit runs. */
+  private def vacuumWaveSql(p: String, stat: String, tk: String)
+      : String = {
+    val n = Takedown.Waves.size
+    (1 to n).map { w =>
+      val (prevRemoved, prevDead, prevTomb) =
+        if (w == 1) ("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)",
+          "CAST(0 AS BIGINT)")
+        else (s"${p}x${w - 1}.removed_cum", s"${p}x${w - 1}.dead_out",
+          s"${p}x${w - 1}.tomb_out")
+      val prevFrom = if (w == 1) "" else s", ${p}x${w - 1}"
+      s"""${p}w$w AS (SELECT *,
+         |  (rows_dead * 1000000) // rows_total AS dead_frac6,
+         |  (rows_dead * 1000000) // rows_total > $VacuumThresh6
+         |    AS vacuumed FROM (
+         |   SELECT CAST($w AS BIGINT) AS wave,
+         |    $stat.n_tot - $prevRemoved AS rows_total,
+         |    $prevDead + $stat.n$w AS rows_dead,
+         |    $stat.n_tot -
+         |     ${(1 to w).map(j => s"$stat.n$j").mkString(" - ")}
+         |      AS rows_live,
+         |    $stat.kw$w AS keys_live, $stat.c1w$w AS chk1_live,
+         |    $stat.c2w$w AS chk2_live,
+         |    $prevRemoved AS removed_in, $prevTomb AS tomb_in,
+         |    tc.$tk$w AS tomb_add
+         |   FROM $stat, tc$prevFrom)),
+         |${p}x$w AS (SELECT *,
+         |  removed_in + CASE WHEN vacuumed THEN rows_dead
+         |               ELSE CAST(0 AS BIGINT) END AS removed_cum,
+         |  CASE WHEN vacuumed THEN CAST(0 AS BIGINT)
+         |   ELSE rows_dead END AS dead_out,
+         |  CASE WHEN vacuumed THEN CAST(0 AS BIGINT)
+         |   ELSE tomb_in + tomb_add END AS tomb_out
+         | FROM ${p}w$w)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  private lazy val q215Sql = {
+    val cellS = SimilarityQueries.cellSql("v")
+    val n = Takedown.Waves.size
+    def hx(k: String) = Takedown.waveHexSql(k)
+    /** per-artifact scalar stats over a row CTE (hx, k, c1, c2):
+      * total, per-wave-hex counts, and live chk/keys after each
+      * cumulative wave (live = hx past every wave so far — the
+      * rebuild-over-corpus-minus-cumD pin). */
+    def statSql(p: String, rowsCte: String): String = {
+      val perWave = (1 to n).map { w =>
+        val cum = Takedown.Waves.take(w).map(h => s"'$h'").mkString(", ")
+        s"""  CAST(count(*) FILTER (hx = '${Takedown.Waves(w - 1)}')
+           |    AS BIGINT) AS n$w,
+           |  CAST(coalesce(sum(c1) FILTER (hx NOT IN ($cum)), 0)
+           |    AS BIGINT) AS c1w$w,
+           |  CAST(coalesce(sum(c2) FILTER (hx NOT IN ($cum)), 0)
+           |    AS BIGINT) AS c2w$w,
+           |  CAST(count(DISTINCT k) FILTER (hx NOT IN ($cum))
+           |    AS BIGINT) AS kw$w""".stripMargin
+      }.mkString(",\n")
+      s"""$p AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+         |$perWave
+         | FROM $rowsCte)""".stripMargin
+    }
+    def waveUnion(p: String, artifact: String): String =
+      (1 to n).map { w =>
+        s"""SELECT '$artifact' AS artifact, wave, rows_total, rows_dead,
+           | dead_frac6, vacuumed, rows_live, keys_live, chk1_live,
+           | chk2_live, tomb_out AS tomb_outstanding
+           |FROM ${p}x$w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    val tks = (1 to n).map { w =>
+      val h = Takedown.Waves(w - 1)
+      s"""  CAST((SELECT count(*) FROM documents
+         |    WHERE ${hx("doc_id")} = '$h') AS BIGINT) AS dtk$w,
+         |  CAST((SELECT count(*) FROM embeddings
+         |    WHERE ${hx("vec_id")} = '$h') AS BIGINT) AS vtk$w""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SimilarityQueries.pqPreambleSqlForAnnSample},
+       |tfb AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |       WHERE len(term) > 0 GROUP BY doc_id, term),
+       |drows AS (SELECT ${hx("doc_id")} AS hx, term AS k,
+       |           CAST(doc_id * tf AS BIGINT) AS c1,
+       |           CAST(tf AS BIGINT) AS c2
+       |          FROM tfb),
+       |${SimilarityQueries.chunkCorpusSqlCtesFrom("xb", "documents")},
+       |crows AS (SELECT ${hx("ctf.doc_id")} AS hx, ctf.term AS k,
+       |           CAST(ctf.doc_id * ctf.tf * (ctf.chunk_idx + 1)
+       |             AS BIGINT) AS c1,
+       |           CAST(cdl.dl * ctf.tf AS BIGINT) AS c2
+       |          FROM xbctf ctf JOIN xbcdl cdl
+       |           USING (doc_id, chunk_idx)),
+       |cc AS (SELECT c.vec_id,
+       |        CAST(sum((c.m + 1) * c.j) AS BIGINT) AS cchk
+       |       FROM codes c GROUP BY c.vec_id),
+       |arows AS (SELECT ${hx("vec_id")} AS hx,
+       |           CAST(vec_id AS VARCHAR) AS k,
+       |           CAST(vec_id * cchk AS BIGINT) AS c1,
+       |           CAST(cchk AS BIGINT) AS c2
+       |          FROM cc),
+       |tc AS (SELECT
+       |$tks),
+       |${statSql("dstat", "drows")},
+       |${statSql("cstat", "crows")},
+       |${statSql("astat", "arows")},
+       |${vacuumWaveSql("a", "astat", "vtk")},
+       |${vacuumWaveSql("c", "cstat", "dtk")},
+       |${vacuumWaveSql("d", "dstat", "dtk")}
+       |SELECT * FROM (
+       |SELECT * FROM (${waveUnion("a", "ann_codes")})
+       |UNION ALL
+       |SELECT * FROM (${waveUnion("c", "chunk_postings")})
+       |UNION ALL
+       |SELECT * FROM (${waveUnion("d", "doc_postings")}))
+       |ORDER BY artifact, wave""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q215_takedown_vacuum", q215, Some(q215Sql),
+      "tombstone accumulation across successive takedown waves: per-artifact dead-row fraction, vacuum decision bit (> 10% dead), the fired vacuum rewriting the artifact and retiring the tombstone store — live checksums ≡ rebuild over corpus − cumulative D per wave"),
     Q("q208_sq8_maintain", q208, Some(q208Sql),
       "SQ8 code maintenance + re-scale audit: streamed frozen-scale int8 deltas over the base artifact; per-cell checksums under frozen vs recomputed global scale, code-change counts, micro-unit drift and the re-scale decision bit"),
     Q("q207_purge_rollforward", q207, Some(q207Sql),

@@ -217,4 +217,68 @@ class TakedownSpec extends SparkSpec {
       .filter($"prev".isNotNull && $"cum" <= $"prev").count()
     assert(bad == 0)
   }
+
+  test("q215 wave audit: planted threshold fires the vacuum exactly once, state machine exact") {
+    import spark.implicits._
+    // 100 rows over 100 keys; wave A tombstones 8 (8% — under the 10%
+    // threshold), wave B 8 more (16% outstanding — fires), wave C 4
+    // (4/84 = 4.7% of the compacted state — under again)
+    val rows = (1L to 100L).toDF("key")
+      .select($"key", concat(lit("k"), $"key").as("k"),
+        ($"key" * 7).as("c1"), ($"key" % 5).as("c2"))
+    val waves = Seq((1L to 8L), (9L to 16L), (17L to 20L))
+      .map(r => r.toDF("key"))
+    val sheet = StreamingQueries.tombstoneWaveAudit("t", rows, waves,
+      "key", tmpDir("graft_wavespec")).orderBy($"wave").collect()
+    assert(sheet.map(_.getAs[Boolean]("vacuumed")).toSeq ==
+      Seq(false, true, false))
+    assert(sheet.map(_.getAs[Long]("rows_total")).toSeq ==
+      Seq(100L, 100L, 84L))
+    assert(sheet.map(_.getAs[Long]("rows_dead")).toSeq ==
+      Seq(8L, 16L, 4L))
+    assert(sheet.map(_.getAs[Long]("dead_frac6")).toSeq ==
+      Seq(80000L, 160000L, 47619L))
+    assert(sheet.map(_.getAs[Long]("tomb_outstanding")).toSeq ==
+      Seq(8L, 0L, 4L))
+    // live stats are vacuum-invariant: wave 3's live row set is
+    // keys 21..100 regardless of the wave-2 rewrite
+    assert(sheet(2).getAs[Long]("rows_live") == 80L)
+    assert(sheet(2).getAs[Long]("chk1_live") ==
+      (21L to 100L).map(_ * 7).sum)
+  }
+
+  test("q215 wave audit: wave-order invariance and final state ≡ rebuild over corpus − ∪D") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val dp = StreamingQueries.docPostingsOf(docs)
+      .select($"doc_id".as("key"), $"term".as("k"),
+        ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
+      .localCheckpoint(true)
+    val hexOf = StreamingQueries.Takedown.waveHex($"doc_id")
+    val waves = StreamingQueries.Takedown.Waves.map(h =>
+      docs.filter(hexOf === h).select($"doc_id".as("key"))
+        .localCheckpoint(true))
+    def lastRow(ws: Seq[org.apache.spark.sql.DataFrame]) =
+      StreamingQueries.tombstoneWaveAudit("t", dp, ws, "key",
+          tmpDir("graft_waveorder"))
+        .orderBy($"wave".desc).limit(1)
+        .select($"rows_live", $"keys_live", $"chk1_live", $"chk2_live")
+        .head()
+    val fwd = lastRow(waves)
+    // tombstones are final and the purge is an anti-join, so the
+    // final live state is invariant under wave arrival order — even
+    // though the vacuum may fire at a DIFFERENT wave per order
+    assert(fwd == lastRow(waves.reverse))
+    // and ≡ a from-scratch rebuild over corpus − (D1 ∪ D2 ∪ D3)
+    val kept = docs.filter(
+      !hexOf.isin(StreamingQueries.Takedown.Waves: _*))
+    val rb = StreamingQueries.docPostingsOf(kept)
+      .agg(count(lit(1)), countDistinct($"term"),
+        sum($"doc_id" * $"tf"), sum($"tf")).head()
+    assert(fwd.getLong(0) == rb.getLong(0) &&
+      fwd.getLong(1) == rb.getLong(1) &&
+      fwd.getLong(2) == rb.getLong(2) &&
+      fwd.getLong(3) == rb.getLong(3))
+    assert(fwd.getLong(0) > 0)
+  }
 }
