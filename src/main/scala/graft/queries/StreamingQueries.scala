@@ -1573,8 +1573,14 @@ object StreamingQueries {
     * with each language's cumsum OFFSET by the frozen release's token
     * total. q199 rolls this into the tail manifest; q200's drift
     * audit consumes the doc set. */
-  private[graft] def tailDocs(sunk: DataFrame,
-      langTot: DataFrame, benchNg: DataFrame): DataFrame = {
+  /** the compacted tail's kept docs as (lang, doc_id, n_tok):
+    * exact-verify of the bloom-flagged contamination candidates (drop
+    * only docs truly sharing a bench 8-gram — the q189 join, confined
+    * to the flagged subset), then keep-first within-crawl dups.
+    * Factored from tailDocs so q216's composed roll-forward admits
+    * the IDENTICAL tail set q199 ships. */
+  private[graft] def tailKeptCounts(sunk: DataFrame,
+      benchNg: DataFrame): DataFrame = {
     val s = sunk.sparkSession
     import s.implicits._
     val w = DedupQueries.AttrW
@@ -1591,12 +1597,19 @@ object StreamingQueries {
     // digest at the sink scan (the q175 discipline): the keep-first
     // window and the packing shuffle ~50-byte digests, never text
     val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
-    val kept = sunk
+    sunk
       .join(confirmed, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", md5($"text").as("fp"),
         size(split($"text", " ")).cast("long").as("n_tok"))
       .withColumn("krk", row_number().over(wFp)).filter($"krk" === 1)
       .select($"lang", $"doc_id", $"n_tok")
+  }
+
+  private[graft] def tailDocs(sunk: DataFrame,
+      langTot: DataFrame, benchNg: DataFrame): DataFrame = {
+    val s = sunk.sparkSession
+    import s.implicits._
+    val kept = tailKeptCounts(sunk, benchNg)
     TextQueries.packShardsOfCounts(kept, hierarchical = true)
       .join(broadcast(langTot), Seq("lang"), "left")
       .withColumn("cum_tail",
@@ -2876,7 +2889,149 @@ object StreamingQueries {
        |ORDER BY artifact, wave""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q216: COMPOSED ROLL-FORWARD — tail-append AND takedown-purge in
+  // ONE release step, the roll-forward a real release train runs
+  // (round-15 verdict #2): v_{n+1} = the q197 release chain over
+  // (base ∪ admitted-tail) − D, where the admitted tail is EXACTLY
+  // the q199 compaction's kept set (same screens, same exact-verify,
+  // same keep-first — tailKeptCounts is the one spelling) and D is
+  // the takedown set. The gate is the q204 retention rollup with the
+  // full reason partition a release audit files: exits split into
+  // purged_takedown (the compliance number) vs churned_budget (the
+  // UNIMAX budget re-opening over the changed corpus), entries split
+  // into entered_tail (crawl admissions) vs entered_budget (base
+  // docs the re-opened budget now selects). Every doc leaving or
+  // entering has exactly one named reason; StreamReleaseSpec pins
+  // the partition exact and no-D-doc-anywhere in v_{n+1}.
+  //
+  // Scale: the v_n side is the memoized frozen release; v_{n+1} is
+  // ONE q197-posture chain over the composed corpus; the diff is a
+  // slim (lang, doc_id, n_tok) full-outer join — text rides only
+  // inside the release chain's own screens, never the diff.
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = DedupQueries.IngestSplit
+    val (blob, relFps, _, relB, benchNg) = frozenReleaseFor(s, dir)
+    val docs = graft.Tables.documents(s, dir)
+    val ixd = split.withIx(docs)
+    val base = ixd.filter($"ix" >= split.NewMax)
+      .select($"doc_id", $"lang", $"text")
+    val newD = ixd.filter($"ix" < split.NewMax)
+      .select($"doc_id", $"lang", $"text")
+    // the admitted tail WITH text: q199's screen + compaction kept
+    // set (tailKeptCounts carries digests; re-join ids for text)
+    val sunk = releaseTailScreen(newD, blob, relFps)
+    val keptIds = tailKeptCounts(sunk, benchNg).select($"doc_id")
+    val tailText = newD.join(keptIds, "doc_id")
+      .select($"doc_id", $"lang", $"text")
+    // the composed corpus: append the tail, purge the takedowns, ONE
+    // release chain
+    val comp = base.unionByName(tailText)
+      .filter(!Takedown.purged($"doc_id"))
+    val vNext = TextQueries.releaseDocs(comp)
+      .select($"lang", $"doc_id", $"n_tok")
+    val tailIx = substring(
+      md5(concat(lit("ingest:"), $"doc_id")), 1, 2) < split.NewMax
+    relB.select($"lang".as("l1"), $"doc_id", $"n_tok".as("t1"))
+      .join(vNext.select($"lang".as("l2"), $"doc_id", $"n_tok".as("t2")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("lang", coalesce($"l1", $"l2"))
+      .withColumn("in_d", Takedown.purged($"doc_id"))
+      .withColumn("in_tail", tailIx)
+      .groupBy($"lang")
+      .agg(
+        sum(when($"t1".isNotNull && $"t2".isNotNull, 1L).otherwise(0L))
+          .as("retained_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNotNull, $"t1")
+          .otherwise(0L)).as("retained_tokens"),
+        sum(when($"t1".isNotNull && $"t2".isNull && $"in_d", 1L)
+          .otherwise(0L)).as("purged_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNull && $"in_d", $"t1")
+          .otherwise(0L)).as("purged_tokens"),
+        sum(when($"t1".isNotNull && $"t2".isNull && !$"in_d", 1L)
+          .otherwise(0L)).as("churned_docs"),
+        sum(when($"t1".isNotNull && $"t2".isNull && !$"in_d", $"t1")
+          .otherwise(0L)).as("churned_tokens"),
+        sum(when($"t1".isNull && $"in_tail", 1L).otherwise(0L))
+          .as("entered_tail_docs"),
+        sum(when($"t1".isNull && $"in_tail", $"t2").otherwise(0L))
+          .as("entered_tail_tokens"),
+        sum(when($"t1".isNull && !$"in_tail", 1L).otherwise(0L))
+          .as("entered_budget_docs"),
+        sum(when($"t1".isNull && !$"in_tail", $"t2").otherwise(0L))
+          .as("entered_budget_tokens"))
+      .withColumn("retention6", expr(
+        """CASE WHEN retained_docs + purged_docs + churned_docs > 0
+          |THEN (retained_docs * 1000000)
+          | div (retained_docs + purged_docs + churned_docs)
+          |END""".stripMargin))
+      .orderBy($"lang")
+  }
+
+  private lazy val q216Sql = {
+    val td = Takedown.sql("doc_id")
+    val tailIx =
+      s"${DedupQueries.IngestSplit.IxSql} < " +
+        s"'${DedupQueries.IngestSplit.NewMax}'"
+    s"""WITH ixd AS (
+       | SELECT doc_id, lang, text,
+       |  ${DedupQueries.IngestSplit.IxSql} AS ix
+       | FROM documents),
+       |base AS (SELECT doc_id, lang, text FROM ixd
+       |         WHERE ix >= '${DedupQueries.IngestSplit.NewMax}'),
+       |newd AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t,
+       |          substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           AS hx
+       |         FROM ixd WHERE ix < '${DedupQueries.IngestSplit.NewMax}'),
+       |r1 AS ${relSetSql("base")},
+       |tk AS (SELECT doc_id, lang, text FROM (
+       |  WITH ${TextQueries.releaseSqlCtes("base")},
+       |  ${tailSqlCtes("newd")}
+       |  SELECT doc_id, lang, text FROM kf)),
+       |comp AS (SELECT doc_id, lang, text FROM base WHERE NOT ($td)
+       |         UNION ALL
+       |         SELECT doc_id, lang, text FROM tk WHERE NOT ($td)),
+       |r2 AS ${relSetSql("comp")},
+       |j AS (SELECT coalesce(r1.lang, r2.lang) AS lang,
+       |       coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+       |       r1.p_tok AS t1, r2.p_tok AS t2
+       |      FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+       |SELECT lang,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS retained_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS retained_tokens,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL AND ($td)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS purged_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL AND ($td)
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS purged_tokens,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   AND NOT ($td)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS churned_docs,
+       | CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NULL
+       |   AND NOT ($td)
+       |   THEN t1 ELSE 0 END) AS BIGINT) AS churned_tokens,
+       | CAST(sum(CASE WHEN t1 IS NULL AND ($tailIx)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS entered_tail_docs,
+       | CAST(sum(CASE WHEN t1 IS NULL AND ($tailIx)
+       |   THEN t2 ELSE 0 END) AS BIGINT) AS entered_tail_tokens,
+       | CAST(sum(CASE WHEN t1 IS NULL AND NOT ($tailIx)
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS entered_budget_docs,
+       | CAST(sum(CASE WHEN t1 IS NULL AND NOT ($tailIx)
+       |   THEN t2 ELSE 0 END) AS BIGINT) AS entered_budget_tokens,
+       | CAST(CASE WHEN sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+       |   > 0
+       |  THEN sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+       |    THEN 1 ELSE 0 END) * 1000000 //
+       |   sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+       |  END AS BIGINT) AS retention6
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q216_composed_rollforward", q216, Some(q216Sql),
+      "composed release roll-forward: v_{n+1} = one release chain over (base ∪ q199-admitted tail) − takedown D, with the full exit/entry reason partition (purged_takedown / churned_budget / entered_tail / entered_budget) per language"),
     Q("q215_takedown_vacuum", q215, Some(q215Sql),
       "tombstone accumulation across successive takedown waves: per-artifact dead-row fraction, vacuum decision bit (> 10% dead), the fired vacuum rewriting the artifact and retiring the tombstone store — live checksums ≡ rebuild over corpus − cumulative D per wave"),
     Q("q208_sq8_maintain", q208, Some(q208Sql),

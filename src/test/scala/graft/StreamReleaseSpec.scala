@@ -263,4 +263,53 @@ class StreamReleaseSpec extends SparkSpec {
     assert(v2InD > 0, "no released doc in D — the reason split is vacuous")
     assert(pur == v2InD, (pur, v2InD))
   }
+
+  test("q216 composed roll-forward: four-way reason partition exact, no D doc, tail really enters") {
+    import spark.implicits._
+    val purged = StreamingQueries.Takedown.purged($"doc_id")
+    val split = graft.queries.DedupQueries.IngestSplit
+    val sheet = Registry.byName("q216_composed_rollforward")
+      .run(spark, sf).localCheckpoint(true)
+    val r = sheet.agg(sum($"retained_docs"), sum($"purged_docs"),
+      sum($"churned_docs"), sum($"entered_tail_docs"),
+      sum($"entered_budget_docs")).head()
+    val (ret, pur, chr, etl, ebu) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    // rebuild both sides independently: v_n = the frozen base
+    // release; v_{n+1} over (base ∪ admitted tail) − D — the SAME
+    // corpus the gate composes, from first principles
+    val docs = graft.Tables.documents(spark, sf)
+    val ixd = split.withIx(docs)
+    val base = ixd.filter($"ix" >= split.NewMax)
+      .select($"doc_id", $"lang", $"text")
+    val vN = TextQueries.releaseDocs(base).localCheckpoint(true)
+    // conservation: every v_n doc exits into exactly one reason
+    assert(ret + pur + chr == vN.count(), (ret, pur, chr, vN.count()))
+    // entries partition by provenance and count against the gate
+    val entered = etl + ebu
+    assert(entered > 0 && etl > 0, (etl, ebu))
+    // the compliance property on the composed release: the gate's
+    // retained+entered must all avoid D — recompute v_{n+1} and scan
+    val st = StreamingQueries.releaseFrozenState(base)
+    val (blob, relFps, benchNg) = (st._1, st._2, st._5)
+    val newD = ixd.filter($"ix" < split.NewMax)
+      .select($"doc_id", $"lang", $"text")
+    val sunk = StreamingQueries.releaseTailScreen(newD, blob, relFps)
+    val keptIds = StreamingQueries.tailKeptCounts(sunk, benchNg)
+      .select($"doc_id")
+    val comp = base.unionByName(newD.join(keptIds, "doc_id")
+        .select($"doc_id", $"lang", $"text"))
+      .filter(!purged)
+    val vNext = TextQueries.releaseDocs(comp).localCheckpoint(true)
+    assert(vNext.filter(purged).count() == 0)
+    assert(ret + entered == vNext.count(), (ret, entered, vNext.count()))
+    // tail entries really come from the crawl split; budget entries
+    // from base (ix provenance is a partition of entries)
+    val tailIx = substring(
+      md5(concat(lit("ingest:"), $"doc_id")), 1, 2) < split.NewMax
+    val vNIds = vN.select($"doc_id")
+    val enteredDf = vNext.join(vNIds, Seq("doc_id"), "left_anti")
+    assert(enteredDf.filter(tailIx).count() == etl)
+    assert(enteredDf.filter(!tailIx).count() == ebu)
+  }
 }
