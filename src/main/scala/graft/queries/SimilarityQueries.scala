@@ -503,13 +503,21 @@ object SimilarityQueries {
     * sub-vector m of the j-th sample unit vector, j ordered by the
     * sample hash. PQ_M·PQ_K (= 256) rows total — broadcast everywhere
     * it joins. */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebookOfPool(unitVecs(s, dir))
+
+  /** the same sampled codebook over an explicit training POOL of unit
+    * vectors — q217's quantizer-aging gate trains one codebook on the
+    * pre-churn pool and one on the churned corpus; everything else
+    * (seed salt, rank order, sub-space split) is this ONE spelling. */
+  private[graft] def pqCodebookOfPool(pool: DataFrame): DataFrame = {
+    val s = pool.sparkSession
     import s.implicits._
-    val ids = embeddings(s, dir).select($"vec_id")
+    val ids = pool.select($"vec_id")
       .withColumn("h", md5(concat(lit("q114cb:"), $"vec_id".cast("string"))))
       .orderBy($"h", $"vec_id").limit(PQ_K)
     // global window is fine: the frame is PQ_K rows post-limit
-    unitVecs(s, dir).join(ids, "vec_id")
+    pool.join(ids.select($"vec_id"), "vec_id")
       .withColumn("h", md5(concat(lit("q114cb:"), $"vec_id".cast("string"))))
       .withColumn("j", row_number().over(Window.orderBy($"h", $"vec_id")) - 1)
       .select($"j", subspaces($"v").as("x"))
@@ -533,9 +541,15 @@ object SimilarityQueries {
     * groupBy and measured 11.7 s at sf0.1; this shape removes every
     * corpus shuffle before the shortlist window (codes really are
     * "M table lookups per pair", the PQ contract). */
-  private[queries] def pqCodebookNested(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def pqCodebookNested(s: SparkSession, dir: String): DataFrame =
+    nestCodebook(pqCodebook(s, dir))
+
+  /** nest a flat (j, m, cw) codebook into the ONE broadcast cb[m][j]
+    * row the native encode/ADC expressions consume. */
+  private[graft] def nestCodebook(flat: DataFrame): DataFrame = {
+    val s = flat.sparkSession
     import s.implicits._
-    pqCodebook(s, dir)
+    flat
       .groupBy($"m")
       .agg(sort_array(collect_list(struct($"j", $"cw"))).as("js"))
       .select($"m", transform($"js", x => x("cw")).as("cws"))
@@ -594,10 +608,22 @@ object SimilarityQueries {
       qsample: DataFrame): DataFrame = {
     import s.implicits._
     val e = unitVecs(s, dir)
-    e.join(qsample, e("vec_id") === qsample("q_id"))
-      .select($"q_id", subspaces($"v").as("x"))
+    pqLutOfQv(
+      e.join(qsample, e("vec_id") === qsample("q_id"))
+        .select($"q_id", $"v".as("qv")),
+      pqCodebook(s, dir))
+  }
+
+  /** the per-query ADC LUT over explicit (q_id, qv) query vectors and
+    * an explicit flat codebook — the ONE nesting/rounding spelling,
+    * shared with q217's per-variant codebooks. */
+  private[graft] def pqLutOfQv(qv: DataFrame, cbFlat: DataFrame): DataFrame = {
+    val s = qv.sparkSession
+    import s.implicits._
+    qv
+      .select($"q_id", subspaces($"qv").as("x"))
       .select($"q_id", $"x.m".as("m"), $"x.sv".as("qsv"))
-      .join(broadcast(pqCodebook(s, dir)), "m")
+      .join(broadcast(cbFlat), "m")
       .select($"q_id", $"m", $"j", dist2($"qsv", $"cw").as("qd"))
       .groupBy($"q_id", $"m")
       .agg(sort_array(collect_list(struct($"j", $"qd"))).as("js"))
@@ -3632,7 +3658,282 @@ object SimilarityQueries {
        |SELECT * FROM ($union) ORDER BY family, setting""".stripMargin
   }
 
+  // q217: QUANTIZER-AGING FRONTIER — the retrain trigger the serving
+  // tier lacked (round-15 verdict #3): q203 prices recall at a frozen
+  // corpus; q212 proves purge ≡ rebuild UNDER the frozen quantizer;
+  // nobody measured what the churn itself (q183 appends + q206
+  // purges) costs the frozen TRAINED state. The churned serving
+  // corpus is C′ = all vectors − D (the appended ingest split plus
+  // the takedown purge); the AGED configuration serves C′ with the
+  // quantizer state trained on the PRE-CHURN pool (the ingest base
+  // split — including since-purged vectors, exactly production: the
+  // model saw data that later left); the FRESH configuration retrains
+  // on C′ itself. Two families, one operating point each, one brute
+  // ground truth over C′: ivfadc (the trained state is the PQ
+  // codebook sample; coarse cells are the fixed literal quantizer on
+  // both sides) and sq8cell (the trained state is the global int8
+  // scale). The sheet publishes recall@5 aged vs fresh plus a train6
+  // provenance stamp (codebook sample id-sum / micro-unit scale) so
+  // the gate pins WHICH trained state each row used — the number
+  // that tells a deployment when q208's "re-encode" must escalate to
+  // "re-train". AnnRecallSpec pins a PLANTED drift corpus where the
+  // aged codebook strictly loses to the fresh one.
+  //
+  // Scale: two PQ encodes + two int8 encodes over C′ (row-local,
+  // native expressions), the shared probe chain, and four bounded
+  // shortlists — q203's posture with a second codebook; nothing
+  // all-pairs, the sheet is 4 rows.
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val purgedV = StreamingQueries.Takedown.purged($"vec_id")
+    val uAll = unitVecs(s, dir).localCheckpoint(true)
+    val u = uAll.filter(!purgedV).localCheckpoint(true)
+    val basePool = uAll.filter(StreamingQueries.vecIxOf($"vec_id") >=
+      DedupQueries.IngestSplit.NewMax)
+    val qs = querySample(s, dir, ANN_QK).select($"vec_id".as("q_id"))
+      .filter(!StreamingQueries.Takedown.purged($"q_id"))
+    val qv = u.join(qs, u("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv")).localCheckpoint(true)
+    val nq = qv.count()
+    val w5 = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    val gt = broadcast(qv).join(u, $"vec_id" =!= $"q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    // the coarse probe chain is the fixed literal quantizer — shared
+    // by every variant (what ages is the TRAINED state, not the cells)
+    val probed = maskChain(
+        qv.withColumn("c1", cellCol(s, $"qv"))
+          .withColumn("s1", cellScoresCol(s, $"qv")),
+        IVFPQ_NPROBE)
+      .withColumn("cell",
+        explode(array((1 to IVFPQ_NPROBE).map(i => col(s"c$i")): _*)))
+      .select($"q_id", $"cell").localCheckpoint(true)
+    def sheet(family: String, variant: String, train6: Long,
+        exact: DataFrame, top5: DataFrame): DataFrame = {
+      val hits = top5.join(gt, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      exact.crossJoin(hits)
+        .select(lit(family).as("family"), lit(variant).as("variant"),
+          lit(nq).as("n_queries"), $"exact_candidates", $"hits",
+          expr(s"(hits * 1000000) div (5 * $nq)").as("recall6"),
+          lit(train6).as("train6"))
+    }
+    def rerank5(short: DataFrame): DataFrame =
+      broadcast(short).join(u, "vec_id").join(broadcast(qv), "q_id")
+        .withColumn("sim",
+          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+        .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
+        .select($"q_id", $"vec_id")
+    val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
+    def ivfVariant(variant: String, pool: DataFrame): DataFrame = {
+      val cbFlat = pqCodebookOfPool(pool).localCheckpoint(true)
+      val train6 = pool.select($"vec_id")
+        .withColumn("h",
+          md5(concat(lit("q114cb:"), $"vec_id".cast("string"))))
+        .orderBy($"h", $"vec_id").limit(PQ_K)
+        .agg(sum($"vec_id")).head().getLong(0)
+      val enc = u.crossJoin(broadcast(nestCodebook(cbFlat)))
+        .withColumn("codes",
+          graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
+        .withColumn("cell", cellCol(s, $"v"))
+        .select($"vec_id", $"cell", $"codes")
+      val short = enc.join(broadcast(probed), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(broadcast(pqLutOfQv(qv, cbFlat)), Seq("q_id"))
+        .withColumn("adist2",
+          round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
+        .withColumn("ar", row_number().over(wa))
+        .filter($"ar" <= IVFPQ_R)
+        .select($"q_id", $"vec_id").localCheckpoint(true)
+      sheet("ivfadc", variant, train6,
+        short.agg(count(lit(1)).as("exact_candidates")), rerank5(short))
+    }
+    val ws = Window.partitionBy($"q_id").orderBy($"adot".desc, $"vec_id")
+    def sqVariant(variant: String, pool: DataFrame): DataFrame = {
+      val mx = pool
+        .agg(max(expr("array_max(transform(v, x -> abs(x)))")))
+        .head().getDouble(0)
+      val train6 = math.floor(mx * 1e6 + 0.5).toLong
+      val codes = u.select($"vec_id", cellCol(s, $"v").as("cell"),
+        transform($"v", x => round(x * 127 / lit(mx), 0).cast("long"))
+          .as("c"))
+      val qc = codes.join(qs, codes("vec_id") === qs("q_id"))
+        .select($"q_id", $"c".as("qc"))
+      val short = codes.join(broadcast(probed), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(broadcast(qc), Seq("q_id"))
+        .withColumn("adot", expr(
+          "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("ar", row_number().over(ws))
+        .filter($"ar" <= SQ_R)
+        .select($"q_id", $"vec_id").localCheckpoint(true)
+      sheet("sq8cell", variant, train6,
+        short.agg(count(lit(1)).as("exact_candidates")), rerank5(short))
+    }
+    Seq(ivfVariant("aged", basePool), ivfVariant("fresh", u),
+      sqVariant("aged", basePool), sqVariant("fresh", u))
+      .reduce(_.unionByName(_))
+      .orderBy($"family", $"variant")
+  }
+
+  private lazy val q217Sql = {
+    val agedPred = "substr(md5('ingest:' || CAST(vec_id AS VARCHAR))" +
+      s", 1, 2) >= '${DedupQueries.IngestSplit.NewMax}'"
+    val freshPred =
+      s"NOT (${StreamingQueries.Takedown.sql("vec_id")})"
+    val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r")
+      .mkString("[", ", ", "]")
+    def ivfVar(p: String, variant: String, poolPred: String) =
+      s"""${p}cbi AS (SELECT vec_id,
+         |         md5('q114cb:' || CAST(vec_id AS VARCHAR)) AS h
+         |        FROM embeddings WHERE $poolPred
+         |        ORDER BY h, vec_id LIMIT $PQ_K),
+         |${p}cbv AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1
+         |          AS j, v
+         |         FROM ${p}cbi JOIN e USING (vec_id)),
+         |${p}cb AS (SELECT j, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB]
+         |          AS cw
+         |        FROM ${p}cbv, ms),
+         |${p}cd AS (SELECT vec_id, m, j,
+         |         round(list_sum(list_transform(list_zip(sv, cw),
+         |           z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE))), 9)
+         |           AS d
+         |        FROM sv JOIN ${p}cb USING (m)),
+         |${p}co AS (SELECT vec_id, m, j FROM
+         |         (SELECT vec_id, m, j, row_number() OVER
+         |           (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+         |          FROM ${p}cd) WHERE rn = 1),
+         |${p}lut AS (SELECT q_id, m, j,
+         |          list_sum(list_transform(list_zip(qsv, cw),
+         |            z -> CAST((z[1]-z[2])*(z[1]-z[2]) AS DOUBLE)))
+         |            AS qd
+         |         FROM qsub JOIN ${p}cb USING (m)),
+         |${p}ad AS (SELECT p.q_id, c.vec_id, round(sum(qd), 9)
+         |          AS adist2
+         |        FROM ${p}co c
+         |         JOIN bc ON c.vec_id = bc.vec_id
+         |         JOIN probed p ON bc.cell = p.cell
+         |         JOIN ${p}lut l ON p.q_id = l.q_id AND c.m = l.m
+         |          AND c.j = l.j
+         |        WHERE c.vec_id <> p.q_id
+         |        GROUP BY p.q_id, c.vec_id),
+         |${p}sl AS (SELECT q_id, vec_id FROM
+         |         (SELECT q_id, vec_id, row_number() OVER
+         |           (PARTITION BY q_id ORDER BY adist2, vec_id) AS ar
+         |          FROM ${p}ad) WHERE ar <= $IVFPQ_R),
+         |${p}t5 AS (SELECT q_id, vec_id FROM (
+         |         SELECT sl.q_id, sl.vec_id, row_number() OVER (
+         |          PARTITION BY sl.q_id ORDER BY
+         |           round(list_sum(list_transform(list_zip(qvf.qv, pe.v),
+         |             z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+         |           sl.vec_id) AS rn
+         |         FROM ${p}sl sl JOIN pe USING (vec_id)
+         |          JOIN qvf ON sl.q_id = qvf.q_id) WHERE rn <= 5),
+         |${p}row AS (SELECT 'ivfadc' AS family, '$variant' AS variant,
+         |          (SELECT CAST(count(*) AS BIGINT) FROM qvf)
+         |            AS n_queries,
+         |          (SELECT CAST(count(*) AS BIGINT) FROM ${p}sl)
+         |            AS exact_candidates,
+         |          (SELECT CAST(count(*) AS BIGINT)
+         |           FROM ${p}t5 JOIN gt USING (q_id, vec_id)) AS hits,
+         |          (SELECT CAST(count(*) * 1000000 //
+         |            (5 * (SELECT count(*) FROM qvf)) AS BIGINT)
+         |           FROM ${p}t5 JOIN gt USING (q_id, vec_id))
+         |            AS recall6,
+         |          (SELECT CAST(sum(vec_id) AS BIGINT) FROM ${p}cbi)
+         |            AS train6)""".stripMargin
+    def sqVar(p: String, variant: String, poolPred: String) =
+      s"""${p}m8 AS (SELECT max(list_max(list_transform(v,
+         |          x -> abs(x)))) AS mx
+         |        FROM e WHERE $poolPred),
+         |${p}c8 AS (SELECT vec_id,
+         |         list_transform(v, x -> CAST(round(x * 127 / m.mx)
+         |           AS BIGINT)) AS c
+         |        FROM pe, ${p}m8 m),
+         |${p}q8 AS (SELECT vec_id AS q_id, c AS qc FROM ${p}c8
+         |        WHERE vec_id IN (SELECT q_id FROM qvf)),
+         |${p}sp AS (SELECT p.q_id, c8.vec_id,
+         |         CAST(list_sum(list_transform(list_zip(q8.qc, c8.c),
+         |           z -> z[1] * z[2])) AS BIGINT) AS adot
+         |        FROM probed p
+         |         JOIN bc ON bc.cell = p.cell
+         |         JOIN ${p}c8 c8 ON c8.vec_id = bc.vec_id
+         |         JOIN ${p}q8 q8 ON q8.q_id = p.q_id
+         |        WHERE c8.vec_id <> p.q_id),
+         |${p}ss AS (SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY adot DESC, vec_id) AS ar
+         |         FROM ${p}sp) WHERE ar <= $SQ_R),
+         |${p}s5 AS (SELECT q_id, vec_id FROM (
+         |         SELECT ss.q_id, ss.vec_id, row_number() OVER (
+         |          PARTITION BY ss.q_id ORDER BY
+         |           round(list_sum(list_transform(list_zip(qvf.qv, pe.v),
+         |             z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+         |           ss.vec_id) AS rn
+         |         FROM ${p}ss ss JOIN pe USING (vec_id)
+         |          JOIN qvf ON ss.q_id = qvf.q_id) WHERE rn <= 5),
+         |${p}row AS (SELECT 'sq8cell' AS family, '$variant' AS variant,
+         |          (SELECT CAST(count(*) AS BIGINT) FROM qvf)
+         |            AS n_queries,
+         |          (SELECT CAST(count(*) AS BIGINT) FROM ${p}ss)
+         |            AS exact_candidates,
+         |          (SELECT CAST(count(*) AS BIGINT)
+         |           FROM ${p}s5 JOIN gt USING (q_id, vec_id)) AS hits,
+         |          (SELECT CAST(count(*) * 1000000 //
+         |            (5 * (SELECT count(*) FROM qvf)) AS BIGINT)
+         |           FROM ${p}s5 JOIN gt USING (q_id, vec_id))
+         |            AS recall6,
+         |          (SELECT CAST(floor(mx * 1000000 + 0.5) AS BIGINT)
+         |           FROM ${p}m8) AS train6)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, v0,
+       |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
+       |       FROM e0),
+       |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
+       |      FROM en),
+       |pe AS (SELECT vec_id, v FROM e
+       |       WHERE NOT (${StreamingQueries.Takedown.sql("vec_id")})),
+       |qvf AS (SELECT vec_id AS q_id, v AS qv FROM pe
+       |        WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |gt AS (SELECT q_id, vec_id FROM (
+       |        SELECT qvf.q_id, pe.vec_id, row_number() OVER (
+       |         PARTITION BY qvf.q_id ORDER BY
+       |          round(list_sum(list_transform(list_zip(qvf.qv, pe.v),
+       |            z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+       |          pe.vec_id) AS rn
+       |        FROM qvf JOIN pe ON pe.vec_id <> qvf.q_id)
+       |       WHERE rn <= 5),
+       |p1 AS (SELECT q_id, qv, ${cellSql("qv")} AS c1,
+       |        ${cellScoresSql("qv")} AS s1
+       |       FROM qvf),
+       |${maskChainSql("p", IVFPQ_NPROBE)},
+       |probed AS (SELECT q_id, unnest($cells) AS cell
+       |           FROM p$IVFPQ_NPROBE),
+       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM pe),
+       |ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+       |sv AS (SELECT vec_id, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB]
+       |        AS sv
+       |       FROM pe, ms),
+       |qsub AS (SELECT q_id, m,
+       |          qv[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qsv
+       |         FROM qvf, ms),
+       |${ivfVar("ga", "aged", agedPred)},
+       |${ivfVar("gf", "fresh", freshPred)},
+       |${sqVar("sa", "aged", agedPred)},
+       |${sqVar("sf", "fresh", freshPred)}
+       |SELECT * FROM (
+       |SELECT * FROM garow UNION ALL SELECT * FROM gfrow
+       |UNION ALL SELECT * FROM sarow UNION ALL SELECT * FROM sfrow)
+       |ORDER BY family, variant""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q217_quantizer_aging", q217, Some(q217Sql),
+      "quantizer-aging frontier: recall@5 over the churned corpus (appends + takedown purge) under the PRE-CHURN trained state (aged PQ codebook / int8 scale) vs a fresh retrain, train6 provenance stamps — the retrain trigger completing q208's re-encode audit"),
     Q("q214_takedown_full_rag", q214, Some(q214Sql),
       "takedown-purged fully-served RAG: q187's complete composition over tombstone-purged artifacts with exact re-derived statistics — hash-equal to the whole pipeline rebuilt over corpus − D"),
     Q("q213_takedown_hybrid_serve", q213, Some(q213Sql),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{avg, broadcast}
 import graft.queries.{Registry, SimilarityQueries}
 
 /** ANN quality contracts: the bucketed methods (q51 sign-LSH, q54 IVF
@@ -164,5 +165,53 @@ class AnnRecallSpec extends SparkSpec {
     val q54 = Registry.byName("q54_ann_ivf").run(spark, sf01).collect()
     val p54 = SimilarityQueries.ivfAnn(spark, sf01, 4).collect()
     assert(q54.toSeq == p54.toSeq)
+  }
+
+  test("q217: planted drift — the aged codebook reconstructs the drifted corpus strictly worse") {
+    import spark.implicits._
+    // the aging mechanism, isolated: quantization error of a FROZEN
+    // codebook grows when the corpus drifts off its training
+    // distribution. Pool = unit vectors concentrated on the FIRST
+    // half of the dims; drifted corpus = concentrated on the SECOND
+    // half (deterministic md5-derived jitter, no RNG). The codebook
+    // trained on the pool (aged) must reconstruct the drifted corpus
+    // strictly worse than one trained on the drifted corpus itself
+    // (fresh) — the q217 gate's recall gap, pinned at its root cause.
+    val dim = 64
+    def planted(idBase: Long, half: Int, n: Int) = {
+      (0 until n).map { i =>
+        val v = (0 until dim).map { d =>
+          val inHalf = (d >= half * 32 && d < half * 32 + 32)
+          val base = if (inHalf) 1.0 else 0.0
+          base + 0.05 * graft.ops.HashKeys.unitUniform(s"drift:$idBase:$i:$d")
+        }
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (idBase + i, v.map(_ / nrm))
+      }.toDF("vec_id", "v")
+    }
+    val pool = planted(1000L, 0, 64)     // pre-churn distribution
+    val drifted = planted(5000L, 1, 64)  // the churned corpus
+    def meanErr(cbPool: org.apache.spark.sql.DataFrame): Double = {
+      val flat = SimilarityQueries.pqCodebookOfPool(cbPool)
+        .localCheckpoint(true)
+      val nested = SimilarityQueries.nestCodebook(flat)
+      // self-LUT: adc(codes(v), lut(v)) = Σ_m dist²(sv_m, chosen cw)
+      // = the reconstruction error of v under the codebook
+      val lut = SimilarityQueries.pqLutOfQv(
+        drifted.select($"vec_id".as("q_id"), $"v".as("qv")), flat)
+      drifted.crossJoin(broadcast(nested))
+        .withColumn("codes",
+          graft.expr.GraftFunctions.pqEncode(spark, $"v", $"cb"))
+        .join(lut, $"vec_id" === $"q_id")
+        .withColumn("err",
+          graft.expr.GraftFunctions.pqAdc(spark, $"codes", $"lut"))
+        .agg(avg($"err")).head().getDouble(0)
+    }
+    val aged = meanErr(pool)
+    val fresh = meanErr(drifted)
+    assert(fresh > 0.0)
+    assert(aged > fresh * 2,
+      s"aged codebook should reconstruct drifted data much worse: " +
+        s"aged=$aged fresh=$fresh")
   }
 }
