@@ -604,6 +604,27 @@ object SimilarityQueries {
     * Parameterized by the query-id frame (one column `q_id`) so the
     * SAME chain serves q114/q118's ANN sample and q172's retrieval
     * sample. */
+  private val cbRowsCache = new java.util.concurrent
+    .ConcurrentHashMap[String, (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]()
+
+  /** the trained flat codebook (256 (j, m, cw) rows) collected ONCE
+    * per corpus snapshot and re-entered as a local relation: the LUT
+    * build otherwise re-samples it from the corpus on every warm
+    * serve (one corpus normalize scan + a rank window per q118/q172/
+    * q181/q196/q203 call — pure re-derivation of a frozen trained
+    * state). Values identical by construction: the same pqCodebook
+    * plan, collected. */
+  private def pqCodebookLocal(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    val (rows, sch) = cbRowsCache.computeIfAbsent(key, _ => {
+      val df = pqCodebook(s, dir)
+      (df.collect(), df.schema)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+  }
+
   private def pqLutFor(s: SparkSession, dir: String,
       qsample: DataFrame): DataFrame = {
     import s.implicits._
@@ -789,11 +810,14 @@ object SimilarityQueries {
     // the persistable index (one definition, shared with AnnIndexSpec);
     // q196 passes a checkpointed build so its nprobe sweep encodes once
     val enc = encPre.getOrElse(ivfadcIndex(s, dir))
-    // query vectors, built ONCE and shared by the probe chain and the
-    // exact re-rank (each duplicate subplan would re-run the corpus
-    // normalize pass — the re-execution class 295434a fixed for CPC)
-    val qv = e.join(qsample, e("vec_id") === qsample("q_id"))
-      .select($"q_id", $"v".as("qv"))
+    // query vectors COLLECTED once (bounded by the query sample) and
+    // shared by the probe chain, LUT, and exact re-rank: as a plain
+    // subplan each broadcast use re-executed the corpus normalize
+    // pass (the re-execution class 295434a fixed for CPC, now fused
+    // to one job via the localized() pattern)
+    val (_, qv) = localized(
+      e.join(qsample, e("vec_id") === qsample("q_id"))
+        .select($"q_id", $"v".as("qv")))
     // nprobe cells via the shared q54 argmax-masking chain
     val q = maskChain(
       qv.withColumn("c1", cellCol(s, $"qv"))
@@ -805,7 +829,10 @@ object SimilarityQueries {
     val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
     val shortlist = enc.join(broadcast(probed), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
-      .join(broadcast(pqLutFor(s, dir, qsample)), Seq("q_id"))
+      // LUT from the already-built qv + the memoized local codebook —
+      // pqLutFor would re-scan the corpus for both per call
+      .join(broadcast(pqLutOfQv(qv, pqCodebookLocal(s, dir))),
+        Seq("q_id"))
       .withColumn("adist2",
         round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
       .withColumn("ar", row_number().over(wa))
@@ -1473,15 +1500,14 @@ object SimilarityQueries {
   private def bm25RanksServed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val idx = docIndexDir(s, dir)
-    val dict = s.read.parquet(s"$idx/dict")
-    val stats = s.read.parquet(s"$idx/stats")
+    val dict = graft.Tables.parquetCached(s, s"$idx/dict")
     val qs = retrQuerySample(s, dir)
     val d = documents(s, dir).select($"doc_id", $"text")
     val qtf = d.join(broadcast(qs), d("doc_id") === qs("q_id"))
       .select($"q_id", explode(split($"text", " ")).as("term"))
       .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
     val (qtRows, qt) = localized(qtf.join(dict, "term")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
         * 1e6 + 0.5).cast("long"))
       .withColumn("rn", row_number().over(
@@ -1489,12 +1515,12 @@ object SimilarityQueries {
       .filter($"rn" <= QTerms)
       .select($"q_id", $"term", $"df"))
     val terms = qtRows.map(_.getString(1)).distinct.sorted
-    s.read.parquet(s"$idx/postings")
+    graft.Tables.parquetCached(s, s"$idx/postings")
       .filter($"term".isin(terms: _*))
       .withColumnRenamed("doc_id", "cand_id")
       .join(broadcast(qt), "term")
       .filter($"cand_id" =!= $"q_id")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("idf",
         log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .withColumn("contrib",
@@ -2069,12 +2095,37 @@ object SimilarityQueries {
     (rows, local)
   }
 
+  private val statsRowCache = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
+  /** inline a PERSISTED 1-row stats frame as plan literals, memoized
+    * per (path, mtime, size): a serving tier bakes corpus constants
+    * into the plan — each crossJoin(broadcast(stats)) is otherwise
+    * one BroadcastExchange job (~85 ms pure scheduling, PERF.md's
+    * measured q187 floor) per USE per serve, and the serve paths use
+    * stats twice each. Values are identical (the literals ARE the
+    * persisted stats row), so every fused gate's oracle is
+    * untouched. */
+  private def withStatsLits(s: SparkSession, path: String)(
+      df: DataFrame): DataFrame = {
+    val f = new java.io.File(path)
+    val key = s"$path:${f.lastModified}:${f.length}"
+    val row = statsRowCache.computeIfAbsent(key,
+      _ => graft.Tables.parquetCached(s, path).head())
+    row.schema.fields.zipWithIndex.foldLeft(df) { case (d, (fl, i)) =>
+      d.withColumn(fl.name, lit(row.get(i)))
+    }
+  }
+
   private def q181(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qs = retrQuerySample(s, dir)
     val e = unitVecs(s, dir)
-    val qv = e.join(qs, e("vec_id") === qs("q_id"))
-      .select($"q_id", $"v".as("qv"))
+    // query vectors COLLECTED once (≤ RetrQK rows): every downstream
+    // use (probe chain, LUT, exact re-rank) otherwise re-executes the
+    // corpus normalize scan inside its own broadcast job
+    val (_, qv) = localized(e.join(qs, e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv")))
     // probe cells from the query vectors (the q54 argmax-mask chain);
     // ONE job: the ≤ RetrQK·nprobe probe rows come back to the driver
     // and re-enter as a local relation (literals + broadcast side)
@@ -2089,13 +2140,15 @@ object SimilarityQueries {
     // corpus-size-independent) — literals make the filter static
     // partition pruning at the index reader
     val cells = probedRows.map(_.getInt(1)).distinct.sorted
-    val enc = s.read.parquet(annIndexDir(s, dir))
+    val enc = graft.Tables.parquetCached(s, annIndexDir(s, dir))
       .filter($"cell".isin(cells.map(Integer.valueOf): _*))
       .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
     val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
     val shortlist = enc.join(broadcast(probed), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
-      .join(broadcast(pqLutFor(s, dir, qs)), Seq("q_id"))
+      // LUT from the already-built qv + the memoized local codebook
+      .join(broadcast(pqLutOfQv(qv, pqCodebookLocal(s, dir))),
+        Seq("q_id"))
       .withColumn("adist2",
         round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
       .withColumn("ar", row_number().over(wa))
@@ -2346,7 +2399,7 @@ object SimilarityQueries {
     import s.implicits._
     val purgedDoc = StreamingQueries.Takedown.purged($"doc_id")
     val tomb = documents(s, dir).filter(purgedDoc).select($"doc_id")
-    val ctf = s.read.parquet(
+    val ctf = graft.Tables.parquetCached(s, 
         StreamingQueries.purgeArtifactDir(s, dir) + "/chunk_postings")
       .select($"doc_id", $"chunk_idx", $"term", $"tf")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
@@ -2431,7 +2484,7 @@ object SimilarityQueries {
     import s.implicits._
     val tombV = embeddings(s, dir).select($"vec_id")
       .filter(StreamingQueries.Takedown.purged($"vec_id"))
-    val enc = s.read.parquet(annIndexDir(s, dir))
+    val enc = graft.Tables.parquetCached(s, annIndexDir(s, dir))
       .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
       .join(broadcast(tombV), Seq("vec_id"), "left_anti")
     val qs = embeddings(s, dir).select($"vec_id")
@@ -2526,7 +2579,7 @@ object SimilarityQueries {
       val tomb = documents(s, dir)
         .filter(StreamingQueries.Takedown.purged($"doc_id"))
         .select($"doc_id")
-      val postings = s.read.parquet(s"${docIndexDir(s, dir)}/postings")
+      val postings = graft.Tables.parquetCached(s, s"${docIndexDir(s, dir)}/postings")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       postings.repartitionByRange($"term").sortWithinPartitions($"term")
@@ -2550,15 +2603,14 @@ object SimilarityQueries {
       qids: DataFrame): DataFrame = {
     import s.implicits._
     val idx = purgedDocIndexDir(s, dir)
-    val postings = s.read.parquet(s"$idx/postings")
-    val dict = s.read.parquet(s"$idx/dict")
-    val stats = s.read.parquet(s"$idx/stats")
+    val postings = graft.Tables.parquetCached(s, s"$idx/postings")
+    val dict = graft.Tables.parquetCached(s, s"$idx/dict")
     val d = documents(s, dir).select($"doc_id", $"text")
     val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
       .select($"q_id", explode(split($"text", " ")).as("term"))
       .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
     val (qtRows, qt) = localized(qtf.join(dict, "term")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
         * 1e6 + 0.5).cast("long"))
       .withColumn("rn", row_number().over(
@@ -2570,7 +2622,7 @@ object SimilarityQueries {
       .withColumnRenamed("doc_id", "cand_id")
       .join(broadcast(qt), "term")
       .filter($"cand_id" =!= $"q_id")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("idf",
         log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .withColumn("contrib",
@@ -2597,11 +2649,11 @@ object SimilarityQueries {
 
   /** q213's fused hybrid over purged artifacts — factored so q214's
     * fully-served RAG can take it as the doc-shortlist stage. */
-  private def purgedHybrid(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def purgedHybrid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tombV = embeddings(s, dir).select($"vec_id")
       .filter(StreamingQueries.Takedown.purged($"vec_id"))
-    val enc = s.read.parquet(annIndexDir(s, dir))
+    val enc = graft.Tables.parquetCached(s, annIndexDir(s, dir))
       .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
       .join(broadcast(tombV), Seq("vec_id"), "left_anti")
     val qs = purgedQuerySample(s, dir)
@@ -2645,7 +2697,7 @@ object SimilarityQueries {
       val tomb = documents(s, dir)
         .filter(StreamingQueries.Takedown.purged($"doc_id"))
         .select($"doc_id")
-      val postings = s.read.parquet(s"$base/postings")
+      val postings = graft.Tables.parquetCached(s, s"$base/postings")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       postings.repartitionByRange($"term").sortWithinPartitions($"term")
@@ -2655,7 +2707,7 @@ object SimilarityQueries {
       postings.select($"doc_id", $"chunk_idx", $"dl").distinct()
         .agg(count(lit(1)).as("n"), sum($"dl").as("toktot"))
         .write.mode("overwrite").parquet(s"$out/stats")
-      s.read.parquet(s"$base/manifest")
+      graft.Tables.parquetCached(s, s"$base/manifest")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id")
         .write.mode("overwrite").parquet(s"$out/manifest")
@@ -2672,8 +2724,7 @@ object SimilarityQueries {
   private def q214(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val idx = purgedChunkIndexDir(s, dir)
-    val dict = s.read.parquet(s"$idx/dict")
-    val stats = s.read.parquet(s"$idx/stats")
+    val dict = graft.Tables.parquetCached(s, s"$idx/dict")
     val qids = purgedQuerySample(s, dir)
     // stage 1 — the purged served doc shortlist (q213), one job
     val (hybRows, hyb) = localized(purgedHybrid(s, dir)
@@ -2686,7 +2737,7 @@ object SimilarityQueries {
       .select($"q_id", explode(split($"text", " ")).as("term"))
       .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
     val (qtRows, qt) = localized(qtf.join(dict, "term")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
         * 1e6 + 0.5).cast("long"))
       .withColumn("rn", row_number().over(
@@ -2695,11 +2746,11 @@ object SimilarityQueries {
       .select($"q_id", $"term", $"df"))
     val terms = qtRows.map(_.getString(1)).distinct.sorted
     // stage 3 — purged postings walk, BOTH pushdowns
-    val scored = s.read.parquet(s"$idx/postings")
+    val scored = graft.Tables.parquetCached(s, s"$idx/postings")
       .filter($"term".isin(terms: _*) && $"doc_id".isin(docLits: _*))
       .join(broadcast(qt), "term")
       .filter($"doc_id" =!= $"q_id")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("idf",
         log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .withColumn("contrib",
@@ -2713,7 +2764,7 @@ object SimilarityQueries {
         Window.partitionBy($"q_id")
           .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
     // stage 4 — purged manifest pack
-    val manifest = s.read.parquet(s"$idx/manifest")
+    val manifest = graft.Tables.parquetCached(s, s"$idx/manifest")
       .filter($"doc_id".isin(docLits: _*))
     within.join(manifest, Seq("doc_id", "chunk_idx"))
       .withColumn("cum", sum($"chunk_len").over(
@@ -2957,9 +3008,8 @@ object SimilarityQueries {
   private def q186(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val idx = chunkIndexDir(s, dir)
-    val postings = s.read.parquet(s"$idx/postings")
-    val dict = s.read.parquet(s"$idx/dict")
-    val stats = s.read.parquet(s"$idx/stats")
+    val postings = graft.Tables.parquetCached(s, s"$idx/postings")
+    val dict = graft.Tables.parquetCached(s, s"$idx/dict")
     val qids = retrQuerySample(s, dir)
     // query tf: tokenize ONLY the sample docs (filter before explode)
     val d = documents(s, dir).select($"doc_id", $"text")
@@ -2970,7 +3020,7 @@ object SimilarityQueries {
     // scoring needs no second dictionary join; ONE job (localized:
     // the ≤ RetrQK·QTerms rows re-enter as a local relation)
     val (qtRows, qt) = localized(qtf.join(dict, "term")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
         * 1e6 + 0.5).cast("long"))
       .withColumn("rn", row_number().over(
@@ -2983,7 +3033,7 @@ object SimilarityQueries {
     val ranked = postings.filter($"term".isin(terms: _*))
       .join(broadcast(qt), "term")
       .filter($"doc_id" =!= $"q_id")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("idf",
         log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .withColumn("contrib",
@@ -3008,7 +3058,7 @@ object SimilarityQueries {
     // plan, where PlanShapeSpec locks it
     val docIds = ranked.select($"doc_id").distinct().collect()
       .map(_.getLong(0)).sorted
-    val manifest = s.read.parquet(s"$idx/manifest")
+    val manifest = graft.Tables.parquetCached(s, s"$idx/manifest")
       .filter($"doc_id".isin(docIds.map(java.lang.Long.valueOf): _*))
     val w = Window.partitionBy($"q_id").orderBy($"rn")
     ranked.join(manifest, Seq("doc_id", "chunk_idx"))
@@ -3042,8 +3092,7 @@ object SimilarityQueries {
   private def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val idx = chunkIndexDir(s, dir)
-    val dict = s.read.parquet(s"$idx/dict")
-    val stats = s.read.parquet(s"$idx/stats")
+    val dict = graft.Tables.parquetCached(s, s"$idx/dict")
     val qids = retrQuerySample(s, dir)
     // stage 1 — the SERVED doc shortlist (≤ RetrQK·5 rows): ONE job,
     // rows re-entering as a local relation so the fused doc set is
@@ -3059,7 +3108,7 @@ object SimilarityQueries {
       .select($"q_id", explode(split($"text", " ")).as("term"))
       .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
     val (qtRows, qt) = localized(qtf.join(dict, "term")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
         * 1e6 + 0.5).cast("long"))
       .withColumn("rn", row_number().over(
@@ -3070,11 +3119,11 @@ object SimilarityQueries {
     // stage 3 — postings walk: BOTH pushdowns (probe terms × fused
     // docs); scoring uses the index's GLOBAL stats, so restricting
     // the candidate rows cannot change any surviving chunk's score
-    val scored = s.read.parquet(s"$idx/postings")
+    val scored = graft.Tables.parquetCached(s, s"$idx/postings")
       .filter($"term".isin(terms: _*) && $"doc_id".isin(docLits: _*))
       .join(broadcast(qt), "term")
       .filter($"doc_id" =!= $"q_id")
-      .crossJoin(broadcast(stats))
+      .transform(withStatsLits(s, s"$idx/stats"))
       .withColumn("idf",
         log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .withColumn("contrib",
@@ -3088,7 +3137,7 @@ object SimilarityQueries {
         Window.partitionBy($"q_id")
           .orderBy($"bm6".desc, $"doc_id", $"chunk_idx")))
     // stage 4 — offsets/md5s from the persisted manifest, pack
-    val manifest = s.read.parquet(s"$idx/manifest")
+    val manifest = graft.Tables.parquetCached(s, s"$idx/manifest")
       .filter($"doc_id".isin(docLits: _*))
     within.join(manifest, Seq("doc_id", "chunk_idx"))
       .withColumn("cum", sum($"chunk_len").over(

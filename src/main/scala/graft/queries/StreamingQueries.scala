@@ -3029,7 +3029,136 @@ object StreamingQueries {
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q218: TAKEDOWN SLA AUDIT — the compliance artifact an operator
+  // actually files (round-15 verdict's stretch): one bounded table
+  // accounting for a takedown batch at every pipeline stage, each
+  // stage's coverage measured from a DIFFERENT mechanism than the
+  // expectation it is checked against:
+  //   1_tombstone_store — expected = the feed predicate over the
+  //     corpus (batch); observed = keys in the real streamed sink;
+  //     violations = |expected Δ observed| (missed + extra — the
+  //     exactly-once contract as a number).
+  //   2_compaction — per artifact: expected = artifact rows keyed
+  //     into D (set arithmetic); observed = rows the merge-on-read
+  //     anti-join actually removed; violations = D-keyed rows STILL
+  //     readable after compaction (the leak count).
+  //   3_serve / 3_release — violations = D references in the actual
+  //     served hybrid output and the rolled-forward release
+  //     (expected 0 — the oracle pins the CONTRACT; the per-surface
+  //     row-level gates are q213/q207's own).
+  // Every number is deterministic (stage coverage, not wall-clock —
+  // the honest spelling of "SLA" for a replay-exact pipeline): a
+  // real deployment attaches timestamps to exactly this table.
+  //
+  // Scale: the expectations are one predicate scan per artifact; the
+  // observations reuse the streamed sinks, memoized artifacts, and
+  // memoized purged indexes — nothing new is corpus-sized.
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q218") { scratch =>
+      val docD = graft.Tables.documents(s, dir)
+        .filter(Takedown.purged($"doc_id")).select($"doc_id")
+        .localCheckpoint(true)
+      val vecD = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(Takedown.purged($"vec_id")).select($"vec_id")
+        .localCheckpoint(true)
+      // stage 1: the streamed tombstone store vs the feed predicate
+      val docTomb = runToSink(s,
+        multiFileStream(s, dir, "documents")
+          .filter(Takedown.purged($"doc_id")).select($"doc_id"),
+        scratch + "/td").localCheckpoint(true)
+      val vecTomb = runToSink(s,
+        multiFileStream(s, dir, "embeddings")
+          .filter(Takedown.purged($"vec_id")).select($"vec_id"),
+        scratch + "/tv").localCheckpoint(true)
+      def symDiff(a: DataFrame, b: DataFrame, k: String): Long =
+        a.join(b, Seq(k), "left_anti").count() +
+          b.join(a, Seq(k), "left_anti").count()
+      val s1 = Seq(
+        ("1_tombstone_store", "doc_keys", docD.count(), docTomb.count(),
+          symDiff(docD, docTomb, "doc_id")),
+        ("1_tombstone_store", "vec_keys", vecD.count(), vecTomb.count(),
+          symDiff(vecD, vecTomb, "vec_id")))
+      // stage 2: merge-on-read compaction per artifact — removal
+      // observed from the anti-join, leaks counted on the readable
+      // side
+      val (dp, cp, ac) = purgeArtifactRows(s, dir)
+      def stage2(artifact: String, rows: DataFrame, tomb: DataFrame,
+          exp: DataFrame, key: String) = {
+        val compacted = rows.join(broadcast(tomb), Seq(key), "left_anti")
+          .localCheckpoint(true)
+        val expected = rows.join(broadcast(exp), Seq(key), "left_semi")
+          .count()
+        val observed = rows.count() - compacted.count()
+        val leaked = compacted.join(broadcast(exp), Seq(key), "left_semi")
+          .count()
+        ("2_compaction", artifact, expected, observed, leaked)
+      }
+      val s2 = Seq(
+        stage2("ann_codes", ac, vecTomb, vecD, "vec_id"),
+        stage2("chunk_postings", cp, docTomb, docD, "doc_id"),
+        stage2("doc_postings", dp, docTomb, docD, "doc_id"))
+      // stage 3: the actual serve + release surfaces reference no D
+      val served = SimilarityQueries.purgedHybrid(s, dir)
+      val servedBad = served.filter(Takedown.purged($"doc_id") ||
+        Takedown.purged($"q_id")).count()
+      val v3 = TextQueries.releaseDocs(
+        graft.Tables.documents(s, dir)
+          .filter(!Takedown.purged($"doc_id"))
+          .select($"doc_id", $"lang", $"text"))
+      val relBad = v3.filter(Takedown.purged($"doc_id")).count()
+      val s3 = Seq(
+        ("3_serve", "hybrid_rag", 0L, servedBad, servedBad),
+        ("3_release", "release_v3", 0L, relBad, relBad))
+      (s1 ++ s2 ++ s3)
+        .toDF("stage", "surface", "expected", "observed", "violations")
+        .orderBy($"stage", $"surface")
+    }
+  }
+
+  private lazy val q218Sql = {
+    val td = Takedown.sql("doc_id")
+    val tv = Takedown.sql("vec_id")
+    s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+       |           WHERE $td),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       |       WHERE $tv),
+       |tfb AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |       WHERE len(term) > 0 GROUP BY doc_id, term),
+       |dpx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tfb
+       |        WHERE $td),
+       |${SimilarityQueries.chunkCorpusSqlCtesFrom("xb", "documents")},
+       |cpx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xbctf
+       |        WHERE $td)
+       |SELECT * FROM (
+       | SELECT '1_tombstone_store' AS stage, 'doc_keys' AS surface,
+       |  (SELECT n FROM nd) AS expected, (SELECT n FROM nd) AS observed,
+       |  CAST(0 AS BIGINT) AS violations
+       | UNION ALL
+       | SELECT '1_tombstone_store', 'vec_keys',
+       |  (SELECT n FROM nv), (SELECT n FROM nv), 0
+       | UNION ALL
+       | SELECT '2_compaction', 'ann_codes',
+       |  (SELECT n FROM nv), (SELECT n FROM nv), 0
+       | UNION ALL
+       | SELECT '2_compaction', 'chunk_postings',
+       |  (SELECT n FROM cpx), (SELECT n FROM cpx), 0
+       | UNION ALL
+       | SELECT '2_compaction', 'doc_postings',
+       |  (SELECT n FROM dpx), (SELECT n FROM dpx), 0
+       | UNION ALL
+       | SELECT '3_release', 'release_v3', 0, 0, 0
+       | UNION ALL
+       | SELECT '3_serve', 'hybrid_rag', 0, 0, 0)
+       |ORDER BY stage, surface""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q218_takedown_sla", q218, Some(q218Sql),
+      "takedown SLA audit: per-stage coverage of one takedown batch — streamed tombstone store vs the feed predicate (exactly-once as a number), per-artifact compaction removal + leak counts, D-reference counts on the served hybrid and the rolled-forward release (contract 0)"),
     Q("q216_composed_rollforward", q216, Some(q216Sql),
       "composed release roll-forward: v_{n+1} = one release chain over (base ∪ q199-admitted tail) − takedown D, with the full exit/entry reason partition (purged_takedown / churned_budget / entered_tail / entered_budget) per language"),
     Q("q215_takedown_vacuum", q215, Some(q215Sql),

@@ -491,12 +491,13 @@ class PlanShapeSpec extends SparkSpec {
     // measured on this harness: 78 jobs per warm serve before round
     // 15 (each localCheckpoint + literal-collect pair two jobs, the
     // lexical branch re-tokenizing the corpus), 64 after localized()
-    // fusion + the served doc-postings branch. Most of the remainder
-    // are per-broadcast-exchange jobs (~85 ms scheduling each — the
-    // measured q187 floor is ~100% scheduling, PERF.md round 14).
-    // The bound leaves modest slack; a regression re-splitting the
-    // collect pairs or re-adding the corpus tokenize lands above it.
-    assert(n.get() <= 70, s"serve path scheduled ${n.get()} jobs")
+    // fusion + the served doc-postings branch, 41 after round 16's
+    // schema-cached index reads + stats-as-literals + fused query
+    // vectors / local codebook (graft.JobAudit measures the
+    // breakdown). The bound leaves modest slack; a regression
+    // re-splitting the collects, re-adding the corpus tokenize, or
+    // re-broadcasting the stats frames lands above it.
+    assert(n.get() <= 48, s"serve path scheduled ${n.get()} jobs")
   }
 
   test("q180: context assembly broadcasts the fused top-5; no doc_id shuffle ships text") {
