@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 200+ queries in one JVM leave dropped localCheckpoint RDD
+      // blocks awaiting weak-ref cleanup; the default 30 min periodic
+      // GC lets them pile into storage memory and inflate mid-registry
+      // timings (q134 measured 10.8 in-registry vs 1.1 solo-in-bench).
+      // One minute keeps the ContextCleaner draining between queries.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise parquet scan, shuffle, window, HOF and codegen
@@ -94,6 +100,11 @@ object Bench {
       // scoring pass) carries its own first-plan codegen — a cold
       // q160 epoch 1 measured 13 s at sf3 vs 0.6 s warm
       SparkEntry.queries("q160_gd_mlp_grid")(
+        spark, "/root/testdata/sf0.001").count()
+      // the quantizer-aging composition (4 variant plans × the
+      // 1024-literal cell-scores trees + two PQ-encode families)
+      // measured 143 s cold vs 19 s warm at sf3 — same class
+      SparkEntry.queries("q217_quantizer_aging")(
         spark, "/root/testdata/sf0.001").count()
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back
