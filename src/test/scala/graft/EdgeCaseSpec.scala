@@ -284,4 +284,22 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(noop.forall { case (b, p, a) => p == 0L && b == a }, noop.toSeq)
   }
+
+  test("parquetCached: warm reads serve the cached schema; a rewritten file re-infers") {
+    import spark.implicits._
+    val dir = tmpDir("graft_schemacache")
+    val p = s"$dir/t.parquet"
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(p)
+    val s1 = graft.Tables.parquetCached(spark, p).schema
+    assert(s1.fieldNames.toSeq == Seq("id", "s"))
+    assert(graft.Tables.parquetCached(spark, p).collect().length == 1)
+    // regenerate with a DIFFERENT schema — the (path, mtime, size)
+    // key must miss and re-infer, not serve the stale StructType
+    Thread.sleep(1100) // parquet dir mtime granularity can be 1 s
+    Seq((2L, "b", 3.0)).toDF("id", "s", "x").write.mode("overwrite")
+      .parquet(p)
+    val s2 = graft.Tables.parquetCached(spark, p).schema
+    assert(s2.fieldNames.toSeq == Seq("id", "s", "x"),
+      s"stale schema served: ${s2.fieldNames.toSeq}")
+  }
 }
