@@ -218,15 +218,16 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
     // The driver parses only the last ~2000 chars of stdout, and the
-    // FULL line (190 queries × ~14 chars) always overflows that
+    // FULL line (200+ queries × ~14 chars) always overflows that
     // window, so its head — "metric" and the total — is cut
     // (BENCH_r01..r13 all parsed:null). The full line above is
     // printed ONCE (plus tmp/bench_self.json); the true last stdout
     // act is this COMPACT line — short enough to survive any tail
     // window, carrying the total + where the per-query numbers live.
-    // The identical compact line also opened the post-measurement
-    // output (above) — consumers reading either window find one copy;
-    // both copies are byte-identical so de-duplication is trivial.
+    // A same-payload copy opened the post-measurement output tagged
+    // "total_head" (ADVICE r15) — a consumer reading the head window
+    // still finds the numbers, while one summing "metric":"total"
+    // lines over the whole stdout counts exactly this one.
     println(compact)
   }
 }

@@ -34,11 +34,7 @@ object JobAudit {
     val t0 = System.nanoTime()
     q.run(spark, sf).collect()
     val sec = (System.nanoTime() - t0) / 1e9
-    try {
-      val bus = spark.sparkContext.getClass
-        .getMethod("listenerBus").invoke(spark.sparkContext)
-      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-    } catch { case _: Throwable => Thread.sleep(500) }
+    Scratch.drainListenerBus(spark.sparkContext)
     import scala.jdk.CollectionConverters._
     val all = jobs.asScala.toVector
     println(s"== $name warm serve: ${all.size} jobs, ${f"$sec%.2f"} s")

@@ -36,4 +36,19 @@ object Scratch {
       new Thread(() => deleteRecursively(dir.toFile)))
     dir.toString
   }
+
+  /** drain the async SparkListener bus deterministically before
+    * reading listener-accumulated state (job counts, stage metrics).
+    * LiveListenerBus.waitUntilEmpty is private[spark] — public at the
+    * bytecode level, so reflection reaches it without a package
+    * cheat; falls back to a short settle if the private API moves.
+    * ONE spelling shared by JobAudit and the plan-shape specs, so a
+    * Spark upgrade can't silently degrade one copy to the sleep. */
+  private[graft] def drainListenerBus(
+      sc: org.apache.spark.SparkContext): Unit = {
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus): Unit
+    } catch { case _: Throwable => Thread.sleep(300) }
+  }
 }

@@ -25,11 +25,22 @@ object Tables {
     * while a regenerated fixture still re-infers. Columnar pruning
     * and pushdown are unaffected — only inference is skipped. */
   def parquetCached(spark: SparkSession, path: String): DataFrame = {
-    val f = new java.io.File(path)
-    val key = s"$path:${f.lastModified}:${f.length}"
-    val sch = schemaCache.computeIfAbsent(key,
+    val sch = schemaCache.computeIfAbsent(fingerprint(path),
       _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
+  }
+
+  /** freshness key for a parquet file OR directory: a directory's own
+    * length is a filesystem constant and its mtime granularity can be
+    * a full second, so an in-place rewrite within one tick could
+    * serve a stale cache entry — fold in the children's (name, mtime,
+    * size) instead. One driver-side listing, no job. */
+  private[graft] def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+      .sorted.mkString(",")
+    s"$path:${f.lastModified}:${f.length}:${kids.hashCode}"
   }
 
   /** events.parquet has shipped with two `ts` physical layouts across

@@ -510,12 +510,22 @@ object SimilarityQueries {
     * vectors — q217's quantizer-aging gate trains one codebook on the
     * pre-churn pool and one on the churned corpus; everything else
     * (seed salt, rank order, sub-space split) is this ONE spelling. */
+  /** the PQ_K md5-ranked codebook sample ids of a training pool —
+    * ONE spelling for the codebook build and q217's train6
+    * provenance stamp (a second spelling could silently stamp a
+    * different codebook than the one trained). */
+  private def cbSampleIds(pool: DataFrame): DataFrame = {
+    val s = pool.sparkSession
+    import s.implicits._
+    pool.select($"vec_id")
+      .withColumn("h", md5(concat(lit("q114cb:"), $"vec_id".cast("string"))))
+      .orderBy($"h", $"vec_id").limit(PQ_K)
+  }
+
   private[graft] def pqCodebookOfPool(pool: DataFrame): DataFrame = {
     val s = pool.sparkSession
     import s.implicits._
-    val ids = pool.select($"vec_id")
-      .withColumn("h", md5(concat(lit("q114cb:"), $"vec_id".cast("string"))))
-      .orderBy($"h", $"vec_id").limit(PQ_K)
+    val ids = cbSampleIds(pool)
     // global window is fine: the frame is PQ_K rows post-limit
     pool.join(ids.select($"vec_id"), "vec_id")
       .withColumn("h", md5(concat(lit("q114cb:"), $"vec_id".cast("string"))))
@@ -616,8 +626,7 @@ object SimilarityQueries {
     * state). Values identical by construction: the same pqCodebook
     * plan, collected. */
   private def pqCodebookLocal(s: SparkSession, dir: String): DataFrame = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"$dir:${src.lastModified}:${src.length}"
+    val key = graft.Tables.fingerprint(s"$dir/embeddings.parquet")
     val (rows, sch) = cbRowsCache.computeIfAbsent(key, _ => {
       val df = pqCodebook(s, dir)
       (df.collect(), df.schema)
@@ -2108,9 +2117,8 @@ object SimilarityQueries {
     * untouched. */
   private def withStatsLits(s: SparkSession, path: String)(
       df: DataFrame): DataFrame = {
-    val f = new java.io.File(path)
-    val key = s"$path:${f.lastModified}:${f.length}"
-    val row = statsRowCache.computeIfAbsent(key,
+    val row = statsRowCache.computeIfAbsent(
+      graft.Tables.fingerprint(path),
       _ => graft.Tables.parquetCached(s, path).head())
     row.schema.fields.zipWithIndex.foldLeft(df) { case (d, (fl, i)) =>
       d.withColumn(fl.name, lit(row.get(i)))
@@ -3778,10 +3786,7 @@ object SimilarityQueries {
     val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
     def ivfVariant(variant: String, pool: DataFrame): DataFrame = {
       val cbFlat = pqCodebookOfPool(pool).localCheckpoint(true)
-      val train6 = pool.select($"vec_id")
-        .withColumn("h",
-          md5(concat(lit("q114cb:"), $"vec_id".cast("string"))))
-        .orderBy($"h", $"vec_id").limit(PQ_K)
+      val train6 = cbSampleIds(pool)
         .agg(sum($"vec_id")).head().getLong(0)
       val enc = u.crossJoin(broadcast(nestCodebook(cbFlat)))
         .withColumn("codes",

@@ -2308,16 +2308,16 @@ object StreamingQueries {
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val art = purgeArtifactDir(s, dir)
-    val dp = s.read.parquet(art + "/doc_postings")
+    val dp = graft.Tables.parquetCached(s, art + "/doc_postings")
       .select(substring(md5($"term"), 1, 1).as("bucket"),
         $"doc_id", $"term".as("k"),
         ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
-    val cp = s.read.parquet(art + "/chunk_postings")
+    val cp = graft.Tables.parquetCached(s, art + "/chunk_postings")
       .select(substring(md5($"term"), 1, 1).as("bucket"),
         $"doc_id", $"term".as("k"),
         ($"doc_id" * $"tf" * ($"chunk_idx" + 1)).as("c1"),
         ($"dl" * $"tf").as("c2"))
-    val ac = s.read.parquet(art + "/ann_codes")
+    val ac = graft.Tables.parquetCached(s, art + "/ann_codes")
       .withColumn("cchk", expr(
         "aggregate(zip_with(codes, sequence(1, size(codes)), " +
           "(c, i) -> CAST(c AS BIGINT) * i), CAST(0 AS BIGINT), " +
@@ -2840,7 +2840,6 @@ object StreamingQueries {
   }
 
   private lazy val q215Sql = {
-    val cellS = SimilarityQueries.cellSql("v")
     val n = Takedown.Waves.size
     def hx(k: String) = Takedown.waveHexSql(k)
     /** per-artifact scalar stats over a row CTE (hx, k, c1, c2):
@@ -3094,7 +3093,7 @@ object StreamingQueries {
       val docD = graft.Tables.documents(s, dir)
         .filter(Takedown.purged($"doc_id")).select($"doc_id")
         .localCheckpoint(true)
-      val vecD = s.read.parquet(s"$dir/embeddings.parquet")
+      val vecD = graft.Tables.parquetCached(s, s"$dir/embeddings.parquet")
         .filter(Takedown.purged($"vec_id")).select($"vec_id")
         .localCheckpoint(true)
       // stage 1: the streamed tombstone store vs the feed predicate

@@ -293,9 +293,10 @@ class EdgeCaseSpec extends SparkSpec {
     val s1 = graft.Tables.parquetCached(spark, p).schema
     assert(s1.fieldNames.toSeq == Seq("id", "s"))
     assert(graft.Tables.parquetCached(spark, p).collect().length == 1)
-    // regenerate with a DIFFERENT schema — the (path, mtime, size)
-    // key must miss and re-infer, not serve the stale StructType
-    Thread.sleep(1100) // parquet dir mtime granularity can be 1 s
+    // regenerate with a DIFFERENT schema — the fingerprint keys on
+    // the CHILDREN's (name, mtime, size), so even a rewrite within
+    // one directory-mtime tick must miss and re-infer (the part-file
+    // names change per write), never serve the stale StructType
     Seq((2L, "b", 3.0)).toDF("id", "s", "x").write.mode("overwrite")
       .parquet(p)
     val s2 = graft.Tables.parquetCached(spark, p).schema

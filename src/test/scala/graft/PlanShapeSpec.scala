@@ -477,16 +477,8 @@ class PlanShapeSpec extends SparkSpec {
     try {
       Registry.byName("q187_fully_served_rag").run(spark, sf).collect()
       // drain the async listener bus DETERMINISTICALLY (ADVICE r15:
-      // a fixed sleep could flake the count low on a loaded host):
-      // LiveListenerBus.waitUntilEmpty is private[spark] — public at
-      // the bytecode level, so reflection reaches it without a
-      // package-cheat; fall back to the old settle if the private
-      // API ever moves
-      try {
-        val bus = spark.sparkContext.getClass
-          .getMethod("listenerBus").invoke(spark.sparkContext)
-        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: Throwable => Thread.sleep(300) }
+      // a fixed sleep could flake the count low on a loaded host)
+      Scratch.drainListenerBus(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(l)
     // measured on this harness: 78 jobs per warm serve before round
     // 15 (each localCheckpoint + literal-collect pair two jobs, the
