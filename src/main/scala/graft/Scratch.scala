@@ -44,11 +44,25 @@ object Scratch {
     * cheat; falls back to a short settle if the private API moves.
     * ONE spelling shared by JobAudit and the plan-shape specs, so a
     * Spark upgrade can't silently degrade one copy to the sleep. */
+  private val drainFallbackWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[graft] def drainListenerBus(
       sc: org.apache.spark.SparkContext): Unit = {
     try {
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus): Unit
-    } catch { case _: Throwable => Thread.sleep(300) }
+    } catch { case t: Throwable =>
+      // warn ONCE when the reflective path breaks (ADVICE r16): a
+      // Spark upgrade renaming listenerBus/waitUntilEmpty would
+      // otherwise silently revert to the nondeterministic settle the
+      // deterministic drain exists to remove
+      if (drainFallbackWarned.compareAndSet(false, true))
+        System.err.println("[graft] drainListenerBus: reflective " +
+          s"waitUntilEmpty unavailable (${t.getClass.getName}: " +
+          s"${t.getMessage}) — falling back to a 300 ms settle; " +
+          "listener-derived job/stage counts may flake low")
+      Thread.sleep(300)
+    }
   }
 }

@@ -25,22 +25,63 @@ object Tables {
     * while a regenerated fixture still re-infers. Columnar pruning
     * and pushdown are unaffected — only inference is skipped. */
   def parquetCached(spark: SparkSession, path: String): DataFrame = {
-    val sch = schemaCache.computeIfAbsent(fingerprint(path),
+    val sch = memoFresh(schemaCache, s"$path:", fingerprint(path))(
       _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }
+
+  /** memoize under a freshness key, evicting superseded keys sharing
+    * the same `prefix` before inserting: a stale fingerprint of a
+    * regenerated fixture can never be read again, so keeping it only
+    * grows the map (and, for caches holding checkpointed DataFrames,
+    * pins dead RDD blocks) without bound in a long-lived session that
+    * regenerates fixtures (ADVICE r16). ONE spelling for every
+    * fingerprint-keyed memo in the engine. */
+  private[graft] def memoFresh[V](
+      m: java.util.concurrent.ConcurrentHashMap[String, V],
+      prefix: String, key: String)(f: String => V): V = {
+    if (m.get(key) == null)
+      m.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    m.computeIfAbsent(key, f(_))
+  }
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
 
   /** freshness key for a parquet file OR directory: a directory's own
     * length is a filesystem constant and its mtime granularity can be
     * a full second, so an in-place rewrite within one tick could
     * serve a stale cache entry — fold in the children's (name, mtime,
-    * size) instead. One driver-side listing, no job. */
+    * size) instead, as a STRONG digest of the full sorted listing (a
+    * 32-bit String.hashCode starts colliding at ~65k listings). For a
+    * single FILE, second-granularity mtime plus an unchanged byte
+    * length is likewise not enough — fold in the nanosecond mtime and
+    * a first/last-4KiB checksum so a same-tick same-size in-place
+    * rewrite still re-fingerprints (ADVICE r16). One driver-side
+    * listing or an 8 KiB page-cached read, no job. */
   private[graft] def fingerprint(path: String): String = {
     val f = new java.io.File(path)
-    val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      .map(c => s"${c.getName}:${c.lastModified}:${c.length}")
-      .sorted.mkString(",")
-    s"$path:${f.lastModified}:${f.length}:${kids.hashCode}"
+    val sig = Option(f.listFiles()) match {
+      case Some(ks) =>
+        md5Hex(ks.map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+          .sorted.mkString(",").getBytes("UTF-8"))
+      case None if f.isFile =>
+        val nanos = java.nio.file.Files
+          .getLastModifiedTime(f.toPath).toInstant.getNano
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val n = raf.length()
+          val blk = math.min(4096L, n).toInt
+          val head = new Array[Byte](blk)
+          raf.readFully(head)
+          val tail = new Array[Byte](blk)
+          raf.seek(n - blk); raf.readFully(tail)
+          s"$nanos:${md5Hex(head ++ tail)}"
+        } finally raf.close()
+      case None => "absent"
+    }
+    s"$path:${f.lastModified}:${f.length}:$sig"
   }
 
   /** events.parquet has shipped with two `ts` physical layouts across

@@ -626,11 +626,12 @@ object SimilarityQueries {
     * state). Values identical by construction: the same pqCodebook
     * plan, collected. */
   private def pqCodebookLocal(s: SparkSession, dir: String): DataFrame = {
-    val key = graft.Tables.fingerprint(s"$dir/embeddings.parquet")
-    val (rows, sch) = cbRowsCache.computeIfAbsent(key, _ => {
+    val path = s"$dir/embeddings.parquet"
+    val (rows, sch) = graft.Tables.memoFresh(cbRowsCache, s"$path:",
+        graft.Tables.fingerprint(path)) { _ =>
       val df = pqCodebook(s, dir)
       (df.collect(), df.schema)
-    })
+    }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
   }
 
@@ -1474,7 +1475,7 @@ object SimilarityQueries {
     import s.implicits._
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
-    docIndexCache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(docIndexCache, s"$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit("graft_docidx")
       // EXACTLY bm25Scores' tf spelling (no length filter — the
@@ -2060,7 +2061,7 @@ object SimilarityQueries {
   private[graft] def annIndexDir(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
-    indexCache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(indexCache, s"$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit("graft_annidx")
       ivfadcIndex(s, dir).write.mode("overwrite")
@@ -2117,10 +2118,17 @@ object SimilarityQueries {
     * untouched. */
   private def withStatsLits(s: SparkSession, path: String)(
       df: DataFrame): DataFrame = {
-    val row = statsRowCache.computeIfAbsent(
-      graft.Tables.fingerprint(path),
+    val row = graft.Tables.memoFresh(statsRowCache, s"$path:",
+      graft.Tables.fingerprint(path))(
       _ => graft.Tables.parquetCached(s, path).head())
     row.schema.fields.zipWithIndex.foldLeft(df) { case (d, (fl, i)) =>
+      // fail LOUD on a name collision, like the crossJoin(broadcast)
+      // this replaced would have (ADVICE r16): a stats schema gaining
+      // a field named like an in-flight column (df, tf, ...) must not
+      // silently overwrite it mid-plan
+      require(!d.columns.contains(fl.name),
+        s"withStatsLits($path): stats field '${fl.name}' collides " +
+          "with an in-flight column — rename one side")
       d.withColumn(fl.name, lit(row.get(i)))
     }
   }
@@ -2581,7 +2589,7 @@ object SimilarityQueries {
     import s.implicits._
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
-    purgedDocIndexCache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(purgedDocIndexCache, s"$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit("graft_pdocidx")
       val tomb = documents(s, dir)
@@ -2698,7 +2706,7 @@ object SimilarityQueries {
     import s.implicits._
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
-    purgedChunkIndexCache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(purgedChunkIndexCache, s"$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit("graft_pchunkidx")
       val base = chunkIndexDir(s, dir)
@@ -2969,7 +2977,7 @@ object SimilarityQueries {
     import s.implicits._
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
-    chunkIndexCache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(chunkIndexCache, s"$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit("graft_chunkidx")
       val ctf = chunkTermRows(documents(s, dir).select($"doc_id", $"text"))
@@ -3740,7 +3748,17 @@ object SimilarityQueries {
   // native expressions), the shared probe chain, and four bounded
   // shortlists — q203's posture with a second codebook; nothing
   // all-pairs, the sheet is 4 rows.
-  private def q217(s: SparkSession, dir: String): DataFrame = {
+  /** the shared quantizer-aging evaluation context (q217 + q219): the
+    * churned serving corpus C′ (unit vectors − takedown D), the
+    * pre-churn training pool, the non-purged query vectors, the brute
+    * cosine ground truth over C′, and the literal-quantizer probe
+    * cells — ONE construction so the aging sheet and the retrain
+    * decision cannot disagree about what they measure. */
+  private[graft] final case class AgingCtx(u: DataFrame,
+      basePool: DataFrame, qv: DataFrame, nq: Long, gt: DataFrame,
+      probed: DataFrame)
+
+  private[graft] def agingCtx(s: SparkSession, dir: String): AgingCtx = {
     import s.implicits._
     val purgedV = StreamingQueries.Takedown.purged($"vec_id")
     val uAll = unitVecs(s, dir).localCheckpoint(true)
@@ -3751,6 +3769,17 @@ object SimilarityQueries {
       .filter(!StreamingQueries.Takedown.purged($"q_id"))
     val qv = u.join(qs, u("vec_id") === qs("q_id"))
       .select($"q_id", $"v".as("qv")).localCheckpoint(true)
+    agingCtxOf(u, basePool, qv)
+  }
+
+  /** the same context over EXPLICIT (vec_id, v) / (q_id, qv) frames —
+    * AnnRecallSpec drives planted-drift corpora through the identical
+    * machinery, so the decision bit is pinned on the same code path
+    * the gate runs. */
+  private[graft] def agingCtxOf(u: DataFrame, basePool: DataFrame,
+      qv: DataFrame): AgingCtx = {
+    val s = u.sparkSession
+    import s.implicits._
     val nq = qv.count()
     val w5 = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     val gt = broadcast(qv).join(u, $"vec_id" =!= $"q_id")
@@ -3767,9 +3796,81 @@ object SimilarityQueries {
       .withColumn("cell",
         explode(array((1 to IVFPQ_NPROBE).map(i => col(s"c$i")): _*)))
       .select($"q_id", $"cell").localCheckpoint(true)
+    AgingCtx(u, basePool, qv, nq, gt, probed)
+  }
+
+  /** (vec_id, cell, codes) encode of a unit corpus under a flat
+    * codebook — ONE spelling for q217's variants and q219's
+    * retrained v2 index artifact. */
+  private[graft] def ivfEncOf(u: DataFrame, cbFlat: DataFrame): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    u.crossJoin(broadcast(nestCodebook(cbFlat)))
+      .withColumn("codes",
+        graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
+      .withColumn("cell", cellCol(s, $"v"))
+      .select($"vec_id", $"cell", $"codes")
+  }
+
+  /** exact cosine re-rank of a bounded shortlist to top-5, keeping
+    * rank and rounded sim (q217 projects the (q_id, vec_id) pair;
+    * q219's swapped serve publishes all four columns). */
+  private[graft] def agingRerank5(ctx: AgingCtx, short: DataFrame)
+      : DataFrame = {
+    val s = ctx.u.sparkSession
+    import s.implicits._
+    val w5 = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(short).join(ctx.u, "vec_id").join(broadcast(ctx.qv), "q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
+      .select($"q_id", $"rn", $"vec_id", $"sim")
+  }
+
+  /** one IVFADC aged/fresh variant over the ctx corpus: the codebook
+    * trained on `pool`, its train6 provenance stamp, the encoded
+    * corpus, the ADC shortlist, and the exact top-5. */
+  private[graft] final case class IvfAging(cbFlat: DataFrame,
+      train6: Long, enc: DataFrame, shortlist: DataFrame, top5: DataFrame)
+
+  private[graft] def ivfAgingOf(ctx: AgingCtx, pool: DataFrame)
+      : IvfAging = {
+    val s = ctx.u.sparkSession
+    import s.implicits._
+    val cbFlat = pqCodebookOfPool(pool).localCheckpoint(true)
+    val train6 = cbSampleIds(pool)
+      .agg(sum($"vec_id")).head().getLong(0)
+    val enc = ivfEncOf(ctx.u, cbFlat)
+    val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
+    val short = enc.join(broadcast(ctx.probed), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(broadcast(pqLutOfQv(ctx.qv, cbFlat)), Seq("q_id"))
+      .withColumn("adist2",
+        round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
+      .withColumn("ar", row_number().over(wa))
+      .filter($"ar" <= IVFPQ_R)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    IvfAging(cbFlat, train6, enc, short, agingRerank5(ctx, short))
+  }
+
+  /** recall@5 in micro-units of a top-5 frame against the ctx ground
+    * truth — the number both q217's sheet and q219's decision bit
+    * publish. */
+  private[graft] def agingRecall6(ctx: AgingCtx, top5: DataFrame): Long = {
+    val hits = top5.select("q_id", "vec_id")
+      .join(ctx.gt, Seq("q_id", "vec_id")).count()
+    hits * 1000000L / (5L * ctx.nq)
+  }
+
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ctx = agingCtx(s, dir)
+    val u = ctx.u
+    val qv = ctx.qv
+    val nq = ctx.nq
     def sheet(family: String, variant: String, train6: Long,
         exact: DataFrame, top5: DataFrame): DataFrame = {
-      val hits = top5.join(gt, Seq("q_id", "vec_id"))
+      val hits = top5.join(ctx.gt, Seq("q_id", "vec_id"))
         .agg(count(lit(1)).as("hits"))
       exact.crossJoin(hits)
         .select(lit(family).as("family"), lit(variant).as("variant"),
@@ -3777,32 +3878,11 @@ object SimilarityQueries {
           expr(s"(hits * 1000000) div (5 * $nq)").as("recall6"),
           lit(train6).as("train6"))
     }
-    def rerank5(short: DataFrame): DataFrame =
-      broadcast(short).join(u, "vec_id").join(broadcast(qv), "q_id")
-        .withColumn("sim",
-          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
-        .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
-        .select($"q_id", $"vec_id")
-    val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
     def ivfVariant(variant: String, pool: DataFrame): DataFrame = {
-      val cbFlat = pqCodebookOfPool(pool).localCheckpoint(true)
-      val train6 = cbSampleIds(pool)
-        .agg(sum($"vec_id")).head().getLong(0)
-      val enc = u.crossJoin(broadcast(nestCodebook(cbFlat)))
-        .withColumn("codes",
-          graft.expr.GraftFunctions.pqEncode(s, $"v", $"cb"))
-        .withColumn("cell", cellCol(s, $"v"))
-        .select($"vec_id", $"cell", $"codes")
-      val short = enc.join(broadcast(probed), Seq("cell"))
-        .filter($"vec_id" =!= $"q_id")
-        .join(broadcast(pqLutOfQv(qv, cbFlat)), Seq("q_id"))
-        .withColumn("adist2",
-          round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
-        .withColumn("ar", row_number().over(wa))
-        .filter($"ar" <= IVFPQ_R)
-        .select($"q_id", $"vec_id").localCheckpoint(true)
-      sheet("ivfadc", variant, train6,
-        short.agg(count(lit(1)).as("exact_candidates")), rerank5(short))
+      val v = ivfAgingOf(ctx, pool)
+      sheet("ivfadc", variant, v.train6,
+        v.shortlist.agg(count(lit(1)).as("exact_candidates")),
+        v.top5.select($"q_id", $"vec_id"))
     }
     val ws = Window.partitionBy($"q_id").orderBy($"adot".desc, $"vec_id")
     def sqVariant(variant: String, pool: DataFrame): DataFrame = {
@@ -3813,9 +3893,10 @@ object SimilarityQueries {
       val codes = u.select($"vec_id", cellCol(s, $"v").as("cell"),
         transform($"v", x => round(x * 127 / lit(mx), 0).cast("long"))
           .as("c"))
+      val qs = qv.select($"q_id")
       val qc = codes.join(qs, codes("vec_id") === qs("q_id"))
         .select($"q_id", $"c".as("qc"))
-      val short = codes.join(broadcast(probed), Seq("cell"))
+      val short = codes.join(broadcast(ctx.probed), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
         .join(broadcast(qc), Seq("q_id"))
         .withColumn("adot", expr(
@@ -3825,22 +3906,27 @@ object SimilarityQueries {
         .filter($"ar" <= SQ_R)
         .select($"q_id", $"vec_id").localCheckpoint(true)
       sheet("sq8cell", variant, train6,
-        short.agg(count(lit(1)).as("exact_candidates")), rerank5(short))
+        short.agg(count(lit(1)).as("exact_candidates")),
+        agingRerank5(ctx, short).select($"q_id", $"vec_id"))
     }
-    Seq(ivfVariant("aged", basePool), ivfVariant("fresh", u),
-      sqVariant("aged", basePool), sqVariant("fresh", u))
+    Seq(ivfVariant("aged", ctx.basePool), ivfVariant("fresh", u),
+      sqVariant("aged", ctx.basePool), sqVariant("fresh", u))
       .reduce(_.unionByName(_))
       .orderBy($"family", $"variant")
   }
 
-  private lazy val q217Sql = {
-    val agedPred = "substr(md5('ingest:' || CAST(vec_id AS VARCHAR))" +
+  private def agingAgedPredSql =
+    "substr(md5('ingest:' || CAST(vec_id AS VARCHAR))" +
       s", 1, 2) >= '${DedupQueries.IngestSplit.NewMax}'"
-    val freshPred =
-      s"NOT (${StreamingQueries.Takedown.sql("vec_id")})"
-    val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r")
-      .mkString("[", ", ", "]")
-    def ivfVar(p: String, variant: String, poolPred: String) =
+  private def agingFreshPredSql =
+    s"NOT (${StreamingQueries.Takedown.sql("vec_id")})"
+
+  /** one aged/fresh IVFADC oracle chain (codebook trained WHERE
+    * `poolPred`, codes + LUT + ADC shortlist + exact top-5 + sheet
+    * row) — composed by q217Sql AND q219Sql, so the trained-state
+    * spelling lives in exactly one place. */
+  private def agingIvfVarSql(p: String, variant: String,
+      poolPred: String) =
       s"""${p}cbi AS (SELECT vec_id,
          |         md5('q114cb:' || CAST(vec_id AS VARCHAR)) AS h
          |        FROM embeddings WHERE $poolPred
@@ -3899,6 +3985,50 @@ object SimilarityQueries {
          |            AS recall6,
          |          (SELECT CAST(sum(vec_id) AS BIGINT) FROM ${p}cbi)
          |            AS train6)""".stripMargin
+
+  /** shared aged/fresh oracle preamble (no leading WITH): the churned
+    * unit corpus pe, query vectors, brute ground truth, literal probe
+    * cells, and the PQ sub-space scaffolding — composed by q217Sql
+    * AND q219Sql. */
+  private def agingPreambleSql: String = {
+    val cells = (1 to IVFPQ_NPROBE).map(r => s"c$r")
+      .mkString("[", ", ", "]")
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, v0,
+       |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
+       |       FROM e0),
+       |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
+       |      FROM en),
+       |pe AS (SELECT vec_id, v FROM e
+       |       WHERE NOT (${StreamingQueries.Takedown.sql("vec_id")})),
+       |qvf AS (SELECT vec_id AS q_id, v AS qv FROM pe
+       |        WHERE vec_id IN ${sampleSql(ANN_QK)}),
+       |gt AS (SELECT q_id, vec_id FROM (
+       |        SELECT qvf.q_id, pe.vec_id, row_number() OVER (
+       |         PARTITION BY qvf.q_id ORDER BY
+       |          round(list_sum(list_transform(list_zip(qvf.qv, pe.v),
+       |            z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
+       |          pe.vec_id) AS rn
+       |        FROM qvf JOIN pe ON pe.vec_id <> qvf.q_id)
+       |       WHERE rn <= 5),
+       |p1 AS (SELECT q_id, qv, ${cellSql("qv")} AS c1,
+       |        ${cellScoresSql("qv")} AS s1
+       |       FROM qvf),
+       |${maskChainSql("p", IVFPQ_NPROBE)},
+       |probed AS (SELECT q_id, unnest($cells) AS cell
+       |           FROM p$IVFPQ_NPROBE),
+       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM pe),
+       |ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+       |sv AS (SELECT vec_id, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB]
+       |        AS sv
+       |       FROM pe, ms),
+       |qsub AS (SELECT q_id, m,
+       |          qv[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qsv
+       |         FROM qvf, ms)""".stripMargin
+  }
+
+  private lazy val q217Sql = {
     def sqVar(p: String, variant: String, poolPred: String) =
       s"""${p}m8 AS (SELECT max(list_max(list_transform(v,
          |          x -> abs(x)))) AS mx
@@ -3942,50 +4072,188 @@ object SimilarityQueries {
          |            AS recall6,
          |          (SELECT CAST(floor(mx * 1000000 + 0.5) AS BIGINT)
          |           FROM ${p}m8) AS train6)""".stripMargin
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
-       |           FROM embeddings),
-       |en AS (SELECT vec_id, v0,
-       |        sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
-       |       FROM e0),
-       |e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS v
-       |      FROM en),
-       |pe AS (SELECT vec_id, v FROM e
-       |       WHERE NOT (${StreamingQueries.Takedown.sql("vec_id")})),
-       |qvf AS (SELECT vec_id AS q_id, v AS qv FROM pe
-       |        WHERE vec_id IN ${sampleSql(ANN_QK)}),
-       |gt AS (SELECT q_id, vec_id FROM (
-       |        SELECT qvf.q_id, pe.vec_id, row_number() OVER (
-       |         PARTITION BY qvf.q_id ORDER BY
-       |          round(list_sum(list_transform(list_zip(qvf.qv, pe.v),
-       |            z -> CAST(z[1] * z[2] AS DOUBLE))), 5) DESC,
-       |          pe.vec_id) AS rn
-       |        FROM qvf JOIN pe ON pe.vec_id <> qvf.q_id)
-       |       WHERE rn <= 5),
-       |p1 AS (SELECT q_id, qv, ${cellSql("qv")} AS c1,
-       |        ${cellScoresSql("qv")} AS s1
-       |       FROM qvf),
-       |${maskChainSql("p", IVFPQ_NPROBE)},
-       |probed AS (SELECT q_id, unnest($cells) AS cell
-       |           FROM p$IVFPQ_NPROBE),
-       |bc AS (SELECT vec_id, ${cellSql("v")} AS cell FROM pe),
-       |ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
-       |sv AS (SELECT vec_id, m, v[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB]
-       |        AS sv
-       |       FROM pe, ms),
-       |qsub AS (SELECT q_id, m,
-       |          qv[m*$PQ_SUB+1 : m*$PQ_SUB+$PQ_SUB] AS qsv
-       |         FROM qvf, ms),
-       |${ivfVar("ga", "aged", agedPred)},
-       |${ivfVar("gf", "fresh", freshPred)},
-       |${sqVar("sa", "aged", agedPred)},
-       |${sqVar("sf", "fresh", freshPred)}
+    s"""WITH $agingPreambleSql,
+       |${agingIvfVarSql("ga", "aged", agingAgedPredSql)},
+       |${agingIvfVarSql("gf", "fresh", agingFreshPredSql)},
+       |${sqVar("sa", "aged", agingAgedPredSql)},
+       |${sqVar("sf", "fresh", agingFreshPredSql)}
        |SELECT * FROM (
        |SELECT * FROM garow UNION ALL SELECT * FROM gfrow
        |UNION ALL SELECT * FROM sarow UNION ALL SELECT * FROM sfrow)
        |ORDER BY family, variant""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q219: RETRAIN DECISION + ONLINE INDEX SWAP — q217 MEASURES what
+  // churn costs the frozen trained state; this gate ACTS on it, the
+  // online-reindex verb every vector deployment eventually runs
+  // (round-16 verdict #1), completing re-encode (q208) → re-train
+  // (q217) → re-serve. The decision: the aged IVFADC recall deficit
+  // vs a fresh retrain, in micro-units, thresholded (RetrainThresh6
+  // — the q208/q215 decision-bit pattern applied to q217's sheet).
+  // When it fires, the retrain EXECUTES: the codebook rebuilds on
+  // the churned corpus C′ itself (pqCodebookOfPool — the one
+  // spelling), every vector re-encodes, the v2 artifact persists
+  // cell-partitioned in annIndexDir's exact layout, and the serve
+  // path SWAPS onto it: the published top-5 rows are served FROM THE
+  // V2 ARTIFACT with q181's partition-pruned posture, while the
+  // oracle rebuilds the fresh chain inline — oracle equality IS the
+  // "swapped serving ≡ fresh-built index" gate (q212's frozen-
+  // codebook discipline, inverted). When the bit does NOT fire, the
+  // serving tier keeps its existing (aged) trained state — both
+  // sides make the same conditional choice, so the gate also pins
+  // the decision itself. AnnRecallSpec pins the bit's two directions
+  // on planted corpora through the identical agingCtxOf machinery.
+  //
+  // Scale: the decision is q217's ivfadc half (two corpus encodes —
+  // the honest price of asking); the v2 build is once per retrain
+  // decision (memoized, reported as retrain_index_sec); the swapped
+  // serve is q181's bounded posture — statically pruned index scan,
+  // broadcast probe/LUT/shortlist frames, nothing all-pairs.
+  private[graft] val RetrainThresh6 = 50000L // retrain when the aged
+    // state costs > 5 recall@5 points (micro-units) vs a fresh one
+
+  private val retrainIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val retrainIndexNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** path of the RETRAINED (v2) cell-partitioned IVFADC index over
+    * dir's churned corpus: codebook re-trained on C′, every code
+    * re-encoded — annIndexDir's layout under the v2 trained state,
+    * built once per corpus snapshot (the online reindex). */
+  private[graft] def retrainedIndexDir(s: SparkSession, dir: String)
+      : String = {
+    import s.implicits._
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    graft.Tables.memoFresh(retrainIndexCache, s"$dir:", key)(_ => {
+      val t0 = System.nanoTime()
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_annidx_v2")
+      val u = unitVecs(s, dir)
+        .filter(!StreamingQueries.Takedown.purged($"vec_id"))
+        .localCheckpoint(true)
+      ivfEncOf(u, pqCodebookOfPool(u).localCheckpoint(true))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$out/index")
+      retrainIndexNanos.addAndGet(System.nanoTime() - t0)
+      s"$out/index"
+    })
+  }
+
+  /** Bench warmup hook: pre-build the measured sfDir's v2 index so
+    * q219 times decision + swapped serve, not the once-per-retrain
+    * build (reported separately via retrainIndexNanos). */
+  private[graft] def warmRetrainedIndex(s: SparkSession, dir: String)
+      : Unit = {
+    retrainedIndexDir(s, dir); ()
+  }
+
+  /** the CHURNED-corpus codebook collected once per corpus snapshot
+    * (pqCodebookLocal's discipline for the v2 trained state: the
+    * swapped serve's LUT must not re-derive the frozen retrained
+    * codebook from the corpus per serve). */
+  private def churnedCodebookLocal(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val path = s"$dir/embeddings.parquet"
+    val prefix = s"$path#churned:"
+    val (rows, sch) = graft.Tables.memoFresh(cbRowsCache, prefix,
+        prefix + graft.Tables.fingerprint(path)) { _ =>
+      val df = pqCodebookOfPool(
+        unitVecs(s, dir)
+          .filter(!StreamingQueries.Takedown.purged($"vec_id")))
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+  }
+
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ctx = agingCtx(s, dir)
+    val aged = ivfAgingOf(ctx, ctx.basePool)
+    val fresh = ivfAgingOf(ctx, ctx.u)
+    val aRec = agingRecall6(ctx, aged.top5)
+    val fRec = agingRecall6(ctx, fresh.top5)
+    val deficit6 = fRec - aRec
+    val retrain = deficit6 > RetrainThresh6
+    val served =
+      if (retrain) {
+        // EXECUTE the decision: serve from the persisted v2 artifact
+        // — probe cells as static partition-pruning literals,
+        // broadcast LUT from the collected retrained codebook,
+        // bounded shortlist (q181's serve shape)
+        val (probedRows, probedL) = localized(ctx.probed)
+        val cells = probedRows.map(_.getInt(1)).distinct.sorted
+        val enc2 = graft.Tables
+          .parquetCached(s, retrainedIndexDir(s, dir))
+          .filter($"cell".isin(cells.map(Integer.valueOf): _*))
+          .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
+        val wa = Window.partitionBy($"q_id")
+          .orderBy($"adist2", $"vec_id")
+        val short = enc2.join(broadcast(probedL), Seq("cell"))
+          .filter($"vec_id" =!= $"q_id")
+          .join(
+            broadcast(pqLutOfQv(ctx.qv, churnedCodebookLocal(s, dir))),
+            Seq("q_id"))
+          .withColumn("adist2",
+            round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"),
+              9))
+          .withColumn("ar", row_number().over(wa))
+          .filter($"ar" <= IVFPQ_R)
+          .select($"q_id", $"vec_id")
+        agingRerank5(ctx, short)
+      } else aged.top5 // no retrain: keep serving the existing state
+    served
+      .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim")
+      .withColumn("aged_recall6", lit(aRec))
+      .withColumn("fresh_recall6", lit(fRec))
+      .withColumn("deficit6", lit(deficit6))
+      .withColumn("retrained", lit(retrain))
+      .withColumn("train6",
+        lit(if (retrain) fresh.train6 else aged.train6))
+      .orderBy($"q_id", $"rn")
+  }
+
+  private lazy val q219Sql = {
+    val exactSim =
+      """round(list_sum(list_transform(list_zip(qvf.qv, pe.v),
+        |            z -> CAST(z[1] * z[2] AS DOUBLE))), 5)""".stripMargin
+    def srv(name: String, sl: String) =
+      s"""$name AS (SELECT sl.q_id,
+         |         row_number() OVER (PARTITION BY sl.q_id ORDER BY
+         |          $exactSim DESC, sl.vec_id) AS rn,
+         |         sl.vec_id AS neighbor_id,
+         |         $exactSim AS sim
+         |        FROM $sl sl JOIN pe USING (vec_id)
+         |         JOIN qvf ON sl.q_id = qvf.q_id)""".stripMargin
+    s"""WITH $agingPreambleSql,
+       |${agingIvfVarSql("ga", "aged", agingAgedPredSql)},
+       |${agingIvfVarSql("gf", "fresh", agingFreshPredSql)},
+       |dec AS (SELECT ga.recall6 AS aged_recall6,
+       |         gf.recall6 AS fresh_recall6,
+       |         gf.recall6 - ga.recall6 AS deficit6,
+       |         gf.recall6 - ga.recall6 > $RetrainThresh6 AS retrained,
+       |         ga.train6 AS aged_train6, gf.train6 AS fresh_train6
+       |        FROM garow ga, gfrow gf),
+       |${srv("gsrv", "gfsl")},
+       |${srv("asrv", "gasl")},
+       |srv AS (SELECT * FROM gsrv WHERE (SELECT retrained FROM dec)
+       |        UNION ALL
+       |        SELECT * FROM asrv
+       |        WHERE NOT (SELECT retrained FROM dec))
+       |SELECT s.q_id, CAST(s.rn AS INT) AS rn, s.neighbor_id, s.sim,
+       | dec.aged_recall6, dec.fresh_recall6, dec.deficit6,
+       | dec.retrained,
+       | CASE WHEN dec.retrained THEN dec.fresh_train6
+       |  ELSE dec.aged_train6 END AS train6
+       |FROM srv s, dec WHERE s.rn <= 5
+       |ORDER BY s.q_id, s.rn""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q219_retrain_swap", q219, Some(q219Sql),
+      "retrain decision + online index swap: the aged-vs-fresh recall deficit thresholded into a decision bit, the fired retrain rebuilding the PQ codebook on the churned corpus and re-encoding a v2 cell-partitioned index, the serve path swapped onto it — served top-5 ≡ a fresh-built inline chain row for row"),
     Q("q217_quantizer_aging", q217, Some(q217Sql),
       "quantizer-aging frontier: recall@5 over the churned corpus (appends + takedown purge) under the PRE-CHURN trained state (aged PQ codebook / int8 scale) vs a fresh retrain, train6 provenance stamps — the retrain trigger completing q208's re-encode audit"),
     Q("q214_takedown_full_rag", q214, Some(q214Sql),

@@ -105,7 +105,7 @@ object StreamingQueries {
       name: String): String = {
     val src = new java.io.File(s"$dir/$name.parquet")
     val key = s"$dir/$name:${src.lastModified}:${src.length}"
-    fixtureCache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(fixtureCache, s"$dir/$name:", key)(_ => {
       val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit(s"graft_mf_$name")
       s.read.parquet(s"$dir/$name.parquet").repartition(StreamFiles)
@@ -1664,7 +1664,10 @@ object StreamingQueries {
     // lookup and rebuild the release state per query).
     releaseStateCache.entrySet.removeIf(e =>
       e.getValue._2.sparkSession.sparkContext.isStopped)
-    releaseStateCache.computeIfAbsent(key, _ => {
+    // superseded same-path fingerprints additionally evict on insert
+    // (ADVICE r16): a LIVE session that regenerates fixtures would
+    // otherwise pin one checkpointed release state per generation
+    graft.Tables.memoFresh(releaseStateCache, s"$app:$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val split = DedupQueries.IngestSplit
       val base = split.withIx(graft.Tables.documents(s, dir))
@@ -1703,7 +1706,7 @@ object StreamingQueries {
     // stopped-owner eviction, same rationale as releaseStateCache
     releaseV2Cache.entrySet.removeIf(e =>
       e.getValue.sparkSession.sparkContext.isStopped)
-    releaseV2Cache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(releaseV2Cache, s"$app:$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val v2 = TextQueries.releaseDocs(graft.Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("text")))
@@ -1731,7 +1734,7 @@ object StreamingQueries {
     val key = s"$app:$dir:${src.lastModified}:${src.length}"
     releaseV3Cache.entrySet.removeIf(e =>
       e.getValue.sparkSession.sparkContext.isStopped)
-    releaseV3Cache.computeIfAbsent(key, _ =>
+    graft.Tables.memoFresh(releaseV3Cache, s"$app:$dir:", key)(_ =>
       TextQueries.releaseDocs(graft.Tables.documents(s, dir)
           .filter(!Takedown.purged(col("doc_id")))
           .select(col("doc_id"), col("lang"), col("text")))
@@ -2248,7 +2251,7 @@ object StreamingQueries {
     import s.implicits._
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = s"$dir:${src.lastModified}:${src.length}"
-    purgeArtifactCache.computeIfAbsent(key, _ => {
+    graft.Tables.memoFresh(purgeArtifactCache, s"$dir:", key)(_ => {
       val t0 = System.nanoTime()
       val out = graft.Scratch.tempDirDeletedOnExit("graft_purgeart")
       val docs = graft.Tables.documents(s, dir).select($"doc_id", $"text")
@@ -2814,8 +2817,12 @@ object StreamingQueries {
           s"${p}x${w - 1}.tomb_out")
       val prevFrom = if (w == 1) "" else s", ${p}x${w - 1}"
       s"""${p}w$w AS (SELECT *,
-         |  (rows_dead * 1000000) // rows_total AS dead_frac6,
-         |  (rows_dead * 1000000) // rows_total > $VacuumThresh6
+         |  CASE WHEN rows_total > 0
+         |   THEN (rows_dead * 1000000) // rows_total
+         |   ELSE CAST(0 AS BIGINT) END AS dead_frac6,
+         |  CASE WHEN rows_total > 0
+         |   THEN (rows_dead * 1000000) // rows_total
+         |   ELSE CAST(0 AS BIGINT) END > $VacuumThresh6
          |    AS vacuumed FROM (
          |   SELECT CAST($w AS BIGINT) AS wave,
          |    $stat.n_tot - $prevRemoved AS rows_total,

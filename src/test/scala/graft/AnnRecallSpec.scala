@@ -167,6 +167,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(q54.toSeq == p54.toSeq)
   }
 
+  /** deterministic planted corpora for the aging tests: unit vectors
+    * concentrated on one HALF of the dims (md5-derived jitter, no
+    * RNG) — `half` 0 = the pre-churn distribution, 1 = the drifted
+    * one. */
+  private def planted(idBase: Long, half: Int, n: Int) = {
+    import spark.implicits._
+    val dim = 64
+    (0 until n).map { i =>
+      val v = (0 until dim).map { d =>
+        val inHalf = (d >= half * 32 && d < half * 32 + 32)
+        val base = if (inHalf) 1.0 else 0.0
+        base + 0.05 * graft.ops.HashKeys.unitUniform(s"drift:$idBase:$i:$d")
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (idBase + i, v.map(_ / nrm))
+    }.toDF("vec_id", "v")
+  }
+
   test("q217: planted drift — the aged codebook reconstructs the drifted corpus strictly worse") {
     import spark.implicits._
     // the aging mechanism, isolated: quantization error of a FROZEN
@@ -177,18 +195,6 @@ class AnnRecallSpec extends SparkSpec {
     // trained on the pool (aged) must reconstruct the drifted corpus
     // strictly worse than one trained on the drifted corpus itself
     // (fresh) — the q217 gate's recall gap, pinned at its root cause.
-    val dim = 64
-    def planted(idBase: Long, half: Int, n: Int) = {
-      (0 until n).map { i =>
-        val v = (0 until dim).map { d =>
-          val inHalf = (d >= half * 32 && d < half * 32 + 32)
-          val base = if (inHalf) 1.0 else 0.0
-          base + 0.05 * graft.ops.HashKeys.unitUniform(s"drift:$idBase:$i:$d")
-        }
-        val nrm = math.sqrt(v.map(x => x * x).sum)
-        (idBase + i, v.map(_ / nrm))
-      }.toDF("vec_id", "v")
-    }
     val pool = planted(1000L, 0, 64)     // pre-churn distribution
     val drifted = planted(5000L, 1, 64)  // the churned corpus
     def meanErr(cbPool: org.apache.spark.sql.DataFrame): Double = {
@@ -213,5 +219,37 @@ class AnnRecallSpec extends SparkSpec {
     assert(aged > fresh * 2,
       s"aged codebook should reconstruct drifted data much worse: " +
         s"aged=$aged fresh=$fresh")
+  }
+
+  test("q219: the retrain decision bit fires on planted drift and stays off without drift") {
+    import spark.implicits._
+    // the decision, pinned on the IDENTICAL machinery the gate runs
+    // (agingCtxOf → ivfAgingOf → agingRecall6): a corpus drifted off
+    // the aged codebook's training distribution must push the recall
+    // deficit past RetrainThresh6; the no-drift control (aged pool =
+    // the corpus itself) is the SAME chain twice and must sit at
+    // exactly zero deficit — the bit must not fire on noise.
+    val pool = planted(1000L, 0, 128)      // pre-churn distribution
+    val drifted = planted(50000L, 1, 1024) // the churned corpus —
+      // large enough that the ADC shortlist truncates (recall < 1)
+    val qv = drifted.filter($"vec_id" < 50008L)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val ctx = SimilarityQueries.agingCtxOf(drifted, pool, qv)
+    val aRec = SimilarityQueries.agingRecall6(ctx,
+      SimilarityQueries.ivfAgingOf(ctx, ctx.basePool).top5)
+    val fRec = SimilarityQueries.agingRecall6(ctx,
+      SimilarityQueries.ivfAgingOf(ctx, ctx.u).top5)
+    info(s"planted drift: aged=$aRec fresh=$fRec deficit=${fRec - aRec}")
+    assert(fRec - aRec > SimilarityQueries.RetrainThresh6,
+      s"decision bit should FIRE on planted drift: aged=$aRec fresh=$fRec")
+    // control: no drift — identical trained state on both sides
+    val ctl = SimilarityQueries.agingCtxOf(drifted, drifted, qv)
+    val aCtl = SimilarityQueries.agingRecall6(ctl,
+      SimilarityQueries.ivfAgingOf(ctl, ctl.basePool).top5)
+    val fCtl = SimilarityQueries.agingRecall6(ctl,
+      SimilarityQueries.ivfAgingOf(ctl, ctl.u).top5)
+    assert(fCtl - aCtl == 0L,
+      s"no-drift control must have zero deficit: aged=$aCtl fresh=$fCtl")
+    assert(!(fCtl - aCtl > SimilarityQueries.RetrainThresh6))
   }
 }

@@ -488,8 +488,17 @@ class PlanShapeSpec extends SparkSpec {
     // vectors / local codebook (graft.JobAudit measures the
     // breakdown). The bound leaves modest slack; a regression
     // re-splitting the collects, re-adding the corpus tokenize, or
-    // re-broadcasting the stats frames lands above it.
-    assert(n.get() <= 48, s"serve path scheduled ${n.get()} jobs")
+    // re-broadcasting the stats frames lands above it. The ABSOLUTE
+    // count is pinned to the Spark line this repo builds against
+    // (VERDICT r16 #5: an AQE or Spark upgrade can move absolute job
+    // counts without any plan regression) — on another Spark line it
+    // is advisory; the relative locks in the sibling tests (no corpus
+    // tokenize, no re-encode, pruned index scans) carry the
+    // version-independent regression teeth.
+    info(s"warm q187 serve scheduled ${n.get()} jobs (bound 48, " +
+      s"pinned to Spark 4.1.x; running ${spark.version})")
+    if (spark.version.startsWith("4.1."))
+      assert(n.get() <= 48, s"serve path scheduled ${n.get()} jobs")
   }
 
   test("q180: context assembly broadcasts the fused top-5; no doc_id shuffle ships text") {
