@@ -2231,6 +2231,16 @@ object StreamingQueries {
       s"substr(md5('purge:' || CAST($key AS VARCHAR)), 1, 1) = '$Hex'"
     def waveHexSql(key: String): String =
       s"substr(md5('purge:' || CAST($key AS VARCHAR)), 1, 1)"
+    /** append-wave tag for q220's interleave: an independent md5 1/2
+      * split of the NEW ingest split's keys — the crawl feed arrives
+      * as two successive append batches. */
+    def appendWave(key: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      when(substring(md5(concat(lit("append:"), key.cast("string"))),
+        1, 1) < "8", 1).otherwise(2)
+    def appendWaveSql(key: String): String =
+      s"CASE WHEN substr(md5('append:' || CAST($key AS VARCHAR)), " +
+        "1, 1) < '8' THEN 1 ELSE 2 END"
   }
 
   /** the three delta artifacts q206 purges, built ONCE per corpus
@@ -2302,6 +2312,37 @@ object StreamingQueries {
         coalesce($"chk2", lit(0L)).as("chk2"))
   }
 
+  /** slim (key, k, c1, c2) audit projections of the three artifact
+    * row layouts — ONE checksum spelling for q206's funnel rows,
+    * q215's wave audit, and q220's interleaved audit, whether the
+    * rows come from the persisted batch artifact or a streamed
+    * delta (the layouts are identical by construction). */
+  private[graft] def slimDocPostings(p: DataFrame): DataFrame = {
+    val s = p.sparkSession
+    import s.implicits._
+    p.select($"doc_id", $"term".as("k"),
+      ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
+  }
+
+  private[graft] def slimChunkPostings(p: DataFrame): DataFrame = {
+    val s = p.sparkSession
+    import s.implicits._
+    p.select($"doc_id", $"term".as("k"),
+      ($"doc_id" * $"tf" * ($"chunk_idx" + 1)).as("c1"),
+      ($"dl" * $"tf").as("c2"))
+  }
+
+  private[graft] def slimAnnCodes(p: DataFrame): DataFrame = {
+    val s = p.sparkSession
+    import s.implicits._
+    p.withColumn("cchk", expr(
+        "aggregate(zip_with(codes, sequence(1, size(codes)), " +
+          "(c, i) -> CAST(c AS BIGINT) * i), CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + x)"))
+      .select($"vec_id", $"cell", $"vec_id".as("k"),
+        ($"vec_id" * $"cchk").as("c1"), $"cchk".as("c2"))
+  }
+
   /** the three purge-auditable artifact projections over the memoized
     * artifact dir — slim (bucket, key, k, c1, c2) rows with integer
     * checksums, the takedown key first-class: ONE spelling for q206's
@@ -2311,23 +2352,18 @@ object StreamingQueries {
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val art = purgeArtifactDir(s, dir)
-    val dp = graft.Tables.parquetCached(s, art + "/doc_postings")
-      .select(substring(md5($"term"), 1, 1).as("bucket"),
-        $"doc_id", $"term".as("k"),
-        ($"doc_id" * $"tf").as("c1"), $"tf".as("c2"))
-    val cp = graft.Tables.parquetCached(s, art + "/chunk_postings")
-      .select(substring(md5($"term"), 1, 1).as("bucket"),
-        $"doc_id", $"term".as("k"),
-        ($"doc_id" * $"tf" * ($"chunk_idx" + 1)).as("c1"),
-        ($"dl" * $"tf").as("c2"))
-    val ac = graft.Tables.parquetCached(s, art + "/ann_codes")
-      .withColumn("cchk", expr(
-        "aggregate(zip_with(codes, sequence(1, size(codes)), " +
-          "(c, i) -> CAST(c AS BIGINT) * i), CAST(0 AS BIGINT), " +
-          "(acc, x) -> acc + x)"))
+    val dp = slimDocPostings(
+        graft.Tables.parquetCached(s, art + "/doc_postings"))
+      .select(substring(md5($"k"), 1, 1).as("bucket"),
+        $"doc_id", $"k", $"c1", $"c2")
+    val cp = slimChunkPostings(
+        graft.Tables.parquetCached(s, art + "/chunk_postings"))
+      .select(substring(md5($"k"), 1, 1).as("bucket"),
+        $"doc_id", $"k", $"c1", $"c2")
+    val ac = slimAnnCodes(
+        graft.Tables.parquetCached(s, art + "/ann_codes"))
       .select($"cell".cast("string").as("bucket"), $"vec_id",
-        $"vec_id".as("k"),
-        ($"vec_id" * $"cchk").as("c1"), $"cchk".as("c2"))
+        $"k", $"c1", $"c2")
     (dp, cp, ac)
   }
 
@@ -2766,6 +2802,84 @@ object StreamingQueries {
       "chk2_live", "tomb_outstanding")
   }
 
+  /** q220's interleaved lifecycle audit over ONE artifact: `events`
+    * are ("append", delta-rows) or ("takedown", tombstone-keys),
+    * folded over the base artifact state in arrival order. Appends
+    * are screened AT INGEST against the full takedown HISTORY (the
+    * q199 screen discipline — a vacuum retires the merge-on-read
+    * store, never the compliance list, so a taken-down key can never
+    * re-enter through a later append); takedowns accumulate in the
+    * broadcast outstanding store; every event publishes the q215
+    * audit row plus its kind; a fired vacuum rewrites the artifact
+    * and retires the store. Live metrics are vacuum- AND event-order-
+    * invariant: live = present rows whose key survives the takedown
+    * history — the rebuild-over-(base ∪ A) − ∪D pin TakedownSpec
+    * drives through an order matrix. `base`/deltas carry
+    * (key, k, c1, c2).
+    *
+    * Scale: per event ONE columnar scan of the artifact against the
+    * broadcast outstanding store (appends keep shrinking the dead
+    * fraction, takedowns grow it, the threshold bounds it); the only
+    * full-artifact write is the fired vacuum; append screens are
+    * broadcast anti-joins against the |D|-bounded history. */
+  private[graft] def interleavedWaveAudit(artifact: String,
+      base: DataFrame, events: Seq[(String, DataFrame)], key: String,
+      scratch: String): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    var live = base
+    var history = Vector.empty[DataFrame]
+    var outstanding = Vector.empty[DataFrame]
+    var vacN = 0
+    val sheet = Vector.newBuilder[(String, Long, String, Long, Long,
+      Long, Boolean, Long, Long, Long, Long, Long)]
+    for (((kind, df), i) <- events.zipWithIndex) {
+      kind match {
+        case "append" =>
+          val screened =
+            if (history.isEmpty) df
+            else df.join(broadcast(history.reduce(_ unionByName _)),
+              Seq(key), "left_anti")
+          live = live.unionByName(screened)
+        case "takedown" =>
+          history :+= df.select(col(key))
+          outstanding :+= df.select(col(key))
+        case other =>
+          throw new IllegalArgumentException(s"unknown event: $other")
+      }
+      val tomb =
+        if (outstanding.isEmpty) live.select(col(key)).limit(0)
+        else outstanding.reduce(_ unionByName _)
+      val r = live
+        .join(broadcast(tomb.withColumn("dd", lit(1))), Seq(key), "left")
+        .agg(count(lit(1)).as("rows_total"),
+          coalesce(sum(when($"dd" === 1, 1L)), lit(0L)).as("rows_dead"),
+          coalesce(sum(when($"dd".isNull, $"c1")), lit(0L)).as("chk1"),
+          coalesce(sum(when($"dd".isNull, $"c2")), lit(0L)).as("chk2"),
+          countDistinct(when($"dd".isNull, $"k")).as("keys_live"))
+        .head()
+      val total = r.getLong(0)
+      val dead = r.getLong(1)
+      val frac6 = if (total > 0) dead * 1000000L / total else 0L
+      val vac = frac6 > VacuumThresh6
+      val tombN = if (outstanding.isEmpty) 0L else tomb.count()
+      if (vac) {
+        vacN += 1
+        val vdir = s"$scratch/${artifact}_ivac$vacN"
+        live.join(broadcast(tomb), Seq(key), "left_anti")
+          .write.mode("overwrite").parquet(vdir)
+        live = s.read.parquet(vdir)
+        outstanding = Vector.empty
+      }
+      sheet += ((artifact, (i + 1).toLong, kind, total, dead, frac6,
+        vac, total - dead, r.getLong(4), r.getLong(2), r.getLong(3),
+        if (vac) 0L else tombN))
+    }
+    sheet.result().toDF("artifact", "wave", "kind", "rows_total",
+      "rows_dead", "dead_frac6", "vacuumed", "rows_live", "keys_live",
+      "chk1_live", "chk2_live", "tomb_outstanding")
+  }
+
   private def q215(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q215") { scratch =>
@@ -2846,6 +2960,25 @@ object StreamingQueries {
     }.mkString(",\n")
   }
 
+  /** slim-row oracle bodies (key + k + BIGINT c1/c2) over the shared
+    * tfb / xbctf+xbcdl / cc CTEs — composed by q215Sql AND q220Sql so
+    * the checksum spellings live in one place (the Spark twin is the
+    * slim* projection family). */
+  private def docRowsSqlBody =
+    """SELECT doc_id, term AS k, CAST(doc_id * tf AS BIGINT) AS c1,
+      |         CAST(tf AS BIGINT) AS c2 FROM tfb""".stripMargin
+  private def chunkRowsSqlBody =
+    """SELECT ctf.doc_id, ctf.term AS k,
+      |         CAST(ctf.doc_id * ctf.tf * (ctf.chunk_idx + 1)
+      |           AS BIGINT) AS c1,
+      |         CAST(cdl.dl * ctf.tf AS BIGINT) AS c2
+      |        FROM xbctf ctf JOIN xbcdl cdl
+      |         USING (doc_id, chunk_idx)""".stripMargin
+  private def annRowsSqlBody =
+    """SELECT vec_id, CAST(vec_id AS VARCHAR) AS k,
+      |         CAST(vec_id * cchk AS BIGINT) AS c1,
+      |         CAST(cchk AS BIGINT) AS c2 FROM cc""".stripMargin
+
   private lazy val q215Sql = {
     val n = Takedown.Waves.size
     def hx(k: String) = Takedown.waveHexSql(k)
@@ -2888,25 +3021,16 @@ object StreamingQueries {
        |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |        FROM documents)
        |       WHERE len(term) > 0 GROUP BY doc_id, term),
-       |drows AS (SELECT ${hx("doc_id")} AS hx, term AS k,
-       |           CAST(doc_id * tf AS BIGINT) AS c1,
-       |           CAST(tf AS BIGINT) AS c2
-       |          FROM tfb),
+       |drows AS (SELECT ${hx("doc_id")} AS hx, k, c1, c2
+       |          FROM ($docRowsSqlBody)),
        |${SimilarityQueries.chunkCorpusSqlCtesFrom("xb", "documents")},
-       |crows AS (SELECT ${hx("ctf.doc_id")} AS hx, ctf.term AS k,
-       |           CAST(ctf.doc_id * ctf.tf * (ctf.chunk_idx + 1)
-       |             AS BIGINT) AS c1,
-       |           CAST(cdl.dl * ctf.tf AS BIGINT) AS c2
-       |          FROM xbctf ctf JOIN xbcdl cdl
-       |           USING (doc_id, chunk_idx)),
+       |crows AS (SELECT ${hx("doc_id")} AS hx, k, c1, c2
+       |          FROM ($chunkRowsSqlBody)),
        |cc AS (SELECT c.vec_id,
        |        CAST(sum((c.m + 1) * c.j) AS BIGINT) AS cchk
        |       FROM codes c GROUP BY c.vec_id),
-       |arows AS (SELECT ${hx("vec_id")} AS hx,
-       |           CAST(vec_id AS VARCHAR) AS k,
-       |           CAST(vec_id * cchk AS BIGINT) AS c1,
-       |           CAST(cchk AS BIGINT) AS c2
-       |          FROM cc),
+       |arows AS (SELECT ${hx("vec_id")} AS hx, k, c1, c2
+       |          FROM ($annRowsSqlBody)),
        |tc AS (SELECT
        |$tks),
        |${statSql("dstat", "drows")},
@@ -3195,7 +3319,245 @@ object StreamingQueries {
        |ORDER BY stage, surface""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q220: INTERLEAVED APPEND + PURGE WAVES — the general merge-on-
+  // read lifecycle a Delta/Iceberg-class table runs (round-16
+  // verdict #2): q215 runs takedown waves against a STATIC artifact;
+  // q183/q188/q177 append deltas; q216 composes the two for the
+  // release. This gate interleaves them on the SAME artifact
+  // timeline for all three served artifacts: append wave A1,
+  // takedown wave D1 (vacuum-if-fired), append wave A2, takedown
+  // wave D2 — the final state ≡ a rebuild over (base ∪ A) − ∪D, and
+  // the per-event audit shows the dead fraction SHRINKING under
+  // appends and growing under takedowns (on this corpus D1 alone
+  // sits under the 10% threshold and D2 pushes past it, so the state
+  // machine exercises both branches). Appends arrive as ONE tagged
+  // slim-delta stream per source table (q215's fused-feed
+  // discipline; doc- and chunk-postings deltas ride the same
+  // documents stream under an artifact tag) and are screened at
+  // ingest against the takedown HISTORY — the q199 screen, which is
+  // what keeps "vacuum retires the store" compatible with
+  // "takedowns are forever". TakedownSpec pins the planted state
+  // machine and the A-D-A-D vs D-A-D-A order matrix.
+  //
+  // Scale: the base states are the memoized purge artifacts
+  // restricted to the base ingest split (rows are key-local, so the
+  // restriction IS the base-built artifact — no rebuild); deltas are
+  // the q177/q188/q183 stateless extractors in-stream; per event one
+  // artifact scan vs the broadcast outstanding store; the only
+  // full-artifact writes are the fired vacuums.
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q220") { scratch =>
+      val split = DedupQueries.IngestSplit
+      val dWaves = Takedown.Waves.take(2)
+      val (dpAll, cpAll, acAll) = purgeArtifactRows(s, dir)
+      val baseDp = dpAll.drop("bucket")
+        .filter(vecIxOf($"doc_id") >= split.NewMax)
+      val baseCp = cpAll.drop("bucket")
+        .filter(vecIxOf($"doc_id") >= split.NewMax)
+      val baseAc = acAll.drop("bucket")
+        .filter(vecIxOf($"vec_id") >= split.NewMax)
+      // the append feed: slim artifact deltas streamed with the
+      // append-wave tag, one tagged stream per source table
+      val newDocs = split.withIx(multiFileStream(s, dir, "documents"))
+        .filter($"ix" < split.NewMax).select($"doc_id", $"text")
+      val docDeltas = runToSink(s,
+        slimDocPostings(docPostingsOf(newDocs))
+          .withColumn("artifact", lit("doc_postings"))
+          .unionByName(
+            slimChunkPostings(chunkIndexDeltasOf(newDocs))
+              .withColumn("artifact", lit("chunk_postings")))
+          .withColumn("awave", Takedown.appendWave($"doc_id")),
+        s"$scratch/ad").localCheckpoint(true)
+      val annDeltas = runToSink(s,
+        slimAnnCodes(annIndexDeltasOf(s, dir,
+            multiFileStream(s, dir, "embeddings")
+              .filter(vecIxOf($"vec_id") < split.NewMax)))
+          .drop("cell")
+          .withColumn("awave", Takedown.appendWave($"vec_id")),
+        s"$scratch/av").localCheckpoint(true)
+      // the takedown feed: q215's tagged per-key-space spelling
+      val docT = runToSink(s, multiFileStream(s, dir, "documents")
+          .filter(Takedown.waveHex($"doc_id").isin(dWaves: _*))
+          .select($"doc_id", Takedown.waveHex($"doc_id").as("wave")),
+        s"$scratch/td").localCheckpoint(true)
+      val vecT = runToSink(s, multiFileStream(s, dir, "embeddings")
+          .filter(Takedown.waveHex($"vec_id").isin(dWaves: _*))
+          .select($"vec_id", Takedown.waveHex($"vec_id").as("wave")),
+        s"$scratch/tv").localCheckpoint(true)
+      def events(deltas: DataFrame, tombs: DataFrame, key: String) =
+        Seq(
+          "append" -> deltas.filter($"awave" === 1).drop("awave"),
+          "takedown" ->
+            tombs.filter($"wave" === dWaves(0)).select(col(key)),
+          "append" -> deltas.filter($"awave" === 2).drop("awave"),
+          "takedown" ->
+            tombs.filter($"wave" === dWaves(1)).select(col(key)))
+      val dDp = docDeltas.filter($"artifact" === "doc_postings")
+        .drop("artifact")
+      val dCp = docDeltas.filter($"artifact" === "chunk_postings")
+        .drop("artifact")
+      interleavedWaveAudit("ann_codes", baseAc,
+          events(annDeltas, vecT, "vec_id"), "vec_id", scratch)
+        .unionByName(interleavedWaveAudit("chunk_postings", baseCp,
+          events(dCp, docT, "doc_id"), "doc_id", scratch))
+        .unionByName(interleavedWaveAudit("doc_postings", baseDp,
+          events(dDp, docT, "doc_id"), "doc_id", scratch))
+        .orderBy($"artifact", $"wave")
+    }
+  }
+
+  /** per-artifact interleave stats: one FILTER-aggregate scan over a
+    * cls/phex-tagged row CTE — row classes b (base split), a1/a2
+    * (append waves), purge hexes; live metrics after each event's
+    * cumulative takedown. */
+  private def interleaveStatSql(p: String, clsCte: String): String = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    def live(n: Int, pred: String) =
+      s"""  CAST(coalesce(sum(c1) FILTER ($pred), 0) AS BIGINT)
+         |    AS c1l$n,
+         |  CAST(coalesce(sum(c2) FILTER ($pred), 0) AS BIGINT)
+         |    AS c2l$n,
+         |  CAST(count(DISTINCT k) FILTER ($pred) AS BIGINT)
+         |    AS kl$n""".stripMargin
+    s"""$p AS (SELECT
+       |  CAST(count(*) FILTER (cls IN ('b', 'a1')) AS BIGINT)
+       |    AS n_ba1,
+       |  CAST(count(*) FILTER (cls IN ('b', 'a1') AND phex = '$h0')
+       |    AS BIGINT) AS d1_ba1,
+       |  CAST(count(*) FILTER (cls IN ('b', 'a1') AND phex = '$h1')
+       |    AS BIGINT) AS d2_ba1,
+       |  CAST(count(*) FILTER (cls IN ('b', 'a1')
+       |    AND phex IN ('$h0', '$h1')) AS BIGINT) AS d12_ba1,
+       |  CAST(count(*) FILTER (cls = 'a2' AND phex <> '$h0')
+       |    AS BIGINT) AS n_a2s,
+       |  CAST(count(*) FILTER (cls = 'a2' AND phex = '$h1')
+       |    AS BIGINT) AS d2_a2s,
+       |${live(1, "cls IN ('b', 'a1')")},
+       |${live(2, s"cls IN ('b', 'a1') AND phex <> '$h0'")},
+       |${live(3, s"phex <> '$h0'")},
+       |${live(4, s"phex NOT IN ('$h0', '$h1')")}
+       | FROM $clsCte)""".stripMargin
+  }
+
+  /** the unrolled A1-D1-A2-D2 recurrence over one artifact's stat
+    * CTE: the same state machine interleavedWaveAudit runs —
+    * rows_total shrinks by fired vacuums and grows by screened
+    * appends, dead rows carry until a vacuum retires them. */
+  private def interleaveEventsSql(p: String, stat: String, tk: String)
+      : String =
+    s"""${p}v2 AS (SELECT s.*, tc.${tk}1 AS tk1, tc.${tk}2 AS tk2,
+       |  CASE WHEN s.n_ba1 > 0
+       |   THEN (s.d1_ba1 * 1000000) // s.n_ba1
+       |   ELSE CAST(0 AS BIGINT) END AS frac2
+       | FROM $stat s, tc),
+       |${p}v2b AS (SELECT *, frac2 > $VacuumThresh6 AS vac2
+       | FROM ${p}v2),
+       |${p}v3 AS (SELECT *,
+       |  n_ba1 - CASE WHEN vac2 THEN d1_ba1
+       |          ELSE CAST(0 AS BIGINT) END + n_a2s AS total3,
+       |  CASE WHEN vac2 THEN CAST(0 AS BIGINT) ELSE d1_ba1 END
+       |    AS dead3
+       | FROM ${p}v2b),
+       |${p}v3b AS (SELECT *,
+       |  CASE WHEN total3 > 0 THEN (dead3 * 1000000) // total3
+       |   ELSE CAST(0 AS BIGINT) END AS frac3 FROM ${p}v3),
+       |${p}v3c AS (SELECT *, frac3 > $VacuumThresh6 AS vac3
+       | FROM ${p}v3b),
+       |${p}v4 AS (SELECT *,
+       |  total3 - CASE WHEN vac3 THEN dead3
+       |           ELSE CAST(0 AS BIGINT) END AS total4,
+       |  CASE WHEN vac2 OR vac3 THEN d2_ba1 + d2_a2s
+       |   ELSE d12_ba1 + d2_a2s END AS dead4
+       | FROM ${p}v3c),
+       |${p}v4b AS (SELECT *,
+       |  CASE WHEN total4 > 0 THEN (dead4 * 1000000) // total4
+       |   ELSE CAST(0 AS BIGINT) END AS frac4 FROM ${p}v4),
+       |${p}fin AS (SELECT *, frac4 > $VacuumThresh6 AS vac4
+       | FROM ${p}v4b)""".stripMargin
+
+  private def interleaveUnionSql(p: String, artifact: String): String =
+    s"""SELECT '$artifact' AS artifact, CAST(1 AS BIGINT) AS wave,
+       | 'append' AS kind, n_ba1 AS rows_total,
+       | CAST(0 AS BIGINT) AS rows_dead,
+       | CAST(0 AS BIGINT) AS dead_frac6, FALSE AS vacuumed,
+       | n_ba1 AS rows_live, kl1 AS keys_live, c1l1 AS chk1_live,
+       | c2l1 AS chk2_live, CAST(0 AS BIGINT) AS tomb_outstanding
+       |FROM ${p}fin
+       |UNION ALL
+       |SELECT '$artifact', CAST(2 AS BIGINT), 'takedown', n_ba1,
+       | d1_ba1, frac2, vac2, n_ba1 - d1_ba1, kl2, c1l2, c2l2,
+       | CASE WHEN vac2 THEN CAST(0 AS BIGINT) ELSE tk1 END
+       |FROM ${p}fin
+       |UNION ALL
+       |SELECT '$artifact', CAST(3 AS BIGINT), 'append', total3,
+       | dead3, frac3, vac3, total3 - dead3, kl3, c1l3, c2l3,
+       | CASE WHEN vac2 OR vac3 THEN CAST(0 AS BIGINT) ELSE tk1 END
+       |FROM ${p}fin
+       |UNION ALL
+       |SELECT '$artifact', CAST(4 AS BIGINT), 'takedown', total4,
+       | dead4, frac4, vac4, total4 - dead4, kl4, c1l4, c2l4,
+       | CASE WHEN vac4 THEN CAST(0 AS BIGINT)
+       |  WHEN vac2 OR vac3 THEN tk2 ELSE tk1 + tk2 END
+       |FROM ${p}fin""".stripMargin
+
+  private lazy val q220Sql = {
+    def hx(k: String) = Takedown.waveHexSql(k)
+    def cls(k: String) =
+      s"""CASE WHEN substr(md5('ingest:' || CAST($k AS VARCHAR)), 1, 2)
+         |     >= '${DedupQueries.IngestSplit.NewMax}' THEN 'b'
+         |    WHEN substr(md5('append:' || CAST($k AS VARCHAR)), 1, 1)
+         |     < '8' THEN 'a1'
+         |    ELSE 'a2' END""".stripMargin
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    s"""WITH ${SimilarityQueries.pqPreambleSqlForAnnSample},
+       |tfb AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |       WHERE len(term) > 0 GROUP BY doc_id, term),
+       |${SimilarityQueries.chunkCorpusSqlCtesFrom("xb", "documents")},
+       |cc AS (SELECT c.vec_id,
+       |        CAST(sum((c.m + 1) * c.j) AS BIGINT) AS cchk
+       |       FROM codes c GROUP BY c.vec_id),
+       |dcls AS (SELECT ${cls("doc_id")} AS cls,
+       |          ${hx("doc_id")} AS phex, k, c1, c2
+       |         FROM ($docRowsSqlBody)),
+       |ccls AS (SELECT ${cls("doc_id")} AS cls,
+       |          ${hx("doc_id")} AS phex, k, c1, c2
+       |         FROM ($chunkRowsSqlBody)),
+       |acls AS (SELECT ${cls("vec_id")} AS cls,
+       |          ${hx("vec_id")} AS phex, k, c1, c2
+       |         FROM ($annRowsSqlBody)),
+       |tc AS (SELECT
+       |  CAST((SELECT count(*) FROM documents
+       |    WHERE ${hx("doc_id")} = '$h0') AS BIGINT) AS dtk1,
+       |  CAST((SELECT count(*) FROM documents
+       |    WHERE ${hx("doc_id")} = '$h1') AS BIGINT) AS dtk2,
+       |  CAST((SELECT count(*) FROM embeddings
+       |    WHERE ${hx("vec_id")} = '$h0') AS BIGINT) AS vtk1,
+       |  CAST((SELECT count(*) FROM embeddings
+       |    WHERE ${hx("vec_id")} = '$h1') AS BIGINT) AS vtk2),
+       |${interleaveStatSql("dstat", "dcls")},
+       |${interleaveStatSql("cstat", "ccls")},
+       |${interleaveStatSql("astat", "acls")},
+       |${interleaveEventsSql("a", "astat", "vtk")},
+       |${interleaveEventsSql("c", "cstat", "dtk")},
+       |${interleaveEventsSql("d", "dstat", "dtk")}
+       |SELECT * FROM (
+       |SELECT * FROM (${interleaveUnionSql("a", "ann_codes")})
+       |UNION ALL
+       |SELECT * FROM (${interleaveUnionSql("c", "chunk_postings")})
+       |UNION ALL
+       |SELECT * FROM (${interleaveUnionSql("d", "doc_postings")}))
+       |ORDER BY artifact, wave""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q220_append_purge_interleave", q220, Some(q220Sql),
+      "interleaved append+purge lifecycle on the served artifacts: streamed tagged append deltas (A1, A2) and takedown waves (D1, D2) folded over the base artifacts in arrival order — ingest-screened appends, per-event dead-fraction audit, fired vacuums, final live state ≡ rebuild over (base ∪ A) − ∪D"),
     Q("q218_takedown_sla", q218, Some(q218Sql),
       "takedown SLA audit: per-stage coverage of one takedown batch — streamed tombstone store vs the feed predicate (exactly-once as a number), per-artifact compaction removal + leak counts, D-reference counts on the served hybrid and the rolled-forward release (contract 0)"),
     Q("q216_composed_rollforward", q216, Some(q216Sql),

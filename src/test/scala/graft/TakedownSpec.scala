@@ -281,4 +281,74 @@ class TakedownSpec extends SparkSpec {
       fwd.getLong(3) == rb.getLong(3))
     assert(fwd.getLong(0) > 0)
   }
+
+  private def interleaveRows(ks: Seq[Long]) = {
+    import spark.implicits._
+    ks.toDF("key")
+      .select($"key", concat(lit("k"), $"key").as("k"),
+        ($"key" * 7).as("c1"), ($"key" % 5).as("c2"))
+  }
+
+  test("q220 interleaved audit: ingest screen, planted threshold, both vacuum branches") {
+    import spark.implicits._
+    // base keys 1..100; A1 appends 101..150; D1 takes 12 of 150 (8%
+    // — under the 10% threshold); A2 appends 151..180 PLUS four
+    // already-taken-down keys (1..4) that the ingest screen must
+    // drop; D2 takes 15 more (27/180 = 15% — fires). The audit must
+    // show the dead fraction shrinking under the append and the
+    // vacuum firing exactly once, and rows_total at wave 3 must be
+    // 180, not 184 — a leaked screen re-admits deleted keys.
+    val events = Seq(
+      "append" -> interleaveRows(101L to 150L),
+      "takedown" -> ((1L to 8L) ++ (101L to 104L)).toDF("key"),
+      "append" -> interleaveRows((151L to 180L) ++ (1L to 4L)),
+      "takedown" -> ((9L to 20L) ++ (105L to 107L)).toDF("key"))
+    val sheet = StreamingQueries.interleavedWaveAudit("t",
+        interleaveRows(1L to 100L), events, "key",
+        tmpDir("graft_ivspec"))
+      .orderBy($"wave").collect()
+    assert(sheet.map(_.getAs[String]("kind")).toSeq ==
+      Seq("append", "takedown", "append", "takedown"))
+    assert(sheet.map(_.getAs[Long]("rows_total")).toSeq ==
+      Seq(150L, 150L, 180L, 180L))
+    assert(sheet.map(_.getAs[Long]("rows_dead")).toSeq ==
+      Seq(0L, 12L, 12L, 27L))
+    assert(sheet.map(_.getAs[Long]("dead_frac6")).toSeq ==
+      Seq(0L, 80000L, 66666L, 150000L))
+    assert(sheet.map(_.getAs[Boolean]("vacuumed")).toSeq ==
+      Seq(false, false, false, true))
+    assert(sheet.map(_.getAs[Long]("tomb_outstanding")).toSeq ==
+      Seq(0L, 12L, 12L, 0L))
+    // final live = (21..100) ∪ (108..150) ∪ (151..180)
+    val liveKeys = (21L to 100L) ++ (108L to 150L) ++ (151L to 180L)
+    assert(sheet(3).getAs[Long]("rows_live") == liveKeys.size.toLong)
+    assert(sheet(3).getAs[Long]("keys_live") == liveKeys.size.toLong)
+    assert(sheet(3).getAs[Long]("chk1_live") == liveKeys.map(_ * 7).sum)
+    assert(sheet(3).getAs[Long]("chk2_live") == liveKeys.map(_ % 5).sum)
+  }
+
+  test("q220: event-order matrix — A-D-A-D and D-A-D-A converge to the same final live state") {
+    import spark.implicits._
+    // takedowns are forever (ingest screen + anti-join), so the final
+    // live state is order-invariant even though WHICH event fires the
+    // vacuum differs per order (D-A-D-A fires at its third event,
+    // A-D-A-D at its fourth).
+    val base = interleaveRows(1L to 100L)
+    val a1 = interleaveRows(101L to 150L)
+    val a2 = interleaveRows((151L to 180L) ++ (1L to 4L))
+    val d1 = ((1L to 8L) ++ (101L to 104L)).toDF("key")
+    val d2 = ((9L to 20L) ++ (105L to 107L)).toDF("key")
+    def finalRow(events: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      StreamingQueries.interleavedWaveAudit("t", base, events, "key",
+          tmpDir("graft_ivorder"))
+        .orderBy($"wave".desc).limit(1)
+        .select($"rows_live", $"keys_live", $"chk1_live", $"chk2_live")
+        .head()
+    val adad = finalRow(Seq("append" -> a1, "takedown" -> d1,
+      "append" -> a2, "takedown" -> d2))
+    val dada = finalRow(Seq("takedown" -> d1, "append" -> a1,
+      "takedown" -> d2, "append" -> a2))
+    assert(adad == dada)
+    assert(adad.getLong(0) > 0)
+  }
 }
