@@ -281,4 +281,27 @@ class StreamingSpec extends SparkSpec {
     val n3 = spark.read.parquet(sink).count()
     assert(n3 > n2, s"new file did not flow after restart: $n2 -> $n3")
   }
+
+  test("q218 feed: the throttled tombstone stream drains in successive batch-stamped micro-batches") {
+    import spark.implicits._
+    // the lag_batches column is only a real measurement if the feed
+    // has a batch DIMENSION: the 16-file replica at 4 files/trigger
+    // must drain in >= 2 contiguous batches, each stamped into the
+    // sink's batch partition — if maxFilesPerTrigger silently stopped
+    // throttling, head would collapse to 0 and the SLA lag would be
+    // vacuously zero-dimensional.
+    val sunk = graft.queries.StreamingQueries.runToSinkBatched(spark,
+      graft.queries.StreamingQueries
+        .multiFileStream(spark, sf, "documents", 4)
+        .select($"doc_id"),
+      tmpDir("graft_batchfeed"))
+    val ids = sunk.select($"batch".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length >= 2, s"expected >= 2 micro-batches, got $ids")
+    assert(ids.toSeq == (0L until ids.length).toSeq,
+      s"batch ids not contiguous from 0: ${ids.toSeq}")
+    // and the sink is the full feed — throttling reorders nothing
+    assert(sunk.count() ==
+      graft.Tables.documents(spark, sf).count())
+  }
 }
