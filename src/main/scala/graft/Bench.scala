@@ -109,6 +109,10 @@ object Bench {
       // measured 143 s cold vs 19 s warm at sf3 — same class
       SparkEntry.queries("q217_quantizer_aging")(
         spark, "/root/testdata/sf0.001").count()
+      // q219 shares q217's 4-variant plan family and adds the swapped
+      // pruned-serve plan — same cold-codegen class
+      SparkEntry.queries("q219_retrain_swap")(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back
       // into the first measured entries with no signal — make

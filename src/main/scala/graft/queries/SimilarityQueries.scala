@@ -4168,6 +4168,37 @@ object SimilarityQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
   }
 
+  /** the SWAPPED serve: top-5 from the persisted v2 artifact — probe
+    * cells as static partition-pruning literals, broadcast LUT from
+    * the collected retrained codebook, bounded shortlist (q181's
+    * serve shape). Factored so PlanShapeSpec can lock the swap plan:
+    * the oracle proves the VALUES equal a fresh inline build, only a
+    * plan lock proves the rows were READ from the artifact rather
+    * than re-encoded per serve. */
+  private[graft] def retrainedServe(s: SparkSession, dir: String,
+      ctx: AgingCtx): DataFrame = {
+    import s.implicits._
+    val (probedRows, probedL) = localized(ctx.probed)
+    val cells = probedRows.map(_.getInt(1)).distinct.sorted
+    val enc2 = graft.Tables
+      .parquetCached(s, retrainedIndexDir(s, dir))
+      .filter($"cell".isin(cells.map(Integer.valueOf): _*))
+      .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
+    val wa = Window.partitionBy($"q_id")
+      .orderBy($"adist2", $"vec_id")
+    val short = enc2.join(broadcast(probedL), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(
+        broadcast(pqLutOfQv(ctx.qv, churnedCodebookLocal(s, dir))),
+        Seq("q_id"))
+      .withColumn("adist2",
+        round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
+      .withColumn("ar", row_number().over(wa))
+      .filter($"ar" <= IVFPQ_R)
+      .select($"q_id", $"vec_id")
+    agingRerank5(ctx, short)
+  }
+
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ctx = agingCtx(s, dir)
@@ -4178,32 +4209,8 @@ object SimilarityQueries {
     val deficit6 = fRec - aRec
     val retrain = deficit6 > RetrainThresh6
     val served =
-      if (retrain) {
-        // EXECUTE the decision: serve from the persisted v2 artifact
-        // — probe cells as static partition-pruning literals,
-        // broadcast LUT from the collected retrained codebook,
-        // bounded shortlist (q181's serve shape)
-        val (probedRows, probedL) = localized(ctx.probed)
-        val cells = probedRows.map(_.getInt(1)).distinct.sorted
-        val enc2 = graft.Tables
-          .parquetCached(s, retrainedIndexDir(s, dir))
-          .filter($"cell".isin(cells.map(Integer.valueOf): _*))
-          .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
-        val wa = Window.partitionBy($"q_id")
-          .orderBy($"adist2", $"vec_id")
-        val short = enc2.join(broadcast(probedL), Seq("cell"))
-          .filter($"vec_id" =!= $"q_id")
-          .join(
-            broadcast(pqLutOfQv(ctx.qv, churnedCodebookLocal(s, dir))),
-            Seq("q_id"))
-          .withColumn("adist2",
-            round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"),
-              9))
-          .withColumn("ar", row_number().over(wa))
-          .filter($"ar" <= IVFPQ_R)
-          .select($"q_id", $"vec_id")
-        agingRerank5(ctx, short)
-      } else aged.top5 // no retrain: keep serving the existing state
+      if (retrain) retrainedServe(s, dir, ctx) // EXECUTE the decision
+      else aged.top5 // no retrain: keep serving the existing state
     served
       .select($"q_id", $"rn", $"vec_id".as("neighbor_id"), $"sim")
       .withColumn("aged_recall6", lit(aRec))

@@ -402,6 +402,25 @@ class PlanShapeSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("q219: the swapped serve reads the v2 artifact — pruned scan, no re-encode") {
+    // the oracle proves the swapped serve's VALUES equal a fresh
+    // inline build; only this plan lock proves the rows were READ
+    // from the persisted v2 index (partition-pruned to the probed
+    // cells) rather than re-encoded per serve — the difference
+    // between "executed the retrain" and "re-derived it every query"
+    val ctx = graft.queries.SimilarityQueries.agingCtx(spark, sf)
+    val p = graft.queries.SimilarityQueries
+      .retrainedServe(spark, sf, ctx)
+      .queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell#"))
+    assert(scan.isDefined, p.linesIterator
+      .filter(_.contains("Scan")).mkString("\n"))
+    assert(!p.contains("graft_pq_encode"),
+      "the swapped serve re-encodes the corpus")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q186: probe terms push into the persisted postings scan") {
     // the lexical mirror of q181's partition pruning: the ≤ Q·5
     // distinct probe terms enter the postings reader as an In(term)
