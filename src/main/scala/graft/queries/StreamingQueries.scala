@@ -3264,14 +3264,16 @@ object StreamingQueries {
         .filter(Takedown.purged($"vec_id")).select($"vec_id")
         .localCheckpoint(true)
       // stage 1: the streamed tombstone store vs the feed predicate —
-      // throttled to 4 files/trigger so the feed arrives as real
-      // successive batches, stamped into the sink's batch column
+      // throttled to 8 files/trigger so the feed arrives as real
+      // successive batches (2 per key space — the batch DIMENSION the
+      // lag needs, at half the per-micro-batch planning+commit cost
+      // of a finer split), stamped into the sink's batch column
       val docTombB = runToSinkBatched(s,
-        multiFileStream(s, dir, "documents", 4)
+        multiFileStream(s, dir, "documents", 8)
           .filter(Takedown.purged($"doc_id")).select($"doc_id"),
         scratch + "/td").localCheckpoint(true)
       val vecTombB = runToSinkBatched(s,
-        multiFileStream(s, dir, "embeddings", 4)
+        multiFileStream(s, dir, "embeddings", 8)
           .filter(Takedown.purged($"vec_id")).select($"vec_id"),
         scratch + "/tv").localCheckpoint(true)
       val docTomb = docTombB.select($"doc_id")

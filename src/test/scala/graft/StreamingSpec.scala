@@ -285,14 +285,14 @@ class StreamingSpec extends SparkSpec {
   test("q218 feed: the throttled tombstone stream drains in successive batch-stamped micro-batches") {
     import spark.implicits._
     // the lag_batches column is only a real measurement if the feed
-    // has a batch DIMENSION: the 16-file replica at 4 files/trigger
+    // has a batch DIMENSION: the 16-file replica at 8 files/trigger
     // must drain in >= 2 contiguous batches, each stamped into the
     // sink's batch partition — if maxFilesPerTrigger silently stopped
     // throttling, head would collapse to 0 and the SLA lag would be
     // vacuously zero-dimensional.
     val sunk = graft.queries.StreamingQueries.runToSinkBatched(spark,
       graft.queries.StreamingQueries
-        .multiFileStream(spark, sf, "documents", 4)
+        .multiFileStream(spark, sf, "documents", 8)
         .select($"doc_id"),
       tmpDir("graft_batchfeed"))
     val ids = sunk.select($"batch".cast("long")).distinct()
