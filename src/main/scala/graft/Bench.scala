@@ -84,6 +84,10 @@ object Bench {
       // and q206's purge-target delta artifacts (a deployment purges
       // artifacts that already exist; purge_artifacts_sec)
       graft.queries.StreamingQueries.warmPurgeArtifacts(spark, sfDir)
+      // and the manifest-logged timeline q221/q222 read (one commit
+      // log per corpus snapshot — the table-format amortization;
+      // manifest_build_sec)
+      graft.queries.StreamingQueries.warmManifestLog(spark, sfDir)
       // and the compacted purged doc index q213's lexical branch
       // serves from (the once-per-takedown-batch compaction job;
       // purged_doc_index_sec)
@@ -200,12 +204,14 @@ object Bench {
       graft.queries.StreamingQueries.releaseV2Nanos.get() / 1e9
     val purgeArtSec =
       graft.queries.StreamingQueries.purgeArtifactNanos.get() / 1e9
+    val manifestSec =
+      graft.queries.StreamingQueries.manifestBuildNanos.get() / 1e9
     val purgedDocIdxSec =
       graft.queries.SimilarityQueries.purgedDocIndexNanos.get() / 1e9
     val purgedChunkIdxSec =
       graft.queries.SimilarityQueries.purgedChunkIndexNanos.get() / 1e9
     val line =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"retrain_index_sec":${fmt(retrainIdxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"purged_chunk_index_sec":${fmt(purgedChunkIdxSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"retrain_index_sec":${fmt(retrainIdxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"manifest_build_sec":${fmt(manifestSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"purged_chunk_index_sec":${fmt(purgedChunkIdxSec)},"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
     // compact line FIRST as well as last: whatever window a consumer
