@@ -2789,12 +2789,16 @@ object StreamingQueries {
     import s.implicits._
     var live = rows
     var outstanding = Vector.empty[DataFrame]
+    var outstandingN = 0L
     var vacN = 0
     val sheet = Vector.newBuilder[
       (String, Long, Long, Long, Long, Boolean, Long, Long, Long, Long,
         Long)]
     for ((t, i) <- tombs.zipWithIndex) {
-      outstanding :+= t.select(col(key))
+      val tw = t.select(col(key))
+      outstanding :+= tw
+      // waves are disjoint: one count job at arrival, no union+count
+      outstandingN += tw.count()
       val tomb = outstanding.reduce(_ unionByName _)
       // one artifact scan: flag dead rows against the broadcast
       // tombstone store, roll live checksums in the same pass
@@ -2810,7 +2814,7 @@ object StreamingQueries {
       val dead = r.getLong(1)
       val frac6 = if (total > 0) dead * 1000000L / total else 0L
       val vac = frac6 > VacuumThresh6
-      val tombN = tomb.count()
+      val tombN = outstandingN
       if (vac) {
         // the vacuum: rewrite live rows (the honest full-artifact
         // write), retire the tombstone store
@@ -2820,6 +2824,7 @@ object StreamingQueries {
           .write.mode("overwrite").parquet(vdir)
         live = s.read.parquet(vdir)
         outstanding = Vector.empty
+        outstandingN = 0L
       }
       sheet += ((artifact, (i + 1).toLong, total, dead, frac6, vac,
         total - dead, r.getLong(4), r.getLong(2), r.getLong(3),
@@ -2858,6 +2863,7 @@ object StreamingQueries {
     var live = base
     var history = Vector.empty[DataFrame]
     var outstanding = Vector.empty[DataFrame]
+    var outstandingN = 0L
     var vacN = 0
     val sheet = Vector.newBuilder[(String, Long, String, Long, Long,
       Long, Boolean, Long, Long, Long, Long, Long)]
@@ -2868,10 +2874,18 @@ object StreamingQueries {
             if (history.isEmpty) df
             else df.join(broadcast(history.reduce(_ unionByName _)),
               Seq(key), "left_anti")
-          live = live.unionByName(screened)
+          // eager checkpoint: every later event re-scans `live`, and
+          // without truncation each scan re-runs the union + screen
+          // anti-join lineage (measured ~2x on the 4-event fold)
+          live = live.unionByName(screened).localCheckpoint(true)
         case "takedown" =>
-          history :+= df.select(col(key))
-          outstanding :+= df.select(col(key))
+          val t = df.select(col(key))
+          history :+= t
+          outstanding :+= t
+          // waves are disjoint: the outstanding-store size is the sum
+          // of per-wave counts, one count job at arrival instead of a
+          // union+count per event
+          outstandingN += t.count()
         case other =>
           throw new IllegalArgumentException(s"unknown event: $other")
       }
@@ -2890,7 +2904,7 @@ object StreamingQueries {
       val dead = r.getLong(1)
       val frac6 = if (total > 0) dead * 1000000L / total else 0L
       val vac = frac6 > VacuumThresh6
-      val tombN = if (outstanding.isEmpty) 0L else tomb.count()
+      val tombN = outstandingN
       if (vac) {
         vacN += 1
         val vdir = s"$scratch/${artifact}_ivac$vacN"
@@ -2898,6 +2912,7 @@ object StreamingQueries {
           .write.mode("overwrite").parquet(vdir)
         live = s.read.parquet(vdir)
         outstanding = Vector.empty
+        outstandingN = 0L
       }
       sheet += ((artifact, (i + 1).toLong, kind, total, dead, frac6,
         vac, total - dead, r.getLong(4), r.getLong(2), r.getLong(3),
@@ -3436,46 +3451,107 @@ object StreamingQueries {
   }
 
   /** the interleave FEEDS, streamed once into sinks under `scratch`
-    * and lineage-freed: ONE tagged slim-delta append stream per source
-    * table (doc- and chunk-postings deltas ride the documents stream
-    * under an artifact tag — q215's fused-feed discipline) + ONE
-    * tagged takedown stream per key space. Returns
-    * (docDeltas, annDeltas, docTombs, vecTombs); shared by q220's fold
-    * and the manifest-log builder. */
+    * and lineage-freed: ONE stream per source table carrying BOTH the
+    * tagged slim append deltas (doc- and chunk-postings deltas ride
+    * the documents stream under an artifact tag) AND the tagged
+    * takedown tombstones (artifact = 'tomb') — q215's fused-feed
+    * discipline taken one step further: a production ingest bus
+    * multiplexes record kinds on one topic, and each extra
+    * AvailableNow startup + commit cycle measured ~2 s against the
+    * 4-stream first form. Returns (docDeltas, annDeltas, docTombs,
+    * vecTombs) as sink partitions; shared by q220's fold and the
+    * manifest-log builder. */
   private def interleaveFeeds(s: SparkSession, dir: String,
       scratch: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val split = DedupQueries.IngestSplit
     val dWaves = Takedown.Waves.take(2)
-    // the append feed: slim artifact deltas streamed with the
-    // append-wave tag, one tagged stream per source table
     val newDocs = split.withIx(multiFileStream(s, dir, "documents"))
       .filter($"ix" < split.NewMax).select($"doc_id", $"text")
-    val docDeltas = runToSink(s,
+    val docAll = runToSink(s,
       slimDocPostings(docPostingsOf(newDocs))
         .withColumn("artifact", lit("doc_postings"))
         .unionByName(
           slimChunkPostings(chunkIndexDeltasOf(newDocs))
             .withColumn("artifact", lit("chunk_postings")))
-        .withColumn("awave", Takedown.appendWave($"doc_id")),
+        .withColumn("awave", Takedown.appendWave($"doc_id"))
+        .withColumn("wave", lit(null).cast("string"))
+        .unionByName(multiFileStream(s, dir, "documents")
+          .filter(Takedown.waveHex($"doc_id").isin(dWaves: _*))
+          .select($"doc_id", lit(null).cast("string").as("k"),
+            lit(null).cast("long").as("c1"),
+            lit(null).cast("long").as("c2"),
+            lit("tomb").as("artifact"),
+            lit(null).cast("int").as("awave"),
+            Takedown.waveHex($"doc_id").as("wave"))),
       s"$scratch/ad").localCheckpoint(true)
-    val annDeltas = runToSink(s,
+    val annAll = runToSink(s,
       slimAnnCodes(annIndexDeltasOf(s, dir,
           multiFileStream(s, dir, "embeddings")
             .filter(vecIxOf($"vec_id") < split.NewMax)))
         .drop("cell")
-        .withColumn("awave", Takedown.appendWave($"vec_id")),
+        .withColumn("artifact", lit("ann_codes"))
+        .withColumn("awave", Takedown.appendWave($"vec_id"))
+        .withColumn("wave", lit(null).cast("string"))
+        .unionByName(multiFileStream(s, dir, "embeddings")
+          .filter(Takedown.waveHex($"vec_id").isin(dWaves: _*))
+          .select($"vec_id", lit(null).cast("long").as("k"),
+            lit(null).cast("long").as("c1"),
+            lit(null).cast("long").as("c2"),
+            lit("tomb").as("artifact"),
+            lit(null).cast("int").as("awave"),
+            Takedown.waveHex($"vec_id").as("wave"))),
       s"$scratch/av").localCheckpoint(true)
-    // the takedown feed: q215's tagged per-key-space spelling
-    val docT = runToSink(s, multiFileStream(s, dir, "documents")
-        .filter(Takedown.waveHex($"doc_id").isin(dWaves: _*))
-        .select($"doc_id", Takedown.waveHex($"doc_id").as("wave")),
-      s"$scratch/td").localCheckpoint(true)
-    val vecT = runToSink(s, multiFileStream(s, dir, "embeddings")
-        .filter(Takedown.waveHex($"vec_id").isin(dWaves: _*))
-        .select($"vec_id", Takedown.waveHex($"vec_id").as("wave")),
-      s"$scratch/tv").localCheckpoint(true)
+    val docDeltas = docAll.filter($"artifact" =!= "tomb").drop("wave")
+    val annDeltas = annAll.filter($"artifact" =!= "tomb")
+      .drop("wave", "artifact")
+    val docT = docAll.filter($"artifact" === "tomb")
+      .select($"doc_id", $"wave")
+    val vecT = annAll.filter($"artifact" === "tomb")
+      .select($"vec_id", $"wave")
     (docDeltas, annDeltas, docT, vecT)
+  }
+
+  /** temp perf probe for Q220Probe: phase timings of q220's pieces. */
+  private[graft] def probeInterleave(s: SparkSession, dir: String)
+      : Unit = {
+    import s.implicits._
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_probe220").toString
+    try {
+      val (baseDp, baseCp, baseAc) = t("bases")(interleaveBases(s, dir))
+      t("base counts")((baseDp.count(), baseCp.count(), baseAc.count()))
+      val (docDeltas, annDeltas, docT, vecT) =
+        t("feeds (4 streams)")(interleaveFeeds(s, dir, scratch))
+      t("delta counts")(
+        (docDeltas.count(), annDeltas.count(), docT.count(), vecT.count()))
+      val dWaves = Takedown.Waves.take(2)
+      def events(deltas: org.apache.spark.sql.DataFrame,
+          tombs: org.apache.spark.sql.DataFrame, key: String) = Seq(
+        "append" -> deltas.filter($"awave" === 1).drop("awave"),
+        "takedown" ->
+          tombs.filter($"wave" === dWaves(0)).select(col(key)),
+        "append" -> deltas.filter($"awave" === 2).drop("awave"),
+        "takedown" ->
+          tombs.filter($"wave" === dWaves(1)).select(col(key)))
+      val dDp = docDeltas.filter($"artifact" === "doc_postings")
+        .drop("artifact")
+      val dCp = docDeltas.filter($"artifact" === "chunk_postings")
+        .drop("artifact")
+      t("fold ann")(interleavedWaveAudit("ann_codes", baseAc,
+        events(annDeltas, vecT, "vec_id"), "vec_id", scratch).collect())
+      t("fold chunk")(interleavedWaveAudit("chunk_postings", baseCp,
+        events(dCp, docT, "doc_id"), "doc_id", scratch).collect())
+      t("fold doc")(interleavedWaveAudit("doc_postings", baseDp,
+        events(dDp, docT, "doc_id"), "doc_id", scratch).collect())
+    } finally graft.Scratch.deleteRecursively(
+      new java.io.File(scratch))
   }
 
   private def q220(s: SparkSession, dir: String): DataFrame = {
