@@ -117,6 +117,11 @@ object Bench {
       // pruned-serve plan — same cold-codegen class
       SparkEntry.queries("q219_retrain_swap")(
         spark, "/root/testdata/sf0.001").count()
+      // q220's fused-feed stream plans + 12-event fold carry their
+      // own first-plan cost (measured ~66 s cold in-registry vs
+      // 12.4 s warm solo at sf0.1) — warm the family at sf0.001
+      SparkEntry.queries("q220_append_purge_interleave")(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back
       // into the first measured entries with no signal — make
