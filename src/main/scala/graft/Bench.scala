@@ -122,6 +122,15 @@ object Bench {
       // 12.4 s warm solo at sf0.1) — warm the family at sf0.001
       SparkEntry.queries("q220_append_purge_interleave")(
         spark, "/root/testdata/sf0.001").count()
+      // the CDC signed-delta feed q225 consumes (one materialization
+      // per corpus snapshot — cdc_feed_sec), plus the consumer's
+      // stream plan family at sf0.001
+      graft.queries.StreamingQueries.warmCdcFeed(spark, sfDir)
+      SparkEntry.queries("q225_stream_cdc_consume")(
+        spark, "/root/testdata/sf0.001").count()
+      // the COW merge extension q227 reads (one merge commit per
+      // corpus snapshot)
+      graft.queries.StreamingQueries.mergeExtensionDir(spark, sfDir)
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back
       // into the first measured entries with no signal — make
@@ -211,12 +220,14 @@ object Bench {
       graft.queries.StreamingQueries.purgeArtifactNanos.get() / 1e9
     val manifestSec =
       graft.queries.StreamingQueries.manifestBuildNanos.get() / 1e9
+    val cdcFeedSec =
+      graft.queries.StreamingQueries.cdcFeedBuildNanos.get() / 1e9
     val purgedDocIdxSec =
       graft.queries.SimilarityQueries.purgedDocIndexNanos.get() / 1e9
     val purgedChunkIdxSec =
       graft.queries.SimilarityQueries.purgedChunkIndexNanos.get() / 1e9
     val line =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"retrain_index_sec":${fmt(retrainIdxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"manifest_build_sec":${fmt(manifestSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"purged_chunk_index_sec":${fmt(purgedChunkIdxSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"retrain_index_sec":${fmt(retrainIdxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"manifest_build_sec":${fmt(manifestSec)},"cdc_feed_sec":${fmt(cdcFeedSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"purged_chunk_index_sec":${fmt(purgedChunkIdxSec)},"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
     // compact line FIRST as well as last: whatever window a consumer

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -3704,14 +3704,22 @@ object StreamingQueries {
        |        CAST(sum((c.m + 1) * c.j) AS BIGINT) AS cchk
        |       FROM codes c GROUP BY c.vec_id),
        |dcls AS (SELECT ${cls("doc_id")} AS cls,
-       |          ${hx("doc_id")} AS phex, k, c1, c2
+       |          ${hx("doc_id")} AS phex,
+       |          CAST(doc_id AS BIGINT) AS key, k, c1, c2
        |         FROM ($docRowsSqlBody)),
        |ccls AS (SELECT ${cls("doc_id")} AS cls,
-       |          ${hx("doc_id")} AS phex, k, c1, c2
+       |          ${hx("doc_id")} AS phex,
+       |          CAST(doc_id AS BIGINT) AS key, k, c1, c2
        |         FROM ($chunkRowsSqlBody)),
        |acls AS (SELECT ${cls("vec_id")} AS cls,
-       |          ${hx("vec_id")} AS phex, k, c1, c2
+       |          ${hx("vec_id")} AS phex,
+       |          CAST(vec_id AS BIGINT) AS key, k, c1, c2
        |         FROM ($annRowsSqlBody)),
+       |kr AS (SELECT
+       |  CAST((SELECT min(doc_id) FROM documents) AS BIGINT) AS dmn,
+       |  CAST((SELECT max(doc_id) FROM documents) AS BIGINT) AS dmx,
+       |  CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT) AS vmn,
+       |  CAST((SELECT max(vec_id) FROM embeddings) AS BIGINT) AS vmx),
        |tc AS (SELECT
        |  CAST((SELECT count(*) FROM documents
        |    WHERE ${hx("doc_id")} = '$h0') AS BIGINT) AS dtk1,
@@ -3767,13 +3775,16 @@ object StreamingQueries {
   /** one manifest row. A commit marker (action='commit') records the
     * commit's kind even when it changed no files (an unfired
     * OPTIMIZE); file actions (add/remove × data/tomb) carry the path,
-    * the writing cause (base/append/vacuum/optimize/takedown) and the
-    * file's row count at write time — so snapshot row counts, the
-    * OPTIMIZE debt decision, and outstanding-tombstone counts are
+    * the writing cause (base/append/vacuum/optimize/takedown), the
+    * file's row count at write time, and — for data files — the
+    * file's key ZONE MAP (min/max key at write time) — so snapshot
+    * row counts, the OPTIMIZE debt decision, outstanding-tombstone
+    * counts, AND file pruning for a key-range read (q224) are
     * driver-side manifest arithmetic, never a scan. */
   private[graft] final case class ManRow(artifact: String, version: Long,
     kind: String, action: String, fileKind: String, cause: String,
-    path: String, nRows: Long)
+    path: String, nRows: Long, minKey: Option[Long] = None,
+    maxKey: Option[Long] = None)
 
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3827,7 +3838,8 @@ object StreamingQueries {
             buildOneManifest(s, "doc_postings", baseDp,
               ev(dDp, docT, "doc_id"), "doc_id", out)
         entries.toDF("artifact", "version", "kind", "action",
-            "file_kind", "cause", "path", "n_rows")
+            "file_kind", "cause", "path", "n_rows", "min_key",
+            "max_key")
           .repartition(1).write.mode("overwrite")
           .parquet(s"$out/manifest")
       } finally graft.Scratch.deleteRecursively(
@@ -3843,7 +3855,18 @@ object StreamingQueries {
   }
 
   private type ManEntry =
-    (String, Long, String, String, String, String, String, Long)
+    (String, Long, String, String, String, String, String, Long,
+      Option[Long], Option[Long])
+
+  /** buckets per full-rewrite commit. A fired vacuum or OPTIMIZE
+    * rewrites the whole snapshot anyway, so the rewrite CLUSTERS it:
+    * range-partitioned bucket files whose manifest zone maps are
+    * disjoint — which is what makes zone-map pruning (q224) bite.
+    * Appends land unclustered (one file, full-span zone map): at
+    * ingest there is nothing to sort against, exactly a lakehouse
+    * OPTIMIZE/CLUSTER BY posture. 4 shows the mechanism at test SF;
+    * a 100 TB table would carry thousands. */
+  private[graft] val ClusterBuckets = 4L
 
   /** the ONE data-file schema every manifest data file carries (k cast
     * to string so the three artifact families share it), and the
@@ -3875,10 +3898,41 @@ object StreamingQueries {
       df.select(col(key).cast("long").as("key"),
         col("k").cast("string").as("k"),
         col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"))
-    def writeData(slimDf: DataFrame, cause: String): (String, Long) = {
+    // (path, rows, zone map) — the zone map is the file's TRUE key
+    // min/max at write time, read back in the same pass as the count
+    def writeData(slimDf: DataFrame, cause: String)
+        : (String, Long, Option[Long], Option[Long]) = {
       val p = s"$out/$artifact/v${v}_$cause"
       slimDf.write.mode("overwrite").parquet(p)
-      (p, readMan(s, p, ManDataSchema).count())
+      val r = readMan(s, p, ManDataSchema)
+        .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
+      (p, r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // a full-rewrite commit (fired vacuum / OPTIMIZE) clusters: range-
+    // bucketed files over the rewrite's own key span, one manifest
+    // entry per non-empty bucket with a tight, disjoint zone map
+    def writeClustered(slimDf: DataFrame, cause: String)
+        : Seq[(String, Long, Option[Long], Option[Long])] = {
+      val p = s"$out/$artifact/v${v}_$cause"
+      val bounds = slimDf.agg(min(col("key")), max(col("key"))).head()
+      if (bounds.isNullAt(0)) { // empty rewrite: one empty file
+        val one = writeData(slimDf, cause)
+        return Seq(one)
+      }
+      val mn = bounds.getLong(0)
+      val span = bounds.getLong(1) - mn + 1L
+      val width = (span + ClusterBuckets - 1L) / ClusterBuckets
+      slimDf.withColumn("b",
+          expr(s"CAST((key - $mn) DIV $width AS INT)"))
+        .write.mode("overwrite").partitionBy("b").parquet(p)
+      s.read.parquet(p).groupBy(col("b"))
+        .agg(count(lit(1)), min(col("key")), max(col("key")))
+        .collect().toSeq
+        .map(r => (s"$p/b=${r.getInt(0)}", r.getLong(1),
+          Some(r.getLong(2)), Some(r.getLong(3))))
+        .sortBy(_._1)
     }
     def fileRows(paths: Seq[String]) =
       paths.map(readMan(s, _, ManDataSchema)).reduce(_ unionByName _)
@@ -3888,15 +3942,19 @@ object StreamingQueries {
     var data = Vector.empty[(String, String, Long)] // (path, cause, n)
     var tombs = Vector.empty[(String, Long)]
     var history = Vector.empty[DataFrame]
+    val none: Option[Long] = None
 
-    val (bp, bn) = writeData(slim(base), "base")
-    entries += ((artifact, 0L, "base", "commit", "", "", "", 0L))
-    entries += ((artifact, 0L, "base", "add", "data", "base", bp, bn))
+    val (bp, bn, bmn, bmx) = writeData(slim(base), "base")
+    entries += ((artifact, 0L, "base", "commit", "", "", "", 0L,
+      none, none))
+    entries += ((artifact, 0L, "base", "add", "data", "base", bp, bn,
+      bmn, bmx))
     data :+= ((bp, "base", bn))
 
     for ((kind, df) <- events) {
       v += 1
-      entries += ((artifact, v, kind, "commit", "", "", "", 0L))
+      entries += ((artifact, v, kind, "commit", "", "", "", 0L,
+        none, none))
       kind match {
         case "append" =>
           val screened =
@@ -3904,8 +3962,9 @@ object StreamingQueries {
             else slim(df).join(
               broadcast(history.reduce(_ unionByName _)),
               Seq("key"), "left_anti")
-          val (p, n) = writeData(screened, "append")
-          entries += ((artifact, v, kind, "add", "data", "append", p, n))
+          val (p, n, mn, mx) = writeData(screened, "append")
+          entries += ((artifact, v, kind, "add", "data", "append", p,
+            n, mn, mx))
           data :+= ((p, "append", n))
         case "takedown" =>
           val t = df.select(col(key).cast("long").as("key"))
@@ -3913,7 +3972,7 @@ object StreamingQueries {
           t.write.mode("overwrite").parquet(p)
           val tn = readMan(s, p, ManTombSchema).count()
           entries += ((artifact, v, kind, "add", "tomb", "takedown",
-            p, tn))
+            p, tn, none, none))
           tombs :+= ((p, tn))
           history :+= readMan(s, p, ManTombSchema)
           // the vacuum bit: manifest arithmetic for the total, ONE
@@ -3928,16 +3987,17 @@ object StreamingQueries {
             val live = fileRows(data.map(_._1))
               .join(broadcast(tombRows(tombs.map(_._1))),
                 Seq("key"), "left_anti")
-            val (vp, vn) = writeData(live, "vacuum")
+            val parts = writeClustered(live, "vacuum")
             data.foreach { case (p0, _, _) =>
               entries += ((artifact, v, kind, "remove", "data",
-                "vacuum", p0, 0L)) }
+                "vacuum", p0, 0L, none, none)) }
             tombs.foreach { case (p0, _) =>
               entries += ((artifact, v, kind, "remove", "tomb",
-                "vacuum", p0, 0L)) }
-            entries += ((artifact, v, kind, "add", "data", "vacuum",
-              vp, vn))
-            data = Vector((vp, "vacuum", vn))
+                "vacuum", p0, 0L, none, none)) }
+            parts.foreach { case (vp, vn, vmn, vmx) =>
+              entries += ((artifact, v, kind, "add", "data", "vacuum",
+                vp, vn, vmn, vmx)) }
+            data = parts.map(e => (e._1, "vacuum", e._2)).toVector
             tombs = Vector.empty
           }
         case "optimize" =>
@@ -3946,14 +4006,15 @@ object StreamingQueries {
           val debt = data.filter(_._2 == "append").map(_._3).sum
           val debt6 = if (total > 0) debt * 1000000L / total else 0L
           if (debt6 > OptimizeThresh6) {
-            val (op, on) = writeData(fileRows(data.map(_._1)),
+            val parts = writeClustered(fileRows(data.map(_._1)),
               "optimize")
             data.foreach { case (p0, _, _) =>
               entries += ((artifact, v, kind, "remove", "data",
-                "optimize", p0, 0L)) }
-            entries += ((artifact, v, kind, "add", "data", "optimize",
-              op, on))
-            data = Vector((op, "optimize", on))
+                "optimize", p0, 0L, none, none)) }
+            parts.foreach { case (op, on, omn, omx) =>
+              entries += ((artifact, v, kind, "add", "data",
+                "optimize", op, on, omn, omx)) }
+            data = parts.map(e => (e._1, "optimize", e._2)).toVector
           }
         case other =>
           throw new IllegalArgumentException(s"unknown commit: $other")
@@ -3970,7 +4031,9 @@ object StreamingQueries {
     graft.Tables.parquetCached(s, s"$mdir/manifest").collect().toSeq
       .map(r => ManRow(r.getString(0), r.getLong(1), r.getString(2),
         r.getString(3), r.getString(4), r.getString(5), r.getString(6),
-        r.getLong(7)))
+        r.getLong(7),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)),
+        if (r.isNullAt(9)) None else Some(r.getLong(9))))
       .sortBy(m => (m.artifact, m.version, m.action, m.path))
 
   /** the files visible at (artifact, version): adds ≤ v minus removes
@@ -3986,7 +4049,11 @@ object StreamingQueries {
   /** snapshot read at (artifact, version): the visible data files with
     * a dd flag from the visible tombstone files (merge-on-read). Fails
     * loudly on an expired snapshot rather than serving a partial
-    * state. */
+    * state. Key-based tombstones suffice because the ingest screen
+    * guarantees a tombstoned key is never re-added by a later append,
+    * and the MERGE verb (q227) is copy-on-write — it rewrites files
+    * rather than tombstoning + re-adding, so no same-key
+    * add-after-delete ever becomes visible. */
   private[graft] def snapshotAt(s: SparkSession, man: Seq[ManRow],
       artifact: String, v: Long): DataFrame = {
     val dataF = snapshotFiles(man, artifact, v, "data")
@@ -4233,6 +4300,809 @@ object StreamingQueries {
        |SELECT * FROM (${mvUnionSql("dstat", "dcdc", "doc_postings")}))
        |ORDER BY artifact, version""".stripMargin
 
+  // ───── q224: zone-map data skipping over the manifest log ─────
+  //
+  // The point of carrying per-file min/max key stats in the manifest
+  // (the Delta/Iceberg/Parquet-footer zone-map idea): a key-range read
+  // selects its file set from the LOG — driver-side arithmetic over
+  // ≤ tens of manifest rows — and never opens the files it pruned. At
+  // 100 TB the serve-path win is exactly this: a range probe over a
+  // clustered table touches O(selectivity) files, not O(table). The
+  // gate publishes the PHYSICAL evidence (files_visible/files_scanned/
+  // rows_read per probe) alongside the logical result, and the oracle
+  // re-derives both from the commit recurrence — file counts included —
+  // so a reader that silently fell back to scanning everything would
+  // hash-mismatch, not just run slow.
+
+  /** the three probes per artifact, derived from the SOURCE corpus key
+    * range (not the artifact state) so Spark and the oracle trivially
+    * agree: a low eighth, a middle quarter, and the full span (the
+    * control — it must scan every non-empty visible file). */
+  private def skipProbesOf(mn: Long, mx: Long): Seq[(Long, Long, Long)] = {
+    val span = mx - mn
+    Seq((1L, mn, mn + span / 8L),
+      (2L, mn + 3L * span / 8L, mn + 5L * span / 8L),
+      (3L, mn, mx))
+  }
+
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mdir = manifestLogDir(s, dir)
+    val man = manifestRowsOf(s, mdir)
+    val arts = man.map(_.artifact).distinct.sorted
+    def rangeOf(table: String, key: String): (Long, Long) = {
+      val r = graft.Tables.parquetCached(s, s"$dir/$table.parquet")
+        .agg(min(col(key).cast("long")), max(col(key).cast("long")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (dmn, dmx) = rangeOf("documents", "doc_id")
+    val (vmn, vmx) = rangeOf("embeddings", "vec_id")
+    val rows = for {
+      a <- arts
+      (pid, lo, hi) <- {
+        val (mn, mx) = if (a == "ann_codes") (vmn, vmx) else (dmn, dmx)
+        skipProbesOf(mn, mx)
+      }
+    } yield {
+      val head = man.filter(m => m.artifact == a &&
+        m.action == "commit").map(_.version).max
+      val vis = snapshotFiles(man, a, head, "data")
+        .filter(_.nRows > 0L)
+      // the prune: zone-map intersection against the LOG, no file
+      // opened — this is the only file-selection step the read has
+      val scanned = vis.filter(f =>
+        f.minKey.exists(_ <= hi) && f.maxKey.exists(_ >= lo))
+      val rowsRead = scanned.map(_.nRows).sum
+      val tombF = snapshotFiles(man, a, head, "tomb")
+      val (nLive, kLive, c1, c2) =
+        if (scanned.isEmpty) (0L, 0L, 0L, 0L)
+        else {
+          val dat = scanned
+            .map(m => readMan(s, m.path, ManDataSchema))
+            .reduce(_ unionByName _)
+            .filter(col("key") >= lo && col("key") <= hi)
+          val live = tombF.map(m => readMan(s, m.path, ManTombSchema))
+            .reduceOption(_ unionByName _) match {
+            case Some(t) => dat.join(
+              broadcast(t.select(col("key")).distinct()),
+              Seq("key"), "left_anti")
+            case None => dat
+          }
+          val r = live.agg(count(lit(1)), countDistinct(col("k")),
+            coalesce(sum(col("c1")), lit(0L)),
+            coalesce(sum(col("c2")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+      (a, pid, lo, hi, vis.size.toLong, scanned.size.toLong,
+        (vis.size - scanned.size).toLong, rowsRead, nLive, kLive,
+        c1, c2)
+    }
+    rows.toDF("artifact", "probe", "lo", "hi", "files_visible",
+        "files_scanned", "files_skipped", "rows_read", "rows_live",
+        "keys_live", "chk1_live", "chk2_live")
+      .orderBy($"artifact", $"probe")
+  }
+
+  /** q224's oracle file stats: per-file zone maps re-derived from the
+    * row classes. Single-file commits (base, A1, screened A2) and the
+    * three possible clustered rewrites (V2 = live-after-D1, O4 =
+    * present-at-v3, V5 = live-at-head), each rewrite bucketed over its
+    * own key span exactly as writeClustered buckets it. */
+  /** the upsert pick, the ONE cross-engine spelling (q227's U set):
+    * live keys whose md5('upsert:'||key) leads with '0' — ~1/16. */
+  private[graft] val UpsertHexSql =
+    "substr(md5('upsert:' || CAST(key AS VARCHAR)), 1, 1) = '0'"
+
+  private def zoneStatSql(p: String, clsCte: String): String = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    val B = ClusterBuckets
+    // matched = live at head AND upsert-picked: the rows q227's
+    // copy-on-write MERGE transforms; per-file matched counts decide
+    // which files the merge must rewrite
+    val um = s"phex NOT IN ('$h0','$h1') AND $UpsertHexSql"
+    val preds = Seq(
+      "b" -> "cls = 'b'",
+      "a1" -> "cls = 'a1'",
+      "a2s" -> s"cls = 'a2' AND phex <> '$h0'",
+      "l2" -> s"cls IN ('b','a1') AND phex <> '$h0'",
+      "l5" -> s"phex NOT IN ('$h0','$h1')",
+      "p3v" -> s"phex <> '$h0'",
+      "p3n" -> s"NOT (cls = 'a2' AND phex = '$h0')")
+    val singles = preds.map { case (n, pr) =>
+      s"""  CAST(count(*) FILTER ($pr) AS BIGINT) AS n_$n,
+         |  min(key) FILTER ($pr) AS mn_$n,
+         |  max(key) FILTER ($pr) AS mx_$n,
+         |  CAST(count(*) FILTER ($pr AND $um) AS BIGINT)
+         |    AS um_$n""".stripMargin
+    }.mkString(",\n")
+    def width(mn: String, mx: String) = s"(($mx - $mn + $B) // $B)"
+    val famPred = Map("l2" -> preds.toMap.apply("l2"),
+      "l5" -> preds.toMap.apply("l5"))
+    def buckets(fam: String, pred: String, mnCol: String,
+        wCol: String, tag: String) =
+      (0L until B).map { i =>
+        val in = s"$pred AND (c.key - zz.$mnCol) // zz.$wCol = $i"
+        s"""  CAST(count(*) FILTER ($in) AS BIGINT) AS n${tag}_$i,
+           |  min(c.key) FILTER ($in) AS mn${tag}_$i,
+           |  max(c.key) FILTER ($in) AS mx${tag}_$i,
+           |  CAST(count(*) FILTER ($in AND $um) AS BIGINT)
+           |    AS um${tag}_$i""".stripMargin
+      }.mkString(",\n")
+    s"""${p}z1 AS (SELECT
+       |$singles
+       | FROM $clsCte),
+       |${p}z2 AS (SELECT z.*, f.vac2, f.opt4, f.vac5,
+       |  CASE WHEN f.vac2 THEN z.mn_p3v ELSE z.mn_p3n END AS mn_p3,
+       |  CASE WHEN f.vac2 THEN z.mx_p3v ELSE z.mx_p3n END AS mx_p3,
+       |  ${width("z.mn_l2", "z.mx_l2")} AS w_l2,
+       |  ${width("z.mn_l5", "z.mx_l5")} AS w_l5,
+       |  ${width(s"(CASE WHEN f.vac2 THEN z.mn_p3v ELSE z.mn_p3n END)",
+          s"(CASE WHEN f.vac2 THEN z.mx_p3v ELSE z.mx_p3n END)")} AS w_p3
+       | FROM ${p}z1 z, ${p}fin f),
+       |${p}z3 AS (SELECT
+       |${buckets("l2", famPred("l2"), "mn_l2", "w_l2", "2")},
+       |${buckets("l5", famPred("l5"), "mn_l5", "w_l5", "5")},
+       |${buckets("p3",
+          s"(CASE WHEN zz.vac2 THEN phex <> '$h0' " +
+            s"ELSE NOT (cls = 'a2' AND phex = '$h0') END)",
+          "mn_p3", "w_p3", "p")}
+       | FROM $clsCte c, ${p}z2 zz)""".stripMargin
+  }
+
+  /** q224's oracle probes + live aggregates + the head-file-set CASE:
+    * which files exist, which intersect, how many physical rows they
+    * carry — branch-faithful to the commit recurrence (vac5 ? V5
+    * buckets : opt4 ? O4 buckets : vac2 ? V2 buckets + A2 : the three
+    * unclustered commit files). */
+  private def skipSelectSql(p: String, clsCte: String, artifact: String,
+      kPfx: String): String = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    val B = ClusterBuckets
+    val livePred = s"c.phex NOT IN ('$h0','$h1') " +
+      "AND c.key >= pr.lo AND c.key <= pr.hi"
+    def nz(n: String) = s"CASE WHEN $n > 0 THEN 1 ELSE 0 END"
+    def hit(n: String, mn: String, mx: String) =
+      s"$n > 0 AND $mn <= lv.hi AND $mx >= lv.lo"
+    def scn(n: String, mn: String, mx: String) =
+      s"CASE WHEN ${hit(n, mn, mx)} THEN 1 ELSE 0 END"
+    def rd(n: String, mn: String, mx: String) =
+      s"CASE WHEN ${hit(n, mn, mx)} THEN $n ELSE 0 END"
+    def fam(f: (String, String, String) => String, tag: String) =
+      (0L until B).map(i =>
+        f(s"z3.n${tag}_$i", s"z3.mn${tag}_$i", s"z3.mx${tag}_$i"))
+        .mkString(" + ")
+    def sgl(f: (String, String, String) => String, n: String) =
+      f(s"z2.n_$n", s"z2.mn_$n", s"z2.mx_$n")
+    def branch(f: (String, String, String) => String) =
+      s"""CAST(CASE WHEN z2.vac5 THEN ${fam(f, "5")}
+         |  WHEN z2.opt4 THEN ${fam(f, "p")}
+         |  WHEN z2.vac2 THEN ${fam(f, "2")} + ${sgl(f, "a2s")}
+         |  ELSE ${sgl(f, "b")} + ${sgl(f, "a1")} + ${sgl(f, "a2s")}
+         |  END AS BIGINT)""".stripMargin
+    s"""${p}pr AS (
+       | SELECT CAST(1 AS BIGINT) AS probe, ${kPfx}mn AS lo,
+       |  ${kPfx}mn + ((${kPfx}mx - ${kPfx}mn) // 8) AS hi FROM kr
+       | UNION ALL
+       | SELECT CAST(2 AS BIGINT),
+       |  ${kPfx}mn + ((3 * (${kPfx}mx - ${kPfx}mn)) // 8),
+       |  ${kPfx}mn + ((5 * (${kPfx}mx - ${kPfx}mn)) // 8) FROM kr
+       | UNION ALL
+       | SELECT CAST(3 AS BIGINT), ${kPfx}mn, ${kPfx}mx FROM kr),
+       |${p}lv AS (SELECT pr.probe, pr.lo, pr.hi,
+       |  CAST(count(*) FILTER ($livePred) AS BIGINT) AS rows_live,
+       |  CAST(count(DISTINCT c.k) FILTER ($livePred) AS BIGINT)
+       |    AS keys_live,
+       |  CAST(coalesce(sum(c.c1) FILTER ($livePred), 0) AS BIGINT)
+       |    AS chk1_live,
+       |  CAST(coalesce(sum(c.c2) FILTER ($livePred), 0) AS BIGINT)
+       |    AS chk2_live
+       | FROM ${p}pr pr LEFT JOIN $clsCte c ON TRUE
+       | GROUP BY pr.probe, pr.lo, pr.hi),
+       |${p}sk AS (SELECT '$artifact' AS artifact, lv.probe, lv.lo,
+       |  lv.hi,
+       |  ${branch((n, _, _) => nz(n))} AS files_visible,
+       |  ${branch(scn)} AS files_scanned,
+       |  ${branch((n, mn, mx) => nz(n))} - ${branch(scn)}
+       |    AS files_skipped,
+       |  ${branch(rd)} AS rows_read,
+       |  lv.rows_live, lv.keys_live, lv.chk1_live, lv.chk2_live
+       | FROM ${p}lv lv, ${p}z2 z2, ${p}z3 z3)""".stripMargin
+  }
+
+  // ───── q226: optimistic concurrency on the manifest log ─────
+  //
+  // Multi-writer safety, the way a lakehouse commit protocol provides
+  // it (Delta/Iceberg OCC re-expressed over our log): a writer
+  // PREPARES its commit against the snapshot it read, then VALIDATES
+  // at commit time against every commit that landed in between —
+  // appends re-check their ingest screen against tombstones added
+  // since the read snapshot (REBASE if any of their keys were taken
+  // down concurrently), takedowns never key-conflict (tombstones are
+  // merge-on-read) but their vacuum-decision INPUT can go stale, so
+  // the bit is re-evaluated against the commit-time file set and the
+  // sheet publishes read-time vs commit-time fractions plus a
+  // decision_changed flag. Two races per artifact over the standard
+  // lifecycle feeds: (A: append A1 vs B: takedown D1, B wins, A
+  // rebases) then (C: append A2 vs D: takedown D2, C wins, D's stale
+  // input is refreshed). Every post-commit live state is gated ≡ the
+  // serialized-equivalent event prefix. No vacuum executes here — the
+  // storage verbs are q215/q220/q221's gates; q226 gates the PROTOCOL.
+
+  private val occCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** one OCC transaction's bookkeeping row. */
+  private[graft] type OccRow = (String, Long, String, String, Long,
+    Long, Long, Boolean, Long, Long, Boolean)
+
+  /** run the two OCC races for one artifact, deriving every prepared
+    * file from the already-built manifest log (the v1 append file IS
+    * writer A's unscreened prepared file — its read snapshot had no
+    * tombstone history; the v3 file IS writer C's prepared file — its
+    * read snapshot's history was exactly D1): the only new bytes are
+    * A's REBASED file (a1 ∖ d1), written once under `out`. */
+  private[graft] def occRaces(s: SparkSession, man: Seq[ManRow],
+      artifact: String, out: String): Seq[(OccRow, DataFrame)] = {
+    def fileOf(v: Long, fileKind: String) = {
+      val f = man.filter(m => m.artifact == artifact &&
+        m.version == v && m.action == "add" &&
+        m.fileKind == fileKind && (fileKind == "tomb" ||
+          m.cause == "append" || m.cause == "base"))
+      require(f.size == 1, s"$artifact v$v $fileKind: ${f.size} files")
+      f.head
+    }
+    val base = fileOf(0L, "data")
+    val a1 = fileOf(1L, "data") // A's prepared file, read snapshot v0
+    val d1 = fileOf(2L, "tomb") // B's prepared file, read snapshot v0
+    val a2 = fileOf(3L, "data") // C's prepared file (screened vs D1)
+    val d2 = fileOf(5L, "tomb") // D's prepared file, read snapshot v2
+    def dataDf(paths: Seq[String]) =
+      paths.map(readMan(s, _, ManDataSchema)).reduce(_ unionByName _)
+    def tombDf(paths: Seq[String]) =
+      paths.map(readMan(s, _, ManTombSchema)).reduce(_ unionByName _)
+
+    // race 1 — B commits v1 first; A validates at head v1: the
+    // tombstones added since A's read snapshot hit its prepared keys
+    val conflictA = readMan(s, a1.path, ManDataSchema)
+      .join(broadcast(readMan(s, d1.path, ManTombSchema)),
+        Seq("key"), "left_semi")
+      .agg(countDistinct(col("key"))).head().getLong(0)
+    val rebasedPath = s"$out/$artifact/occ_a1_rebased"
+    val a1Commit =
+      if (conflictA > 0L) {
+        readMan(s, a1.path, ManDataSchema)
+          .join(broadcast(readMan(s, d1.path, ManTombSchema)),
+            Seq("key"), "left_anti")
+          .write.mode("overwrite").parquet(rebasedPath)
+        rebasedPath
+      } else a1.path
+
+    // vacuum-bit inputs, micro-units: B's is computed at read == at
+    // commit (nothing landed in between); D's read-time input misses
+    // C's concurrent append, so it is re-evaluated at commit time
+    def frac6(dataPaths: Seq[String], tombPaths: Seq[String]): Long = {
+      val total = dataDf(dataPaths).count()
+      val dead = dataDf(dataPaths)
+        .join(broadcast(tombDf(tombPaths)), Seq("key"), "left_semi")
+        .count()
+      if (total > 0) dead * 1000000L / total else 0L
+    }
+    val fracB = frac6(Seq(base.path), Seq(d1.path))
+    val fracDRead = frac6(Seq(base.path, a1Commit), Seq(d1.path, d2.path))
+    val fracDCommit =
+      frac6(Seq(base.path, a1Commit, a2.path), Seq(d1.path, d2.path))
+
+    def state(v: Long, dataPaths: Seq[String], tombPaths: Seq[String]) = {
+      val dat = dataDf(dataPaths)
+      val live =
+        if (tombPaths.isEmpty) dat
+        else dat.join(broadcast(tombDf(tombPaths)), Seq("key"),
+          "left_anti")
+      live
+    }
+    val thr = VacuumThresh6
+    Seq(
+      ((artifact, 1L, "B_takedown_d1", "takedown", 0L, 1L, 0L, false,
+        fracB, fracB, false),
+        state(1L, Seq(base.path), Seq(d1.path))),
+      ((artifact, 2L, "A_append_a1", "append", 0L, 2L, conflictA,
+        conflictA > 0L, 0L, 0L, false),
+        state(2L, Seq(base.path, a1Commit), Seq(d1.path))),
+      ((artifact, 3L, "C_append_a2", "append", 2L, 3L, 0L, false,
+        0L, 0L, false),
+        state(3L, Seq(base.path, a1Commit, a2.path), Seq(d1.path))),
+      ((artifact, 4L, "D_takedown_d2", "takedown", 2L, 4L, 0L, false,
+        fracDRead, fracDCommit,
+        (fracDRead > thr) != (fracDCommit > thr)),
+        state(4L, Seq(base.path, a1Commit, a2.path),
+          Seq(d1.path, d2.path))))
+  }
+
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mdir = manifestLogDir(s, dir)
+    val man = manifestRowsOf(s, mdir)
+    val arts = man.map(_.artifact).distinct.sorted
+    val out = graft.Tables.memoFresh(occCache, s"$dir:",
+      s"$dir:$mdir")(_ =>
+      graft.Scratch.tempDirDeletedOnExit("graft_occ"))
+    val rows = for {
+      a <- arts
+      (meta, live) <- occRaces(s, man, a, out)
+    } yield {
+      val r = live.agg(count(lit(1)), countDistinct($"k"),
+        coalesce(sum($"c1"), lit(0L)),
+        coalesce(sum($"c2"), lit(0L))).head()
+      (meta._1, meta._2, meta._3, meta._4, meta._5, meta._6, meta._7,
+        meta._8, meta._9, meta._10, meta._11,
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    rows.toDF("artifact", "txn_seq", "txn", "kind", "read_version",
+        "committed_version", "conflict_keys", "rebased", "frac6_read",
+        "frac6_commit", "decision_changed", "rows_live", "keys_live",
+        "chk1_live", "chk2_live")
+      .orderBy($"artifact", $"txn_seq")
+  }
+
+  private lazy val q226Sql = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    val thr = VacuumThresh6
+    def one(p: String, clsCte: String, artifact: String) = {
+      def live(n: Int, pred: String) =
+        s"""CAST(count(*) FILTER ($pred) AS BIGINT) AS rl$n,
+           |  CAST(count(DISTINCT k) FILTER ($pred) AS BIGINT) AS kl$n,
+           |  CAST(coalesce(sum(c1) FILTER ($pred), 0) AS BIGINT)
+           |    AS c1l$n,
+           |  CAST(coalesce(sum(c2) FILTER ($pred), 0) AS BIGINT)
+           |    AS c2l$n""".stripMargin
+      // post-commit live predicates: v1 = base − D1; v2 = +rebased A1;
+      // v3 = +screened A2; v4 = − D2
+      val stat =
+        s"""${p}oc AS (SELECT
+           |  ${live(1, s"cls = 'b' AND phex <> '$h0'")},
+           |  ${live(2, s"cls IN ('b','a1') AND phex <> '$h0'")},
+           |  ${live(3, s"phex <> '$h0'")},
+           |  ${live(4, s"phex NOT IN ('$h0','$h1')")},
+           |  CAST(count(DISTINCT key) FILTER
+           |    (cls = 'a1' AND phex = '$h0') AS BIGINT) AS cfa,
+           |  CAST(count(*) FILTER (cls = 'b') AS BIGINT) AS n_b,
+           |  CAST(count(*) FILTER (cls = 'b' AND phex = '$h0')
+           |    AS BIGINT) AS d1_b,
+           |  CAST(count(*) FILTER (cls IN ('b','a1')
+           |    AND phex <> '$h0') AS BIGINT) AS n_ba1s,
+           |  CAST(count(*) FILTER (cls IN ('b','a1')
+           |    AND phex = '$h1') AS BIGINT) AS d2_ba1s,
+           |  CAST(count(*) FILTER (phex <> '$h0') AS BIGINT)
+           |    AS n_all3,
+           |  CAST(count(*) FILTER (phex = '$h1') AS BIGINT) AS d2_all
+           | FROM $clsCte)""".stripMargin
+      // fractions over PHYSICAL files: B at read/commit = d1 hits over
+      // the base file; D at read = d2 hits over [base, rebased a1]
+      // (both d1-free except base's d1 rows — d1 still outstanding, so
+      // dead = d1_b + d2 hits), at commit = + screened a2
+      val fr =
+        s"""${p}ocf AS (SELECT o.*,
+           |  CASE WHEN o.n_b > 0
+           |   THEN (o.d1_b * 1000000) // o.n_b
+           |   ELSE CAST(0 AS BIGINT) END AS frac_b,
+           |  CASE WHEN o.n_ba1s + o.d1_b > 0
+           |   THEN ((o.d1_b + o.d2_ba1s) * 1000000)
+           |        // (o.n_ba1s + o.d1_b)
+           |   ELSE CAST(0 AS BIGINT) END AS frac_d_read,
+           |  CASE WHEN o.n_all3 + o.d1_b > 0
+           |   THEN ((o.d1_b + o.d2_all) * 1000000)
+           |        // (o.n_all3 + o.d1_b)
+           |   ELSE CAST(0 AS BIGINT) END AS frac_d_commit
+           | FROM ${p}oc o)""".stripMargin
+      def row(seq: Int, txn: String, kind: String, readV: Int,
+          commitV: Int, cf: String, reb: String, f6r: String,
+          f6c: String, dchg: String, n: Int) =
+        s"""SELECT '$artifact' AS artifact,
+           | CAST($seq AS BIGINT) AS txn_seq, '$txn' AS txn,
+           | '$kind' AS kind, CAST($readV AS BIGINT) AS read_version,
+           | CAST($commitV AS BIGINT) AS committed_version,
+           | $cf AS conflict_keys, $reb AS rebased,
+           | $f6r AS frac6_read, $f6c AS frac6_commit,
+           | $dchg AS decision_changed,
+           | rl$n AS rows_live, kl$n AS keys_live, c1l$n AS chk1_live,
+           | c2l$n AS chk2_live
+           |FROM ${p}ocf""".stripMargin
+      val zero = "CAST(0 AS BIGINT)"
+      (Seq(stat, fr),
+        Seq(
+          row(1, "B_takedown_d1", "takedown", 0, 1, zero, "FALSE",
+            "frac_b", "frac_b", "FALSE", 1),
+          row(2, "A_append_a1", "append", 0, 2, "cfa", "cfa > 0",
+            zero, zero, "FALSE", 2),
+          row(3, "C_append_a2", "append", 2, 3, zero, "FALSE",
+            zero, zero, "FALSE", 3),
+          row(4, "D_takedown_d2", "takedown", 2, 4, zero, "FALSE",
+            "frac_d_read", "frac_d_commit",
+            s"(frac_d_read > $thr) <> (frac_d_commit > $thr)", 4))
+          .mkString("\nUNION ALL\n"))
+    }
+    val (aC, aR) = one("a", "acls", "ann_codes")
+    val (cC, cR) = one("c", "ccls", "chunk_postings")
+    val (dC, dR) = one("d", "dcls", "doc_postings")
+    s"""WITH $interleaveClsPreambleSql,
+       |${(aC ++ cC ++ dC).mkString(",\n")}
+       |SELECT * FROM (
+       |${Seq(aR, cR, dR).mkString("\nUNION ALL\n")})
+       |ORDER BY artifact, txn_seq""".stripMargin
+  }
+
+  // ───── q227: copy-on-write MERGE (upsert) on the manifest log ─────
+  //
+  // The lifecycle verb the log still lacked: UPDATE. A re-ingested
+  // revision of existing keys arrives as an upsert; the MERGE commit
+  // is COPY-ON-WRITE (the Delta-default posture): every visible data
+  // file containing a matched key is REWRITTEN with the matched rows
+  // transformed in place, and the manifest swaps old files for new —
+  // no tombstone + re-add, so the key-based merge-on-read tombstones
+  // stay unambiguous. COW's price is WRITE AMPLIFICATION: updating
+  // u rows rewrites every row sharing a file with them, and the gate
+  // publishes that ratio (rows_rewritten / rows_updated, micro-units)
+  // next to the logical result — on a hash-scattered update set every
+  // clustered bucket is touched, which is exactly why real tables
+  // choose between COW and MOR per update locality. Oracle re-derives
+  // the physical counts (files rewritten per head branch, per-bucket
+  // matched rows) AND the updated state from the commit recurrence.
+
+  /** the upsert pick on the Spark side — same spelling as
+    * UpsertHexSql. */
+  private def upsertPick(c: Column): Column =
+    substring(md5(concat(lit("upsert:"), c.cast("string"))), 1, 1) ===
+      "0"
+
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** apply one COW merge commit for `artifact` at head+1: returns the
+    * new manifest entries. `pick` selects the updated keys among the
+    * head's LIVE keys (the planted spec passes an explicit set; q227
+    * passes the md5 upsert pick). The revision transform is
+    * c1' = c1 + key, c2' = c2 + 1 — spelled identically in the
+    * oracle. */
+  private[graft] def mergeCommit(s: SparkSession, man: Seq[ManRow],
+      artifact: String, out: String, pick: Column => Column)
+      : Vector[ManEntry] = {
+    val head = man.filter(m => m.artifact == artifact &&
+      m.action == "commit").map(_.version).max
+    val v = head + 1L
+    val entries = Vector.newBuilder[ManEntry]
+    val none: Option[Long] = None
+    entries += ((artifact, v, "merge", "commit", "", "", "", 0L,
+      none, none))
+    val u = snapshotAt(s, man, artifact, head)
+      .filter(col("dd").isNull)
+      .filter(pick(col("key")))
+      .select(col("key")).distinct()
+      .withColumn("um", lit(1))
+      .localCheckpoint(true)
+    val vis = snapshotFiles(man, artifact, head, "data")
+      .filter(_.nRows > 0L)
+    vis.zipWithIndex.foreach { case (f, i) =>
+      val marked = readMan(s, f.path, ManDataSchema)
+        .join(broadcast(u), Seq("key"), "left")
+      val matched = marked.filter(col("um") === 1).count()
+      if (matched > 0L) {
+        val p = s"$out/$artifact/v${v}_merge_$i"
+        marked.select(col("key"), col("k"),
+            when(col("um") === 1, col("c1") + col("key"))
+              .otherwise(col("c1")).as("c1"),
+            when(col("um") === 1, col("c2") + lit(1L))
+              .otherwise(col("c2")).as("c2"))
+          .write.mode("overwrite").parquet(p)
+        val r = readMan(s, p, ManDataSchema)
+          .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
+        entries += ((artifact, v, "merge", "remove", "data", "merge",
+          f.path, 0L, none, none))
+        entries += ((artifact, v, "merge", "add", "data", "merge", p,
+          r.getLong(0), Some(r.getLong(1)), Some(r.getLong(2))))
+      }
+    }
+    entries.result()
+  }
+
+  /** the merge-extended manifest (once per corpus snapshot): the
+    * q221-226 log untouched on disk, plus one COW merge commit per
+    * artifact appended in a SEPARATE manifest dir — old versions keep
+    * reading from their own file sets (the spec pins v5 before/after
+    * identical). */
+  private[graft] def mergeExtensionDir(s: SparkSession, dir: String)
+      : String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val esrc = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}:" +
+      s"${esrc.lastModified}:${esrc.length}"
+    graft.Tables.memoFresh(mergeCache, s"$dir:", key)(_ => {
+      import s.implicits._
+      val mdir = manifestLogDir(s, dir)
+      val man = manifestRowsOf(s, mdir)
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_mergeext")
+      val arts = man.map(_.artifact).distinct.sorted
+      val ext = arts.flatMap(a =>
+        mergeCommit(s, man, a, out, upsertPick))
+      val orig = man.map(m => (m.artifact, m.version, m.kind, m.action,
+        m.fileKind, m.cause, m.path, m.nRows, m.minKey, m.maxKey))
+      (orig ++ ext).toDF("artifact", "version", "kind", "action",
+          "file_kind", "cause", "path", "n_rows", "min_key", "max_key")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$out/manifest")
+      out
+    })
+  }
+
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseMan = manifestRowsOf(s, manifestLogDir(s, dir))
+    val ext = mergeExtensionDir(s, dir)
+    val man = manifestRowsOf(s, ext)
+    val arts = man.map(_.artifact).distinct.sorted
+    val rows = arts.map { a =>
+      val mv = man.filter(m => m.artifact == a &&
+        m.action == "commit").map(_.version).max
+      val prevVis = snapshotFiles(baseMan, a, mv - 1L, "data")
+        .filter(_.nRows > 0L)
+      val rewritten = man.filter(m => m.artifact == a &&
+        m.version == mv && m.action == "add" && m.cause == "merge")
+      val rowsRewritten = rewritten.map(_.nRows).sum
+      // pre/post digests over the matched rows: pre from the PRIOR
+      // snapshot, post from the merged one — same pick both sides
+      def digest(v: Long, manx: Seq[ManRow]) = {
+        val r = snapshotAt(s, manx, a, v).filter($"dd".isNull)
+          .filter(upsertPick($"key"))
+          .agg(count(lit(1)), countDistinct($"key"),
+            coalesce(sum($"c1"), lit(0L)),
+            coalesce(sum($"c2"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val (nUpd, kUpd, c1Pre, c2Pre) = digest(mv - 1L, man)
+      val (_, _, c1Post, c2Post) = digest(mv, man)
+      val lr = snapshotAt(s, man, a, mv).filter($"dd".isNull)
+        .agg(count(lit(1)), countDistinct($"k"),
+          coalesce(sum($"c1"), lit(0L)),
+          coalesce(sum($"c2"), lit(0L))).head()
+      val amp6 =
+        if (nUpd > 0) rowsRewritten * 1000000L / nUpd else 0L
+      (a, mv, "merge", kUpd, nUpd, prevVis.size.toLong,
+        rewritten.size.toLong, rowsRewritten, amp6, c1Pre, c2Pre,
+        c1Post, c2Post, lr.getLong(0), lr.getLong(1), lr.getLong(2),
+        lr.getLong(3))
+    }
+    rows.toDF("artifact", "version", "kind", "keys_updated",
+        "rows_updated", "files_visible", "files_rewritten",
+        "rows_rewritten", "amp6", "chk1_pre", "chk2_pre", "chk1_post",
+        "chk2_post", "rows_live", "keys_live", "chk1_live",
+        "chk2_live")
+      .orderBy($"artifact")
+  }
+
+  /** q227's oracle: matched/updated digests are FILTER aggregates over
+    * (live at head ∧ upsert pick); the physical file counts ride the
+    * same head-branch + per-bucket machinery as q224, with the um_*
+    * matched counts deciding which files rewrite. */
+  private def mergeSelectSql(p: String, clsCte: String,
+      artifact: String): String = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    val B = ClusterBuckets
+    val live = s"phex NOT IN ('$h0','$h1')"
+    val um = s"$live AND $UpsertHexSql"
+    def nz(n: String) = s"CASE WHEN $n > 0 THEN 1 ELSE 0 END"
+    def rw(n: String, m: String) = s"CASE WHEN $m > 0 THEN 1 ELSE 0 END"
+    def rwn(n: String, m: String) =
+      s"CASE WHEN $m > 0 THEN $n ELSE 0 END"
+    def fam(f: (String, String) => String, tag: String) =
+      (0L until B).map(i =>
+        f(s"z3.n${tag}_$i", s"z3.um${tag}_$i")).mkString(" + ")
+    def sgl(f: (String, String) => String, n: String) =
+      f(s"z2.n_$n", s"z2.um_$n")
+    def branch(f: (String, String) => String) =
+      s"""CAST(CASE WHEN z2.vac5 THEN ${fam(f, "5")}
+         |  WHEN z2.opt4 THEN ${fam(f, "p")}
+         |  WHEN z2.vac2 THEN ${fam(f, "2")} + ${sgl(f, "a2s")}
+         |  ELSE ${sgl(f, "b")} + ${sgl(f, "a1")} + ${sgl(f, "a2s")}
+         |  END AS BIGINT)""".stripMargin
+    s"""${p}mg AS (SELECT
+       |  CAST(count(DISTINCT key) FILTER ($um) AS BIGINT)
+       |    AS keys_updated,
+       |  CAST(count(*) FILTER ($um) AS BIGINT) AS rows_updated,
+       |  CAST(coalesce(sum(c1) FILTER ($um), 0) AS BIGINT)
+       |    AS chk1_pre,
+       |  CAST(coalesce(sum(c2) FILTER ($um), 0) AS BIGINT)
+       |    AS chk2_pre,
+       |  CAST(coalesce(sum(c1 + key) FILTER ($um), 0) AS BIGINT)
+       |    AS chk1_post,
+       |  CAST(coalesce(sum(c2 + 1) FILTER ($um), 0) AS BIGINT)
+       |    AS chk2_post,
+       |  CAST(count(*) FILTER ($live) AS BIGINT) AS rows_live,
+       |  CAST(count(DISTINCT k) FILTER ($live) AS BIGINT)
+       |    AS keys_live,
+       |  CAST(coalesce(sum(CASE WHEN $UpsertHexSql THEN c1 + key
+       |    ELSE c1 END) FILTER ($live), 0) AS BIGINT) AS chk1_live,
+       |  CAST(coalesce(sum(CASE WHEN $UpsertHexSql THEN c2 + 1
+       |    ELSE c2 END) FILTER ($live), 0) AS BIGINT) AS chk2_live
+       | FROM $clsCte),
+       |${p}mr AS (SELECT '$artifact' AS artifact,
+       |  CAST(6 AS BIGINT) AS version, 'merge' AS kind,
+       |  g.keys_updated, g.rows_updated,
+       |  ${branch((n, _) => nz(n))} AS files_visible,
+       |  ${branch(rw)} AS files_rewritten,
+       |  ${branch(rwn)} AS rows_rewritten,
+       |  CAST(CASE WHEN g.rows_updated > 0
+       |   THEN (${branch(rwn)} * 1000000) // g.rows_updated
+       |   ELSE 0 END AS BIGINT) AS amp6,
+       |  g.chk1_pre, g.chk2_pre, g.chk1_post, g.chk2_post,
+       |  g.rows_live, g.keys_live, g.chk1_live, g.chk2_live
+       | FROM ${p}mg g, ${p}z2 z2, ${p}z3 z3)""".stripMargin
+  }
+
+  private lazy val q227Sql =
+    s"""WITH $interleaveClsPreambleSql,
+       |${interleaveStatSql("dstat", "dcls")},
+       |${interleaveStatSql("cstat", "ccls")},
+       |${interleaveStatSql("astat", "acls")},
+       |${manifestEventsSql("a", "astat", "vtk")},
+       |${manifestEventsSql("c", "cstat", "dtk")},
+       |${manifestEventsSql("d", "dstat", "dtk")},
+       |${zoneStatSql("a", "acls")},
+       |${zoneStatSql("c", "ccls")},
+       |${zoneStatSql("d", "dcls")},
+       |${mergeSelectSql("a", "acls", "ann_codes")},
+       |${mergeSelectSql("c", "ccls", "chunk_postings")},
+       |${mergeSelectSql("d", "dcls", "doc_postings")}
+       |SELECT * FROM (
+       |SELECT * FROM amr
+       |UNION ALL
+       |SELECT * FROM cmr
+       |UNION ALL
+       |SELECT * FROM dmr)
+       |ORDER BY artifact""".stripMargin
+
+  // ───── q225: the CDC feed CONSUMED by a real StreamingQuery ─────
+  //
+  // q222 publishes the logical change feed; q223 consumes it batch-
+  // wise inside one driver fold. q225 closes the loop the way a
+  // downstream system actually syncs: the per-commit deltas are
+  // MATERIALIZED as signed delta files (adds +1 / removes −1 — the
+  // base snapshot rides as version-0 adds), a throttled AvailableNow
+  // file stream drains them in successive micro-batches into an
+  // idempotent batch-stamped sink, and the maintained view is the
+  // signed fold over the sink. The fold is ORDER-COMMUTATIVE (signed
+  // sums per (artifact, k)), so file arrival order across micro-
+  // batches cannot change the result — the property that makes a CDC
+  // consumer restart/replay-safe on a real bus. Head digest gated ≡
+  // the head snapshot's live aggregates.
+
+  private[graft] val CdcFeedSchema = org.apache.spark.sql.types
+    .StructType.fromDDL("artifact STRING, version BIGINT, k STRING, " +
+      "c1 BIGINT, c2 BIGINT, sgn BIGINT")
+
+  private val cdcFeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val cdcFeedBuildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** materialize the CDC feed (once per corpus snapshot — Bench-
+    * warmed): one signed delta file per (artifact, commit), derived
+    * from the manifest log via the SAME cdcDeltasAt spelling q222/q223
+    * use. One file per commit is the production shape: a bus partition
+    * per table, one message batch per transaction. */
+  private[graft] def cdcFeedDir(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val esrc = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}:" +
+      s"${esrc.lastModified}:${esrc.length}"
+    graft.Tables.memoFresh(cdcFeedCache, s"$dir:", key)(_ => {
+      val t0 = System.nanoTime()
+      val mdir = manifestLogDir(s, dir)
+      val man = manifestRowsOf(s, mdir)
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_cdcfeed")
+      val arts = man.map(_.artifact).distinct.sorted
+      for (a <- arts) {
+        def emit(df: DataFrame, v: Long, sgn: Long) =
+          df.select(lit(a).as("artifact"), lit(v).as("version"),
+            col("k"), col("c1"), col("c2"), lit(sgn).as("sgn"))
+        val versions = man.filter(m => m.artifact == a &&
+          m.action == "commit").map(_.version).sorted
+        emit(snapshotAt(s, man, a, versions.head)
+            .filter(col("dd").isNull), versions.head, 1L)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$out/${a}_v${versions.head}")
+        for (v <- versions.tail) {
+          val (adds, removes) = cdcDeltasAt(s, man, a, v)
+          (adds.map(emit(_, v, 1L)).toSeq ++
+            removes.map(emit(_, v, -1L)).toSeq)
+            .reduceOption(_ unionByName _)
+            .foreach(_.repartition(1).write.mode("overwrite")
+              .parquet(s"$out/${a}_v$v"))
+        }
+      }
+      cdcFeedBuildNanos.addAndGet(System.nanoTime() - t0)
+      out
+    })
+  }
+
+  private[graft] def warmCdcFeed(s: SparkSession, dir: String): Unit = {
+    cdcFeedDir(s, dir); ()
+  }
+
+  /** the consumer's sink: the feed drained by a throttled AvailableNow
+    * StreamingQuery into the idempotent batch-stamped store — exposed
+    * so the spec can pin the batch dimension and replay idempotence
+    * on the same rows the gate folds. */
+  private[graft] def cdcConsumerSink(s: SparkSession, dir: String,
+      scratch: String): DataFrame =
+    runToSinkBatched(s,
+      s.readStream.schema(CdcFeedSchema).option("maxFilesPerTrigger", 4)
+        .parquet(s"${cdcFeedDir(s, dir)}/*"),
+      scratch)
+
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Scratch.withScratchDir("graft_q225") { scratch =>
+      val sink = cdcConsumerSink(s, dir, scratch)
+      sink.groupBy($"artifact", $"k")
+        .agg(sum($"sgn").as("n"), sum($"sgn" * $"c1").as("s1"),
+          sum($"sgn" * $"c2").as("s2"))
+        .filter($"n" > 0)
+        .groupBy($"artifact")
+        .agg(count(lit(1)).as("mv_keys"), sum($"n").as("mv_rows"),
+          sum($"s1").as("mv_chk1"), sum($"s2").as("mv_chk2"))
+        .orderBy($"artifact")
+    }
+  }
+
+  private lazy val q225Sql = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    val live = s"phex NOT IN ('$h0','$h1')"
+    def one(clsCte: String, artifact: String) =
+      s"""SELECT '$artifact' AS artifact,
+         | CAST(count(DISTINCT k) FILTER ($live) AS BIGINT) AS mv_keys,
+         | CAST(count(*) FILTER ($live) AS BIGINT) AS mv_rows,
+         | CAST(coalesce(sum(c1) FILTER ($live), 0) AS BIGINT)
+         |   AS mv_chk1,
+         | CAST(coalesce(sum(c2) FILTER ($live), 0) AS BIGINT)
+         |   AS mv_chk2
+         |FROM $clsCte""".stripMargin
+    s"""WITH $interleaveClsPreambleSql
+       |SELECT * FROM (
+       |${one("acls", "ann_codes")}
+       |UNION ALL
+       |${one("ccls", "chunk_postings")}
+       |UNION ALL
+       |${one("dcls", "doc_postings")})
+       |ORDER BY artifact""".stripMargin
+  }
+
+  private lazy val q224Sql =
+    s"""WITH $interleaveClsPreambleSql,
+       |${interleaveStatSql("dstat", "dcls")},
+       |${interleaveStatSql("cstat", "ccls")},
+       |${interleaveStatSql("astat", "acls")},
+       |${manifestEventsSql("a", "astat", "vtk")},
+       |${manifestEventsSql("c", "cstat", "dtk")},
+       |${manifestEventsSql("d", "dstat", "dtk")},
+       |${zoneStatSql("a", "acls")},
+       |${zoneStatSql("c", "ccls")},
+       |${zoneStatSql("d", "dcls")},
+       |${skipSelectSql("a", "acls", "ann_codes", "v")},
+       |${skipSelectSql("c", "ccls", "chunk_postings", "d")},
+       |${skipSelectSql("d", "dcls", "doc_postings", "d")}
+       |SELECT * FROM (
+       |SELECT * FROM ask
+       |UNION ALL
+       |SELECT * FROM csk
+       |UNION ALL
+       |SELECT * FROM dsk)
+       |ORDER BY artifact, probe""".stripMargin
+
   /** the unrolled manifest-commit recurrence for one artifact —
     * exactly the state machine buildOneManifest runs, as CTEs:
     * vacuum can fire only at the takedown commits v2/v5 (appends and
@@ -4399,6 +5269,14 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q227_cow_merge", q227, Some(q227Sql),
+      "copy-on-write MERGE (upsert) on the manifest log: a re-ingested revision of ~1/16 of live keys rewrites every visible data file containing a matched key (matched rows transformed in place, manifest swaps old files for new — no tombstone+re-add), publishing the write-amplification ratio (rows_rewritten/rows_updated, micro-units) and pre/post/live digests — physical file counts and the updated state both oracle-pinned against the commit recurrence"),
+    Q("q226_occ_commit_protocol", q226, Some(q226Sql),
+      "optimistic concurrency on the manifest log: two writer races per artifact (append A1 vs takedown D1 — the takedown wins, the append detects its concurrently-taken-down keys at validation and REBASES; append A2 vs takedown D2 — the takedown's vacuum-decision input went stale and is re-evaluated against the commit-time file set), every post-commit live state gated ≡ the serialized-equivalent event prefix"),
+    Q("q225_stream_cdc_consume", q225, Some(q225Sql),
+      "§2.10 streaming CDC consumer: the manifest log's signed per-commit delta feed (base as version-0 adds) drained by a throttled AvailableNow StreamingQuery into an idempotent batch-stamped sink, the view maintained as the order-commutative signed fold per (artifact, key) — head digest ≡ the head snapshot's live aggregates"),
+    Q("q224_zone_map_skipping", q224, Some(q224Sql),
+      "zone-map data skipping over the manifest log: full-rewrite commits (fired vacuum / OPTIMIZE) cluster into range-bucketed files with per-file min/max key stats in the manifest; key-range probes at head prune their file set from the LOG before opening anything — files_visible/files_scanned/rows_read (the physical evidence) and the logical range result both oracle-pinned against the commit recurrence"),
     Q("q223_mv_maintain", q223, Some(q223Sql),
       "incremental materialized-view maintenance off the CDC feed: the per-key aggregate view is built once from the base snapshot and then maintained purely from each commit's logical deltas (one delta-sized shuffle per commit, no snapshot re-reads) — every maintained state's digest gated ≡ a full recompute over that version's live rows, with per-commit touched-row counts"),
     Q("q222_cdc_feed", q222, Some(q222Sql),

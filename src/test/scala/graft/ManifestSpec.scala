@@ -41,7 +41,7 @@ class ManifestSpec extends SparkSpec {
       events, "key", out)
     import spark.implicits._
     entries.toDF("artifact", "version", "kind", "action", "file_kind",
-        "cause", "path", "n_rows")
+        "cause", "path", "n_rows", "min_key", "max_key")
       .repartition(1).write.mode("overwrite").parquet(s"$out/manifest")
     (out, StreamingQueries.manifestRowsOf(spark, out))
   }
@@ -66,19 +66,54 @@ class ManifestSpec extends SparkSpec {
     // key 1's re-add is screened at ingest; only 15, 16 enter
     assert(snapMetrics(man, 3) ==
       ((16L, 1L, ((2L to 16L).toSet))))
-    // OPTIMIZE fires (debt 6/16 = 37.5%): 3 visible data files -> 1,
-    // logical state identical to v3
+    // OPTIMIZE fires (debt 6/16 = 37.5%): 3 unclustered data files ->
+    // 4 range-clustered buckets with DISJOINT zone maps (keys 1..16,
+    // width 4), logical state identical to v3
     assert(man.exists(m => m.version == 4 && m.action == "add" &&
       m.cause == "optimize"))
     assert(snapshotFiles(man, "t", 3, "data").size == 3)
-    assert(snapshotFiles(man, "t", 4, "data").size == 1)
+    val v4Files = snapshotFiles(man, "t", 4, "data")
+    assert(v4Files.size == 4)
+    assert(v4Files.map(f => (f.minKey.get, f.maxKey.get)).sorted ==
+      Seq((1L, 4L), (5L, 8L), (9L, 12L), (13L, 16L)))
     assert(snapMetrics(man, 4) == snapMetrics(man, 3))
-    // D2 pushes dead to 3/16 = 18.75% — vacuum fires, tombs retired
+    // D2 pushes dead to 3/16 = 18.75% — vacuum fires, tombs retired;
+    // the rewrite re-clusters over the live span (keys 4..16, width 4)
     assert(man.exists(m => m.version == 5 && m.action == "add" &&
       m.cause == "vacuum"))
     assert(snapMetrics(man, 5) ==
       ((13L, 0L, ((4L to 16L).toSet))))
     assert(snapshotFiles(man, "t", 5, "tomb").isEmpty)
+    assert(snapshotFiles(man, "t", 5, "data")
+      .map(f => (f.minKey.get, f.maxKey.get)).sorted ==
+      Seq((4L, 7L), (8L, 11L), (12L, 15L), (16L, 16L)))
+  }
+
+  test("zone-map pruning: a range probe at head opens only the intersecting clustered buckets and matches the full-scan result") {
+    val (_, man) = plantTimeline()
+    // head v5: four clustered files [4,7][8,11][12,15][16,16]. The
+    // probe [12, 16] intersects exactly two; pre-clustering (v3) every
+    // file's zone map spans the probe, so nothing would be pruned.
+    val vis = snapshotFiles(man, "t", 5, "data").filter(_.nRows > 0)
+    val scanned = vis.filter(f =>
+      f.minKey.exists(_ <= 16L) && f.maxKey.exists(_ >= 12L))
+    assert(vis.size == 4 && scanned.size == 2)
+    val pruned = scanned
+      .map(f => spark.read.schema(StreamingQueries.ManDataSchema)
+        .parquet(f.path))
+      .reduce(_ unionByName _)
+      .filter(col("key") >= 12L && col("key") <= 16L)
+      .select("key").collect().map(_.getLong(0)).toSet
+    val full = snapshotAt(spark, man, "t", 5)
+      .filter(col("dd").isNull)
+      .filter(col("key") >= 12L && col("key") <= 16L)
+      .select("key").collect().map(_.getLong(0)).toSet
+    assert(pruned == full && full == Set(12L, 13L, 14L, 15L, 16L))
+    // v3 (pre-clustering): the per-commit files carry their own true
+    // zone maps — base [1,10], A1 [11,14], A2 [15,16]
+    val v3 = snapshotFiles(man, "t", 3, "data").filter(_.nRows > 0)
+    assert(v3.map(f => (f.minKey.get, f.maxKey.get)).sorted ==
+      Seq((1L, 10L), (11L, 14L), (15L, 16L)))
   }
 
   test("time travel: pre-vacuum and pre-OPTIMIZE versions stay readable AFTER the swaps") {
@@ -113,7 +148,7 @@ class ManifestSpec extends SparkSpec {
       events, "key", out)
     import spark.implicits._
     entries.toDF("artifact", "version", "kind", "action", "file_kind",
-        "cause", "path", "n_rows")
+        "cause", "path", "n_rows", "min_key", "max_key")
       .repartition(1).write.mode("overwrite").parquet(s"$out/manifest")
     val man = StreamingQueries.manifestRowsOf(spark, out)
     val add = man.find(m => m.version == 2 && m.action == "add")
@@ -222,5 +257,176 @@ class ManifestSpec extends SparkSpec {
     assert(joined.filter($"mv_chk1" =!= $"chk1_live" ||
       $"mv_chk2" =!= $"chk2_live" ||
       $"mv_rows" =!= $"keys_live").count() == 0)
+  }
+
+  test("q224 registry gate: zone-map pruning fires on the selective probes, never on the full-span control, and physical counts cohere") {
+    import spark.implicits._
+    val sk = graft.queries.Registry.byName("q224_zone_map_skipping")
+      .run(spark, sf).localCheckpoint(true)
+    assert(sk.count() == 9) // 3 artifacts x 3 probes
+    assert(sk.filter($"files_scanned" > $"files_visible").count() == 0)
+    assert(sk.filter($"files_skipped" =!=
+      $"files_visible" - $"files_scanned").count() == 0)
+    // physical rows opened always cover the live in-range rows
+    assert(sk.filter($"rows_read" < $"rows_live").count() == 0)
+    // the selective probes prune files on every artifact (the head
+    // state is range-clustered by the fired D2 vacuum); the full-span
+    // control scans every visible file
+    assert(sk.filter($"probe" =!= 3 && $"files_skipped" <= 0)
+      .count() == 0)
+    assert(sk.filter($"probe" === 3 && $"files_skipped" =!= 0)
+      .count() == 0)
+    // and pruned reads lose no data: the control's live rows per
+    // artifact equal q221's head live rows
+    val tt = graft.queries.Registry.byName("q221_time_travel")
+      .run(spark, sf)
+    val head = tt.filter($"version" === 5)
+      .select($"artifact", $"rows_live", $"keys_live",
+        $"chk1_live", $"chk2_live")
+    val ctl = sk.filter($"probe" === 3)
+      .select($"artifact", $"rows_live", $"keys_live",
+        $"chk1_live", $"chk2_live")
+    assert(ctl.except(head).isEmpty && head.except(ctl).isEmpty)
+  }
+
+  test("OCC races on a planted two-writer timeline: conflict detection, rebase, and the stale-then-refreshed vacuum decision") {
+    val out = tmpDir("graft_occspec")
+    // writers: A appends 17..20 read@v0; B takes down {17,18} read@v0
+    // and wins -> A's validation finds 2 of its keys taken down
+    // concurrently and REBASES to {19,20}. Then C appends 21..23
+    // read@v2 and wins; D takes down {1,2} read@v2 -> its read-time
+    // vacuum input is 2/18 = 11.1% (fires) but C's concurrent append
+    // dilutes the commit-time input to 2/21 = 9.5% (does not fire):
+    // decision_changed.
+    val events = Seq(
+      "append" -> rowsDf(17L to 20L),
+      "takedown" -> tombDf(Seq(17L, 18L)),
+      "append" -> rowsDf(21L to 23L),
+      "optimize" -> (null: DataFrame),
+      "takedown" -> tombDf(Seq(1L, 2L)))
+    val entries = buildOneManifest(spark, "t", rowsDf(1L to 16L),
+      events, "key", out)
+    import spark.implicits._
+    entries.toDF("artifact", "version", "kind", "action", "file_kind",
+        "cause", "path", "n_rows", "min_key", "max_key")
+      .repartition(1).write.mode("overwrite").parquet(s"$out/manifest")
+    val man = StreamingQueries.manifestRowsOf(spark, out)
+    val races = StreamingQueries.occRaces(spark, man, "t", out)
+    val meta = races.map(_._1)
+    // txn 1: B's takedown commits clean; base has no {17,18} keys
+    assert(meta(0)._7 == 0L && !meta(0)._8 && meta(0)._9 == 0L)
+    // txn 2: A detects both concurrently-taken-down keys and rebases
+    assert(meta(1)._7 == 2L && meta(1)._8)
+    // txn 3: C prepared against v2 (history = D1) — no new conflicts
+    assert(meta(2)._7 == 0L && !meta(2)._8)
+    // txn 4: D's decision input went stale across C's commit
+    assert(meta(3)._9 == 111111L, s"frac6_read: ${meta(3)._9}")
+    assert(meta(3)._10 == 95238L, s"frac6_commit: ${meta(3)._10}")
+    assert(meta(3)._11, "decision_changed should fire")
+    // serialized equivalence: the final state is exactly
+    // (base - D1 - D2) ∪ rebased A1 ∪ A2
+    val live = races.last._2.select("key").collect()
+      .map(_.getLong(0)).toSet
+    assert(live == ((3L to 16L).toSet ++ Set(19L, 20L) ++
+      (21L to 23L).toSet))
+  }
+
+  test("q226 registry gate: shape, rebase bookkeeping, and head-state agreement with time travel") {
+    import spark.implicits._
+    val occ = graft.queries.Registry.byName("q226_occ_commit_protocol")
+      .run(spark, sf).localCheckpoint(true)
+    assert(occ.count() == 12) // 3 artifacts x 4 transactions
+    // rebased <=> conflicts, on every artifact's A transaction
+    assert(occ.filter($"rebased" =!= ($"conflict_keys" > 0))
+      .count() == 0)
+    // the takedown waves hit ~10% of keys, so A1 always loses some
+    // keys to the concurrent D1 on this corpus
+    assert(occ.filter($"txn_seq" === 2 && $"conflict_keys" <= 0)
+      .count() == 0)
+    // post-commit state after txn 4 == q221's head live state
+    val tt = graft.queries.Registry.byName("q221_time_travel")
+      .run(spark, sf).filter($"version" === 5)
+      .select($"artifact", $"rows_live", $"keys_live", $"chk1_live",
+        $"chk2_live")
+    val last = occ.filter($"txn_seq" === 4)
+      .select($"artifact", $"rows_live", $"keys_live", $"chk1_live",
+        $"chk2_live")
+    assert(last.except(tt).isEmpty && tt.except(last).isEmpty)
+  }
+
+  test("COW merge on a planted timeline: only matched files rewrite, the revision lands in place, and pre-merge versions read unchanged") {
+    val (out, man) = plantTimeline()
+    // head v5: four clustered buckets [4,7][8,11][12,15][16,16], live
+    // keys 4..16. Updating {5, 13} touches exactly two buckets; the
+    // other two files are KEPT (no rewrite, no manifest action).
+    val ext = StreamingQueries.mergeCommit(spark, man, "t", out,
+      c => c.isin(5L, 13L))
+    val extRows = ext.map(e => StreamingQueries.ManRow(e._1, e._2,
+      e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    assert(extRows.count(r => r.action == "remove") == 2)
+    assert(extRows.count(r => r.action == "add") == 2)
+    val man2 = man ++ extRows
+    assert(snapshotFiles(man2, "t", 6, "data").size == 4)
+    val rows = snapshotAt(spark, man2, "t", 6)
+      .filter(col("dd").isNull)
+      .select("key", "c1", "c2").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == (4L to 16L).toSet) // cardinality preserved
+    // the revision transform c1+key / c2+1 on exactly the picked keys
+    assert(rows(5L) == ((55L, 6L)) && rows(13L) == ((143L, 14L)))
+    assert(rows(8L) == ((80L, 8L)) && rows(16L) == ((160L, 16L)))
+    // time travel: v5 reads the ORIGINAL values after the merge swap
+    val v5 = snapshotAt(spark, man2, "t", 5)
+      .filter(col("dd").isNull)
+      .filter(col("key").isin(5L, 13L))
+      .select("key", "c1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(v5 == Map(5L -> 50L, 13L -> 130L))
+  }
+
+  test("q227 registry gate: COW write amplification, cardinality preservation, and checksum algebra vs time travel") {
+    import spark.implicits._
+    val mg = graft.queries.Registry.byName("q227_cow_merge")
+      .run(spark, sf).localCheckpoint(true)
+    assert(mg.count() == 3)
+    assert(mg.filter($"files_rewritten" > $"files_visible")
+      .count() == 0)
+    // COW rewrites at least the updated rows themselves
+    assert(mg.filter($"amp6" < 1000000L && $"rows_updated" > 0)
+      .count() == 0)
+    // the merge preserves cardinality and shifts checksums by exactly
+    // the pre→post delta, against q221's head state
+    val tt = graft.queries.Registry.byName("q221_time_travel")
+      .run(spark, sf).filter($"version" === 5)
+      .select($"artifact", $"rows_live".as("tr"), $"keys_live".as("tk"),
+        $"chk1_live".as("t1"), $"chk2_live".as("t2"))
+    val j = mg.join(tt, Seq("artifact"))
+    assert(j.count() == 3)
+    assert(j.filter($"rows_live" =!= $"tr" || $"keys_live" =!= $"tk")
+      .count() == 0)
+    assert(j.filter($"chk1_live" =!=
+      $"t1" + ($"chk1_post" - $"chk1_pre")).count() == 0)
+    assert(j.filter($"chk2_live" =!=
+      $"t2" + ($"chk2_post" - $"chk2_pre")).count() == 0)
+  }
+
+  test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
+    import spark.implicits._
+    val sink = StreamingQueries.cdcConsumerSink(spark, sf,
+      tmpDir("graft_cdcspec"))
+    // a real batch dimension: the 4-files/trigger throttle must have
+    // produced successive micro-batches over the >= 13 feed files
+    assert(sink.select($"batch").distinct().count() >= 2)
+    val mv = graft.queries.Registry.byName("q225_stream_cdc_consume")
+      .run(spark, sf).localCheckpoint(true)
+    assert(mv.count() == 3)
+    val head = graft.queries.Registry.byName("q223_mv_maintain")
+      .run(spark, sf).filter($"version" === 5)
+      .select($"artifact", $"mv_rows".as("k2"), $"mv_chk1".as("c1x"),
+        $"mv_chk2".as("c2x"))
+    val j = mv.join(head, Seq("artifact"))
+    assert(j.count() == 3)
+    assert(j.filter($"mv_keys" =!= $"k2" || $"mv_chk1" =!= $"c1x" ||
+      $"mv_chk2" =!= $"c2x").count() == 0)
   }
 }
