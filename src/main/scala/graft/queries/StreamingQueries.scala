@@ -3882,6 +3882,14 @@ object StreamingQueries {
       sch: org.apache.spark.sql.types.StructType): DataFrame =
     s.read.schema(sch).parquet(path)
 
+  /** multi-path manifest read: ONE scan relation over all paths
+    * (explicit schema, no footer inference) instead of a unionByName
+    * chain — a snapshot over many small clustered files costs one
+    * file-scan node, not one plan subtree per file. */
+  private def readManAll(s: SparkSession, paths: Seq[String],
+      sch: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(sch).parquet(paths: _*)
+
   /** fold one artifact's event timeline into versioned data/tombstone
     * files + manifest entries under `out`. Per append/takedown commit
     * the only artifact-sized work is ONE scan (the screened-append
@@ -3935,9 +3943,9 @@ object StreamingQueries {
         .sortBy(_._1)
     }
     def fileRows(paths: Seq[String]) =
-      paths.map(readMan(s, _, ManDataSchema)).reduce(_ unionByName _)
+      readManAll(s, paths, ManDataSchema)
     def tombRows(paths: Seq[String]) =
-      paths.map(readMan(s, _, ManTombSchema)).reduce(_ unionByName _)
+      readManAll(s, paths, ManTombSchema)
 
     var data = Vector.empty[(String, String, Long)] // (path, cause, n)
     var tombs = Vector.empty[(String, Long)]
@@ -3984,9 +3992,13 @@ object StreamingQueries {
               Seq("key"), "left_semi").count()
           val frac6 = if (total > 0) dead * 1000000L / total else 0L
           if (frac6 > VacuumThresh6) {
+            // checkpoint: writeClustered makes two passes (bounds,
+            // then the bucketed write) — don't re-run the anti-join
+            // lineage per pass
             val live = fileRows(data.map(_._1))
               .join(broadcast(tombRows(tombs.map(_._1))),
                 Seq("key"), "left_anti")
+              .localCheckpoint(true)
             val parts = writeClustered(live, "vacuum")
             data.foreach { case (p0, _, _) =>
               entries += ((artifact, v, kind, "remove", "data",
@@ -4063,16 +4075,13 @@ object StreamingQueries {
     (dataF ++ tombF).foreach(m => require(
       new java.io.File(m.path).exists(),
       s"snapshot $artifact@v$v references expired file ${m.path}"))
-    val data = dataF.map(m => readMan(s, m.path, ManDataSchema))
-      .reduce(_ unionByName _)
-    tombF.map(m => readMan(s, m.path, ManTombSchema))
-      .reduceOption(_ unionByName _) match {
-      case Some(t) => data.join(
-        broadcast(t.select(col("key")).distinct()
-          .withColumn("dd", lit(1))),
-        Seq("key"), "left")
-      case None => data.withColumn("dd", lit(null).cast("int"))
-    }
+    val data = readManAll(s, dataF.map(_.path), ManDataSchema)
+    if (tombF.isEmpty) data.withColumn("dd", lit(null).cast("int"))
+    else data.join(
+      broadcast(readManAll(s, tombF.map(_.path), ManTombSchema)
+        .select(col("key")).distinct()
+        .withColumn("dd", lit(1))),
+      Seq("key"), "left")
   }
 
   /** the destructive retention verb (spec-exercised, not a gate):
@@ -4152,15 +4161,17 @@ object StreamingQueries {
       : (Option[DataFrame], Option[DataFrame]) = {
     val af = man.filter(m => m.artifact == artifact && m.version == v &&
       m.action == "add" && m.cause == "append")
-    val adds = af.map(m => readMan(s, m.path, ManDataSchema))
-      .reduceOption(_ unionByName _)
+    val adds =
+      if (af.isEmpty) None
+      else Some(readManAll(s, af.map(_.path), ManDataSchema))
     val tf = man.filter(m => m.artifact == artifact && m.version == v &&
       m.action == "add" && m.fileKind == "tomb")
-    val removes = tf.map(m => readMan(s, m.path, ManTombSchema))
-      .reduceOption(_ unionByName _)
-      .map(tomb => snapshotAt(s, man, artifact, v - 1)
+    val removes =
+      if (tf.isEmpty) None
+      else Some(snapshotAt(s, man, artifact, v - 1)
         .filter(col("dd").isNull).drop("dd")
-        .join(broadcast(tomb.select(col("key")).distinct()),
+        .join(broadcast(readManAll(s, tf.map(_.path), ManTombSchema)
+          .select(col("key")).distinct()),
           Seq("key"), "left_semi"))
     (adds, removes)
   }
@@ -4358,17 +4369,14 @@ object StreamingQueries {
       val (nLive, kLive, c1, c2) =
         if (scanned.isEmpty) (0L, 0L, 0L, 0L)
         else {
-          val dat = scanned
-            .map(m => readMan(s, m.path, ManDataSchema))
-            .reduce(_ unionByName _)
+          val dat = readManAll(s, scanned.map(_.path), ManDataSchema)
             .filter(col("key") >= lo && col("key") <= hi)
-          val live = tombF.map(m => readMan(s, m.path, ManTombSchema))
-            .reduceOption(_ unionByName _) match {
-            case Some(t) => dat.join(
-              broadcast(t.select(col("key")).distinct()),
+          val live =
+            if (tombF.isEmpty) dat
+            else dat.join(
+              broadcast(readManAll(s, tombF.map(_.path), ManTombSchema)
+                .select(col("key")).distinct()),
               Seq("key"), "left_anti")
-            case None => dat
-          }
           val r = live.agg(count(lit(1)), countDistinct(col("k")),
             coalesce(sum(col("c1")), lit(0L)),
             coalesce(sum(col("c2")), lit(0L))).head()
@@ -4560,9 +4568,9 @@ object StreamingQueries {
     val a2 = fileOf(3L, "data") // C's prepared file (screened vs D1)
     val d2 = fileOf(5L, "tomb") // D's prepared file, read snapshot v2
     def dataDf(paths: Seq[String]) =
-      paths.map(readMan(s, _, ManDataSchema)).reduce(_ unionByName _)
+      readManAll(s, paths, ManDataSchema)
     def tombDf(paths: Seq[String]) =
-      paths.map(readMan(s, _, ManTombSchema)).reduce(_ unionByName _)
+      readManAll(s, paths, ManTombSchema)
 
     // race 1 — B commits v1 first; A validates at head v1: the
     // tombstones added since A's read snapshot hit its prepared keys
