@@ -4418,12 +4418,14 @@ object StreamingQueries {
       "l5" -> s"phex NOT IN ('$h0','$h1')",
       "p3v" -> s"phex <> '$h0'",
       "p3n" -> s"NOT (cls = 'a2' AND phex = '$h0')")
+    val lv = s"phex NOT IN ('$h0','$h1')"
     val singles = preds.map { case (n, pr) =>
       s"""  CAST(count(*) FILTER ($pr) AS BIGINT) AS n_$n,
          |  min(key) FILTER ($pr) AS mn_$n,
          |  max(key) FILTER ($pr) AS mx_$n,
-         |  CAST(count(*) FILTER ($pr AND $um) AS BIGINT)
-         |    AS um_$n""".stripMargin
+         |  CAST(count(*) FILTER ($pr AND $um) AS BIGINT) AS um_$n,
+         |  CAST(count(*) FILTER ($pr AND $lv) AS BIGINT)
+         |    AS lv_$n""".stripMargin
     }.mkString(",\n")
     def width(mn: String, mx: String) = s"(($mx - $mn + $B) // $B)"
     val famPred = Map("l2" -> preds.toMap.apply("l2"),
@@ -4436,7 +4438,9 @@ object StreamingQueries {
            |  min(c.key) FILTER ($in) AS mn${tag}_$i,
            |  max(c.key) FILTER ($in) AS mx${tag}_$i,
            |  CAST(count(*) FILTER ($in AND $um) AS BIGINT)
-           |    AS um${tag}_$i""".stripMargin
+           |    AS um${tag}_$i,
+           |  CAST(count(*) FILTER ($in AND $lv) AS BIGINT)
+           |    AS lv${tag}_$i""".stripMargin
       }.mkString(",\n")
     s"""${p}z1 AS (SELECT
        |$singles
@@ -4799,11 +4803,18 @@ object StreamingQueries {
       val matched = marked.filter(col("um") === 1).count()
       if (matched > 0L) {
         val p = s"$out/$artifact/v${v}_merge_$i"
+        // the rewrite also EVOLVES the schema: rewritten files carry a
+        // rev column (1 = this revision, 0 = copied verbatim); files
+        // never rewritten lack the column entirely and project as
+        // NULL under the evolved read schema — q229 gates the
+        // three-way distinction
         marked.select(col("key"), col("k"),
             when(col("um") === 1, col("c1") + col("key"))
               .otherwise(col("c1")).as("c1"),
             when(col("um") === 1, col("c2") + lit(1L))
-              .otherwise(col("c2")).as("c2"))
+              .otherwise(col("c2")).as("c2"),
+            when(col("um") === 1, lit(1L)).otherwise(lit(0L))
+              .as("rev"))
           .write.mode("overwrite").parquet(p)
         val r = readMan(s, p, ManDataSchema)
           .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
@@ -4970,6 +4981,221 @@ object StreamingQueries {
        |SELECT * FROM cmr
        |UNION ALL
        |SELECT * FROM dmr)
+       |ORDER BY artifact""".stripMargin
+
+  // ───── q228: update-CDC derived from the COW merge file swap ─────
+  //
+  // A COW merge commit adds no append files and no tombstones, so the
+  // q222 adds/removes feed sees ZERO change — yet live values moved.
+  // A consumer syncing on adds/removes alone would silently drift
+  // past every merge. The missing feed kind is UPDATE (Delta CDF's
+  // update_preimage/update_postimage), and it is DERIVABLE from the
+  // log alone: the commit swapped file set, diffed as multisets —
+  // pre = removed ∖ added, post = added ∖ removed — cancels every
+  // row the rewrite copied verbatim and leaves exactly the changed
+  // rows. The Spark side computes that from the FILES (exceptAll);
+  // the oracle recomputes both images from the row classes + the
+  // upsert pick — two independent mechanisms, one gate. ManifestSpec
+  // pins replay on the planted timeline: v5 live − pre + post ≡ v6
+  // live, row for row.
+
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ext = mergeExtensionDir(s, dir)
+    val man = manifestRowsOf(s, ext)
+    val arts = man.map(_.artifact).distinct.sorted
+    val rows = arts.map { a =>
+      val v = man.filter(m => m.artifact == a && m.action == "commit")
+        .map(_.version).max
+      val rem = man.filter(m => m.artifact == a && m.version == v &&
+        m.action == "remove" && m.cause == "merge").map(_.path)
+      val add = man.filter(m => m.artifact == a && m.version == v &&
+        m.action == "add" && m.cause == "merge").map(_.path)
+      // the multiset diff in ONE shuffle: ±1-signed rows grouped on
+      // the full tuple; rows the rewrite copied verbatim net to zero,
+      // leaving only the changed rows (net +1 = pre-image, −1 =
+      // post-image, with multiplicity carried in |net|). Two
+      // exceptAll passes measured 2× this cost at sf1.
+      val net = readManAll(s, rem, ManDataSchema)
+        .withColumn("sgn", lit(1L))
+        .unionByName(readManAll(s, add, ManDataSchema)
+          .withColumn("sgn", lit(-1L)))
+        .groupBy($"key", $"k", $"c1", $"c2")
+        .agg(sum($"sgn").as("net"))
+        .filter($"net" =!= 0L)
+        .localCheckpoint(true)
+      def digest(side: Column) = {
+        val m = when(side > 0L, side).otherwise(lit(0L))
+        val r = net.agg(coalesce(sum(m), lit(0L)),
+          countDistinct(when(side > 0L, $"key")),
+          coalesce(sum($"c1" * m), lit(0L)),
+          coalesce(sum($"c2" * m), lit(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val (pn, pk, p1, p2) = digest($"net")
+      val (qn, qk, q1, q2) = digest(-$"net")
+      (a, v, "merge", pn, pk, p1, p2, qn, qk, q1, q2)
+    }
+    rows.toDF("artifact", "version", "kind", "rows_pre", "keys_pre",
+        "chk1_pre", "chk2_pre", "rows_post", "keys_post", "chk1_post",
+        "chk2_post")
+      .orderBy($"artifact")
+  }
+
+  private lazy val q228Sql = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    val um = s"phex NOT IN ('$h0','$h1') AND $UpsertHexSql"
+    def one(clsCte: String, artifact: String) =
+      s"""SELECT '$artifact' AS artifact, CAST(6 AS BIGINT) AS version,
+         | 'merge' AS kind,
+         | CAST(count(*) FILTER ($um) AS BIGINT) AS rows_pre,
+         | CAST(count(DISTINCT key) FILTER ($um) AS BIGINT)
+         |   AS keys_pre,
+         | CAST(coalesce(sum(c1) FILTER ($um), 0) AS BIGINT)
+         |   AS chk1_pre,
+         | CAST(coalesce(sum(c2) FILTER ($um), 0) AS BIGINT)
+         |   AS chk2_pre,
+         | CAST(count(*) FILTER ($um) AS BIGINT) AS rows_post,
+         | CAST(count(DISTINCT key) FILTER ($um) AS BIGINT)
+         |   AS keys_post,
+         | CAST(coalesce(sum(c1 + key) FILTER ($um), 0) AS BIGINT)
+         |   AS chk1_post,
+         | CAST(coalesce(sum(c2 + 1) FILTER ($um), 0) AS BIGINT)
+         |   AS chk2_post
+         |FROM $clsCte""".stripMargin
+    s"""WITH $interleaveClsPreambleSql
+       |SELECT * FROM (
+       |${one("acls", "ann_codes")}
+       |UNION ALL
+       |${one("ccls", "chunk_postings")}
+       |UNION ALL
+       |${one("dcls", "doc_postings")})
+       |ORDER BY artifact""".stripMargin
+  }
+
+  // ───── q229: schema evolution across the manifest timeline ─────
+  //
+  // The merge rewrite evolved the data-file schema (a rev column);
+  // every file written before it lacks the column. A lakehouse read
+  // does NOT rewrite history for that: the evolved READ schema
+  // projects missing columns as NULL, and old snapshots keep reading
+  // under the schema of their day. q229 reads the extended head under
+  // the evolved schema — one multi-path scan over files WITH and
+  // WITHOUT the column — and gates the three-way provenance split a
+  // real migration audits: rev NULL (rows in never-rewritten files,
+  // pre-schema), rev 0 (rows a rewrite copied verbatim, explicit
+  // default), rev 1 (the revision itself). The oracle re-derives the
+  // split from the commit recurrence: which head files rewrite (per-
+  // bucket matched counts) and how many live rows each carries.
+
+  private[graft] val ManDataSchemaV2 = org.apache.spark.sql.types
+    .StructType.fromDDL(
+      "key BIGINT, k STRING, c1 BIGINT, c2 BIGINT, rev BIGINT")
+
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ext = mergeExtensionDir(s, dir)
+    val man = manifestRowsOf(s, ext)
+    val arts = man.map(_.artifact).distinct.sorted
+    val rows = arts.map { a =>
+      val v = man.filter(m => m.artifact == a && m.action == "commit")
+        .map(_.version).max
+      val dataF = snapshotFiles(man, a, v, "data").filter(_.nRows > 0L)
+      val tombF = snapshotFiles(man, a, v, "tomb")
+      val d = readManAll(s, dataF.map(_.path), ManDataSchemaV2)
+      val live =
+        if (tombF.isEmpty) d
+        else d.join(
+          broadcast(readManAll(s, tombF.map(_.path), ManTombSchema)
+            .select(col("key")).distinct()),
+          Seq("key"), "left_anti")
+      val r = live.agg(
+        count(when($"rev".isNull, 1)),
+        count(when($"rev" === 0L, 1)),
+        count(when($"rev" === 1L, 1)),
+        countDistinct(when($"rev" === 1L, $"key")),
+        coalesce(sum(when($"rev" === 1L, $"c1")), lit(0L)),
+        coalesce(sum(when($"rev" === 1L, $"c2")), lit(0L)),
+        count(lit(1)),
+        coalesce(sum($"c1"), lit(0L)),
+        coalesce(sum($"c2"), lit(0L))).head()
+      (a, v, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))
+    }
+    rows.toDF("artifact", "version", "rows_rev_null", "rows_rev0",
+        "rows_rev1", "keys_rev1", "chk1_rev1", "chk2_rev1",
+        "rows_live", "chk1_live", "chk2_live")
+      .orderBy($"artifact")
+  }
+
+  /** q229's oracle: live rows per head file from the lv_* stats, the
+    * rewritten-file set from the um_* matched counts — rev1 = matched
+    * rows, rev0 = live-in-rewritten − matched, NULL = live-in-kept. */
+  private def schemaEvoSelectSql(p: String, clsCte: String,
+      artifact: String): String = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    val B = ClusterBuckets
+    val live = s"phex NOT IN ('$h0','$h1')"
+    val um = s"$live AND $UpsertHexSql"
+    def lvRewritten(n: String, m: String, l: String) =
+      s"CASE WHEN $m > 0 THEN $l ELSE 0 END"
+    def fam(f: (String, String, String) => String, tag: String) =
+      (0L until B).map(i => f(s"z3.n${tag}_$i", s"z3.um${tag}_$i",
+        s"z3.lv${tag}_$i")).mkString(" + ")
+    def sgl(f: (String, String, String) => String, n: String) =
+      f(s"z2.n_$n", s"z2.um_$n", s"z2.lv_$n")
+    def branch(f: (String, String, String) => String) =
+      s"""CAST(CASE WHEN z2.vac5 THEN ${fam(f, "5")}
+         |  WHEN z2.opt4 THEN ${fam(f, "p")}
+         |  WHEN z2.vac2 THEN ${fam(f, "2")} + ${sgl(f, "a2s")}
+         |  ELSE ${sgl(f, "b")} + ${sgl(f, "a1")} + ${sgl(f, "a2s")}
+         |  END AS BIGINT)""".stripMargin
+    s"""${p}se AS (SELECT
+       |  CAST(count(*) FILTER ($um) AS BIGINT) AS rows_rev1,
+       |  CAST(count(DISTINCT key) FILTER ($um) AS BIGINT)
+       |    AS keys_rev1,
+       |  CAST(coalesce(sum(c1 + key) FILTER ($um), 0) AS BIGINT)
+       |    AS chk1_rev1,
+       |  CAST(coalesce(sum(c2 + 1) FILTER ($um), 0) AS BIGINT)
+       |    AS chk2_rev1,
+       |  CAST(count(*) FILTER ($live) AS BIGINT) AS rows_live,
+       |  CAST(coalesce(sum(CASE WHEN $UpsertHexSql THEN c1 + key
+       |    ELSE c1 END) FILTER ($live), 0) AS BIGINT) AS chk1_live,
+       |  CAST(coalesce(sum(CASE WHEN $UpsertHexSql THEN c2 + 1
+       |    ELSE c2 END) FILTER ($live), 0) AS BIGINT) AS chk2_live
+       | FROM $clsCte),
+       |${p}sr AS (SELECT '$artifact' AS artifact,
+       |  CAST(6 AS BIGINT) AS version,
+       |  g.rows_live - ${branch(lvRewritten)} AS rows_rev_null,
+       |  ${branch(lvRewritten)} - g.rows_rev1 AS rows_rev0,
+       |  g.rows_rev1, g.keys_rev1, g.chk1_rev1, g.chk2_rev1,
+       |  g.rows_live, g.chk1_live, g.chk2_live
+       | FROM ${p}se g, ${p}z2 z2, ${p}z3 z3)""".stripMargin
+  }
+
+  private lazy val q229Sql =
+    s"""WITH $interleaveClsPreambleSql,
+       |${interleaveStatSql("dstat", "dcls")},
+       |${interleaveStatSql("cstat", "ccls")},
+       |${interleaveStatSql("astat", "acls")},
+       |${manifestEventsSql("a", "astat", "vtk")},
+       |${manifestEventsSql("c", "cstat", "dtk")},
+       |${manifestEventsSql("d", "dstat", "dtk")},
+       |${zoneStatSql("a", "acls")},
+       |${zoneStatSql("c", "ccls")},
+       |${zoneStatSql("d", "dcls")},
+       |${schemaEvoSelectSql("a", "acls", "ann_codes")},
+       |${schemaEvoSelectSql("c", "ccls", "chunk_postings")},
+       |${schemaEvoSelectSql("d", "dcls", "doc_postings")}
+       |SELECT * FROM (
+       |SELECT * FROM asr
+       |UNION ALL
+       |SELECT * FROM csr
+       |UNION ALL
+       |SELECT * FROM dsr)
        |ORDER BY artifact""".stripMargin
 
   // ───── q225: the CDC feed CONSUMED by a real StreamingQuery ─────
@@ -5277,6 +5503,10 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q229_schema_evolution", q229, Some(q229Sql),
+      "schema evolution across the manifest timeline: the merge rewrite adds a rev column, older files lack it, and the evolved read schema projects them as NULL in one multi-path scan — gating the three-way provenance split (rev NULL = pre-schema files, rev 0 = rewrite-copied rows, rev 1 = the revision) against the commit recurrence's per-file live/matched counts"),
+    Q("q228_merge_update_cdc", q228, Some(q228Sql),
+      "update-kind CDC derived from the COW merge's file swap: pre/post images computed from the commit's removed/added files alone as multiset diffs (exceptAll — rows the rewrite copied verbatim cancel), the feed kind an adds/removes-only consumer is blind to; both images oracle-pinned against the row classes + upsert pick"),
     Q("q227_cow_merge", q227, Some(q227Sql),
       "copy-on-write MERGE (upsert) on the manifest log: a re-ingested revision of ~1/16 of live keys rewrites every visible data file containing a matched key (matched rows transformed in place, manifest swaps old files for new — no tombstone+re-add), publishing the write-amplification ratio (rows_rewritten/rows_updated, micro-units) and pre/post/live digests — physical file counts and the updated state both oracle-pinned against the commit recurrence"),
     Q("q226_occ_commit_protocol", q226, Some(q226Sql),

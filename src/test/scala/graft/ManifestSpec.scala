@@ -410,6 +410,98 @@ class ManifestSpec extends SparkSpec {
       $"t2" + ($"chk2_post" - $"chk2_pre")).count() == 0)
   }
 
+  test("update CDC from the planted merge swap: exceptAll yields exactly the changed rows, and replay closes v5 -> v6") {
+    val out = tmpDir("graft_mcdc")
+    val (_, man0) = plantTimeline()
+    val ext = StreamingQueries.mergeCommit(spark, man0, "t", out,
+      c => c.isin(5L, 13L))
+    val extRows = ext.map(e => StreamingQueries.ManRow(e._1, e._2,
+      e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    val man = man0 ++ extRows
+    val rem = extRows.filter(_.action == "remove").map(_.path)
+    val add = extRows.filter(_.action == "add").map(_.path)
+    def readAll(paths: Seq[String]) = paths
+      .map(p => spark.read.schema(StreamingQueries.ManDataSchema)
+        .parquet(p)).reduce(_ unionByName _)
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val pre = readAll(rem).exceptAll(readAll(add))
+    val post = readAll(add).exceptAll(readAll(rem))
+    // exactly the picked keys' rows, original and revised
+    assert(rowsOf(pre) == Set((5L, "t5", 50L, 5L),
+      (13L, "t13", 130L, 13L)))
+    assert(rowsOf(post) == Set((5L, "t5", 55L, 6L),
+      (13L, "t13", 143L, 14L)))
+    // replay: v5 live − pre + post ≡ v6 live, ROW FOR ROW
+    val v5 = snapshotAt(spark, man, "t", 5).filter(col("dd").isNull)
+      .select("key", "k", "c1", "c2")
+    val v6 = snapshotAt(spark, man, "t", 6).filter(col("dd").isNull)
+      .select("key", "k", "c1", "c2")
+    val replayed = v5.exceptAll(pre).unionByName(post)
+    assert(rowsOf(replayed) == rowsOf(v6))
+  }
+
+  test("q228 registry gate: the file-swap-derived update images agree with q227's matched digests") {
+    import spark.implicits._
+    val cdc = graft.queries.Registry.byName("q228_merge_update_cdc")
+      .run(spark, sf).localCheckpoint(true)
+    assert(cdc.count() == 3)
+    val mg = graft.queries.Registry.byName("q227_cow_merge")
+      .run(spark, sf)
+      .select($"artifact", $"keys_updated", $"rows_updated",
+        $"chk1_pre".as("m1p"), $"chk2_pre".as("m2p"),
+        $"chk1_post".as("m1q"), $"chk2_post".as("m2q"))
+    val j = cdc.join(mg, Seq("artifact"))
+    assert(j.count() == 3)
+    assert(j.filter($"keys_pre" =!= $"keys_updated" ||
+      $"rows_pre" =!= $"rows_updated" ||
+      $"chk1_pre" =!= $"m1p" || $"chk2_pre" =!= $"m2p" ||
+      $"chk1_post" =!= $"m1q" || $"chk2_post" =!= $"m2q")
+      .count() == 0)
+  }
+
+  test("schema evolution on the planted merge: evolved reads project pre-schema files as NULL, rewrite-copied rows as rev 0, the revision as rev 1") {
+    val out = tmpDir("graft_sevspec")
+    val (_, man0) = plantTimeline()
+    val ext = StreamingQueries.mergeCommit(spark, man0, "t", out,
+      c => c.isin(5L, 13L))
+    val man = man0 ++ ext.map(e => StreamingQueries.ManRow(e._1, e._2,
+      e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    // head v6: buckets [4,7] and [12,15] rewritten (carry rev),
+    // [8,11] and [16,16] kept (no rev column at all)
+    val files = StreamingQueries.snapshotFiles(man, "t", 6, "data")
+      .filter(_.nRows > 0)
+    val d = spark.read.schema(StreamingQueries.ManDataSchemaV2)
+      .parquet(files.map(_.path): _*)
+    val byRev = d.groupBy(col("rev")).count().collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        r.getLong(1)).toMap
+    // live 13 rows: {5,13} rev1; [4,7]∖{5} + [12,15]∖{13} = 6 rev0;
+    // [8,11] + {16} = 5 pre-schema NULL
+    assert(byRev == Map(-1L -> 5L, 0L -> 6L, 1L -> 2L))
+    // old snapshots still read under their own schema, unchanged
+    assert(snapshotAt(spark, man, "t", 5).filter(col("dd").isNull)
+      .count() == 13)
+  }
+
+  test("q229 registry gate: the provenance split is conserved and rev1 matches the merge's post image") {
+    import spark.implicits._
+    val se = graft.queries.Registry.byName("q229_schema_evolution")
+      .run(spark, sf).localCheckpoint(true)
+    assert(se.count() == 3)
+    assert(se.filter($"rows_rev_null" + $"rows_rev0" + $"rows_rev1"
+      =!= $"rows_live").count() == 0)
+    val cdc = graft.queries.Registry.byName("q228_merge_update_cdc")
+      .run(spark, sf)
+      .select($"artifact", $"rows_post", $"chk1_post", $"chk2_post")
+    val j = se.join(cdc, Seq("artifact"))
+    assert(j.count() == 3)
+    assert(j.filter($"rows_rev1" =!= $"rows_post" ||
+      $"chk1_rev1" =!= $"chk1_post" ||
+      $"chk2_rev1" =!= $"chk2_post").count() == 0)
+  }
+
   test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
     import spark.implicits._
     val sink = StreamingQueries.cdcConsumerSink(spark, sf,
