@@ -5198,6 +5198,248 @@ object StreamingQueries {
        |SELECT * FROM dsr)
        |ORDER BY artifact""".stripMargin
 
+  // ───── q230: cross-artifact version-skew tear audit ─────
+  //
+  // The per-artifact manifests commit independently; a reader joining
+  // doc_postings and chunk_postings at DIFFERENT versions sees
+  // referential tears — doc keys live on one side and absent on the
+  // other — which is the concrete failure multi-table atomic commits
+  // exist to prevent. q230 audits the skew surface: for every aligned
+  // version (the atomic read our naturally-aligned timeline provides)
+  // the two artifacts' live doc-key sets differ only by STRUCTURAL
+  // support (docs with terms but no chunks, or vice versa), and for
+  // deliberately skewed reads (doc@3 vs chunk@2 and the reverse) the
+  // tear grows by exactly the append wave the lagging side has not
+  // seen. Every cell is oracle-pinned from the version-indexed live
+  // predicates — the audit a deployment would run before trusting a
+  // cross-table join.
+
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mdir = manifestLogDir(s, dir)
+    val man = manifestRowsOf(s, mdir)
+    def liveKeys(artifact: String, v: Long) =
+      snapshotAt(s, man, artifact, v).filter($"dd".isNull)
+        .select($"key").distinct()
+    val versions = man.filter(m => m.artifact == "doc_postings" &&
+      m.action == "commit").map(_.version).sorted
+    val pairs = versions.map(v => (v, v)) ++ Seq((3L, 2L), (2L, 3L))
+    val rows = pairs.map { case (vd, vc) =>
+      val d = liveKeys("doc_postings", vd).localCheckpoint(true)
+      val c = liveKeys("chunk_postings", vc).localCheckpoint(true)
+      val dn = d.join(c, Seq("key"), "left_anti").count()
+      val cn = c.join(d, Seq("key"), "left_anti").count()
+      (vd, vc, vd == vc, dn, cn)
+    }
+    rows.toDF("v_doc", "v_chunk", "aligned", "tears_doc_only",
+        "tears_chunk_only")
+      .orderBy($"v_doc", $"v_chunk")
+  }
+
+  /** the version-indexed live predicate of the shared manifest
+    * timeline (v0 base, v1 append A1, v2 takedown D1, v3 append A2,
+    * v4 OPTIMIZE no-op, v5 takedown D2), over the ingest-class
+    * columns the oracle preamble derives per key. ONE spelling for
+    * every gate that reasons about cross-version liveness. */
+  private def manLiveAtSql(v: Long, cls: String = "cls",
+      phex: String = "phex"): String = {
+    val h0 = Takedown.Waves(0)
+    val h1 = Takedown.Waves(1)
+    v match {
+      case 0L => s"$cls = 'b'"
+      case 1L => s"$cls IN ('b','a1')"
+      case 2L => s"$cls IN ('b','a1') AND $phex <> '$h0'"
+      case 3L | 4L => s"$phex <> '$h0'"
+      case _ => s"$phex NOT IN ('$h0','$h1')"
+    }
+  }
+
+  /** the same predicate correlated on a version COLUMN (vCol), for
+    * oracles that aggregate over a cell table in one pass. */
+  private def manLiveCaseSql(vCol: String, cls: String,
+      phex: String): String =
+    s"CASE ${(0L to 5L).map(v =>
+      s"WHEN $vCol = $v THEN (${manLiveAtSql(v, cls, phex)})")
+      .mkString(" ")} ELSE FALSE END"
+
+  private lazy val q230Sql = {
+    def liveAt(v: Long): String = manLiveAtSql(v)
+    def cell(vd: Long, vc: Long) =
+      s"""SELECT CAST($vd AS BIGINT) AS v_doc,
+         | CAST($vc AS BIGINT) AS v_chunk,
+         | ${if (vd == vc) "TRUE" else "FALSE"} AS aligned,
+         | CAST((SELECT count(*) FROM (
+         |   SELECT DISTINCT key FROM dcls WHERE ${liveAt(vd)}
+         |   EXCEPT
+         |   SELECT DISTINCT key FROM ccls WHERE ${liveAt(vc)}))
+         |  AS BIGINT) AS tears_doc_only,
+         | CAST((SELECT count(*) FROM (
+         |   SELECT DISTINCT key FROM ccls WHERE ${liveAt(vc)}
+         |   EXCEPT
+         |   SELECT DISTINCT key FROM dcls WHERE ${liveAt(vd)}))
+         |  AS BIGINT) AS tears_chunk_only""".stripMargin
+    val cells = ((0L to 5L).map(v => (v, v)) ++ Seq((3L, 2L), (2L, 3L)))
+      .map { case (a, b) => cell(a, b) }
+    s"""WITH $interleaveClsPreambleSql
+       |SELECT * FROM (
+       |${cells.mkString("\nUNION ALL\n")})
+       |ORDER BY v_doc, v_chunk""".stripMargin
+  }
+
+  // ───── q231: multi-table ATOMIC commit — the txn log that prevents
+  // q230's tears ─────
+  //
+  // q230 MEASURES the referential tears a reader suffers when the two
+  // postings artifacts commit independently and it joins them at
+  // different versions. q231 is the verb that PREVENTS them: a
+  // transaction log whose entries span artifacts — txn t lists the
+  // (artifact, version) pairs that became visible TOGETHER, and the
+  // txn row seals only after every member artifact's own commit
+  // landed. The physical commit order inside each transaction is
+  // deliberately staggered (doc_postings seals one step before
+  // chunk_postings — independent per-artifact logs always stagger
+  // somehow); at every physical step two readers run:
+  //   naive — "latest committed version of each artifact": inside the
+  //     stagger window it reads (doc@v, chunk@v−1) and tears by
+  //     exactly the wave the lagging side has not seen (on the
+  //     takedown commits it even serves chunks for already-purged
+  //     docs — the compliance failure);
+  //   txn  — resolves versions through the sealed txn head read back
+  //     from the txn ARTIFACT: always aligned, tears never exceed
+  //     structural support.
+  // Scale posture: tears for all 11 distinct (v_doc, v_chunk) cells
+  // the protocol can touch come from ONE pass — a per-key membership
+  // frame (12 live-snapshot flags via one groupBy(key)) feeding a
+  // single 22-sum aggregation — one shuffle however many steps the
+  // audit covers, where per-pair anti-joins (q230's fine-at-8-cells
+  // spelling) would cost two corpus joins per cell. The oracle
+  // mirrors the same shape: FULL OUTER membership join + one grouped
+  // CASE aggregation over the cell table.
+
+  private val txnLogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val txnCellCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Map[(Long, Long), (Long, Long)]]()
+
+  /** seal the cross-artifact txn log as a real parquet artifact: one
+    * row per (txn, member artifact, version); member_seal = the
+    * physical step that member's own commit landed, seal_seq = the
+    * step the txn row itself became visible (the LAST member's). */
+  private def txnLogDir(s: SparkSession, dir: String, mdir: String)
+      : String =
+    graft.Tables.memoFresh(txnLogCache, s"$dir:", s"$dir:$mdir")(_ => {
+      import s.implicits._
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_txnlog")
+      (0L to 5L).flatMap(t => Seq(
+          (t, "doc_postings", t,
+            if (t == 0L) 0L else 2L * t - 1L, 2L * t),
+          (t, "chunk_postings", t,
+            if (t == 0L) 0L else 2L * t, 2L * t)))
+        .toDF("txn", "artifact", "version", "member_seal", "seal_seq")
+        .repartition(1).write.mode("overwrite").parquet(s"$out/txns")
+      out
+    })
+
+  /** every tear cell in one aggregation pass (see q231 header). */
+  private def txnCells(s: SparkSession, dir: String, mdir: String,
+      man: Seq[ManRow]): Map[(Long, Long), (Long, Long)] =
+    graft.Tables.memoFresh(txnCellCache, s"$dir:", s"$dir:$mdir")(_ => {
+      import s.implicits._
+      val tagged = (for {
+        (a, t) <- Seq("doc_postings" -> "d", "chunk_postings" -> "c")
+        v <- 0L to 5L
+      } yield snapshotAt(s, man, a, v).filter($"dd".isNull)
+        .select($"key").distinct()
+        .withColumn("tag", lit(s"$t$v"))).reduce(_ unionByName _)
+      val flags = for (t <- Seq("d", "c"); v <- 0L to 5L)
+        yield max(when($"tag" === s"$t$v", 1).otherwise(0)).as(s"$t$v")
+      val mem = tagged.groupBy($"key").agg(flags.head, flags.tail: _*)
+      val pairs = (0L to 5L).map(v => (v, v)) ++
+        (1L to 5L).map(v => (v, v - 1L))
+      val sums = pairs.flatMap { case (vd, vc) => Seq(
+        sum(when(col(s"d$vd") === 1 && col(s"c$vc") === 0, 1L)
+          .otherwise(0L)).as(s"tdo_${vd}_$vc"),
+        sum(when(col(s"c$vc") === 1 && col(s"d$vd") === 0, 1L)
+          .otherwise(0L)).as(s"tco_${vd}_$vc")) }
+      val r = mem.agg(sums.head, sums.tail: _*).head()
+      def cellOf(n: String) =
+        if (r.isNullAt(r.fieldIndex(n))) 0L
+        else r.getLong(r.fieldIndex(n))
+      pairs.map { case (vd, vc) => (vd, vc) ->
+        ((cellOf(s"tdo_${vd}_$vc"), cellOf(s"tco_${vd}_$vc"))) }.toMap
+    })
+
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mdir = manifestLogDir(s, dir)
+    val man = manifestRowsOf(s, mdir)
+    val cells = txnCells(s, dir, mdir, man)
+    // the txn reader resolves through the SEALED txn artifact, never
+    // through the per-artifact heads
+    val txns = graft.Tables
+      .parquetCached(s, s"${txnLogDir(s, dir, mdir)}/txns")
+      .select($"txn", $"seal_seq").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    def txnAt(step: Long): Long =
+      txns.filter(_._2 <= step).map(_._1).max
+    val steps = (0L, "base") +: (1L to 5L).flatMap(v =>
+      Seq((2L * v - 1L, "doc_sealed"), (2L * v, "txn_sealed")))
+    val rows = steps.flatMap { case (st, phase) =>
+      val t = txnAt(st)
+      Seq(("naive", (st + 1L) / 2L, st / 2L), ("txn", t, t)).map {
+        case (reader, vd, vc) =>
+          val (tdo, tco) = cells((vd, vc))
+          (st, phase, reader, vd, vc, vd == vc, tdo, tco)
+      }
+    }
+    rows.toDF("step", "phase", "reader", "v_doc", "v_chunk",
+        "aligned", "tears_doc_only", "tears_chunk_only")
+      .orderBy($"step", $"reader")
+  }
+
+  private lazy val q231Sql = {
+    val liveD =
+      s"coalesce(j.ind AND (${manLiveCaseSql("cz.vd", "j.dcl", "j.dph")}), FALSE)"
+    val liveC =
+      s"coalesce(j.inc AND (${manLiveCaseSql("cz.vc", "j.ccl", "j.cph")}), FALSE)"
+    val stepRows = {
+      val steps = (0L, "base") +: (1L to 5L).flatMap(v =>
+        Seq((2L * v - 1L, "doc_sealed"), (2L * v, "txn_sealed")))
+      steps.flatMap { case (st, ph) =>
+        val t = st / 2L
+        Seq((st, ph, "naive", (st + 1L) / 2L, st / 2L),
+          (st, ph, "txn", t, t))
+      }.map { case (st, ph, rd, vd, vc) =>
+        s"""SELECT CAST($st AS BIGINT) AS step, '$ph' AS phase,
+           | '$rd' AS reader, CAST($vd AS BIGINT) AS v_doc,
+           | CAST($vc AS BIGINT) AS v_chunk,
+           | ${if (vd == vc) "TRUE" else "FALSE"} AS aligned""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }
+    s"""WITH $interleaveClsPreambleSql,
+       |dm AS (SELECT DISTINCT key, cls AS dcl, phex AS dph FROM dcls),
+       |cm AS (SELECT DISTINCT key, cls AS ccl, phex AS cph FROM ccls),
+       |jm AS (SELECT d.key IS NOT NULL AS ind,
+       |        c.key IS NOT NULL AS inc,
+       |        d.dcl, d.dph, c.ccl, c.cph
+       |       FROM dm d FULL OUTER JOIN cm c ON d.key = c.key),
+       |cz AS (SELECT * FROM (VALUES (0,0),(1,1),(2,2),(3,3),(4,4),
+       |        (5,5),(1,0),(2,1),(3,2),(4,3),(5,4)) AS t(vd, vc)),
+       |tearz AS (SELECT cz.vd, cz.vc,
+       |  CAST(sum(CASE WHEN $liveD AND NOT $liveC
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS tdo,
+       |  CAST(sum(CASE WHEN $liveC AND NOT $liveD
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS tco
+       | FROM cz CROSS JOIN jm j GROUP BY cz.vd, cz.vc),
+       |steps AS ($stepRows)
+       |SELECT st.step, st.phase, st.reader, st.v_doc, st.v_chunk,
+       | st.aligned, t.tdo AS tears_doc_only,
+       | t.tco AS tears_chunk_only
+       |FROM steps st JOIN tearz t
+       |  ON st.v_doc = t.vd AND st.v_chunk = t.vc
+       |ORDER BY st.step, st.reader""".stripMargin
+  }
+
   // ───── q225: the CDC feed CONSUMED by a real StreamingQuery ─────
   //
   // q222 publishes the logical change feed; q223 consumes it batch-
@@ -5503,6 +5745,10 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q231_atomic_txn_read", q231, Some(q231Sql),
+      "multi-table atomic commit: a sealed cross-artifact txn log (real parquet artifact) resolves reader versions; per physical commit step of the deliberately staggered timeline, the latest-per-artifact naive reader tears inside every stagger window (serving chunks for already-purged docs on the takedown commits) while the txn-resolved reader stays aligned at every step — all 11 tear cells computed in ONE membership-frame aggregation pass, oracle-mirrored by a FULL OUTER join + one grouped CASE aggregation"),
+    Q("q230_version_skew_audit", q230, Some(q230Sql),
+      "cross-artifact version-skew tear audit: doc-key sets of doc_postings vs chunk_postings compared at every aligned manifest version (tears = structural support only) and at deliberately skewed version pairs (the tear grows by exactly the append wave the lagging side has not seen) — the referential failure multi-table atomic commits prevent, every cell oracle-pinned from the version-indexed live predicates"),
     Q("q229_schema_evolution", q229, Some(q229Sql),
       "schema evolution across the manifest timeline: the merge rewrite adds a rev column, older files lack it, and the evolved read schema projects them as NULL in one multi-path scan — gating the three-way provenance split (rev NULL = pre-schema files, rev 0 = rewrite-copied rows, rev 1 = the revision) against the commit recurrence's per-file live/matched counts"),
     Q("q228_merge_update_cdc", q228, Some(q228Sql),

@@ -502,6 +502,89 @@ class ManifestSpec extends SparkSpec {
       $"chk2_rev1" =!= $"chk2_post").count() == 0)
   }
 
+  test("q230 registry gate: a skewed cross-artifact read tears by exactly the append wave the lagging side has not seen") {
+    import spark.implicits._
+    val skew = graft.queries.Registry.byName("q230_version_skew_audit")
+      .run(spark, sf).localCheckpoint(true)
+    assert(skew.count() == 8)
+    assert(skew.filter($"aligned" === ($"v_doc" === $"v_chunk"))
+      .count() == 8)
+    def cell(vd: Long, vc: Long): (Long, Long) = {
+      val r = skew.filter($"v_doc" === vd && $"v_chunk" === vc)
+        .collect()
+      assert(r.length == 1)
+      (r(0).getAs[Long]("tears_doc_only"),
+        r(0).getAs[Long]("tears_chunk_only"))
+    }
+    // the v2→v3 delta on the shared fixture timeline is append wave
+    // A2; recompute it from the snapshots directly
+    val mdir = StreamingQueries.manifestLogDir(spark, sf)
+    val man = StreamingQueries.manifestRowsOf(spark, mdir)
+    def live(artifact: String, v: Long) =
+      snapshotAt(spark, man, artifact, v).filter($"dd".isNull)
+        .select($"key").distinct().localCheckpoint(true)
+    val c2 = live("chunk_postings", 2L)
+    val c3 = live("chunk_postings", 3L)
+    val d2 = live("doc_postings", 2L)
+    val d3 = live("doc_postings", 3L)
+    val a2c = c3.join(c2, Seq("key"), "left_anti").localCheckpoint(true)
+    val g = a2c.count()
+    assert(g > 0) // the append wave genuinely lands chunk keys
+    // appended keys are fresh: absent at v2 on BOTH sides, present in
+    // the doc artifact at v3 (same docs feed both artifacts)
+    assert(a2c.join(d2, Seq("key"), "left_semi").count() == 0)
+    assert(a2c.join(d3, Seq("key"), "left_anti").count() == 0)
+    // tear law: skew cell = aligned cell + the unseen append wave
+    assert(cell(3L, 2L)._1 == cell(3L, 3L)._1 + g)
+    assert(cell(2L, 3L)._2 == cell(2L, 2L)._2 + g)
+    // and the OTHER direction of each skewed cell is a subset
+    // relation, never an inflation
+    assert(cell(3L, 2L)._2 <= cell(3L, 3L)._2 + cell(2L, 2L)._2)
+    assert(cell(2L, 3L)._1 <= cell(2L, 2L)._1 + cell(3L, 3L)._1)
+  }
+
+  test("q231 registry gate: the txn reader never tears, the naive reader tears in every stagger window, and the takedown window serves purged chunks") {
+    import spark.implicits._
+    val tx = graft.queries.Registry.byName("q231_atomic_txn_read")
+      .run(spark, sf).localCheckpoint(true)
+    assert(tx.count() == 22)
+    // snapshot isolation: the txn-resolved reader is aligned at EVERY
+    // physical step; the naive reader misaligns at exactly the five
+    // stagger windows (odd steps)
+    assert(tx.filter($"reader" === "txn" && !$"aligned").count() == 0)
+    assert(tx.filter($"reader" === "naive" && !$"aligned")
+      .select($"step").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 7L, 9L))
+    // cross-gate pin: the naive cell inside the v3 stagger window
+    // (doc@3, chunk@2) must equal q230's independently computed
+    // per-pair anti-join cell exactly
+    val skew = graft.queries.Registry.byName("q230_version_skew_audit")
+      .run(spark, sf).filter($"v_doc" === 3 && $"v_chunk" === 2)
+      .select($"tears_doc_only".as("t1"), $"tears_chunk_only".as("t2"))
+      .head()
+    val n5 = tx.filter($"step" === 5 && $"reader" === "naive").head()
+    assert(n5.getAs[Long]("tears_doc_only") == skew.getAs[Long]("t1"))
+    assert(n5.getAs[Long]("tears_chunk_only") == skew.getAs[Long]("t2"))
+    // the compliance failure: in the takedown-commit stagger window
+    // (step 3: doc sealed v2 = D1 applied, chunk still v1) the naive
+    // reader serves chunk keys for docs the doc side already purged
+    val mdir = StreamingQueries.manifestLogDir(spark, sf)
+    val man = StreamingQueries.manifestRowsOf(spark, mdir)
+    def live(a: String, v: Long) =
+      snapshotAt(spark, man, a, v).filter($"dd".isNull)
+        .select($"key").distinct()
+    val purgedWithChunks = live("chunk_postings", 1L)
+      .join(live("chunk_postings", 2L), Seq("key"), "left_anti")
+      .join(live("doc_postings", 1L), Seq("key"), "left_semi")
+      .count()
+    assert(purgedWithChunks > 0)
+    val n3 = tx.filter($"step" === 3 && $"reader" === "naive").head()
+    assert(n3.getAs[Long]("tears_chunk_only") >= purgedWithChunks)
+    val t3 = tx.filter($"step" === 3 && $"reader" === "txn").head()
+    assert(t3.getAs[Long]("v_doc") == 1L &&
+      t3.getAs[Long]("v_chunk") == 1L)
+  }
+
   test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
     import spark.implicits._
     val sink = StreamingQueries.cdcConsumerSink(spark, sf,
