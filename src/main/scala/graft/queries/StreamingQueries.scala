@@ -5440,6 +5440,103 @@ object StreamingQueries {
        |ORDER BY st.step, st.reader""".stripMargin
   }
 
+  // ───── q232: orphan-file GC — the retention verb for files the
+  // log never saw ─────
+  //
+  // expireSnapshots (spec-exercised) deletes files the log REFERENCES
+  // below a horizon. The dual failure mode is files the log NEVER
+  // referenced: a writer that crashed between its data write and its
+  // manifest add (the losing half of an OCC race, an aborted append)
+  // leaves real parquet on storage that no snapshot can reach — at
+  // 100 TB, unreclaimed orphans are a material storage bill, and
+  // deleting the WRONG file corrupts time travel. q232 is the verb:
+  // per artifact it plants an aborted writer's file (a deterministic
+  // base subset, written but never committed), detects orphans as
+  // physical leaf data dirs minus every path the log has EVER
+  // referenced (adds and removes alike — a removed file is retained
+  // for time travel, NOT an orphan), publishes the reclaim
+  // accounting, deletes exactly the orphan set, and proves the head
+  // snapshot reads byte-identically across the delete. Detection
+  // cost is one driver-side listing of the artifact directory (file
+  // count, not data) plus one bounded orphan scan for the sheet.
+
+  private[graft] def physicalDataLeaves(root: java.io.File)
+      : Seq[String] = {
+    def walk(d: java.io.File): Seq[String] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      if (kids.exists(f => f.isFile && f.getName.startsWith("part-")))
+        Seq(d.getPath)
+      else kids.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(root)
+  }
+
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mdir = manifestLogDir(s, dir)
+    val man = manifestRowsOf(s, mdir)
+    val arts = man.map(_.artifact).distinct.sorted
+    val rows = arts.map { a =>
+      // plant: the aborted writer's data file — real parquet under
+      // the artifact dir, never referenced by any manifest entry
+      val aborted = snapshotAt(s, man, a, 0L).filter($"dd".isNull)
+        .filter(substring(md5(concat(lit("abort:"),
+          $"key".cast("string"))), 1, 1) < "4")
+        .select($"key", $"k", $"c1", $"c2")
+      aborted.write.mode("overwrite").parquet(s"$mdir/$a/v97_abort")
+      val referenced = man.filter(m => m.artifact == a &&
+        m.path.nonEmpty).map(_.path).toSet
+      val orphans = physicalDataLeaves(new java.io.File(s"$mdir/$a"))
+        .filterNot(referenced.contains).sorted
+      val or = readManAll(s, orphans, ManDataSchema)
+        .agg(count(lit(1)), coalesce(sum($"c1"), lit(0L))).head()
+      val headV = man.filter(_.artifact == a).map(_.version).max
+      def headStat(): (Long, Long) = {
+        val h = snapshotAt(s, man, a, headV).filter($"dd".isNull)
+          .agg(count(lit(1)), coalesce(sum($"c1"), lit(0L))).head()
+        (h.getLong(0), h.getLong(1))
+      }
+      val (preN, preC) = headStat()
+      orphans.foreach(p =>
+        graft.Scratch.deleteRecursively(new java.io.File(p)))
+      val (postN, postC) = headStat() // re-reads the surviving files
+      (a, orphans.size.toLong, or.getLong(0), or.getLong(1),
+        preN, preC, postN, postC, preN == postN && preC == postC)
+    }
+    rows.toDF("artifact", "orphan_files", "orphan_rows",
+        "orphan_chk1", "rows_head_pre", "chk1_head_pre",
+        "rows_head_post", "chk1_head_post", "reads_unchanged")
+      .orderBy($"artifact")
+  }
+
+  private lazy val q232Sql = {
+    val abortPred =
+      "substr(md5('abort:' || CAST(key AS VARCHAR)), 1, 1) < '4'"
+    def one(artifact: String, clsCte: String) = {
+      val live = manLiveAtSql(5L)
+      s"""SELECT '$artifact' AS artifact,
+         | CAST(1 AS BIGINT) AS orphan_files,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $clsCte
+         |   WHERE cls = 'b' AND $abortPred) AS orphan_rows,
+         | (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) FROM $clsCte
+         |   WHERE cls = 'b' AND $abortPred) AS orphan_chk1,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $clsCte
+         |   WHERE $live) AS rows_head_pre,
+         | (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) FROM $clsCte
+         |   WHERE $live) AS chk1_head_pre,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $clsCte
+         |   WHERE $live) AS rows_head_post,
+         | (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) FROM $clsCte
+         |   WHERE $live) AS chk1_head_post,
+         | TRUE AS reads_unchanged""".stripMargin
+    }
+    s"""WITH $interleaveClsPreambleSql
+       |SELECT * FROM (
+       |${Seq(one("ann_codes", "acls"), one("chunk_postings", "ccls"),
+           one("doc_postings", "dcls")).mkString("\nUNION ALL\n")})
+       |ORDER BY artifact""".stripMargin
+  }
+
   // ───── q225: the CDC feed CONSUMED by a real StreamingQuery ─────
   //
   // q222 publishes the logical change feed; q223 consumes it batch-
@@ -5745,6 +5842,8 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q232_orphan_gc", q232, Some(q232Sql),
+      "orphan-file GC: per artifact, an aborted writer's planted-but-never-committed parquet file is detected as physical leaf data dirs minus every path the manifest has EVER referenced (removed files are retained for time travel, not orphans), the reclaim accounting is published (files, rows, checksum), the orphan set is deleted, and the head snapshot is proven to read identically across the delete — the unreferenced-file VACUUM verb, detection costing one driver-side directory listing"),
     Q("q231_atomic_txn_read", q231, Some(q231Sql),
       "multi-table atomic commit: a sealed cross-artifact txn log (real parquet artifact) resolves reader versions; per physical commit step of the deliberately staggered timeline, the latest-per-artifact naive reader tears inside every stagger window (serving chunks for already-purged docs on the takedown commits) while the txn-resolved reader stays aligned at every step — all 11 tear cells computed in ONE membership-frame aggregation pass, oracle-mirrored by a FULL OUTER join + one grouped CASE aggregation"),
     Q("q230_version_skew_audit", q230, Some(q230Sql),

@@ -585,6 +585,40 @@ class ManifestSpec extends SparkSpec {
       t3.getAs[Long]("v_chunk") == 1L)
   }
 
+  test("orphan detection on a clean planted artifact finds nothing: physical leaves == referenced paths exactly") {
+    val (out, man) = plantTimeline()
+    val referenced = man.filter(_.path.nonEmpty).map(_.path).toSet
+    val leaves = StreamingQueries
+      .physicalDataLeaves(new java.io.File(s"$out/t")).toSet
+    // every physical leaf is log-referenced (no orphans on a clean
+    // timeline) and every referenced non-empty file is on disk
+    assert(leaves.subsetOf(referenced))
+    val onDisk = referenced.filter(p => new java.io.File(p).exists())
+    assert(leaves == onDisk.filter(p =>
+      StreamingQueries.physicalDataLeaves(new java.io.File(p)).nonEmpty))
+  }
+
+  test("q232 registry gate: GC deletes exactly the planted orphans, never a referenced file, and reads survive") {
+    import spark.implicits._
+    val gc = graft.queries.Registry.byName("q232_orphan_gc")
+      .run(spark, sf).localCheckpoint(true)
+    assert(gc.count() == 3)
+    assert(gc.filter(!$"reads_unchanged").count() == 0)
+    assert(gc.filter($"orphan_files" =!= 1L).count() == 0)
+    assert(gc.filter($"orphan_rows" <= 0L).count() == 0)
+    assert(gc.filter($"rows_head_pre" =!= $"rows_head_post" ||
+      $"chk1_head_pre" =!= $"chk1_head_post").count() == 0)
+    // the orphan dirs are physically gone, and every log-referenced
+    // surviving file still reads: full time travel works post-GC
+    val mdir = StreamingQueries.manifestLogDir(spark, sf)
+    val man = StreamingQueries.manifestRowsOf(spark, mdir)
+    for (a <- man.map(_.artifact).distinct) {
+      assert(!new java.io.File(s"$mdir/$a/v97_abort").exists())
+      for (v <- 0L to man.filter(_.artifact == a).map(_.version).max)
+        assert(snapshotAt(spark, man, a, v).count() > 0)
+    }
+  }
+
   test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
     import spark.implicits._
     val sink = StreamingQueries.cdcConsumerSink(spark, sf,
