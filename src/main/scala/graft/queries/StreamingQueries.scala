@@ -5537,6 +5537,209 @@ object StreamingQueries {
        |ORDER BY artifact""".stripMargin
   }
 
+  // ───── q233: PARTIAL compaction — bin-packing the append tier ─────
+  //
+  // The log's OPTIMIZE is a FULL rewrite: it fires on a debt
+  // threshold and rewrites the whole snapshot into clustered buckets.
+  // Real tables cannot afford that per small-file wave — at 100 TB
+  // the steady-state verb is INCREMENTAL compaction: pick only the
+  // append-tier files (the unclustered singletons each streaming
+  // commit lands), bin-pack them into ONE file, and leave the big
+  // clustered buckets untouched. Write amplification is then bounded
+  // by the small-file mass, not the table. q233 extends the shared
+  // timeline with two more append waves (fresh keys offset beyond
+  // the corpus span — a writer ingesting a new shard), runs the pack
+  // commit, and publishes the accounting: how many files merged, how
+  // many rows the pack rewrote, and that fraction of the table
+  // (micro-units) vs the 1.0 a full rewrite would have paid — with
+  // the pre/post live states proven identical. The pack is PURE
+  // PHYSICAL (rows copied verbatim, outstanding merge-on-read
+  // tombstones still apply at read), so snapshot identity is exact.
+
+  private val packCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** fresh-key offset for the planted shard waves: far beyond any
+    * corpus key, so the ingest screen has nothing to drop and no
+    * tombstone can hit them. */
+  private[graft] val PackKeyOff = 1L << 40
+
+  /** append wave W (fresh keys) as a manifest commit, then the pack:
+    * one commit that removes every visible cause='append' data file
+    * and adds their bin-packed union. Returns the extension rows. */
+  private[graft] def packCommits(s: SparkSession, man: Seq[ManRow],
+      artifact: String, out: String, waves: Seq[DataFrame])
+      : Vector[ManEntry] = {
+    val entries = Vector.newBuilder[ManEntry]
+    val none: Option[Long] = None
+    var v = man.filter(m => m.artifact == artifact &&
+      m.action == "commit").map(_.version).max
+    var ext = Vector.empty[ManRow]
+    def manNow = man ++ ext
+    def addData(df: DataFrame, kind: String, cause: String)
+        : Unit = {
+      val p = s"$out/$artifact/v${v}_$cause"
+      df.write.mode("overwrite").parquet(p)
+      val r = readMan(s, p, ManDataSchema)
+        .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
+      val (mn, mx) =
+        (if (r.isNullAt(1)) none else Some(r.getLong(1)),
+          if (r.isNullAt(2)) none else Some(r.getLong(2)))
+      entries += ((artifact, v, kind, "commit", "", "", "", 0L,
+        none, none))
+      entries += ((artifact, v, kind, "add", "data", cause, p,
+        r.getLong(0), mn, mx))
+      ext :+= ManRow(artifact, v, kind, "add", "data", cause, p,
+        r.getLong(0), mn, mx)
+    }
+    for (w <- waves) { v += 1; addData(w, "append", "append") }
+    // the pack commit: visible append-tier files swap for their union
+    v += 1
+    val tier = snapshotFiles(manNow, artifact, v - 1, "data")
+      .filter(_.cause == "append")
+    require(tier.nonEmpty, s"no append tier to pack for $artifact")
+    val packed = readManAll(s, tier.map(_.path), ManDataSchema)
+    val p = s"$out/$artifact/v${v}_pack"
+    packed.repartition(1).write.mode("overwrite").parquet(p)
+    val r = readMan(s, p, ManDataSchema)
+      .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
+    entries += ((artifact, v, "pack", "commit", "", "", "", 0L,
+      none, none))
+    tier.foreach(f => entries += ((artifact, v, "pack", "remove",
+      "data", "pack", f.path, 0L, none, none)))
+    entries += ((artifact, v, "pack", "add", "data", "pack", p,
+      r.getLong(0),
+      if (r.isNullAt(1)) none else Some(r.getLong(1)),
+      if (r.isNullAt(2)) none else Some(r.getLong(2))))
+    entries.result()
+  }
+
+  /** deterministic fresh-key shard wave from the artifact's base
+    * rows: original key shifted by PackKeyOff, payload verbatim. */
+  private def packWave(s: SparkSession, man: Seq[ManRow],
+      artifact: String, hex1: String): DataFrame = {
+    val base = snapshotAt(s, man, artifact, 0L)
+    base.filter(substring(md5(concat(lit("pack:"),
+        col("key").cast("string"))), 1, 1) === hex1)
+      .select((col("key") + lit(PackKeyOff)).as("key"), col("k"),
+        col("c1"), col("c2"))
+  }
+
+  /** the pack-extended manifest (once per corpus snapshot): shared
+    * log untouched, plus per artifact two shard appends (v6, v7) and
+    * the pack commit (v8) in a separate manifest dir. */
+  private[graft] def packExtensionDir(s: SparkSession, dir: String)
+      : String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val esrc = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}:" +
+      s"${esrc.lastModified}:${esrc.length}"
+    graft.Tables.memoFresh(packCache, s"$dir:", key)(_ => {
+      import s.implicits._
+      val mdir = manifestLogDir(s, dir)
+      val man = manifestRowsOf(s, mdir)
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_packext")
+      val arts = man.map(_.artifact).distinct.sorted
+      val ext = arts.flatMap(a => packCommits(s, man, a, out, Seq(
+        packWave(s, man, a, "0"), packWave(s, man, a, "1"))))
+      val orig = man.map(m => (m.artifact, m.version, m.kind,
+        m.action, m.fileKind, m.cause, m.path, m.nRows, m.minKey,
+        m.maxKey))
+      (orig ++ ext).toDF("artifact", "version", "kind", "action",
+          "file_kind", "cause", "path", "n_rows", "min_key",
+          "max_key")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$out/manifest")
+      out
+    })
+  }
+
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pdir = packExtensionDir(s, dir)
+    val man = manifestRowsOf(s, pdir)
+    val arts = man.map(_.artifact).distinct.sorted
+    val rows = arts.map { a =>
+      val packV = man.filter(m => m.artifact == a &&
+        m.kind == "pack" && m.action == "commit").map(_.version).max
+      val removed = man.filter(m => m.artifact == a &&
+        m.version == packV && m.action == "remove")
+      val packedAdd = man.filter(m => m.artifact == a &&
+        m.version == packV && m.action == "add").head
+      val present = snapshotFiles(man, a, packV, "data")
+        .map(_.nRows).sum
+      def liveStat(v: Long): (Long, Long, Long) = {
+        val h = snapshotAt(s, man, a, v).filter($"dd".isNull)
+          .agg(count(lit(1)), coalesce(sum($"c1"), lit(0L)),
+            coalesce(sum($"c2"), lit(0L))).head()
+        (h.getLong(0), h.getLong(1), h.getLong(2))
+      }
+      val (preN, preC1, preC2) = liveStat(packV - 1)
+      val (postN, postC1, postC2) = liveStat(packV)
+      val frac6 =
+        if (present > 0) packedAdd.nRows * 1000000L / present else 0L
+      (a, removed.size.toLong, packedAdd.nRows, present, frac6,
+        preN, preC1, preC2, postN, postC1, postC2)
+    }
+    rows.toDF("artifact", "files_packed", "rows_packed",
+        "rows_present_head", "partial_frac6", "rows_live_pre",
+        "chk1_pre", "chk2_pre", "rows_live_post", "chk1_post",
+        "chk2_post")
+      .orderBy($"artifact")
+  }
+
+  private lazy val q233Sql = {
+    def wave(clsCte: String, hex1: String, aggCol: String) =
+      s"""(SELECT CAST(coalesce(${aggCol}, 0) AS BIGINT)
+         | FROM $clsCte WHERE cls = 'b' AND
+         | substr(md5('pack:' || CAST(key AS VARCHAR)), 1, 1)
+         |   = '$hex1')""".stripMargin
+    def one(p: String, clsCte: String, artifact: String) = {
+      def w(agg: String) =
+        s"${wave(clsCte, "0", agg)} + ${wave(clsCte, "1", agg)}"
+      // append-tier rows surviving at v5 head, by the commit
+      // recurrence's branch bits (a fired rewrite absorbs the tier)
+      val appRows =
+        s"""CASE WHEN f.vac5 OR f.opt4 THEN CAST(0 AS BIGINT)
+           | WHEN f.vac2 THEN f.n_a2s
+           | ELSE (f.n_ba1 - f.n_b) + f.n_a2s END""".stripMargin
+      val appFiles =
+        s"""CASE WHEN f.vac5 OR f.opt4 THEN CAST(0 AS BIGINT)
+           | WHEN f.vac2 THEN CAST(1 AS BIGINT)
+           | ELSE CAST(2 AS BIGINT) END""".stripMargin
+      val present5 =
+        "CASE WHEN f.vac5 THEN f.present3 - f.dead5pre ELSE f.present3 END"
+      // live at v7/v8 = live(5) + both waves (fresh keys, no screen)
+      val live5n = "(f.present3 - f.dead5pre)"
+      s"""SELECT '$artifact' AS artifact,
+         | $appFiles + 2 AS files_packed,
+         | $appRows + ${w("count(*)")} AS rows_packed,
+         | $present5 + ${w("count(*)")} AS rows_present_head,
+         | CASE WHEN $present5 + ${w("count(*)")} > 0
+         |  THEN (($appRows + ${w("count(*)")}) * 1000000)
+         |       // ($present5 + ${w("count(*)")})
+         |  ELSE CAST(0 AS BIGINT) END AS partial_frac6,
+         | $live5n + ${w("count(*)")} AS rows_live_pre,
+         | f.c1l4 + ${w("sum(c1)")} AS chk1_pre,
+         | f.c2l4 + ${w("sum(c2)")} AS chk2_pre,
+         | $live5n + ${w("count(*)")} AS rows_live_post,
+         | f.c1l4 + ${w("sum(c1)")} AS chk1_post,
+         | f.c2l4 + ${w("sum(c2)")} AS chk2_post
+         |FROM ${p}fin f""".stripMargin
+    }
+    s"""WITH $interleaveClsPreambleSql,
+       |${interleaveStatSql("dstat", "dcls")},
+       |${interleaveStatSql("cstat", "ccls")},
+       |${interleaveStatSql("astat", "acls")},
+       |${manifestEventsSql("a", "astat", "vtk")},
+       |${manifestEventsSql("c", "cstat", "dtk")},
+       |${manifestEventsSql("d", "dstat", "dtk")}
+       |SELECT * FROM (
+       |${Seq(one("a", "acls", "ann_codes"),
+           one("c", "ccls", "chunk_postings"),
+           one("d", "dcls", "doc_postings")).mkString("\nUNION ALL\n")})
+       |ORDER BY artifact""".stripMargin
+  }
+
   // ───── q225: the CDC feed CONSUMED by a real StreamingQuery ─────
   //
   // q222 publishes the logical change feed; q223 consumes it batch-
@@ -5842,6 +6045,8 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q233_partial_compaction", q233, Some(q233Sql),
+      "partial (bin-packing) compaction: two fresh-key shard appends extend the shared timeline, then ONE pack commit merges only the visible append-tier files — clustered buckets untouched — publishing files/rows packed and the packed fraction of the table in micro-units (vs the 1.0 a full rewrite pays), with pre/post live states proven identical; the oracle re-derives the surviving append tier from the commit recurrence's vac2/opt4/vac5 branch bits"),
     Q("q232_orphan_gc", q232, Some(q232Sql),
       "orphan-file GC: per artifact, an aborted writer's planted-but-never-committed parquet file is detected as physical leaf data dirs minus every path the manifest has EVER referenced (removed files are retained for time travel, not orphans), the reclaim accounting is published (files, rows, checksum), the orphan set is deleted, and the head snapshot is proven to read identically across the delete — the unreferenced-file VACUUM verb, detection costing one driver-side directory listing"),
     Q("q231_atomic_txn_read", q231, Some(q231Sql),

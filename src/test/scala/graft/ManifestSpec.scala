@@ -619,6 +619,69 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("partial pack on the planted timeline: only the append tier rewrites, buckets stay, snapshots identical across the pack") {
+    import spark.implicits._
+    val (out, man0) = plantTimeline()
+    // head v5 is the fired vacuum's 4 clustered buckets (live 13);
+    // plant two shard waves then pack them
+    val ext = StreamingQueries.packCommits(spark, man0, "t", out,
+      Seq(rowsDf(Seq(101L, 102L)), rowsDf(Seq(103L))))
+    val man = man0 ++ ext.map(e => StreamingQueries.ManRow(e._1, e._2,
+      e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    // the pack commit removed exactly the two wave files and added
+    // one packed file of 3 rows; the 4 vacuum buckets never moved
+    val packAdds = man.filter(m => m.version == 8L &&
+      m.action == "add")
+    assert(packAdds.size == 1 && packAdds.head.nRows == 3L)
+    val packRemoves = man.filter(m => m.version == 8L &&
+      m.action == "remove").map(_.path).toSet
+    assert(packRemoves.size == 2)
+    val v8files = snapshotFiles(man, "t", 8L, "data")
+    assert(v8files.size == 5) // 4 buckets + the packed file
+    assert(v8files.count(_.cause == "vacuum") == 4)
+    // identity across the pack, and the waves are live at head
+    def liveKeysAt(v: Long) =
+      snapshotAt(spark, man, "t", v).filter(col("dd").isNull)
+        .select("key").collect().map(_.getLong(0)).toSet
+    val k7 = liveKeysAt(7L)
+    assert(k7 == ((4L to 16L).toSet ++ Set(101L, 102L, 103L)))
+    assert(liveKeysAt(8L) == k7)
+    // time travel below the pack still reads the wave files
+    assert(liveKeysAt(6L) == ((4L to 16L).toSet ++ Set(101L, 102L)))
+  }
+
+  test("q233 registry gate: pack conservation from the extended log, identity, and sub-full amplification") {
+    import spark.implicits._
+    val pk = graft.queries.Registry.byName("q233_partial_compaction")
+      .run(spark, sf).localCheckpoint(true)
+    assert(pk.count() == 3)
+    assert(pk.filter($"rows_live_pre" =!= $"rows_live_post" ||
+      $"chk1_pre" =!= $"chk1_post" ||
+      $"chk2_pre" =!= $"chk2_post").count() == 0)
+    assert(pk.filter($"partial_frac6" <= 0L ||
+      $"partial_frac6" >= 1000000L).count() == 0)
+    assert(pk.filter($"files_packed" < 2L).count() == 0)
+    // conservation against the extension log itself: the packed add's
+    // row count equals the sum of the removed files' add-time rows
+    val pdir = StreamingQueries.packExtensionDir(spark, sf)
+    val man = StreamingQueries.manifestRowsOf(spark, pdir)
+    for (a <- man.map(_.artifact).distinct) {
+      val packV = man.filter(m => m.artifact == a &&
+        m.kind == "pack").map(_.version).max
+      val removedPaths = man.filter(m => m.artifact == a &&
+        m.version == packV && m.action == "remove").map(_.path).toSet
+      val removedRows = man.filter(m => m.artifact == a &&
+        m.action == "add" && removedPaths.contains(m.path))
+        .map(_.nRows).sum
+      val packedRows = man.filter(m => m.artifact == a &&
+        m.version == packV && m.action == "add").map(_.nRows).sum
+      assert(packedRows == removedRows)
+      val sheet = pk.filter($"artifact" === a).head()
+      assert(sheet.getAs[Long]("rows_packed") == packedRows)
+      assert(sheet.getAs[Long]("files_packed") == removedPaths.size)
+    }
+  }
+
   test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
     import spark.implicits._
     val sink = StreamingQueries.cdcConsumerSink(spark, sf,
