@@ -5740,6 +5740,169 @@ object StreamingQueries {
        |ORDER BY artifact""".stripMargin
   }
 
+  // ───── q234: STREAMING manifest ingest — commits from micro-
+  // batches, then the pack verb on the mess they make ─────
+  //
+  // Every manifest so far was built by a driver fold. In production
+  // the log is fed by a STREAM: each micro-batch lands data files
+  // and commits them to the manifest transactionally (data written
+  // first, log row second — a crash between the two leaves only a
+  // q232 orphan, never a torn snapshot). q234 runs that loop for
+  // real: the doc-postings rows sharded 16 ways by key hash, drained
+  // by a throttled AvailableNow file stream whose foreachBatch
+  // commits one append per shard — idempotently (shard-keyed paths +
+  // a committed-set guard make a retried batch a no-op, and a shard
+  // file is atomic within one micro-batch by file-stream
+  // granularity). Streaming ingest is exactly what CREATES the
+  // small-file problem (one file per commit), so the gate then runs
+  // q233's pack verb on the streamed log and proves the head state
+  // identical across it. The sheet is arrival-order invariant
+  // (counts and checksums only — shard→version assignment follows
+  // the nondeterministic listing order), and the oracle derives the
+  // commit count from the nonempty-shard count of the same hash.
+
+  private val streamIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val streamIngestNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def shardHex(c: Column): Column =
+    substring(md5(concat(lit("shard:"), c.cast("string"))), 1, 1)
+
+  /** the streamed manifest log (once per corpus snapshot): feed
+    * write, AvailableNow drain with per-shard commits, pack commit,
+    * manifest + batch log parquet under the returned dir. */
+  private[graft] def streamIngestLogDir(s: SparkSession, dir: String)
+      : String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}"
+    graft.Tables.memoFresh(streamIngestCache, s"$dir:", key)(_ => {
+      import s.implicits._
+      val t0 = System.nanoTime()
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_sing")
+      val (dpAll, _, _) = purgeArtifactRows(s, dir)
+      val rows = dpAll.select($"doc_id".cast("long").as("key"),
+        $"k".cast("string").as("k"), $"c1".cast("long").as("c1"),
+        $"c2".cast("long").as("c2"))
+      rows.withColumn("shard", shardHex($"key"))
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$out/feed")
+      val entries = Vector.newBuilder[ManEntry]
+      val none: Option[Long] = None
+      val a = "doc_stream"
+      // v0: an empty base — the table exists before the stream starts
+      rows.limit(0).write.mode("overwrite")
+        .parquet(s"$out/$a/v0_base")
+      entries += ((a, 0L, "base", "commit", "", "", "", 0L, none,
+        none))
+      entries += ((a, 0L, "base", "add", "data", "base",
+        s"$out/$a/v0_base", 0L, none, none))
+      val committed =
+        scala.collection.mutable.LinkedHashSet.empty[String]
+      val batchLog =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val feedSchema = org.apache.spark.sql.types.StructType
+        .fromDDL("key BIGINT, k STRING, c1 BIGINT, c2 BIGINT, " +
+          "shard STRING")
+      val q = s.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(s"$out/feed")
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val withShard = df.localCheckpoint(true)
+          val shards = withShard.select(col("shard")).distinct()
+            .collect().map(_.getString(0)).sorted
+          for (sh <- shards if !committed.contains(sh)) {
+            val p = s"$out/$a/shard_$sh"
+            withShard.filter(col("shard") === sh)
+              .select(col("key"), col("k"), col("c1"), col("c2"))
+              .write.mode("overwrite").parquet(p)
+            val r = readMan(s, p, ManDataSchema)
+              .agg(count(lit(1)), min(col("key")), max(col("key")))
+              .head()
+            val v = committed.size + 1L
+            entries.synchronized {
+              entries += ((a, v, "append", "commit", "", "", "", 0L,
+                none, none))
+              entries += ((a, v, "append", "add", "data", "append",
+                p, r.getLong(0),
+                if (r.isNullAt(1)) none else Some(r.getLong(1)),
+                if (r.isNullAt(2)) none else Some(r.getLong(2))))
+            }
+            committed += sh
+            batchLog += ((batchId, sh))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val ingested = entries.result().map(e => ManRow(e._1, e._2,
+        e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+      val packExt = packCommits(s, ingested, a, out, Seq.empty)
+      (ingested.map(m => (m.artifact, m.version, m.kind, m.action,
+          m.fileKind, m.cause, m.path, m.nRows, m.minKey, m.maxKey))
+        ++ packExt)
+        .toDF("artifact", "version", "kind", "action", "file_kind",
+          "cause", "path", "n_rows", "min_key", "max_key")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$out/manifest")
+      batchLog.toSeq.toDF("batch", "shard").repartition(1)
+        .write.mode("overwrite").parquet(s"$out/batchlog")
+      streamIngestNanos.addAndGet(System.nanoTime() - t0)
+      out
+    })
+  }
+
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sdir = streamIngestLogDir(s, dir)
+    val man = manifestRowsOf(s, sdir)
+    val a = "doc_stream"
+    val packV = man.filter(m => m.artifact == a && m.kind == "pack" &&
+      m.action == "commit").map(_.version).max
+    def stat(v: Long): (Long, Long, Long, Long, Long) = {
+      val files = snapshotFiles(man, a, v, "data").size.toLong
+      val h = snapshotAt(s, man, a, v).filter($"dd".isNull)
+        .agg(count(lit(1)), countDistinct($"key"),
+          coalesce(sum($"c1"), lit(0L)), coalesce(sum($"c2"), lit(0L)))
+        .head()
+      (files, h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
+    }
+    val (fI, rI, kI, c1I, c2I) = stat(packV - 1)
+    val (fP, rP, kP, c1P, c2P) = stat(packV)
+    Seq(
+      ("after_ingest", packV, fI, rI, kI, c1I, c2I),
+      ("after_pack", packV + 1L, fP, rP, kP, c1P, c2P))
+      .toDF("phase", "commits", "files_visible", "rows_live",
+        "keys_live", "chk1", "chk2")
+      .orderBy($"phase")
+  }
+
+  private lazy val q234Sql = {
+    val ne =
+      """(SELECT CAST(count(DISTINCT substr(md5('shard:' ||
+        | CAST(key AS VARCHAR)), 1, 1)) AS BIGINT) FROM dcls)"""
+        .stripMargin
+    def stats = """
+      | (SELECT CAST(count(*) AS BIGINT) FROM dcls) AS rows_live,
+      | (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM dcls)
+      |   AS keys_live,
+      | (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) FROM dcls)
+      |   AS chk1,
+      | (SELECT CAST(coalesce(sum(c2), 0) AS BIGINT) FROM dcls)
+      |   AS chk2""".stripMargin
+    s"""WITH $interleaveClsPreambleSql
+       |SELECT * FROM (
+       |SELECT 'after_ingest' AS phase, 1 + $ne AS commits,
+       | 1 + $ne AS files_visible,$stats
+       |UNION ALL
+       |SELECT 'after_pack', 2 + $ne, CAST(2 AS BIGINT),$stats)
+       |ORDER BY phase""".stripMargin
+  }
+
   // ───── q225: the CDC feed CONSUMED by a real StreamingQuery ─────
   //
   // q222 publishes the logical change feed; q223 consumes it batch-
@@ -6045,6 +6208,8 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q234_stream_manifest_ingest", q234, Some(q234Sql),
+      "streaming manifest ingest: the doc rows sharded 16 ways drain through a throttled AvailableNow file stream whose foreachBatch lands one idempotent append commit per shard (data file first, log row second — a crash between them is a q232 orphan, never a torn snapshot), then the q233 pack verb compacts the one-file-per-commit mess with the head state proven identical; sheet is arrival-order invariant and the oracle derives commit counts from the nonempty-shard count of the same key hash — the THIRTIETH streaming gate"),
     Q("q233_partial_compaction", q233, Some(q233Sql),
       "partial (bin-packing) compaction: two fresh-key shard appends extend the shared timeline, then ONE pack commit merges only the visible append-tier files — clustered buckets untouched — publishing files/rows packed and the packed fraction of the table in micro-units (vs the 1.0 a full rewrite pays), with pre/post live states proven identical; the oracle re-derives the surviving append tier from the commit recurrence's vac2/opt4/vac5 branch bits"),
     Q("q232_orphan_gc", q232, Some(q232Sql),

@@ -682,6 +682,33 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("q234 streaming manifest ingest: >= 2 throttled micro-batches, one commit per shard, head == the source rows, pack preserves it") {
+    import spark.implicits._
+    val sdir = StreamingQueries.streamIngestLogDir(spark, sf)
+    // the batch dimension is real: 16 shard files at 3 files/trigger
+    // must spread over successive micro-batches
+    val bl = spark.read.parquet(s"$sdir/batchlog")
+    assert(bl.select($"batch").distinct().count() >= 2)
+    // exactly one commit per shard, no duplicate shard commits
+    assert(bl.select($"shard").distinct().count() == bl.count())
+    val man = StreamingQueries.manifestRowsOf(spark, sdir)
+    val appends = man.filter(m => m.kind == "append" &&
+      m.action == "add")
+    assert(appends.size == bl.count())
+    // head state equals the source frame, and survives the pack
+    val sheet = graft.queries.Registry
+      .byName("q234_stream_manifest_ingest").run(spark, sf)
+      .localCheckpoint(true)
+    assert(sheet.count() == 2)
+    val i = sheet.filter($"phase" === "after_ingest").head()
+    val p = sheet.filter($"phase" === "after_pack").head()
+    for (c <- Seq("rows_live", "keys_live", "chk1", "chk2"))
+      assert(i.getAs[Long](c) == p.getAs[Long](c))
+    assert(p.getAs[Long]("files_visible") == 2L)
+    assert(i.getAs[Long]("files_visible") ==
+      appends.size.toLong + 1L)
+  }
+
   test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
     import spark.implicits._
     val sink = StreamingQueries.cdcConsumerSink(spark, sf,
