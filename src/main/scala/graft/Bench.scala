@@ -131,6 +131,17 @@ object Bench {
       // the COW merge extension q227 reads (one merge commit per
       // corpus snapshot)
       graft.queries.StreamingQueries.mergeExtensionDir(spark, sfDir)
+      // the manifest-capstone families added this round — the
+      // txn-log membership pass (q231), the pack extension (q233),
+      // and the streaming shard ingest (q234) — each carry first-plan
+      // codegen; warm the FAMILIES at sf0.001 (the measured sfDir
+      // builders stay cold: their build IS the verb being measured)
+      SparkEntry.queries("q231_atomic_txn_read")(
+        spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q233_partial_compaction")(
+        spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q234_stream_manifest_ingest")(
+        spark, "/root/testdata/sf0.001").count()
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back
       // into the first measured entries with no signal — make

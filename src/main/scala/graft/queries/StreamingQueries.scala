@@ -5218,17 +5218,15 @@ object StreamingQueries {
     import s.implicits._
     val mdir = manifestLogDir(s, dir)
     val man = manifestRowsOf(s, mdir)
-    def liveKeys(artifact: String, v: Long) =
-      snapshotAt(s, man, artifact, v).filter($"dd".isNull)
-        .select($"key").distinct()
-    val versions = man.filter(m => m.artifact == "doc_postings" &&
-      m.action == "commit").map(_.version).sorted
-    val pairs = versions.map(v => (v, v)) ++ Seq((3L, 2L), (2L, 3L))
+    // the cells come from the ONE membership-frame pass shared with
+    // q231 (txnCells) — the first form ran 16 per-pair anti-join
+    // jobs with per-pair checkpoints (8.0 s vs 0.2 s warm at sf0.1);
+    // the independent per-pair anti-join spelling lives on as the
+    // ManifestSpec cross-check
+    val cells = txnCells(s, dir, mdir, man)
+    val pairs = (0L to 5L).map(v => (v, v)) ++ Seq((3L, 2L), (2L, 3L))
     val rows = pairs.map { case (vd, vc) =>
-      val d = liveKeys("doc_postings", vd).localCheckpoint(true)
-      val c = liveKeys("chunk_postings", vc).localCheckpoint(true)
-      val dn = d.join(c, Seq("key"), "left_anti").count()
-      val cn = c.join(d, Seq("key"), "left_anti").count()
+      val (dn, cn) = cells((vd, vc))
       (vd, vc, vd == vc, dn, cn)
     }
     rows.toDF("v_doc", "v_chunk", "aligned", "tears_doc_only",
@@ -5355,7 +5353,7 @@ object StreamingQueries {
         yield max(when($"tag" === s"$t$v", 1).otherwise(0)).as(s"$t$v")
       val mem = tagged.groupBy($"key").agg(flags.head, flags.tail: _*)
       val pairs = (0L to 5L).map(v => (v, v)) ++
-        (1L to 5L).map(v => (v, v - 1L))
+        (1L to 5L).map(v => (v, v - 1L)) ++ Seq((2L, 3L))
       val sums = pairs.flatMap { case (vd, vc) => Seq(
         sum(when(col(s"d$vd") === 1 && col(s"c$vc") === 0, 1L)
           .otherwise(0L)).as(s"tdo_${vd}_$vc"),

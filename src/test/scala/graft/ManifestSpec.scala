@@ -555,24 +555,25 @@ class ManifestSpec extends SparkSpec {
     assert(tx.filter($"reader" === "naive" && !$"aligned")
       .select($"step").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L, 5L, 7L, 9L))
-    // cross-gate pin: the naive cell inside the v3 stagger window
-    // (doc@3, chunk@2) must equal q230's independently computed
-    // per-pair anti-join cell exactly
-    val skew = graft.queries.Registry.byName("q230_version_skew_audit")
-      .run(spark, sf).filter($"v_doc" === 3 && $"v_chunk" === 2)
-      .select($"tears_doc_only".as("t1"), $"tears_chunk_only".as("t2"))
-      .head()
-    val n5 = tx.filter($"step" === 5 && $"reader" === "naive").head()
-    assert(n5.getAs[Long]("tears_doc_only") == skew.getAs[Long]("t1"))
-    assert(n5.getAs[Long]("tears_chunk_only") == skew.getAs[Long]("t2"))
-    // the compliance failure: in the takedown-commit stagger window
-    // (step 3: doc sealed v2 = D1 applied, chunk still v1) the naive
-    // reader serves chunk keys for docs the doc side already purged
+    // independent spelling: the naive cell inside the v3 stagger
+    // window (doc@3, chunk@2) recomputed here by direct per-pair
+    // anti-joins over the snapshots — the one-pass membership
+    // aggregation both gates share must agree with it exactly
     val mdir = StreamingQueries.manifestLogDir(spark, sf)
     val man = StreamingQueries.manifestRowsOf(spark, mdir)
     def live(a: String, v: Long) =
       snapshotAt(spark, man, a, v).filter($"dd".isNull)
         .select($"key").distinct()
+    val d3 = live("doc_postings", 3L).localCheckpoint(true)
+    val c2x = live("chunk_postings", 2L).localCheckpoint(true)
+    val n5 = tx.filter($"step" === 5 && $"reader" === "naive").head()
+    assert(n5.getAs[Long]("tears_doc_only") ==
+      d3.join(c2x, Seq("key"), "left_anti").count())
+    assert(n5.getAs[Long]("tears_chunk_only") ==
+      c2x.join(d3, Seq("key"), "left_anti").count())
+    // the compliance failure: in the takedown-commit stagger window
+    // (step 3: doc sealed v2 = D1 applied, chunk still v1) the naive
+    // reader serves chunk keys for docs the doc side already purged
     val purgedWithChunks = live("chunk_postings", 1L)
       .join(live("chunk_postings", 2L), Seq("key"), "left_anti")
       .join(live("doc_postings", 1L), Seq("key"), "left_semi")
