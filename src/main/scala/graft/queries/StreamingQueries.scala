@@ -4983,6 +4983,200 @@ object StreamingQueries {
        |SELECT * FROM dmr)
        |ORDER BY artifact""".stripMargin
 
+  // ───── q235: the SAME merge, merge-on-read — MoR vs COW, priced ─────
+  //
+  // q227 executes the upsert COPY-ON-WRITE: every file holding a
+  // matched key rewrites (amp6 ≈ 16× on this hash-scattered update).
+  // q235 executes the IDENTICAL logical merge MERGE-ON-READ, the
+  // Iceberg-style alternative: ONE delta file carrying the |U| post-
+  // image rows plus ONE supersede key file; no base file moves. The
+  // MoR read rule pays instead — pre-merge rows drop on a broadcast
+  // supersede anti-join at every read (sequence precedence: the
+  // supersede set applies only to files committed BEFORE the merge,
+  // so the delta's own rows survive). The gate proves the two heads
+  // ROW-IDENTICAL via one ±1-signed groupBy over both live sets (the
+  // q228 single-shuffle spelling — no exceptAll double shuffle) and
+  // publishes both write-amplification numbers side by side: MoR
+  // writes exactly the update (amp6_mor = 1.0 in micro-units), COW
+  // rewrites every cohabiting row — the write-heavy vs read-heavy
+  // table-format trade made measurable. The supersede mechanism is
+  // DELIBERATELY not a takedown tombstone: key tombstones assume a
+  // key never re-appears (the ingest screen's contract), while the
+  // supersede file is version-scoped, which is exactly why MoR
+  // updates need sequence numbers where deletes do not.
+
+  private val morCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** one MoR merge commit: the post-image delta (data) and the
+    * supersede key file (file_kind 'morsup') — base files untouched. */
+  private[graft] def morCommit(s: SparkSession, man: Seq[ManRow],
+      a: String, out: String, pick: Column => Column)
+      : Vector[ManEntry] = {
+    val none: Option[Long] = None
+    val entries = Vector.newBuilder[ManEntry]
+    val head = man.filter(m => m.artifact == a &&
+      m.action == "commit").map(_.version).max
+    val v = head + 1L
+    val delta = snapshotAt(s, man, a, head)
+      .filter(col("dd").isNull).filter(pick(col("key")))
+      .select(col("key"), col("k"),
+        (col("c1") + col("key")).as("c1"),
+        (col("c2") + lit(1L)).as("c2"))
+      .localCheckpoint(true)
+    val dp = s"$out/$a/v${v}_mor_delta"
+    delta.write.mode("overwrite").parquet(dp)
+    val r = readMan(s, dp, ManDataSchema)
+      .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
+    val sp = s"$out/$a/v${v}_mor_sup"
+    delta.select(col("key")).distinct()
+      .write.mode("overwrite").parquet(sp)
+    val sn = readMan(s, sp, ManTombSchema).count()
+    entries += ((a, v, "merge", "commit", "", "", "", 0L, none, none))
+    entries += ((a, v, "merge", "add", "data", "mor_delta", dp,
+      r.getLong(0),
+      if (r.isNullAt(1)) none else Some(r.getLong(1)),
+      if (r.isNullAt(2)) none else Some(r.getLong(2))))
+    entries += ((a, v, "merge", "add", "morsup", "merge", sp, sn,
+      none, none))
+    entries.result()
+  }
+
+  /** the MoR merge extension (once per corpus snapshot): per
+    * artifact, commit v6 adds the post-image delta (data) and the
+    * supersede key file (file_kind 'morsup') — base files untouched. */
+  private[graft] def morExtensionDir(s: SparkSession, dir: String)
+      : String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val esrc = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}:" +
+      s"${esrc.lastModified}:${esrc.length}"
+    graft.Tables.memoFresh(morCache, s"$dir:", key)(_ => {
+      import s.implicits._
+      val mdir = manifestLogDir(s, dir)
+      val man = manifestRowsOf(s, mdir)
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_morext")
+      val ext = man.map(_.artifact).distinct.sorted
+        .flatMap(a => morCommit(s, man, a, out, upsertPick))
+      val orig = man.map(m => (m.artifact, m.version, m.kind,
+        m.action, m.fileKind, m.cause, m.path, m.nRows, m.minKey,
+        m.maxKey))
+      (orig ++ ext)
+        .toDF("artifact", "version", "kind", "action", "file_kind",
+          "cause", "path", "n_rows", "min_key", "max_key")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$out/manifest")
+      out
+    })
+  }
+
+  /** the MoR head read: pre-merge visible rows minus the broadcast
+    * supersede set (version precedence: it applies only to files
+    * committed before the merge), plus the delta rows, with the
+    * ordinary merge-on-read takedown tombstones on top. */
+  private[graft] def morSnapshotHead(s: SparkSession, man: Seq[ManRow],
+      artifact: String): DataFrame = {
+    val morV = man.filter(m => m.artifact == artifact &&
+      m.kind == "merge" && m.action == "commit").map(_.version).max
+    val preF = snapshotFiles(man, artifact, morV - 1L, "data")
+    val deltaF = man.filter(m => m.artifact == artifact &&
+      m.version == morV && m.action == "add" && m.fileKind == "data")
+    val supF = man.filter(m => m.artifact == artifact &&
+      m.version == morV && m.action == "add" &&
+      m.fileKind == "morsup")
+    val sup = readManAll(s, supF.map(_.path), ManTombSchema)
+      .select(col("key")).distinct()
+    val pre = readManAll(s, preF.map(_.path), ManDataSchema)
+      .join(broadcast(sup), Seq("key"), "left_anti")
+    val rows = pre.unionByName(
+      readManAll(s, deltaF.map(_.path), ManDataSchema))
+    val tombF = snapshotFiles(man, artifact, morV - 1L, "tomb")
+    if (tombF.isEmpty) rows.withColumn("dd", lit(null).cast("int"))
+    else rows.join(
+      broadcast(readManAll(s, tombF.map(_.path), ManTombSchema)
+        .select(col("key")).distinct().withColumn("dd", lit(1))),
+      Seq("key"), "left")
+  }
+
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val morMan = manifestRowsOf(s, morExtensionDir(s, dir))
+    val cowMan = manifestRowsOf(s, mergeExtensionDir(s, dir))
+    val arts = morMan.map(_.artifact).distinct.sorted
+    val rows = arts.map { a =>
+      val morV = morMan.filter(m => m.artifact == a &&
+        m.kind == "merge" && m.action == "commit").map(_.version).max
+      val deltaRows = morMan.filter(m => m.artifact == a &&
+        m.version == morV && m.fileKind == "data" &&
+        m.action == "add").map(_.nRows).sum
+      val supKeys = morMan.filter(m => m.artifact == a &&
+        m.version == morV && m.fileKind == "morsup").map(_.nRows).sum
+      val cowV = cowMan.filter(m => m.artifact == a &&
+        m.action == "commit").map(_.version).max
+      val cowRewritten = cowMan.filter(m => m.artifact == a &&
+        m.version == cowV && m.action == "add" &&
+        m.cause == "merge").map(_.nRows).sum
+      val morLive = morSnapshotHead(s, morMan, a)
+        .filter($"dd".isNull).select($"key", $"k", $"c1", $"c2")
+        .localCheckpoint(true)
+      val h = morLive.agg(count(lit(1)), countDistinct($"k"),
+        coalesce(sum($"c1"), lit(0L)), coalesce(sum($"c2"), lit(0L)))
+        .head()
+      // row-identity vs the COW head in ONE signed shuffle
+      val cowLive = snapshotAt(s, cowMan, a, cowV)
+        .filter($"dd".isNull).select($"key", $"k", $"c1", $"c2")
+      val mismatch = morLive.withColumn("sgn", lit(1L))
+        .unionByName(cowLive.withColumn("sgn", lit(-1L)))
+        .groupBy($"key", $"k", $"c1", $"c2")
+        .agg(sum($"sgn").as("n")).filter($"n" =!= 0L).count()
+      val amp6Mor =
+        if (deltaRows > 0) deltaRows * 1000000L / deltaRows else 0L
+      val amp6Cow =
+        if (deltaRows > 0) cowRewritten * 1000000L / deltaRows else 0L
+      (a, supKeys, deltaRows, deltaRows, cowRewritten, amp6Mor,
+        amp6Cow, h.getLong(0), h.getLong(1), h.getLong(2),
+        h.getLong(3), mismatch == 0L)
+    }
+    rows.toDF("artifact", "keys_updated", "rows_updated",
+        "rows_written_mor", "rows_written_cow", "amp6_mor",
+        "amp6_cow", "rows_live", "keys_live", "chk1_live",
+        "chk2_live", "head_identical")
+      .orderBy($"artifact")
+  }
+
+  private lazy val q235Sql = {
+    def one(p: String, artifact: String) =
+      s"""SELECT '$artifact' AS artifact,
+         | g.keys_updated, g.rows_updated,
+         | g.rows_updated AS rows_written_mor,
+         | m.rows_rewritten AS rows_written_cow,
+         | CASE WHEN g.rows_updated > 0 THEN CAST(1000000 AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS amp6_mor,
+         | CAST(CASE WHEN g.rows_updated > 0
+         |  THEN (m.rows_rewritten * 1000000) // g.rows_updated
+         |  ELSE 0 END AS BIGINT) AS amp6_cow,
+         | g.rows_live, g.keys_live, g.chk1_live, g.chk2_live,
+         | TRUE AS head_identical
+         |FROM ${p}mg g, ${p}mr m""".stripMargin
+    s"""WITH $interleaveClsPreambleSql,
+       |${interleaveStatSql("dstat", "dcls")},
+       |${interleaveStatSql("cstat", "ccls")},
+       |${interleaveStatSql("astat", "acls")},
+       |${manifestEventsSql("a", "astat", "vtk")},
+       |${manifestEventsSql("c", "cstat", "dtk")},
+       |${manifestEventsSql("d", "dstat", "dtk")},
+       |${zoneStatSql("a", "acls")},
+       |${zoneStatSql("c", "ccls")},
+       |${zoneStatSql("d", "dcls")},
+       |${mergeSelectSql("a", "acls", "ann_codes")},
+       |${mergeSelectSql("c", "ccls", "chunk_postings")},
+       |${mergeSelectSql("d", "dcls", "doc_postings")}
+       |SELECT * FROM (
+       |${Seq(one("a", "ann_codes"), one("c", "chunk_postings"),
+           one("d", "doc_postings")).mkString("\nUNION ALL\n")})
+       |ORDER BY artifact""".stripMargin
+  }
+
   // ───── q228: update-CDC derived from the COW merge file swap ─────
   //
   // A COW merge commit adds no append files and no tombstones, so the
@@ -6206,6 +6400,8 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q235_mor_vs_cow_merge", q235, Some(q235Sql),
+      "merge-on-read vs copy-on-write: the identical logical upsert executed as one post-image delta file + one version-scoped supersede key file (no base file moves; the read pays a broadcast anti-join) and proven ROW-IDENTICAL to q227's COW head via one signed groupBy shuffle, with both write-amplification numbers published side by side (amp6_mor = 1.0 micro-units, amp6_cow = the cohabiting-row rewrite) — the write-heavy vs read-heavy table-format trade made measurable"),
     Q("q234_stream_manifest_ingest", q234, Some(q234Sql),
       "streaming manifest ingest: the doc rows sharded 16 ways drain through a throttled AvailableNow file stream whose foreachBatch lands one idempotent append commit per shard (data file first, log row second — a crash between them is a q232 orphan, never a torn snapshot), then the q233 pack verb compacts the one-file-per-commit mess with the head state proven identical; sheet is arrival-order invariant and the oracle derives commit counts from the nonempty-shard count of the same key hash — the THIRTIETH streaming gate"),
     Q("q233_partial_compaction", q233, Some(q233Sql),

@@ -710,6 +710,60 @@ class ManifestSpec extends SparkSpec {
       appends.size.toLong + 1L)
   }
 
+  test("MoR merge on the planted timeline: one delta + one supersede file, base untouched, head == the COW merge head") {
+    import spark.implicits._
+    val out = tmpDir("graft_morspec")
+    val (cowOut, man0) = plantTimeline()
+    val morExt = StreamingQueries.morCommit(spark, man0, "t", out,
+      c => c.isin(5L, 13L))
+    val morMan = man0 ++ morExt.map(e => StreamingQueries.ManRow(e._1,
+      e._2, e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    // the commit added exactly two files and removed NOTHING
+    assert(morExt.count(_._4 == "add") == 2)
+    assert(morExt.count(_._4 == "remove") == 0)
+    val head = StreamingQueries.morSnapshotHead(spark, morMan, "t")
+      .filter(col("dd").isNull)
+      .select("key", "k", "c1", "c2").localCheckpoint(true)
+    // hand-rolled expectation: live 13 rows, keys 5 and 13 carry the
+    // post image (c1 + key, c2 + 1)
+    val byKey = head.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byKey.keySet == (4L to 16L).toSet)
+    assert(byKey(5L) == ((55L, 6L)) && byKey(13L) == ((143L, 14L)))
+    assert(byKey(6L) == ((60L, 6L))) // untouched rows verbatim
+    // row-identity with the COW merge head on the same pick
+    val cowExt = StreamingQueries.mergeCommit(spark, man0, "t",
+      cowOut, c => c.isin(5L, 13L))
+    val cowMan = man0 ++ cowExt.map(e => StreamingQueries.ManRow(e._1,
+      e._2, e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    val cowHead = snapshotAt(spark, cowMan, "t", 6L)
+      .filter(col("dd").isNull).select("key", "k", "c1", "c2")
+    assert(head.exceptAll(cowHead).count() == 0)
+    assert(cowHead.exceptAll(head).count() == 0)
+  }
+
+  test("q235 registry gate: MoR head row-identical to COW, amp6_mor exactly 1.0, COW amplification strictly above it") {
+    import spark.implicits._
+    val mc = graft.queries.Registry.byName("q235_mor_vs_cow_merge")
+      .run(spark, sf).localCheckpoint(true)
+    assert(mc.count() == 3)
+    assert(mc.filter(!$"head_identical").count() == 0)
+    assert(mc.filter($"amp6_mor" =!= 1000000L).count() == 0)
+    assert(mc.filter($"amp6_cow" <= $"amp6_mor").count() == 0)
+    assert(mc.filter($"rows_written_cow" <= $"rows_written_mor")
+      .count() == 0)
+    // cross-gate: the update cardinalities match q227's COW sheet
+    val cow = graft.queries.Registry.byName("q227_cow_merge")
+      .run(spark, sf)
+      .select($"artifact", $"keys_updated".as("kc"),
+        $"rows_updated".as("rc"), $"rows_rewritten".as("ww"))
+    val j = mc.join(cow, Seq("artifact"))
+    assert(j.count() == 3)
+    assert(j.filter($"keys_updated" =!= $"kc" ||
+      $"rows_updated" =!= $"rc" ||
+      $"rows_written_cow" =!= $"ww").count() == 0)
+  }
+
   test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
     import spark.implicits._
     val sink = StreamingQueries.cdcConsumerSink(spark, sf,
