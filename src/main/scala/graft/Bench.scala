@@ -128,9 +128,12 @@ object Bench {
       graft.queries.StreamingQueries.warmCdcFeed(spark, sfDir)
       SparkEntry.queries("q225_stream_cdc_consume")(
         spark, "/root/testdata/sf0.001").count()
-      // the COW merge extension q227 reads (one merge commit per
-      // corpus snapshot)
+      // the COW merge extension q227 reads and the MoR merge
+      // extension q235 compares it against (one merge commit each
+      // per corpus snapshot)
       graft.queries.StreamingQueries.mergeExtensionDir(spark, sfDir)
+      graft.queries.StreamingQueries.morExtensionDir(spark, sfDir)
+      graft.queries.StreamingQueries.morCompactDir(spark, sfDir)
       // the manifest-capstone families added this round — the
       // txn-log membership pass (q231), the pack extension (q233),
       // and the streaming shard ingest (q234) — each carry first-plan
@@ -141,6 +144,10 @@ object Bench {
       SparkEntry.queries("q233_partial_compaction")(
         spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("q234_stream_manifest_ingest")(
+        spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q235_mor_vs_cow_merge")(
+        spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q236_mor_compaction")(
         spark, "/root/testdata/sf0.001").count()
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back

@@ -5177,6 +5177,164 @@ object StreamingQueries {
        |ORDER BY artifact""".stripMargin
   }
 
+  // ───── q236: MoR minor compaction — retiring the read tax ─────
+  //
+  // q235's MoR head pays a broadcast supersede anti-join at EVERY
+  // read. The deferred half of the trade is minor compaction: rewrite
+  // ONLY the pre-merge files that contain superseded keys (dropping
+  // those rows — the delta file already carries their post images),
+  // retire the supersede file, and the head serves under the PLAIN
+  // snapshot rule again — no special read path, no anti-join. The
+  // compaction's write bill is exactly the COW bill MoR deferred,
+  // minus the superseded rows themselves (they are dropped, not
+  // copied), and the gate publishes that arithmetic: rows_written ==
+  // cow_rewritten − rows_updated, oracle-derived from the same
+  // branch-bit machinery. Head identity is gated twice — plain
+  // snapshot at v7 ≡ the q235 MoR read at v6 (one signed shuffle),
+  // and the oracle pins the same live digests all three spellings
+  // (COW, MoR, compacted MoR) share. MoR merge + minor compaction ≡
+  // COW, amortized across the reads in between: the lifecycle a real
+  // Iceberg table runs.
+
+  private val morCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** compact one artifact's MoR merge: v7 rewrites every pre-merge
+    * data file holding a superseded key (rows minus the supersede
+    * set, payload verbatim), removes the supersede file, keeps the
+    * delta. Returns the extension entries. */
+  private[graft] def morCompact(s: SparkSession, man: Seq[ManRow],
+      a: String, out: String): Vector[ManEntry] = {
+    val none: Option[Long] = None
+    val entries = Vector.newBuilder[ManEntry]
+    val morV = man.filter(m => m.artifact == a &&
+      m.kind == "merge" && m.action == "commit").map(_.version).max
+    val v = morV + 1L
+    val supF = man.filter(m => m.artifact == a && m.version == morV &&
+      m.action == "add" && m.fileKind == "morsup")
+    val sup = readManAll(s, supF.map(_.path), ManTombSchema)
+      .select(col("key")).distinct().localCheckpoint(true)
+    entries += ((a, v, "compact", "commit", "", "", "", 0L, none,
+      none))
+    val preF = snapshotFiles(man, a, morV - 1L, "data")
+      .filter(_.nRows > 0L)
+    preF.zipWithIndex.foreach { case (f, i) =>
+      val marked = readMan(s, f.path, ManDataSchema)
+        .join(broadcast(sup.withColumn("ss", lit(1))), Seq("key"),
+          "left")
+      val hit = marked.filter(col("ss") === 1).count()
+      if (hit > 0L) {
+        val p = s"$out/$a/v${v}_compact_$i"
+        marked.filter(col("ss").isNull)
+          .select(col("key"), col("k"), col("c1"), col("c2"))
+          .write.mode("overwrite").parquet(p)
+        val r = readMan(s, p, ManDataSchema)
+          .agg(count(lit(1)), min(col("key")), max(col("key"))).head()
+        entries += ((a, v, "compact", "remove", "data", "compact",
+          f.path, 0L, none, none))
+        entries += ((a, v, "compact", "add", "data", "compact", p,
+          r.getLong(0),
+          if (r.isNullAt(1)) none else Some(r.getLong(1)),
+          if (r.isNullAt(2)) none else Some(r.getLong(2))))
+      }
+    }
+    // retire the supersede file: the read tax ends here
+    supF.foreach(f => entries += ((a, v, "compact", "remove",
+      "morsup", "compact", f.path, 0L, none, none)))
+    entries.result()
+  }
+
+  /** the compacted-MoR manifest (once per corpus snapshot): the MoR
+    * extension plus one minor-compaction commit per artifact. */
+  private[graft] def morCompactDir(s: SparkSession, dir: String)
+      : String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val esrc = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.lastModified}:${src.length}:" +
+      s"${esrc.lastModified}:${esrc.length}"
+    graft.Tables.memoFresh(morCompactCache, s"$dir:", key)(_ => {
+      import s.implicits._
+      val morMan = manifestRowsOf(s, morExtensionDir(s, dir))
+      val out = graft.Scratch.tempDirDeletedOnExit("graft_morcmp")
+      val ext = morMan.map(_.artifact).distinct.sorted
+        .flatMap(a => morCompact(s, morMan, a, out))
+      val orig = morMan.map(m => (m.artifact, m.version, m.kind,
+        m.action, m.fileKind, m.cause, m.path, m.nRows, m.minKey,
+        m.maxKey))
+      (orig ++ ext).toDF("artifact", "version", "kind", "action",
+          "file_kind", "cause", "path", "n_rows", "min_key",
+          "max_key")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$out/manifest")
+      out
+    })
+  }
+
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val man = manifestRowsOf(s, morCompactDir(s, dir))
+    val morMan = manifestRowsOf(s, morExtensionDir(s, dir))
+    val arts = man.map(_.artifact).distinct.sorted
+    val rows = arts.map { a =>
+      val cv = man.filter(m => m.artifact == a &&
+        m.kind == "compact" && m.action == "commit").map(_.version)
+        .max
+      val written = man.filter(m => m.artifact == a &&
+        m.version == cv && m.action == "add").map(_.nRows).sum
+      val filesRewritten = man.filter(m => m.artifact == a &&
+        m.version == cv && m.action == "add").size.toLong
+      // no supersede file survives at head: the read tax is retired
+      val supLeft = snapshotFiles(man, a, cv, "morsup").size.toLong
+      // the PLAIN snapshot read — no MoR rule — at the compacted head
+      val live = snapshotAt(s, man, a, cv).filter($"dd".isNull)
+        .select($"key", $"k", $"c1", $"c2").localCheckpoint(true)
+      val h = live.agg(count(lit(1)), countDistinct($"k"),
+        coalesce(sum($"c1"), lit(0L)), coalesce(sum($"c2"), lit(0L)))
+        .head()
+      // identity vs the q235 MoR read in one signed shuffle
+      val mor = morSnapshotHead(s, morMan, a).filter($"dd".isNull)
+        .select($"key", $"k", $"c1", $"c2")
+      val mismatch = live.withColumn("sgn", lit(1L))
+        .unionByName(mor.withColumn("sgn", lit(-1L)))
+        .groupBy($"key", $"k", $"c1", $"c2")
+        .agg(sum($"sgn").as("n")).filter($"n" =!= 0L).count()
+      (a, filesRewritten, written, supLeft, h.getLong(0),
+        h.getLong(1), h.getLong(2), h.getLong(3), mismatch == 0L)
+    }
+    rows.toDF("artifact", "files_rewritten", "rows_written",
+        "sup_files_left", "rows_live", "keys_live", "chk1_live",
+        "chk2_live", "head_identical")
+      .orderBy($"artifact")
+  }
+
+  private lazy val q236Sql = {
+    def one(p: String, artifact: String) =
+      s"""SELECT '$artifact' AS artifact,
+         | m.files_rewritten,
+         | m.rows_rewritten - g.rows_updated AS rows_written,
+         | CAST(0 AS BIGINT) AS sup_files_left,
+         | g.rows_live, g.keys_live, g.chk1_live, g.chk2_live,
+         | TRUE AS head_identical
+         |FROM ${p}mg g, ${p}mr m""".stripMargin
+    s"""WITH $interleaveClsPreambleSql,
+       |${interleaveStatSql("dstat", "dcls")},
+       |${interleaveStatSql("cstat", "ccls")},
+       |${interleaveStatSql("astat", "acls")},
+       |${manifestEventsSql("a", "astat", "vtk")},
+       |${manifestEventsSql("c", "cstat", "dtk")},
+       |${manifestEventsSql("d", "dstat", "dtk")},
+       |${zoneStatSql("a", "acls")},
+       |${zoneStatSql("c", "ccls")},
+       |${zoneStatSql("d", "dcls")},
+       |${mergeSelectSql("a", "acls", "ann_codes")},
+       |${mergeSelectSql("c", "ccls", "chunk_postings")},
+       |${mergeSelectSql("d", "dcls", "doc_postings")}
+       |SELECT * FROM (
+       |${Seq(one("a", "ann_codes"), one("c", "chunk_postings"),
+           one("d", "doc_postings")).mkString("\nUNION ALL\n")})
+       |ORDER BY artifact""".stripMargin
+  }
+
   // ───── q228: update-CDC derived from the COW merge file swap ─────
   //
   // A COW merge commit adds no append files and no tombstones, so the
@@ -6400,6 +6558,8 @@ object StreamingQueries {
        |ORDER BY artifact, version""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q236_mor_compaction", q236, Some(q236Sql),
+      "MoR minor compaction: rewrite only the pre-merge files holding superseded keys (dropping those rows — the delta already carries their post images), retire the supersede file, and the head serves under the PLAIN snapshot rule with no anti-join read tax; rows_written proven == the COW bill minus the superseded rows (oracle-derived from the same branch bits), head row-identical to the q235 MoR read in one signed shuffle — MoR merge + minor compaction == COW, amortized across the reads between them"),
     Q("q235_mor_vs_cow_merge", q235, Some(q235Sql),
       "merge-on-read vs copy-on-write: the identical logical upsert executed as one post-image delta file + one version-scoped supersede key file (no base file moves; the read pays a broadcast anti-join) and proven ROW-IDENTICAL to q227's COW head via one signed groupBy shuffle, with both write-amplification numbers published side by side (amp6_mor = 1.0 micro-units, amp6_cow = the cohabiting-row rewrite) — the write-heavy vs read-heavy table-format trade made measurable"),
     Q("q234_stream_manifest_ingest", q234, Some(q234Sql),

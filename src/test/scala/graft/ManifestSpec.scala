@@ -764,6 +764,54 @@ class ManifestSpec extends SparkSpec {
       $"rows_written_cow" =!= $"ww").count() == 0)
   }
 
+  test("MoR minor compaction on the planted timeline: only cohabiting buckets rewrite minus the superseded rows, the supersede file retires, plain reads return") {
+    import spark.implicits._
+    val out = tmpDir("graft_morcmpspec")
+    val (_, man0) = plantTimeline()
+    val morExt = StreamingQueries.morCommit(spark, man0, "t", out,
+      c => c.isin(5L, 13L))
+    val morMan = man0 ++ morExt.map(e => StreamingQueries.ManRow(e._1,
+      e._2, e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    val cmpExt = StreamingQueries.morCompact(spark, morMan, "t", out)
+    val man = morMan ++ cmpExt.map(e => StreamingQueries.ManRow(e._1,
+      e._2, e._3, e._4, e._5, e._6, e._7, e._8, e._9, e._10))
+    // keys 5 and 13 live in two of the four vacuum buckets: exactly
+    // those rewrite, each dropping its superseded row (4 - 1 = 3)
+    val adds = cmpExt.filter(e => e._4 == "add")
+    assert(adds.size == 2 && adds.forall(_._8 == 3L))
+    // the supersede file is retired at v7
+    assert(snapshotFiles(man, "t", 7L, "morsup").isEmpty)
+    // the PLAIN snapshot read now serves the merged state
+    val live = snapshotAt(spark, man, "t", 7L)
+      .filter(col("dd").isNull).select("key", "k", "c1", "c2")
+      .localCheckpoint(true)
+    val byKey = live.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byKey.keySet == (4L to 16L).toSet)
+    assert(byKey(5L) == ((55L, 6L)) && byKey(13L) == ((143L, 14L)))
+    val mor = StreamingQueries.morSnapshotHead(spark, morMan, "t")
+      .filter(col("dd").isNull).select("key", "k", "c1", "c2")
+    assert(live.exceptAll(mor).count() == 0)
+    assert(mor.exceptAll(live).count() == 0)
+  }
+
+  test("q236 registry gate: the compaction bill is the COW bill minus the superseded rows, and the plain head is MoR-identical") {
+    import spark.implicits._
+    val cp = graft.queries.Registry.byName("q236_mor_compaction")
+      .run(spark, sf).localCheckpoint(true)
+    assert(cp.count() == 3)
+    assert(cp.filter(!$"head_identical").count() == 0)
+    assert(cp.filter($"sup_files_left" =!= 0L).count() == 0)
+    val cow = graft.queries.Registry.byName("q227_cow_merge")
+      .run(spark, sf)
+      .select($"artifact", $"files_rewritten".as("fc"),
+        $"rows_rewritten".as("wc"), $"rows_updated".as("uc"))
+    val j = cp.join(cow, Seq("artifact"))
+    assert(j.count() == 3)
+    assert(j.filter($"files_rewritten" =!= $"fc" ||
+      $"rows_written" =!= $"wc" - $"uc").count() == 0)
+  }
+
   test("q225 streaming CDC consumer: drains in >= 2 throttled batches and its head digest equals the IVM head state") {
     import spark.implicits._
     val sink = StreamingQueries.cdcConsumerSink(spark, sf,
