@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 226 whole-stage-codegen plans overflow the JVM's default 240 MB
+  // JIT code cache mid-registry; once it fills, the compiler shuts
+  // off and every later query runs interpreted (measured: the full
+  // sf0.1 sweep reads 357 s with the default vs 257 s with 2g —
+  // q196 23.7 -> 4.2, q174 11.0 -> 3.3, q197 7.6 -> 2.4). The
+  // reservation is virtual address space, committed lazily, so the
+  // only cost is when codegen actually needs it.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -8,7 +8,8 @@ for sf in ${SOLO_SFS:-/root/testdata/sf0.1}; do
     echo "=== SOLO $q @ $sf ==="
     SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=2 \
       SPARK_GRAFT_ONLY=$q \
-      java -Xmx96g --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
+      java -Xmx96g -XX:ReservedCodeCacheSize=2g \
+        --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
         --add-opens java.base/java.nio=ALL-UNNAMED \
         --add-opens java.base/java.util=ALL-UNNAMED \
         --add-opens java.base/java.lang=ALL-UNNAMED \
