@@ -37,6 +37,33 @@ object Scratch {
     dir.toString
   }
 
+  /** Bounded driver-side overlap of INDEPENDENT Spark actions
+    * (optimization guide §2.6): the scheduler happily runs several
+    * jobs at once inside one application; actions are only sequential
+    * because driver code calls them sequentially. For gates that fold
+    * a handful of bounded per-artifact / per-setting audits, each
+    * element's tiny jobs back-fill the scheduling gaps of the others'
+    * — the wall-clock drops toward the single-slowest element. Results
+    * keep input order; the first failure propagates. Use ONLY where
+    * elements are provably independent (separate artifacts, settings,
+    * key spaces) — never across an ordered fold's steps. Width stays
+    * small (fill the tail, don't fight for executors — guide §2.6). */
+  private[graft] def parMap[A, B](xs: Seq[A], width: Int)(
+      f: A => B): Seq[B] = {
+    if (xs.sizeIs <= 1 || width <= 1) xs.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(width, xs.size))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(xs.map(x => Future(f(x)))),
+        Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
   /** drain the async SparkListener bus deterministically before
     * reading listener-accumulated state (job counts, stage metrics).
     * LiveListenerBus.waitUntilEmpty is private[spark] — public at the

@@ -856,6 +856,52 @@ object SimilarityQueries {
       .select($"q_id", $"vec_id", $"sim", $"rv")
   }
 
+  /** the frontier sweeps' shared ADC pass: score the probed
+    * candidates ONCE at the sweep's max nprobe, tagging each candidate
+    * with the probe rank (`crank`) that admitted its cell. A setting
+    * np then reads the crank ≤ np PREFIX — exactly the rows it would
+    * have scored itself (the mask chain's cells are distinct per
+    * query and a vector lives in one cell), at max(np) instead of
+    * Σ np of the cell-volume scan+ADC work. At 100 TB the sweep's
+    * scoring cost drops from 13/64 to 6/64 of the corpus per query
+    * (TuneProbes = 1,2,4,6). */
+  private def adcScoredAll(s: SparkSession, chain: DataFrame,
+      enc: DataFrame, qv: DataFrame, maxNp: Int,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val probedR = chain.select($"q_id",
+        posexplode(array((1 to maxNp).map(i => col(s"c$i")): _*)))
+      .select($"q_id", ($"pos" + 1).as("crank"), $"col".as("cell"))
+    enc.join(broadcast(probedR), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(broadcast(pqLutOfQv(qv, pqCodebookLocal(s, dir))),
+        Seq("q_id"))
+      .withColumn("adist2",
+        round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
+      .select($"q_id", $"crank", $"vec_id", $"adist2")
+  }
+
+  /** one sweep setting read off the shared scored pass: the crank
+    * prefix, the IVFPQ_R ADC shortlist, the exact re-rank — the same
+    * tail as ivfadcRanked, so the per-setting rows are identical to a
+    * from-scratch np run (the oracle recomputes each setting from
+    * scratch and holds). */
+  private def rankedFromScored(s: SparkSession, scored: DataFrame,
+      e: DataFrame, qv: DataFrame, np: Int, r: Int): DataFrame = {
+    import s.implicits._
+    val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
+    val short = scored.filter($"crank" <= np)
+      .withColumn("ar", row_number().over(wa))
+      .filter($"ar" <= r)
+      .select($"q_id", $"vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(short).join(e, "vec_id").join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      .withColumn("rv", row_number().over(w))
+      .select($"q_id", $"vec_id", $"sim", $"rv")
+  }
+
   private def q118(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     ivfadcRanked(s, dir,
@@ -1700,21 +1746,24 @@ object SimilarityQueries {
     val qs = retrQuerySample(s, dir)
     val qv = e.join(broadcast(qs), e("vec_id") === qs("q_id"))
       .select($"q_id", $"v".as("qv"), $"vn".as("qn"))
-    val rvFull = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
-      .withColumn("sim",
-        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") /
-          ($"qn" * $"vn"), 5))
-      .withColumn("rv", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")))
-      .select($"q_id", $"vec_id", $"rv")
-      .localCheckpoint(true)
+    // the two shared rank lists (brute cosine, BM25) are independent
+    // corpus passes — overlap their eager builds (guide §2.6)
+    val Seq(rvFull, rt) = graft.Scratch.parMap(Seq[() => DataFrame](
+      () => broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+        .withColumn("sim",
+          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v") /
+            ($"qn" * $"vn"), 5))
+        .withColumn("rv", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")))
+        .select($"q_id", $"vec_id", $"rv")
+        .localCheckpoint(true),
+      () => bm25Scores(s, dir)
+        .withColumn("rt", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
+        .select($"q_id", $"cand_id", $"rt")
+        .localCheckpoint(true)), 2)(_())
     val rel = rvFull.filter($"rv" <= 5)
       .select($"q_id", $"vec_id".as("doc_id"), lit(1L).as("hit"))
-    val rt = bm25Scores(s, dir)
-      .withColumn("rt", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"bm6".desc, $"cand_id")))
-      .select($"q_id", $"cand_id", $"rt")
-      .localCheckpoint(true)
     val bm = rt.filter($"rt" <= 5)
       .select($"q_id", $"cand_id".as("doc_id"), $"rt".as("r"))
     // q163's fusion, inlined over the shared rank lists (identical
@@ -3283,28 +3332,41 @@ object SimilarityQueries {
     val qs = querySample(s, dir, ANN_QK).select($"vec_id".as("q_id"))
       .localCheckpoint(true)
     val e = unitVecs(s, dir)
-    // inline native encode, checkpointed once for the sweep — measured
-    // FASTER than reading the persisted cell-partitioned index back at
-    // every decade tried (the tuning sheet touches ALL cells, so the
+    // query vectors COLLECTED once (≤ ANN_QK rows, the localized()
+    // serving pattern): the ground truth, mask chain, LUT and four
+    // per-setting re-ranks each broadcast qv — as a plain subplan
+    // every one of those re-executed the corpus normalize scan
+    val (_, qv) = localized(e.join(qs, e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv")))
+    // the three sweep inputs — brute ground truth, the inline native
+    // encode (checkpointed once for the sweep: measured FASTER than
+    // reading the persisted cell-partitioned index back at every
+    // decade tried — the tuning sheet touches ALL cells, so the
     // partitioned layout buys nothing here; the pruned-read serving
-    // story is q181's)
-    val enc = ivfadcIndex(s, dir).localCheckpoint(true)
+    // story is q181's), and the max-nprobe mask chain — are
+    // independent: overlap their eager builds (guide §2.6)
+    val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    val Seq(gt, enc, chain) = graft.Scratch.parMap(
+      Seq[() => DataFrame](
+        () => broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+          .withColumn("sim",
+            round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+          .withColumn("rn", row_number().over(wb)).filter($"rn" <= 5)
+          .select($"q_id", $"vec_id").localCheckpoint(true),
+        () => ivfadcIndex(s, dir).localCheckpoint(true),
+        () => maskChain(
+          qv.withColumn("c1", cellCol(s, $"qv"))
+            .withColumn("s1", cellScoresCol(s, $"qv")),
+          TuneProbes.max).localCheckpoint(true)), 3)(_())
     val cellsz = enc.groupBy($"cell").agg(count(lit(1)).as("cn"))
       .localCheckpoint(true)
-    val qv = e.join(qs, e("vec_id") === qs("q_id"))
-      .select($"q_id", $"v".as("qv"))
-    val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
-    val gt = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
-      .withColumn("sim",
-        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
-      .withColumn("rn", row_number().over(wb)).filter($"rn" <= 5)
-      .select($"q_id", $"vec_id").localCheckpoint(true)
-    val chain = maskChain(
-      qv.withColumn("c1", cellCol(s, $"qv"))
-        .withColumn("s1", cellScoresCol(s, $"qv")),
-      TuneProbes.max).localCheckpoint(true)
+    // ADC-score ONCE at max(nprobe); every setting reads its crank
+    // prefix (Σ np → max np of the scoring work — the q203 SQ8
+    // prefix discipline applied to the ADC family)
+    val scoredAdc = adcScoredAll(s, chain, enc, qv, TuneProbes.max,
+      dir).localCheckpoint(true)
     val sheets = TuneProbes.map { np =>
-      val top5 = ivfadcRanked(s, dir, qs, np, IVFPQ_R, Some(enc))
+      val top5 = rankedFromScored(s, scoredAdc, e, qv, np, IVFPQ_R)
         .filter($"rv" <= 5).select($"q_id", $"vec_id")
       val hits = top5.join(gt, Seq("q_id", "vec_id"))
         .agg(count(lit(1)).as("hits"))
@@ -3433,17 +3495,15 @@ object SimilarityQueries {
     val qs = querySample(s, dir, ANN_QK).select($"vec_id".as("q_id"))
       .localCheckpoint(true)
     val e = unitVecs(s, dir).localCheckpoint(true)
-    val qv = e.join(qs, e("vec_id") === qs("q_id"))
-      .select($"q_id", $"v".as("qv")).localCheckpoint(true)
+    // query vectors COLLECTED once (≤ ANN_QK rows, the localized()
+    // serving pattern): gt, chain and every per-setting re-rank
+    // broadcast qv
+    val (_, qv) = localized(e.join(qs, e("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv")))
     val nqDf = qs.agg(count(lit(1)).as("nq"))
     val wb = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
-    val gt = broadcast(qv).join(e, $"vec_id" =!= $"q_id")
-      .withColumn("sim",
-        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
-      .withColumn("rn", row_number().over(wb)).filter($"rn" <= 5)
-      .select($"q_id", $"vec_id").localCheckpoint(true)
     def sheet(family: String, setting: Int, approx: DataFrame,
-        exact: DataFrame, top5: DataFrame): DataFrame = {
+        exact: DataFrame, top5: DataFrame, gt: DataFrame): DataFrame = {
       val hits = top5.join(gt, Seq("q_id", "vec_id"))
         .agg(count(lit(1)).as("hits"))
       approx.crossJoin(exact).crossJoin(hits).crossJoin(broadcast(nqDf))
@@ -3452,19 +3512,95 @@ object SimilarityQueries {
           $"exact_candidates", $"hits",
           expr("(hits * 1000000) div (5 * nq)").as("recall6"))
     }
-    // IVFADC: shared index build + one mask chain to max(nprobe)
-    // inline native encode, checkpointed once for the sweep — measured
-    // FASTER than reading the persisted cell-partitioned index back at
-    // every decade tried (the tuning sheet touches ALL cells, so the
-    // partitioned layout buys nothing here; the pruned-read serving
-    // story is q181's)
-    val enc = ivfadcIndex(s, dir).localCheckpoint(true)
+    val c = sqCodes(s, dir)
+    val qc = c.join(qs, c("vec_id") === qs("q_id"))
+      .select($"q_id", $"c".as("qc"))
+    val wa = Window.partitionBy($"q_id").orderBy($"adot".desc, $"vec_id")
+    // phase 1 — the five family inputs are independent: the brute
+    // ground truth, the IVFADC encode (inline native, checkpointed
+    // once for the sweep: measured FASTER than reading the persisted
+    // cell-partitioned index back at every decade tried — the sheet
+    // touches ALL cells, so the partitioned layout buys nothing here;
+    // the pruned-read serving story is q181's), the max-nprobe mask
+    // chain, the SQ8 full-scan scoring, and the LSH bucketed corpus.
+    // Overlap their eager builds (guide §2.6).
+    val Seq(gt, enc, chain, scored, lb) = graft.Scratch.parMap(
+      Seq[() => DataFrame](
+        () => broadcast(qv).join(e, $"vec_id" =!= $"q_id")
+          .withColumn("sim",
+            round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+          .withColumn("rn", row_number().over(wb)).filter($"rn" <= 5)
+          .select($"q_id", $"vec_id").localCheckpoint(true),
+        () => ivfadcIndex(s, dir).localCheckpoint(true),
+        () => maskChain(
+          qv.withColumn("c1", cellCol(s, $"qv"))
+            .withColumn("s1", cellScoresCol(s, $"qv")),
+          FrontierProbes.max).localCheckpoint(true),
+        // SQ8: one int8 scan scored + ranked once; settings read
+        // prefixes
+        () => broadcast(qc)
+          .join(c.select($"vec_id", $"c"), $"vec_id" =!= $"q_id")
+          .withColumn("adot", expr(
+            "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("ar", row_number().over(wa))
+          .select($"q_id", $"vec_id", $"ar")
+          .localCheckpoint(true),
+        () => e.withColumn("bucket", bucketCol(s, $"v"))
+          .localCheckpoint(true)), 5)(_())
     val cellsz = enc.groupBy($"cell").agg(count(lit(1)).as("cn"))
       .localCheckpoint(true)
-    val chain = maskChain(
-      qv.withColumn("c1", cellCol(s, $"qv"))
-        .withColumn("s1", cellScoresCol(s, $"qv")),
-      FrontierProbes.max).localCheckpoint(true)
+    // phase 2 — the three remaining scored passes are independent
+    // given phase 1; each is ONE pass at the family's max setting,
+    // with every operating point reading a prefix (the q196/SQ8
+    // prefix discipline, now uniform across all four families)
+    val qb = lb.join(qs, lb("vec_id") === qs("q_id"))
+      .select($"q_id", $"v".as("qv"), $"bucket".as("home"))
+    val maxHam = FrontierHams.max
+    val Seq(scoredAdc, sqCellScored, lshCand) = graft.Scratch.parMap(
+      Seq[() => DataFrame](
+        () => adcScoredAll(s, chain, enc, qv, FrontierProbes.max, dir)
+          .localCheckpoint(true),
+        // SQ8-IN-CELL: the composed quantizer — the SAME probed cells
+        // as the ivfadc rows (shared chain/cellsz), int8 dots inside
+        // them, scored once at max(nprobe) with the admitting probe
+        // rank
+        () => {
+          val probedR = chain.select($"q_id",
+              posexplode(array(
+                (1 to FrontierProbes.max).map(i => col(s"c$i")): _*)))
+            .select($"q_id", ($"pos" + 1).as("crank"), $"col".as("cell"))
+          c.select($"vec_id", $"c")
+            .join(enc.select($"vec_id", $"cell"), "vec_id")
+            .join(broadcast(probedR), Seq("cell"))
+            .filter($"vec_id" =!= $"q_id")
+            .join(broadcast(qc), Seq("q_id"))
+            .withColumn("adot", expr(
+              "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+            .select($"q_id", $"crank", $"vec_id", $"adot")
+            .localCheckpoint(true)
+        },
+        // LSH: ONE bucket join at max(hamming), each candidate tagged
+        // with the Hamming distance of the probe that admitted it (a
+        // corpus vector lives in one bucket, so exactly one probe
+        // mask matches) — schedules read the ham ≤ h prefix
+        () => {
+          val probes = qb.select($"q_id", $"qv",
+              explode(array(probeMasks(maxHam).map(m => struct(
+                lit(java.lang.Long.bitCount(m)).as("ham"),
+                $"home".bitwiseXOR(lit(m)).as("bucket"))): _*))
+                .as("pb"))
+            .select($"q_id", $"qv", $"pb.ham", $"pb.bucket")
+          broadcast(probes)
+            .join(lb.select($"vec_id", $"v", $"bucket"), Seq("bucket"))
+            .filter($"vec_id" =!= $"q_id")
+            .withColumn("sim",
+              round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+            .select($"q_id", $"ham", $"vec_id", $"sim")
+            .localCheckpoint(true)
+        }), 3)(_())
+    val w5 = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     val ivfRows = FrontierProbes.map { np =>
       val probed = chain
         .withColumn("cell",
@@ -3473,26 +3609,11 @@ object SimilarityQueries {
       val approx = probed.join(cellsz, Seq("cell"))
         .groupBy($"q_id").agg((sum($"cn") - 1).as("cq"))
         .agg(sum($"cq").as("approx_candidates"))
-      val ranked = ivfadcRanked(s, dir, qs, np, IVFPQ_R, Some(enc))
-        .localCheckpoint(true)
+      val ranked = rankedFromScored(s, scoredAdc, e, qv, np, IVFPQ_R)
       sheet("ivfadc", np, approx,
         ranked.agg(count(lit(1)).as("exact_candidates")),
-        ranked.filter($"rv" <= 5).select($"q_id", $"vec_id"))
+        ranked.filter($"rv" <= 5).select($"q_id", $"vec_id"), gt)
     }
-    // SQ8: one int8 scan scored + ranked once; settings read prefixes
-    val c = sqCodes(s, dir)
-    val qc = c.join(qs, c("vec_id") === qs("q_id"))
-      .select($"q_id", $"c".as("qc"))
-    val wa = Window.partitionBy($"q_id").orderBy($"adot".desc, $"vec_id")
-    val scored = broadcast(qc)
-      .join(c.select($"vec_id", $"c"), $"vec_id" =!= $"q_id")
-      .withColumn("adot", expr(
-        "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .withColumn("ar", row_number().over(wa))
-      .select($"q_id", $"vec_id", $"ar")
-      .localCheckpoint(true)
-    val w5 = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
     val sqRows = FrontierSqR.map { rr =>
       val short = scored.filter($"ar" <= rr).select($"q_id", $"vec_id")
       val top5 = broadcast(short).join(e, "vec_id")
@@ -3503,13 +3624,8 @@ object SimilarityQueries {
         .select($"q_id", $"vec_id")
       sheet("sq8", rr,
         scored.agg(count(lit(1)).as("approx_candidates")),
-        short.agg(count(lit(1)).as("exact_candidates")), top5)
+        short.agg(count(lit(1)).as("exact_candidates")), top5, gt)
     }
-    // SQ8-IN-CELL: the composed quantizer — the SAME probed cells as
-    // the ivfadc rows (shared chain/cellsz), int8 dots inside them
-    val cellCodes = c.select($"vec_id", $"c")
-      .join(enc.select($"vec_id", $"cell"), "vec_id")
-      .localCheckpoint(true)
     val sqCellRows = FrontierProbes.map { np =>
       val probed = chain
         .withColumn("cell",
@@ -3518,16 +3634,10 @@ object SimilarityQueries {
       val approx = probed.join(cellsz, Seq("cell"))
         .groupBy($"q_id").agg((sum($"cn") - 1).as("cq"))
         .agg(sum($"cq").as("approx_candidates"))
-      val short = cellCodes.join(broadcast(probed), Seq("cell"))
-        .filter($"vec_id" =!= $"q_id")
-        .join(broadcast(qc), Seq("q_id"))
-        .withColumn("adot", expr(
-          "aggregate(zip_with(qc, c, (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      val short = sqCellScored.filter($"crank" <= np)
         .withColumn("ar", row_number().over(wa))
         .filter($"ar" <= SQ_R)
         .select($"q_id", $"vec_id")
-        .localCheckpoint(true)
       val top5 = broadcast(short).join(e, "vec_id")
         .join(broadcast(qv), "q_id")
         .withColumn("sim",
@@ -3535,29 +3645,16 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
         .select($"q_id", $"vec_id")
       sheet("sq8cell", np, approx,
-        short.agg(count(lit(1)).as("exact_candidates")), top5)
+        short.agg(count(lit(1)).as("exact_candidates")), top5, gt)
     }
-    // LSH: bucketed corpus computed once; schedules share it
-    val lb = e.withColumn("bucket", bucketCol(s, $"v"))
-      .localCheckpoint(true)
-    val qb = lb.join(qs, lb("vec_id") === qs("q_id"))
-      .select($"q_id", $"v".as("qv"), $"bucket".as("home"))
     val lshRows = FrontierHams.map { h =>
-      val probes = qb.withColumn("bucket", explode(array(
-          probeMasks(h).map(m => $"home".bitwiseXOR(lit(m))): _*)))
-        .select($"q_id", $"qv", $"bucket")
-      val cand = broadcast(probes)
-        .join(lb.select($"vec_id", $"v", $"bucket"), Seq("bucket"))
-        .filter($"vec_id" =!= $"q_id")
-        .withColumn("sim",
-          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+      val cand = lshCand.filter($"ham" <= h)
         .select($"q_id", $"vec_id", $"sim")
-        .localCheckpoint(true)
       val top5 = cand.withColumn("rn", row_number().over(w5))
         .filter($"rn" <= 5).select($"q_id", $"vec_id")
       sheet("lsh", h,
         nqDf.select((lit(0L) * $"nq").as("approx_candidates")),
-        cand.agg(count(lit(1)).as("exact_candidates")), top5)
+        cand.agg(count(lit(1)).as("exact_candidates")), top5, gt)
     }
     (ivfRows ++ sqRows ++ sqCellRows ++ lshRows)
       .reduce(_.unionByName(_))
@@ -3782,20 +3879,23 @@ object SimilarityQueries {
     import s.implicits._
     val nq = qv.count()
     val w5 = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
-    val gt = broadcast(qv).join(u, $"vec_id" =!= $"q_id")
-      .withColumn("sim",
-        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
-      .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
-      .select($"q_id", $"vec_id").localCheckpoint(true)
-    // the coarse probe chain is the fixed literal quantizer — shared
-    // by every variant (what ages is the TRAINED state, not the cells)
-    val probed = maskChain(
-        qv.withColumn("c1", cellCol(s, $"qv"))
-          .withColumn("s1", cellScoresCol(s, $"qv")),
-        IVFPQ_NPROBE)
-      .withColumn("cell",
-        explode(array((1 to IVFPQ_NPROBE).map(i => col(s"c$i")): _*)))
-      .select($"q_id", $"cell").localCheckpoint(true)
+    // the ground truth and the coarse probe chain (the fixed literal
+    // quantizer — shared by every variant: what ages is the TRAINED
+    // state, not the cells) are independent; overlap their eager
+    // builds (guide §2.6)
+    val Seq(gt, probed) = graft.Scratch.parMap(Seq[() => DataFrame](
+      () => broadcast(qv).join(u, $"vec_id" =!= $"q_id")
+        .withColumn("sim",
+          round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+        .withColumn("rn", row_number().over(w5)).filter($"rn" <= 5)
+        .select($"q_id", $"vec_id").localCheckpoint(true),
+      () => maskChain(
+          qv.withColumn("c1", cellCol(s, $"qv"))
+            .withColumn("s1", cellScoresCol(s, $"qv")),
+          IVFPQ_NPROBE)
+        .withColumn("cell",
+          explode(array((1 to IVFPQ_NPROBE).map(i => col(s"c$i")): _*)))
+        .select($"q_id", $"cell").localCheckpoint(true)), 2)(_())
     AgingCtx(u, basePool, qv, nq, gt, probed)
   }
 
@@ -3909,8 +4009,14 @@ object SimilarityQueries {
         short.agg(count(lit(1)).as("exact_candidates")),
         agingRerank5(ctx, short).select($"q_id", $"vec_id"))
     }
-    Seq(ivfVariant("aged", ctx.basePool), ivfVariant("fresh", u),
-      sqVariant("aged", ctx.basePool), sqVariant("fresh", u))
+    // the four trained-state variants are independent given the
+    // shared ctx (each trains/encodes its own state) — overlap their
+    // eager builds (guide §2.6)
+    graft.Scratch.parMap(Seq[() => DataFrame](
+        () => ivfVariant("aged", ctx.basePool),
+        () => ivfVariant("fresh", u),
+        () => sqVariant("aged", ctx.basePool),
+        () => sqVariant("fresh", u)), 4)(_())
       .reduce(_.unionByName(_))
       .orderBy($"family", $"variant")
   }

@@ -53,14 +53,34 @@ object StreamingQueries {
     * state-volume-sized count; it is used as given, no clamp). */
   private val StatePartitions = 8
 
+  // withStatePartitions mutates the SESSION conf, and gates that run
+  // several independent AvailableNow feeds now overlap them from a
+  // bounded driver pool (Scratch.parMap, guide §2.6) — so the swap is
+  // depth-counted: only the OUTERMOST entry saves/sets and only the
+  // last exit restores, making concurrent feed runs share one reduced
+  // setting instead of racing the save/restore (a lost race would
+  // permanently shrink the session's batch shuffle width).
+  private val statePartLock = new Object
+  private var statePartDepth = 0
+  private var statePartPrev: String = null
+
   private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    val target = s.conf.getOption("spark.graft.streaming.statePartitions")
-      .map(_.toInt)
-      .getOrElse(math.min(prev.toInt, StatePartitions))
-    s.conf.set(key, target.toString)
-    try body finally s.conf.set(key, prev)
+    statePartLock.synchronized {
+      if (statePartDepth == 0) {
+        statePartPrev = s.conf.get(key)
+        val target = s.conf
+          .getOption("spark.graft.streaming.statePartitions")
+          .map(_.toInt)
+          .getOrElse(math.min(statePartPrev.toInt, StatePartitions))
+        s.conf.set(key, target.toString)
+      }
+      statePartDepth += 1
+    }
+    try body finally statePartLock.synchronized {
+      statePartDepth -= 1
+      if (statePartDepth == 0) s.conf.set(key, statePartPrev)
+    }
   }
 
   /** streaming read of a single-file testdata table. The testdata
@@ -2930,29 +2950,36 @@ object StreamingQueries {
       // wave tag (a production feed arrives tagged with its batch);
       // the per-wave tombstone batches are sink partitions of it —
       // the first form ran one StreamingQuery per wave and paid 6
-      // stream startups for the same rows
-      val docSunk = runToSink(s, multiFileStream(s, dir, "documents")
-          .filter(Takedown.waveHex($"doc_id")
-            .isin(Takedown.Waves: _*))
-          .select($"doc_id", Takedown.waveHex($"doc_id").as("wave")),
-        s"$scratch/td").localCheckpoint(true)
-      val vecSunk = runToSink(s, multiFileStream(s, dir, "embeddings")
-          .filter(Takedown.waveHex($"vec_id")
-            .isin(Takedown.Waves: _*))
-          .select($"vec_id", Takedown.waveHex($"vec_id").as("wave")),
-        s"$scratch/tv").localCheckpoint(true)
+      // stream startups for the same rows. The two key spaces are
+      // independent feeds, so they run overlapped (guide §2.6): each
+      // AvailableNow startup/commit is mostly fixed driver latency.
+      val Seq(docSunk, vecSunk) = graft.Scratch.parMap(Seq(
+        ("documents", "doc_id", "td"),
+        ("embeddings", "vec_id", "tv")), 2) { case (tbl, key, sub) =>
+        runToSink(s, multiFileStream(s, dir, tbl)
+            .filter(Takedown.waveHex(col(key))
+              .isin(Takedown.Waves: _*))
+            .select(col(key), Takedown.waveHex(col(key)).as("wave")),
+          s"$scratch/$sub").localCheckpoint(true)
+      }
       val docT = Takedown.Waves.map(h =>
         docSunk.filter($"wave" === h).select($"doc_id"))
       val vecT = Takedown.Waves.map(h =>
         vecSunk.filter($"wave" === h).select($"vec_id"))
       val (dp, cp, ac) = purgeArtifactRows(s, dir)
-      tombstoneWaveAudit("ann_codes", ac, vecT, "vec_id", scratch)
-        .unionByName(
-          tombstoneWaveAudit("chunk_postings", cp, docT, "doc_id",
-            scratch))
-        .unionByName(
-          tombstoneWaveAudit("doc_postings", dp, docT, "doc_id",
-            scratch))
+      // the three artifact audits are independent state machines
+      // (only the waves WITHIN one artifact are ordered) — overlap
+      // them so each one's per-wave scan/agg/vacuum jobs back-fill
+      // the others' driver gaps (measured: 75 sequential jobs summing
+      // 2.9 s inside a 6.4 s solo wall — over half was gaps)
+      graft.Scratch.parMap(Seq(
+          ("ann_codes", ac, vecT, "vec_id"),
+          ("chunk_postings", cp, docT, "doc_id"),
+          ("doc_postings", dp, docT, "doc_id")), 3) {
+          case (name, rows, tombs, key) =>
+            tombstoneWaveAudit(name, rows, tombs, key, scratch)
+        }
+        .reduce(_ unionByName _)
         .orderBy($"artifact", $"wave")
     }
   }
@@ -3272,25 +3299,31 @@ object StreamingQueries {
   private def q218(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q218") { scratch =>
-      val docD = graft.Tables.documents(s, dir)
-        .filter(Takedown.purged($"doc_id")).select($"doc_id")
-        .localCheckpoint(true)
-      val vecD = graft.Tables.parquetCached(s, s"$dir/embeddings.parquet")
-        .filter(Takedown.purged($"vec_id")).select($"vec_id")
-        .localCheckpoint(true)
-      // stage 1: the streamed tombstone store vs the feed predicate —
-      // throttled to 8 files/trigger so the feed arrives as real
-      // successive batches (2 per key space — the batch DIMENSION the
-      // lag needs, at half the per-micro-batch planning+commit cost
-      // of a finer split), stamped into the sink's batch column
-      val docTombB = runToSinkBatched(s,
-        multiFileStream(s, dir, "documents", 8)
-          .filter(Takedown.purged($"doc_id")).select($"doc_id"),
-        scratch + "/td").localCheckpoint(true)
-      val vecTombB = runToSinkBatched(s,
-        multiFileStream(s, dir, "embeddings", 8)
-          .filter(Takedown.purged($"vec_id")).select($"vec_id"),
-        scratch + "/tv").localCheckpoint(true)
+      // stage-1 feeds: throttled to 8 files/trigger so the feed
+      // arrives as real successive batches (2 per key space — the
+      // batch DIMENSION the lag needs, at half the per-micro-batch
+      // planning+commit cost of a finer split), stamped into the
+      // sink's batch column. The two key-space feeds and the two
+      // expectation checkpoints are independent — overlap all four
+      // (guide §2.6; AvailableNow startup/commit is mostly fixed
+      // driver latency)
+      val Seq(docD, vecD, docTombB, vecTombB) =
+        graft.Scratch.parMap(Seq[() => DataFrame](
+          () => graft.Tables.documents(s, dir)
+            .filter(Takedown.purged($"doc_id")).select($"doc_id")
+            .localCheckpoint(true),
+          () => graft.Tables
+            .parquetCached(s, s"$dir/embeddings.parquet")
+            .filter(Takedown.purged($"vec_id")).select($"vec_id")
+            .localCheckpoint(true),
+          () => runToSinkBatched(s,
+            multiFileStream(s, dir, "documents", 8)
+              .filter(Takedown.purged($"doc_id")).select($"doc_id"),
+            scratch + "/td").localCheckpoint(true),
+          () => runToSinkBatched(s,
+            multiFileStream(s, dir, "embeddings", 8)
+              .filter(Takedown.purged($"vec_id")).select($"vec_id"),
+            scratch + "/tv").localCheckpoint(true)), 4)(_())
       val docTomb = docTombB.select($"doc_id")
       val vecTomb = vecTombB.select($"vec_id")
       def headOf(tombB: DataFrame): Long = {
@@ -3312,15 +3345,6 @@ object StreamingQueries {
       def symDiff(a: DataFrame, b: DataFrame, k: String): Long =
         a.join(b, Seq(k), "left_anti").count() +
           b.join(a, Seq(k), "left_anti").count()
-      // a store violation may be a MISSING key (no sink batch to
-      // blame) — the store is then behind the entire feed
-      val sd1d = symDiff(docD, docTomb, "doc_id")
-      val sd1v = symDiff(vecD, vecTomb, "vec_id")
-      val s1 = Seq(
-        ("1_tombstone_store", "doc_keys", docD.count(), docTomb.count(),
-          sd1d, if (sd1d == 0) 0L else docHead + 1L),
-        ("1_tombstone_store", "vec_keys", vecD.count(), vecTomb.count(),
-          sd1v, if (sd1v == 0) 0L else vecHead + 1L))
       // stage 2: merge-on-read compaction per artifact — removal
       // observed from the anti-join, leaks counted on the readable
       // side, lag from the leaked keys' feed batches
@@ -3339,30 +3363,56 @@ object StreamingQueries {
         ("2_compaction", artifact, expected, observed,
           leakedKeys.count(), lagOf(head, leakedKeys, tombB, key))
       }
-      val s2 = Seq(
-        stage2("ann_codes", ac, vecTombB, vecD, "vec_id", vecHead),
-        stage2("chunk_postings", cp, docTombB, docD, "doc_id", docHead),
-        stage2("doc_postings", dp, docTombB, docD, "doc_id", docHead))
-      // stage 3: the actual serve + release surfaces reference no D
-      val served = SimilarityQueries.purgedHybrid(s, dir)
-      val servedBadKeys = served.filter(Takedown.purged($"doc_id"))
-        .select($"doc_id")
-        .unionByName(served.filter(Takedown.purged($"q_id"))
-          .select($"q_id".as("doc_id")))
-        .localCheckpoint(true)
-      val servedBad = servedBadKeys.count()
-      // the release surface is the materialized CURRENT release (the
-      // q207 v3 artifact, memoized) — the audit scans what is on disk
-      val relBadKeys = releaseV3For(s, dir)
-        .filter(Takedown.purged($"doc_id")).select($"doc_id")
-        .localCheckpoint(true)
-      val relBad = relBadKeys.count()
-      val s3 = Seq(
-        ("3_serve", "hybrid_rag", 0L, servedBad, servedBad,
-          lagOf(docHead, servedBadKeys, docTombB, "doc_id")),
-        ("3_release", "release_v3", 0L, relBad, relBad,
-          lagOf(docHead, relBadKeys, docTombB, "doc_id")))
-      (s1 ++ s2 ++ s3)
+      // every remaining audit branch (two stage-1 exactly-once
+      // digests, three stage-2 compactions, the stage-3 serve and
+      // release scans) is an independent set-arithmetic probe over
+      // its own surface — overlap them from the driver pool (guide
+      // §2.6) instead of paying ~20 sequential job latencies
+      val rows: Seq[(String, String, Long, Long, Long, Long)] =
+        graft.Scratch.parMap(
+          Seq[() => Seq[(String, String, Long, Long, Long, Long)]](
+        () => {
+          // a store violation may be a MISSING key (no sink batch to
+          // blame) — the store is then behind the entire feed
+          val sd1d = symDiff(docD, docTomb, "doc_id")
+          Seq(("1_tombstone_store", "doc_keys", docD.count(),
+            docTomb.count(), sd1d, if (sd1d == 0) 0L else docHead + 1L))
+        },
+        () => {
+          val sd1v = symDiff(vecD, vecTomb, "vec_id")
+          Seq(("1_tombstone_store", "vec_keys", vecD.count(),
+            vecTomb.count(), sd1v, if (sd1v == 0) 0L else vecHead + 1L))
+        },
+        () => Seq(stage2("ann_codes", ac, vecTombB, vecD, "vec_id",
+          vecHead)),
+        () => Seq(stage2("chunk_postings", cp, docTombB, docD,
+          "doc_id", docHead)),
+        () => Seq(stage2("doc_postings", dp, docTombB, docD, "doc_id",
+          docHead)),
+        () => {
+          // stage 3: the actual serve surface references no D
+          val served = SimilarityQueries.purgedHybrid(s, dir)
+          val servedBadKeys = served.filter(Takedown.purged($"doc_id"))
+            .select($"doc_id")
+            .unionByName(served.filter(Takedown.purged($"q_id"))
+              .select($"q_id".as("doc_id")))
+            .localCheckpoint(true)
+          val servedBad = servedBadKeys.count()
+          Seq(("3_serve", "hybrid_rag", 0L, servedBad, servedBad,
+            lagOf(docHead, servedBadKeys, docTombB, "doc_id")))
+        },
+        () => {
+          // the release surface is the materialized CURRENT release
+          // (the q207 v3 artifact, memoized) — the audit scans what
+          // is on disk
+          val relBadKeys = releaseV3For(s, dir)
+            .filter(Takedown.purged($"doc_id")).select($"doc_id")
+            .localCheckpoint(true)
+          val relBad = relBadKeys.count()
+          Seq(("3_release", "release_v3", 0L, relBad, relBad,
+            lagOf(docHead, relBadKeys, docTombB, "doc_id")))
+        }), 4)(_()).flatten
+      rows
         .toDF("stage", "surface", "expected", "observed", "violations",
           "lag_batches")
         .orderBy($"stage", $"surface")
@@ -3468,40 +3518,46 @@ object StreamingQueries {
     val dWaves = Takedown.Waves.take(2)
     val newDocs = split.withIx(multiFileStream(s, dir, "documents"))
       .filter($"ix" < split.NewMax).select($"doc_id", $"text")
-    val docAll = runToSink(s,
-      slimDocPostings(docPostingsOf(newDocs))
-        .withColumn("artifact", lit("doc_postings"))
-        .unionByName(
-          slimChunkPostings(chunkIndexDeltasOf(newDocs))
-            .withColumn("artifact", lit("chunk_postings")))
-        .withColumn("awave", Takedown.appendWave($"doc_id"))
-        .withColumn("wave", lit(null).cast("string"))
-        .unionByName(multiFileStream(s, dir, "documents")
-          .filter(Takedown.waveHex($"doc_id").isin(dWaves: _*))
-          .select($"doc_id", lit(null).cast("string").as("k"),
-            lit(null).cast("long").as("c1"),
-            lit(null).cast("long").as("c2"),
-            lit("tomb").as("artifact"),
-            lit(null).cast("int").as("awave"),
-            Takedown.waveHex($"doc_id").as("wave"))),
-      s"$scratch/ad").localCheckpoint(true)
-    val annAll = runToSink(s,
-      slimAnnCodes(annIndexDeltasOf(s, dir,
-          multiFileStream(s, dir, "embeddings")
-            .filter(vecIxOf($"vec_id") < split.NewMax)))
-        .drop("cell")
-        .withColumn("artifact", lit("ann_codes"))
-        .withColumn("awave", Takedown.appendWave($"vec_id"))
-        .withColumn("wave", lit(null).cast("string"))
-        .unionByName(multiFileStream(s, dir, "embeddings")
-          .filter(Takedown.waveHex($"vec_id").isin(dWaves: _*))
-          .select($"vec_id", lit(null).cast("long").as("k"),
-            lit(null).cast("long").as("c1"),
-            lit(null).cast("long").as("c2"),
-            lit("tomb").as("artifact"),
-            lit(null).cast("int").as("awave"),
-            Takedown.waveHex($"vec_id").as("wave"))),
-      s"$scratch/av").localCheckpoint(true)
+    // the two source-table feeds are independent — overlap their
+    // AvailableNow runs (guide §2.6; startup+commit is fixed driver
+    // latency, and withStatePartitions is depth-counted for exactly
+    // this overlap)
+    val Seq(docAll, annAll) = graft.Scratch.parMap(
+      Seq[() => DataFrame](
+        () => runToSink(s,
+          slimDocPostings(docPostingsOf(newDocs))
+            .withColumn("artifact", lit("doc_postings"))
+            .unionByName(
+              slimChunkPostings(chunkIndexDeltasOf(newDocs))
+                .withColumn("artifact", lit("chunk_postings")))
+            .withColumn("awave", Takedown.appendWave($"doc_id"))
+            .withColumn("wave", lit(null).cast("string"))
+            .unionByName(multiFileStream(s, dir, "documents")
+              .filter(Takedown.waveHex($"doc_id").isin(dWaves: _*))
+              .select($"doc_id", lit(null).cast("string").as("k"),
+                lit(null).cast("long").as("c1"),
+                lit(null).cast("long").as("c2"),
+                lit("tomb").as("artifact"),
+                lit(null).cast("int").as("awave"),
+                Takedown.waveHex($"doc_id").as("wave"))),
+          s"$scratch/ad").localCheckpoint(true),
+        () => runToSink(s,
+          slimAnnCodes(annIndexDeltasOf(s, dir,
+              multiFileStream(s, dir, "embeddings")
+                .filter(vecIxOf($"vec_id") < split.NewMax)))
+            .drop("cell")
+            .withColumn("artifact", lit("ann_codes"))
+            .withColumn("awave", Takedown.appendWave($"vec_id"))
+            .withColumn("wave", lit(null).cast("string"))
+            .unionByName(multiFileStream(s, dir, "embeddings")
+              .filter(Takedown.waveHex($"vec_id").isin(dWaves: _*))
+              .select($"vec_id", lit(null).cast("long").as("k"),
+                lit(null).cast("long").as("c1"),
+                lit(null).cast("long").as("c2"),
+                lit("tomb").as("artifact"),
+                lit(null).cast("int").as("awave"),
+                Takedown.waveHex($"vec_id").as("wave"))),
+          s"$scratch/av").localCheckpoint(true)), 2)(_())
     val docDeltas = docAll.filter($"artifact" =!= "tomb").drop("wave")
     val annDeltas = annAll.filter($"artifact" =!= "tomb")
       .drop("wave", "artifact")
@@ -3573,12 +3629,18 @@ object StreamingQueries {
         .drop("artifact")
       val dCp = docDeltas.filter($"artifact" === "chunk_postings")
         .drop("artifact")
-      interleavedWaveAudit("ann_codes", baseAc,
-          events(annDeltas, vecT, "vec_id"), "vec_id", scratch)
-        .unionByName(interleavedWaveAudit("chunk_postings", baseCp,
-          events(dCp, docT, "doc_id"), "doc_id", scratch))
-        .unionByName(interleavedWaveAudit("doc_postings", baseDp,
-          events(dDp, docT, "doc_id"), "doc_id", scratch))
+      // the three artifact folds are ordered WITHIN an artifact but
+      // independent across them — overlap (guide §2.6, the q215
+      // pattern)
+      graft.Scratch.parMap(Seq(
+          ("ann_codes", baseAc, annDeltas, vecT, "vec_id"),
+          ("chunk_postings", baseCp, dCp, docT, "doc_id"),
+          ("doc_postings", baseDp, dDp, docT, "doc_id")), 3) {
+          case (name, base, deltas, tombs, key) =>
+            interleavedWaveAudit(name, base,
+              events(deltas, tombs, key), key, scratch)
+        }
+        .reduce(_ unionByName _)
         .orderBy($"artifact", $"wave")
     }
   }
@@ -4106,11 +4168,16 @@ object StreamingQueries {
     val mdir = manifestLogDir(s, dir)
     val man = manifestRowsOf(s, mdir)
     val arts = man.map(_.artifact).distinct.sorted
-    val rows = for {
+    val cells = for {
       a <- arts
       vv <- man.filter(m => m.artifact == a && m.action == "commit")
         .map(_.version).sorted
-    } yield {
+    } yield (a, vv)
+    // each (artifact, version) snapshot digest is one bounded
+    // multi-path scan + driver-side log arithmetic, fully independent
+    // of the others — overlap them (guide §2.6) instead of paying 18
+    // sequential job latencies
+    val rows = graft.Scratch.parMap(cells, 6) { case (a, vv) =>
       val kind = man.find(m => m.artifact == a && m.version == vv &&
         m.action == "commit").get.kind
       def firedCause(c: String) = man.exists(m => m.artifact == a &&
@@ -4188,11 +4255,14 @@ object StreamingQueries {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     val zero = (0L, 0L, 0L, 0L)
-    val rows = for {
+    val cells = for {
       a <- arts
       vv <- man.filter(m => m.artifact == a && m.action == "commit")
         .map(_.version).sorted if vv >= 1
-    } yield {
+    } yield (a, vv)
+    // per-commit CDC digests are delta-sized and independent across
+    // (artifact, version) — overlap them (guide §2.6)
+    val rows = graft.Scratch.parMap(cells, 6) { case (a, vv) =>
       val kind = man.find(m => m.artifact == a && m.version == vv &&
         m.action == "commit").get.kind
       val (adds, removes) = cdcDeltasAt(s, man, a, vv)
@@ -4262,14 +4332,19 @@ object StreamingQueries {
     val mdir = manifestLogDir(s, dir)
     val man = manifestRowsOf(s, mdir)
     val arts = man.map(_.artifact).distinct.sorted
-    val rows = for {
-      a <- arts
-      (v, kind, touched, mv) <- mvFold(s, man, a)
-    } yield {
-      val r = mv.agg(count(lit(1)), coalesce(sum($"s1"), lit(0L)),
-        coalesce(sum($"s2"), lit(0L))).head()
-      (a, v, kind, touched, r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+    // the per-artifact IVM folds are ordered WITHIN an artifact but
+    // independent ACROSS artifacts — overlap the three folds (guide
+    // §2.6); the per-version digests of each fold's checkpointed
+    // views are likewise independent once the fold is done
+    val rows = graft.Scratch.parMap(arts, arts.size) { a =>
+      graft.Scratch.parMap(mvFold(s, man, a), 3) {
+        case (v, kind, touched, mv) =>
+          val r = mv.agg(count(lit(1)), coalesce(sum($"s1"), lit(0L)),
+            coalesce(sum($"s2"), lit(0L))).head()
+          (a, v, kind, touched, r.getLong(0), r.getLong(1),
+            r.getLong(2))
+      }
+    }.flatten
     rows.toDF("artifact", "version", "kind", "mv_rows_touched",
         "mv_rows", "mv_chk1", "mv_chk2")
       .orderBy($"artifact", $"version")
@@ -4641,17 +4716,20 @@ object StreamingQueries {
     val out = graft.Tables.memoFresh(occCache, s"$dir:",
       s"$dir:$mdir")(_ =>
       graft.Scratch.tempDirDeletedOnExit("graft_occ"))
-    val rows = for {
-      a <- arts
-      (meta, live) <- occRaces(s, man, a, out)
-    } yield {
-      val r = live.agg(count(lit(1)), countDistinct($"k"),
-        coalesce(sum($"c1"), lit(0L)),
-        coalesce(sum($"c2"), lit(0L))).head()
-      (meta._1, meta._2, meta._3, meta._4, meta._5, meta._6, meta._7,
-        meta._8, meta._9, meta._10, meta._11,
-        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    }
+    // the per-artifact OCC protocols write disjoint rebase paths and
+    // share nothing — overlap the three (guide §2.6), and overlap the
+    // four post-commit state digests within each
+    val rows = graft.Scratch.parMap(arts, arts.size) { a =>
+      graft.Scratch.parMap(occRaces(s, man, a, out), 4) {
+        case (meta, live) =>
+          val r = live.agg(count(lit(1)), countDistinct($"k"),
+            coalesce(sum($"c1"), lit(0L)),
+            coalesce(sum($"c2"), lit(0L))).head()
+          (meta._1, meta._2, meta._3, meta._4, meta._5, meta._6,
+            meta._7, meta._8, meta._9, meta._10, meta._11,
+            r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }.flatten
     rows.toDF("artifact", "txn_seq", "txn", "kind", "read_version",
         "committed_version", "conflict_keys", "rebased", "frac6_read",
         "frac6_commit", "decision_changed", "rows_live", "keys_live",

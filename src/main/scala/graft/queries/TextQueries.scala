@@ -2857,8 +2857,14 @@ object TextQueries {
   private[graft] def tokenizerAb(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val (bseg, _) = bpeChain(docs, BpeK)
-    val (_, _, ubest) = unigramChain(docs)
+    // the two tokenizer trainings are independent chains over the
+    // same distinct-word table — overlap them (guide §2.6; each is
+    // internally an ordered merge/EM recursion and stays so)
+    val Seq(bsegA, ubestA) = graft.Scratch.parMap(
+      Seq[() => DataFrame](
+        () => bpeChain(docs, BpeK)._1,
+        () => unigramChain(docs)._3), 2)(_())
+    val (bseg, ubest) = (bsegA, ubestA)
     val wl = docs
       .select($"lang", explode(split($"text", " ")).as("word"))
       .filter(length($"word") > 0)
