@@ -149,6 +149,35 @@ object Bench {
         spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("q236_mor_compaction")(
         spark, "/root/testdata/sf0.001").count()
+      // …and then EVERY registered plan family once at sf0.001, under
+      // the same noop action the measurement uses: the sweep times
+      // steady-state plan cost at the measured SF, not first-plan
+      // Janino codegen. The explicit list above grew one entry per
+      // round as each new family's first-plan cost was measured
+      // (q89 ~8 s, q160 ~13 s, q217 ~124 s at sf3); the r17 baseline
+      // still carried ~97 s of one-time first-plan cost across the
+      // 226-query reps=1 sweep (cold − warm, tmp/bench_self.json), so
+      // the per-family list generalizes to the whole registry. Data
+      // work stays at sf0.001 (three decades below the measured SF);
+      // per-measured-dir artifact builds remain ONLY the explicit
+      // warm* calls above, which report their *_sec amortization.
+      // Each family is guarded individually so one failure costs only
+      // its own family's warmth.
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+      // …then drain the warmup's own debt BEFORE measuring: the
+      // warm-all pass drops hundreds of sf0.001 checkpoint/broadcast
+      // refs, and ContextCleaner only retires them after a GC notices
+      // the weak refs (the same mechanism as the 1-min periodic GC
+      // note above). Without this the backlog lands on the FIRST
+      // measured queries (observed +27 s over the sweep's first third
+      // vs baseline). Two GCs with settles give the cleaner queue a
+      // chance to fully drain.
+      System.gc(); Thread.sleep(2000)
+      System.gc(); Thread.sleep(1000)
     } catch { case t: Throwable =>
       // a silent warmup failure would put ~8 s of one-time JIT back
       // into the first measured entries with no signal — make

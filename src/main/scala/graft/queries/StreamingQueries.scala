@@ -2690,12 +2690,20 @@ object StreamingQueries {
       val split = DedupQueries.IngestSplit
       val u = SimilarityQueries.unitVecs(s, dir)
       val mxBase = sq8FrozenScale(s, dir)
-      // the pre-existing artifact: base vectors encoded at the frozen
-      // scale (one batch pass per release, like ivfadcIndex)
-      sq8CodesAt(u.filter(vecIxOf($"vec_id") >= split.NewMax), mxBase)
-        .write.parquet(scratch + "/codes_base")
+      // the pre-existing artifact (base vectors encoded at the frozen
+      // scale — one batch pass per release, like ivfadcIndex) and the
+      // streamed delta feed are independent — overlap them (guide
+      // §2.6)
+      val Seq(_, deltas) = graft.Scratch.parMap(Seq[() => DataFrame](
+        () => {
+          sq8CodesAt(u.filter(vecIxOf($"vec_id") >= split.NewMax),
+              mxBase)
+            .write.parquet(scratch + "/codes_base")
+          s.emptyDataFrame
+        },
+        () => runToSink(s, sq8Deltas(s, dir), scratch)), 2)(_())
       val compacted = s.read.parquet(scratch + "/codes_base")
-        .unionByName(runToSink(s, sq8Deltas(s, dir), scratch))
+        .unionByName(deltas)
       // re-scale audit: full-corpus scale, every vector re-encoded
       val mxFull = u
         .agg(max(expr("array_max(transform(v, x -> abs(x)))")).as("mxf"))
