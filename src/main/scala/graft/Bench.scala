@@ -81,6 +81,10 @@ object Bench {
       // and release v2 (the materialized roll-forward q201/q204 read;
       // one re-release build per corpus snapshot, release_v2_sec)
       graft.queries.StreamingQueries.warmReleaseV2(spark, sfDir)
+      // and release v3 (the purged CURRENT release q218's SLA audit
+      // scans — same amortization; release_v3_sec). Unwarmed, the
+      // one-time build landed inside q218's measured cold time.
+      graft.queries.StreamingQueries.warmReleaseV3(spark, sfDir)
       // and q206's purge-target delta artifacts (a deployment purges
       // artifacts that already exist; purge_artifacts_sec)
       graft.queries.StreamingQueries.warmPurgeArtifacts(spark, sfDir)
@@ -162,11 +166,16 @@ object Bench {
       // per-measured-dir artifact builds remain ONLY the explicit
       // warm* calls above, which report their *_sec amortization.
       // Each family is guarded individually so one failure costs only
-      // its own family's warmth.
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      // its own family's warmth — but only NON-fatal failures (ADVICE
+      // r17): swallowing an OOM/InterruptedException here would leave
+      // a degraded JVM proceeding silently to measurement.
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, "/root/testdata/sf0.001")
           .write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[bench] warm-all: $name failed " +
+            s"(${t.getClass.getName}) — its family stays cold")
+        }
       }
       // …then drain the warmup's own debt BEFORE measuring: the
       // warm-all pass drops hundreds of sf0.001 checkpoint/broadcast
@@ -197,6 +206,7 @@ object Bench {
     // host's weather. Default stays 1 (one honest cold pass).
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       // boundary-aware match: "q16" selects q16_string_funcs, not
       // q160-q169 (a bare startsWith matched ten extra queries)
@@ -204,6 +214,16 @@ object Bench {
         only.forall(_.exists(o => n == o || n.startsWith(o + "_"))) }
       .map {
       case (name, fn) =>
+        // in-sweep cleaner drain (guide §5, r18): each query drops its
+        // localCheckpoint/broadcast refs at return, but ContextCleaner
+        // only retires the blocks after a GC notices the weak refs —
+        // under the 1-min periodic GC the debt of ~20 queries lands on
+        // whichever query runs when the heap fills (q134 10.8 s
+        // in-registry vs 1.1 solo, r14; q235 15.6 vs 4.2, r17). Drain
+        // every 8 queries, BETWEEN timings, so no measured query pays
+        // a predecessor's debt. Not counted in any per-query time.
+        sinceGc += 1
+        if (sinceGc >= 8) { sinceGc = 0; System.gc() }
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           // noop sink, not count(): count() lets Catalyst PRUNE every
@@ -263,6 +283,8 @@ object Bench {
       graft.queries.StreamingQueries.releaseBuildNanos.get() / 1e9
     val relV2Sec =
       graft.queries.StreamingQueries.releaseV2Nanos.get() / 1e9
+    val relV3Sec =
+      graft.queries.StreamingQueries.releaseV3Nanos.get() / 1e9
     val purgeArtSec =
       graft.queries.StreamingQueries.purgeArtifactNanos.get() / 1e9
     val manifestSec =
@@ -274,7 +296,7 @@ object Bench {
     val purgedChunkIdxSec =
       graft.queries.SimilarityQueries.purgedChunkIndexNanos.get() / 1e9
     val line =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"retrain_index_sec":${fmt(retrainIdxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"manifest_build_sec":${fmt(manifestSec)},"cdc_feed_sec":${fmt(cdcFeedSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"purged_chunk_index_sec":${fmt(purgedChunkIdxSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs$coldQs,"fixture_sec":${fmt(fixtureSec)},"ann_index_sec":${fmt(idxSec)},"retrain_index_sec":${fmt(retrainIdxSec)},"chunk_index_sec":${fmt(chunkIdxSec)},"doc_index_sec":${fmt(docIdxSec)},"release_build_sec":${fmt(relSec)},"release_v2_sec":${fmt(relV2Sec)},"release_v3_sec":${fmt(relV3Sec)},"purge_artifacts_sec":${fmt(purgeArtSec)},"manifest_build_sec":${fmt(manifestSec)},"cdc_feed_sec":${fmt(cdcFeedSec)},"purged_doc_index_sec":${fmt(purgedDocIdxSec)},"purged_chunk_index_sec":${fmt(purgedChunkIdxSec)},"sf":"$sfDir"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"queries_file":"tmp/bench_self.json","sf":"$sfDir"}"""
     // compact line FIRST as well as last: whatever window a consumer

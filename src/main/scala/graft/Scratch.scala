@@ -60,6 +60,16 @@ object Scratch {
         ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence(xs.map(x => Future(f(x)))),
         Duration.Inf)
+      catch { case t: Throwable =>
+        // first failure propagates, but NOT before the siblings are
+        // interrupted and drained (ADVICE r17): a withScratchDir gate
+        // unwinding past this frame deletes the scratch dir, and a
+        // still-running sibling stream would hit it mid-write and
+        // surface a confusing secondary failure instead of `t`
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        throw t
+      }
       finally pool.shutdown()
     }
   }

@@ -837,12 +837,17 @@ object SimilarityQueries {
         explode(array((1 to nprobe).map(i => col(s"c$i")): _*)))
       .select($"q_id", $"cell")
     val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
-    val shortlist = enc.join(broadcast(probed), Seq("cell"))
+    // probed cells and the per-query LUT are BOTH query-count-bounded
+    // frames keyed by q_id — pre-joined they ride ONE BroadcastExchange
+    // and the enc-sized stream passes ONE BroadcastHashJoin instead of
+    // two (guide §3.1; values identical: (q_id, cell) stays distinct,
+    // the LUT is 1 row per q_id). LUT from the already-built qv + the
+    // memoized local codebook — pqLutFor would re-scan the corpus for
+    // both per call.
+    val probedLut = probed
+      .join(pqLutOfQv(qv, pqCodebookLocal(s, dir)), Seq("q_id"))
+    val shortlist = enc.join(broadcast(probedLut), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
-      // LUT from the already-built qv + the memoized local codebook —
-      // pqLutFor would re-scan the corpus for both per call
-      .join(broadcast(pqLutOfQv(qv, pqCodebookLocal(s, dir))),
-        Seq("q_id"))
       .withColumn("adist2",
         round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
       .withColumn("ar", row_number().over(wa))
@@ -872,10 +877,12 @@ object SimilarityQueries {
     val probedR = chain.select($"q_id",
         posexplode(array((1 to maxNp).map(i => col(s"c$i")): _*)))
       .select($"q_id", ($"pos" + 1).as("crank"), $"col".as("cell"))
+      // probed cells + per-query LUT pre-joined onto ONE broadcast
+      // frame — one BroadcastHashJoin over the enc-sized stream
+      // instead of two (guide §3.1, the ivfadcRanked spelling)
+      .join(pqLutOfQv(qv, pqCodebookLocal(s, dir)), Seq("q_id"))
     enc.join(broadcast(probedR), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
-      .join(broadcast(pqLutOfQv(qv, pqCodebookLocal(s, dir))),
-        Seq("q_id"))
       .withColumn("adist2",
         round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
       .select($"q_id", $"crank", $"vec_id", $"adist2")
@@ -2185,52 +2192,64 @@ object SimilarityQueries {
   private def q181(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qs = retrQuerySample(s, dir)
-    val e = unitVecs(s, dir)
-    // query vectors COLLECTED once (≤ RetrQK rows): every downstream
-    // use (probe chain, LUT, exact re-rank) otherwise re-executes the
-    // corpus normalize scan inside its own broadcast job
-    val (_, qv) = localized(e.join(qs, e("vec_id") === qs("q_id"))
-      .select($"q_id", $"v".as("qv")))
-    // probe cells from the query vectors (the q54 argmax-mask chain);
-    // ONE job: the ≤ RetrQK·nprobe probe rows come back to the driver
-    // and re-enter as a local relation (literals + broadcast side)
-    val (probedRows, probed) = localized(maskChain(
-        qv.withColumn("c1", cellCol(s, $"qv"))
-          .withColumn("s1", cellScoresCol(s, $"qv")),
-        IVFPQ_NPROBE)
-      .withColumn("cell",
-        explode(array((1 to IVFPQ_NPROBE).map(i => col(s"c$i")): _*)))
-      .select($"q_id", $"cell"))
-    // the distinct probed cells are a BOUNDED set (≤ RetrQK·nprobe,
-    // corpus-size-independent) — literals make the filter static
-    // partition pruning at the index reader
-    val cells = probedRows.map(_.getInt(1)).distinct.sorted
-    val enc = graft.Tables.parquetCached(s, annIndexDir(s, dir))
-      .filter($"cell".isin(cells.map(Integer.valueOf): _*))
-      .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
-    val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
-    val shortlist = enc.join(broadcast(probed), Seq("cell"))
-      .filter($"vec_id" =!= $"q_id")
-      // LUT from the already-built qv + the memoized local codebook
-      .join(broadcast(pqLutOfQv(qv, pqCodebookLocal(s, dir))),
-        Seq("q_id"))
-      .withColumn("adist2",
-        round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
-      .withColumn("ar", row_number().over(wa))
-      .filter($"ar" <= RetrR)
-      .select($"q_id", $"vec_id")
-    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
-    val rv = broadcast(shortlist).join(e, "vec_id")
-      .join(broadcast(qv), "q_id")
-      .withColumn("sim",
-        round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
-      .withColumn("rv", row_number().over(w))
-      .filter($"rv" <= FuseD)
-      .select($"q_id", $"vec_id", $"rv")
-    // lexical branch SERVED from the persisted doc-postings index —
-    // no corpus tokenize at serve time (row-identical to bm25Ranks;
-    // the q172-shared oracle pins it)
-    fuseRanks(rv, bm25RanksServed(s, dir))
+    // the vector and lexical branches are independent until fuseRanks,
+    // and each branch's CONSTRUCTION runs bounded driver-side collect
+    // jobs (qv + probed cells here; probe terms inside
+    // bm25RanksServed) — overlap the two chains (guide §2.6)
+    val Seq(rv, rt) = graft.Scratch.parMap(Seq[() => DataFrame](
+      () => {
+        val e = unitVecs(s, dir)
+        // query vectors COLLECTED once (≤ RetrQK rows): every
+        // downstream use (probe chain, LUT, exact re-rank) otherwise
+        // re-executes the corpus normalize scan inside its own
+        // broadcast job
+        val (_, qv) = localized(e.join(qs, e("vec_id") === qs("q_id"))
+          .select($"q_id", $"v".as("qv")))
+        // probe cells from the query vectors (the q54 argmax-mask
+        // chain); ONE job: the ≤ RetrQK·nprobe probe rows come back to
+        // the driver and re-enter as a local relation (literals +
+        // broadcast side)
+        val (probedRows, probed) = localized(maskChain(
+            qv.withColumn("c1", cellCol(s, $"qv"))
+              .withColumn("s1", cellScoresCol(s, $"qv")),
+            IVFPQ_NPROBE)
+          .withColumn("cell",
+            explode(array((1 to IVFPQ_NPROBE).map(i => col(s"c$i")): _*)))
+          .select($"q_id", $"cell"))
+        // the distinct probed cells are a BOUNDED set (≤ RetrQK·nprobe,
+        // corpus-size-independent) — literals make the filter static
+        // partition pruning at the index reader
+        val cells = probedRows.map(_.getInt(1)).distinct.sorted
+        val enc = graft.Tables.parquetCached(s, annIndexDir(s, dir))
+          .filter($"cell".isin(cells.map(Integer.valueOf): _*))
+          .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
+        val wa = Window.partitionBy($"q_id").orderBy($"adist2", $"vec_id")
+        // probed cells + per-query LUT pre-joined onto ONE broadcast
+        // frame (guide §3.1, the ivfadcRanked spelling); LUT from the
+        // already-built qv + the memoized local codebook
+        val probedLut = probed
+          .join(pqLutOfQv(qv, pqCodebookLocal(s, dir)), Seq("q_id"))
+        val shortlist = enc.join(broadcast(probedLut), Seq("cell"))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("adist2",
+            round(graft.expr.GraftFunctions.pqAdc(s, $"codes", $"lut"), 9))
+          .withColumn("ar", row_number().over(wa))
+          .filter($"ar" <= RetrR)
+          .select($"q_id", $"vec_id")
+        val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+        broadcast(shortlist).join(e, "vec_id")
+          .join(broadcast(qv), "q_id")
+          .withColumn("sim",
+            round(graft.expr.GraftFunctions.dot(s, $"qv", $"v"), 5))
+          .withColumn("rv", row_number().over(w))
+          .filter($"rv" <= FuseD)
+          .select($"q_id", $"vec_id", $"rv")
+      },
+      // lexical branch SERVED from the persisted doc-postings index —
+      // no corpus tokenize at serve time (row-identical to bm25Ranks;
+      // the q172-shared oracle pins it)
+      () => bm25RanksServed(s, dir)), 2)(_())
+    fuseRanks(rv, rt)
   }
 
   // ---------------------------------------------------------------
@@ -2716,16 +2735,23 @@ object SimilarityQueries {
     * fully-served RAG can take it as the doc-shortlist stage. */
   private[graft] def purgedHybrid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tombV = embeddings(s, dir).select($"vec_id")
-      .filter(StreamingQueries.Takedown.purged($"vec_id"))
-    val enc = graft.Tables.parquetCached(s, annIndexDir(s, dir))
-      .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
-      .join(broadcast(tombV), Seq("vec_id"), "left_anti")
     val qs = purgedQuerySample(s, dir)
-    val rv = ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, RetrR, Some(enc))
-      .filter($"rv" <= FuseD)
-      .select($"q_id", $"vec_id", $"rv")
-    fuseRanks(rv, bm25RanksPurged(s, dir, qs))
+    // vector and lexical branches are independent until fuseRanks —
+    // overlap their construction-time collect jobs (guide §2.6, the
+    // q181 spelling)
+    val Seq(rv, rt) = graft.Scratch.parMap(Seq[() => DataFrame](
+      () => {
+        val tombV = embeddings(s, dir).select($"vec_id")
+          .filter(StreamingQueries.Takedown.purged($"vec_id"))
+        val enc = graft.Tables.parquetCached(s, annIndexDir(s, dir))
+          .select($"vec_id", $"cell".cast("int").as("cell"), $"codes")
+          .join(broadcast(tombV), Seq("vec_id"), "left_anti")
+        ivfadcRanked(s, dir, qs, IVFPQ_NPROBE, RetrR, Some(enc))
+          .filter($"rv" <= FuseD)
+          .select($"q_id", $"vec_id", $"rv")
+      },
+      () => bm25RanksPurged(s, dir, qs)), 2)(_())
+    fuseRanks(rv, rt)
   }
 
   private def q213(s: SparkSession, dir: String): DataFrame =
@@ -2791,24 +2817,29 @@ object SimilarityQueries {
     val idx = purgedChunkIndexDir(s, dir)
     val dict = graft.Tables.parquetCached(s, s"$idx/dict")
     val qids = purgedQuerySample(s, dir)
-    // stage 1 — the purged served doc shortlist (q213), one job
-    val (hybRows, hyb) = localized(purgedHybrid(s, dir)
-      .select($"q_id", $"rn".as("doc_rank"), $"doc_id"))
+    // stage 1 — the purged served doc shortlist (q213); stage 2 —
+    // probe terms vs the purged dictionary. Independent bounded
+    // collects — overlap them (guide §2.6, the q187 spelling).
+    val Seq((hybRows, hyb), (qtRows, qt)) = graft.Scratch.parMap(
+      Seq[() => (Array[org.apache.spark.sql.Row], DataFrame)](
+      () => localized(purgedHybrid(s, dir)
+        .select($"q_id", $"rn".as("doc_rank"), $"doc_id")),
+      () => {
+        val d = documents(s, dir).select($"doc_id", $"text")
+        val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
+          .select($"q_id", explode(split($"text", " ")).as("term"))
+          .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
+        localized(qtf.join(dict, "term")
+          .transform(withStatsLits(s, s"$idx/stats"))
+          .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+            * 1e6 + 0.5).cast("long"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
+          .filter($"rn" <= QTerms)
+          .select($"q_id", $"term", $"df"))
+      }), 2)(_())
     val docIds = hybRows.map(_.getLong(2)).distinct.sorted
     val docLits = docIds.map(java.lang.Long.valueOf)
-    // stage 2 — probe terms vs the purged dictionary
-    val d = documents(s, dir).select($"doc_id", $"text")
-    val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
-      .select($"q_id", explode(split($"text", " ")).as("term"))
-      .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
-    val (qtRows, qt) = localized(qtf.join(dict, "term")
-      .transform(withStatsLits(s, s"$idx/stats"))
-      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
-        * 1e6 + 0.5).cast("long"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
-      .filter($"rn" <= QTerms)
-      .select($"q_id", $"term", $"df"))
     val terms = qtRows.map(_.getString(1)).distinct.sorted
     // stage 3 — purged postings walk, BOTH pushdowns
     val scored = graft.Tables.parquetCached(s, s"$idx/postings")
@@ -2934,12 +2965,17 @@ object SimilarityQueries {
     // the doc shortlist comes from the SERVED path (q181's persisted
     // partition-pruned index — ranking row-identical to q172, which
     // is why the oracle reuses the fused-chain CTEs), not the inline
-    // build: this gate is the full serving composition end to end
-    val hyb = q181(s, dir)
-      .select($"q_id", $"rn".as("doc_rank"), $"doc_id")
-    val ranked = chunkRank(s,
-      documents(s, dir).select($"doc_id", $"text"),
-      retrQuerySample(s, dir))
+    // build: this gate is the full serving composition end to end.
+    // The shortlist chain and the inline chunk ranking are
+    // independent until the stage-3 join, and each runs driver-side
+    // materialization jobs during construction (q181's bounded
+    // collects; chunkRank's ctf checkpoint) — overlap them (§2.6).
+    val Seq(hyb, ranked) = graft.Scratch.parMap(Seq[() => DataFrame](
+      () => q181(s, dir)
+        .select($"q_id", $"rn".as("doc_rank"), $"doc_id"),
+      () => chunkRank(s,
+        documents(s, dir).select($"doc_id", $"text"),
+        retrQuerySample(s, dir))), 2)(_())
     val within = ranked.join(broadcast(hyb), Seq("q_id", "doc_id"))
       .withColumn("crn", row_number().over(
         Window.partitionBy($"q_id")
@@ -3159,27 +3195,32 @@ object SimilarityQueries {
     val idx = chunkIndexDir(s, dir)
     val dict = graft.Tables.parquetCached(s, s"$idx/dict")
     val qids = retrQuerySample(s, dir)
-    // stage 1 — the SERVED doc shortlist (≤ RetrQK·5 rows): ONE job,
-    // rows re-entering as a local relation so the fused doc set is
-    // both the stage-2 scan literals and the stage-3 broadcast side
-    val (hybRows, hyb) = localized(q181(s, dir)
-      .select($"q_id", $"rn".as("doc_rank"), $"doc_id"))
+    // stage 1 — the SERVED doc shortlist (≤ RetrQK·5 rows): rows
+    // re-entering as a local relation so the fused doc set is both
+    // the stage-2 scan literals and the stage-3 broadcast side.
+    // stage 2 — probe terms against the persisted dictionary (only
+    // the sample docs tokenize; qt carries df). The two stages are
+    // independent bounded collects — overlap them (guide §2.6).
+    val Seq((hybRows, hyb), (qtRows, qt)) = graft.Scratch.parMap(
+      Seq[() => (Array[org.apache.spark.sql.Row], DataFrame)](
+      () => localized(q181(s, dir)
+        .select($"q_id", $"rn".as("doc_rank"), $"doc_id")),
+      () => {
+        val d = documents(s, dir).select($"doc_id", $"text")
+        val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
+          .select($"q_id", explode(split($"text", " ")).as("term"))
+          .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
+        localized(qtf.join(dict, "term")
+          .transform(withStatsLits(s, s"$idx/stats"))
+          .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
+            * 1e6 + 0.5).cast("long"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
+          .filter($"rn" <= QTerms)
+          .select($"q_id", $"term", $"df"))
+      }), 2)(_())
     val docIds = hybRows.map(_.getLong(2)).distinct.sorted
     val docLits = docIds.map(java.lang.Long.valueOf)
-    // stage 2 — probe terms against the persisted dictionary (only
-    // the sample docs tokenize; qt carries df)
-    val d = documents(s, dir).select($"doc_id", $"text")
-    val qtf = d.join(broadcast(qids), d("doc_id") === qids("q_id"))
-      .select($"q_id", explode(split($"text", " ")).as("term"))
-      .groupBy($"q_id", $"term").agg(count(lit(1)).as("tf"))
-    val (qtRows, qt) = localized(qtf.join(dict, "term")
-      .transform(withStatsLits(s, s"$idx/stats"))
-      .withColumn("w6", floor($"tf" * log($"n".cast("double") / $"df")
-        * 1e6 + 0.5).cast("long"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"w6".desc, $"term")))
-      .filter($"rn" <= QTerms)
-      .select($"q_id", $"term", $"df"))
     val terms = qtRows.map(_.getString(1)).distinct.sorted
     // stage 3 — postings walk: BOTH pushdowns (probe terms × fused
     // docs); scoring uses the index's GLOBAL stats, so restricting

@@ -1772,9 +1772,15 @@ object StreamingQueries {
     * materialized once per corpus snapshot): q218's SLA audit reads
     * the CURRENT release a deployment has on disk — q207 itself
     * deliberately keeps its chain live (its documented price is the
-    * roll-forward). Same stopped-owner eviction as releaseV2Cache. */
+    * roll-forward). Same stopped-owner eviction as releaseV2Cache.
+    * Bench-warmed like releaseV2 (same one-release-build-per-corpus-
+    * snapshot amortization; build wall-clock reported as
+    * release_v3_sec) — unwarmed, the build landed inside the FIRST
+    * consumer's (q218's) measured time in every reps=1 sweep. */
   private val releaseV3Cache = new java.util.concurrent
     .ConcurrentHashMap[String, DataFrame]()
+  private[graft] val releaseV3Nanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[graft] def releaseV3For(s: SparkSession, dir: String): DataFrame = {
     val src = new java.io.File(s"$dir/documents.parquet")
@@ -1782,11 +1788,19 @@ object StreamingQueries {
     val key = s"$app:$dir:${src.lastModified}:${src.length}"
     releaseV3Cache.entrySet.removeIf(e =>
       e.getValue.sparkSession.sparkContext.isStopped)
-    graft.Tables.memoFresh(releaseV3Cache, s"$app:$dir:", key)(_ =>
-      TextQueries.releaseDocs(graft.Tables.documents(s, dir)
+    graft.Tables.memoFresh(releaseV3Cache, s"$app:$dir:", key)(_ => {
+      val t0 = System.nanoTime()
+      val v3 = TextQueries.releaseDocs(graft.Tables.documents(s, dir)
           .filter(!Takedown.purged(col("doc_id")))
           .select(col("doc_id"), col("lang"), col("text")))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+      releaseV3Nanos.addAndGet(System.nanoTime() - t0)
+      v3
+    })
+  }
+
+  private[graft] def warmReleaseV3(s: SparkSession, dir: String): Unit = {
+    releaseV3For(s, dir); ()
   }
 
   private def q199(s: SparkSession, dir: String): DataFrame = {
@@ -2693,7 +2707,11 @@ object StreamingQueries {
       // the pre-existing artifact (base vectors encoded at the frozen
       // scale — one batch pass per release, like ivfadcIndex) and the
       // streamed delta feed are independent — overlap them (guide
-      // §2.6)
+      // §2.6). NOTE (ADVICE r17): while the sibling feed runs,
+      // withStatePartitions holds the session's shuffle width reduced
+      // — the batch branch here must stay SHUFFLE-FREE (it is: encode
+      // is row-local, the write has no exchange), or move to its own
+      // session
       val Seq(_, deltas) = graft.Scratch.parMap(Seq[() => DataFrame](
         () => {
           sq8CodesAt(u.filter(vecIxOf($"vec_id") >= split.NewMax),
@@ -2797,70 +2815,155 @@ object StreamingQueries {
   // invariance, the decision bit on a planted-threshold frame, and
   // the vacuumed artifact ≡ rebuild row for row.
   //
-  // Scale: per wave, one columnar scan of the artifact flags dead
-  // rows against the BROADCAST outstanding-tombstone store (which
-  // the vacuum keeps bounded — that is the point of the decision
-  // bit); the only full-artifact WRITE is the vacuum itself, fired
-  // by the threshold, not by the feed rate. Nothing carries text or
-  // vectors; the sheet is |artifacts × waves| rows.
+  // Scale: TWO tagged columnar passes of the artifact total (the
+  // (a, d) cross-tab + the per-k live flags — waveAuditFold; the
+  // first form paid one scan per wave), against the BROADCAST
+  // takedown-event map (which the vacuum keeps bounded — that is the
+  // point of the decision bit); the only full-artifact WRITE is the
+  // vacuum itself, fired by the threshold, not by the feed rate.
+  // Nothing carries text or vectors; the sheet is
+  // |artifacts × waves| rows.
   private[graft] val VacuumThresh6 = 100000L // vacuum when > 10% dead
 
-  /** the per-artifact tombstone-wave audit: fold `tombs` (successive
-    * takedown batches of `key`s) over the artifact state, publishing
-    * one audit row per wave and RUNNING the vacuum when the bit
-    * fires. Exposed so TakedownSpec can drive planted frames through
-    * the identical machinery. `rows` must carry (key, k, c1, c2). */
-  private[graft] def tombstoneWaveAudit(artifact: String,
-      rows: DataFrame, tombs: Seq[DataFrame], key: String,
-      scratch: String): DataFrame = {
-    val s = rows.sparkSession
+  /** ONE-PASS spelling of the wave/interleave audits (r18, guide §6
+    * one-pass I/O — the q230/q231 tagged-membership discipline): the
+    * first form re-scanned the artifact once per event (12 scans + 2
+    * append checkpoints for q220's three folds). Instead, tag every
+    * row ONCE with (a = the event index at which it became present;
+    * 0 = base) and (d = the event index of its key's takedown wave;
+    * null = never taken down), drop ingest-screened rows (d < a — a
+    * key taken down before an append never enters; takedowns are
+    * forever), and then:
+    *   pass 1 — the (a, d) cross-tab (counts + checksum sums), a
+    *     handful of cells collected to the driver;
+    *   pass 2 — keys_live per event (distinct k among live rows; live
+    *     at event j ⟺ a ≤ j < d, VACUUM-INVARIANT — the same
+    *     analytic live sets the DuckDB oracle's FILTER-aggregate
+    *     uses);
+    *   replay — the vacuum state machine (rows_total shrinks by fired
+    *     vacuums, dead rows carry until one retires them) runs over
+    *     the collected cells in driver arithmetic: present at j =
+    *     {a ≤ j, d > lastVacuum}, dead = {… , d ≤ j} — exactly the
+    *     unrolled recurrence the oracle pins, and TakedownSpec's
+    *     planted thresholds + order matrix pin the Spark side.
+    * Fired vacuums still perform the honest full-artifact rewrite.
+    * Waves must be disjoint and a wave's keys unique (the documented
+    * store invariant — the per-key min(d) dedup makes the tag
+    * deterministic if a caller ever violates it). */
+  private def waveAuditFold(artifact: String, base: DataFrame,
+      events: Seq[(String, DataFrame)], key: String, scratch: String,
+      vacPrefix: String): Seq[(Long, String, Long, Long, Long, Boolean,
+        Long, Long, Long, Long, Long)] = {
+    val s = base.sparkSession
     import s.implicits._
-    var live = rows
-    var outstanding = Vector.empty[DataFrame]
+    val n = events.size
+    events.foreach { case (kind, _) =>
+      require(kind == "append" || kind == "takedown",
+        s"unknown event: $kind") }
+    val appendsTagged = events.zipWithIndex.collect {
+      case (("append", df), i0) =>
+        df.select(col(key), $"k", $"c1", $"c2").withColumn("a", lit(i0 + 1))
+    }
+    val tkWaves = events.zipWithIndex.collect {
+      case (("takedown", df), i0) => (i0 + 1, df.select(col(key)))
+    }
+    // per-wave outstanding-store sizes: one tiny count at arrival,
+    // same as the first form (waves are disjoint)
+    val tkCounts: Map[Int, Long] =
+      tkWaves.map { case (i, t) => i -> t.count() }.toMap
+    val union0 = (base.select(col(key), $"k", $"c1", $"c2")
+      .withColumn("a", lit(0)) +: appendsTagged).reduce(_ unionByName _)
+    val tagged = tkWaves.map { case (i, t) => t.withColumn("d", lit(i)) }
+      .reduceOption(_ unionByName _) match {
+      case Some(dm0) =>
+        val dm = dm0.groupBy(col(key)).agg(min($"d").as("d"))
+        union0.join(broadcast(dm), Seq(key), "left")
+          .filter($"d".isNull || $"d" >= $"a")
+      case None => union0.withColumn("d", lit(null).cast("int"))
+    }
+    def liveCond(j: Int) = $"a" <= j && ($"d".isNull || $"d" > j)
+    // pass 1: the (a, d) cross-tab. NoDead below marks d = null.
+    val NoDead = Int.MaxValue
+    val cells: Array[(Int, Int, Long, Long, Long)] = tagged
+      .groupBy($"a", $"d")
+      .agg(count(lit(1)).as("cn"), sum($"c1").as("s1"),
+        sum($"c2").as("s2"))
+      .collect().map { r =>
+        (r.getInt(0), if (r.isNullAt(1)) NoDead else r.getInt(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3),
+          if (r.isNullAt(4)) 0L else r.getLong(4))
+      }
+    // pass 2: keys_live per event — per-k live flags folded in one
+    // partial-aggregating pass (no per-event artifact scan, no
+    // multi-distinct Expand)
+    val keysLive: IndexedSeq[Long] =
+      if (n == 0) IndexedSeq.empty
+      else {
+        val flags = tagged.filter($"k".isNotNull).groupBy($"k")
+          .agg(max(when(liveCond(1), 1).otherwise(0)).as("f1"),
+            (2 to n).map(j =>
+              max(when(liveCond(j), 1).otherwise(0)).as(s"f$j")): _*)
+        val r = flags.agg(sum($"f1").as("kl1"),
+          (2 to n).map(j => sum(col(s"f$j")).as(s"kl$j")): _*).head()
+        (0 until n).map(j => if (r.isNullAt(j)) 0L else r.getLong(j))
+      }
+    // replay the vacuum state machine over the collected cells
+    var lastVac = 0
     var outstandingN = 0L
     var vacN = 0
-    val sheet = Vector.newBuilder[
-      (String, Long, Long, Long, Long, Boolean, Long, Long, Long, Long,
-        Long)]
-    for ((t, i) <- tombs.zipWithIndex) {
-      val tw = t.select(col(key))
-      outstanding :+= tw
-      // waves are disjoint: one count job at arrival, no union+count
-      outstandingN += tw.count()
-      val tomb = outstanding.reduce(_ unionByName _)
-      // one artifact scan: flag dead rows against the broadcast
-      // tombstone store, roll live checksums in the same pass
-      val r = live
-        .join(broadcast(tomb.withColumn("dd", lit(1))), Seq(key), "left")
-        .agg(count(lit(1)).as("rows_total"),
-          coalesce(sum(when($"dd" === 1, 1L)), lit(0L)).as("rows_dead"),
-          coalesce(sum(when($"dd".isNull, $"c1")), lit(0L)).as("chk1"),
-          coalesce(sum(when($"dd".isNull, $"c2")), lit(0L)).as("chk2"),
-          countDistinct(when($"dd".isNull, $"k")).as("keys_live"))
-        .head()
-      val total = r.getLong(0)
-      val dead = r.getLong(1)
+    val sheet = Vector.newBuilder[(Long, String, Long, Long, Long,
+      Boolean, Long, Long, Long, Long, Long)]
+    for (((kind, _), i0) <- events.zipWithIndex) {
+      val i = i0 + 1
+      if (kind == "takedown") outstandingN += tkCounts(i)
+      val present = cells.filter(c => c._1 <= i &&
+        (c._2 == NoDead || c._2 > lastVac))
+      val total = present.map(_._3).sum
+      val dead = present.filter(c => c._2 != NoDead && c._2 <= i)
+        .map(_._3).sum
       val frac6 = if (total > 0) dead * 1000000L / total else 0L
       val vac = frac6 > VacuumThresh6
+      val liveCells = cells.filter(c => c._1 <= i &&
+        (c._2 == NoDead || c._2 > i))
       val tombN = outstandingN
       if (vac) {
         // the vacuum: rewrite live rows (the honest full-artifact
         // write), retire the tombstone store
         vacN += 1
-        val vdir = s"$scratch/${artifact}_vac$vacN"
-        live.join(broadcast(tomb), Seq(key), "left_anti")
-          .write.mode("overwrite").parquet(vdir)
-        live = s.read.parquet(vdir)
-        outstanding = Vector.empty
+        tagged.filter(liveCond(i)).select(col(key), $"k", $"c1", $"c2")
+          .write.mode("overwrite")
+          .parquet(s"$scratch/${artifact}_$vacPrefix$vacN")
+        lastVac = i
         outstandingN = 0L
       }
-      sheet += ((artifact, (i + 1).toLong, total, dead, frac6, vac,
-        total - dead, r.getLong(4), r.getLong(2), r.getLong(3),
+      sheet += ((i.toLong, kind, total, dead, frac6, vac, total - dead,
+        keysLive(i0), liveCells.map(_._4).sum, liveCells.map(_._5).sum,
         if (vac) 0L else tombN))
     }
-    sheet.result().toDF("artifact", "wave", "rows_total", "rows_dead",
-      "dead_frac6", "vacuumed", "rows_live", "keys_live", "chk1_live",
-      "chk2_live", "tomb_outstanding")
+    sheet.result()
+  }
+
+  /** the per-artifact tombstone-wave audit: fold `tombs` (successive
+    * takedown batches of `key`s) over the artifact state, publishing
+    * one audit row per wave and RUNNING the vacuum when the bit
+    * fires. Exposed so TakedownSpec can drive planted frames through
+    * the identical machinery. `rows` must carry (key, k, c1, c2).
+    * One-pass spelling — see waveAuditFold. */
+  private[graft] def tombstoneWaveAudit(artifact: String,
+      rows: DataFrame, tombs: Seq[DataFrame], key: String,
+      scratch: String): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    waveAuditFold(artifact, rows, tombs.map("takedown" -> _), key,
+        scratch, "vac")
+      .map { case (w, _, total, dead, frac6, vac, live, kl, c1, c2,
+          tomb) =>
+        (artifact, w, total, dead, frac6, vac, live, kl, c1, c2, tomb)
+      }
+      .toDF("artifact", "wave", "rows_total", "rows_dead",
+        "dead_frac6", "vacuumed", "rows_live", "keys_live", "chk1_live",
+        "chk2_live", "tomb_outstanding")
   }
 
   /** q220's interleaved lifecycle audit over ONE artifact: `events`
@@ -2878,77 +2981,25 @@ object StreamingQueries {
     * drives through an order matrix. `base`/deltas carry
     * (key, k, c1, c2).
     *
-    * Scale: per event ONE columnar scan of the artifact against the
-    * broadcast outstanding store (appends keep shrinking the dead
-    * fraction, takedowns grow it, the threshold bounds it); the only
-    * full-artifact write is the fired vacuum; append screens are
-    * broadcast anti-joins against the |D|-bounded history. */
+    * Scale: TWO tagged columnar passes of (base ∪ deltas) total
+    * (waveAuditFold — the first form paid one scan + checkpoint per
+    * event) against the broadcast |D|-bounded takedown-event map,
+    * which also applies the ingest screen (d < a); the only
+    * full-artifact write is the fired vacuum. */
   private[graft] def interleavedWaveAudit(artifact: String,
       base: DataFrame, events: Seq[(String, DataFrame)], key: String,
       scratch: String): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    var live = base
-    var history = Vector.empty[DataFrame]
-    var outstanding = Vector.empty[DataFrame]
-    var outstandingN = 0L
-    var vacN = 0
-    val sheet = Vector.newBuilder[(String, Long, String, Long, Long,
-      Long, Boolean, Long, Long, Long, Long, Long)]
-    for (((kind, df), i) <- events.zipWithIndex) {
-      kind match {
-        case "append" =>
-          val screened =
-            if (history.isEmpty) df
-            else df.join(broadcast(history.reduce(_ unionByName _)),
-              Seq(key), "left_anti")
-          // eager checkpoint: every later event re-scans `live`, and
-          // without truncation each scan re-runs the union + screen
-          // anti-join lineage (measured ~2x on the 4-event fold)
-          live = live.unionByName(screened).localCheckpoint(true)
-        case "takedown" =>
-          val t = df.select(col(key))
-          history :+= t
-          outstanding :+= t
-          // waves are disjoint: the outstanding-store size is the sum
-          // of per-wave counts, one count job at arrival instead of a
-          // union+count per event
-          outstandingN += t.count()
-        case other =>
-          throw new IllegalArgumentException(s"unknown event: $other")
+    waveAuditFold(artifact, base, events, key, scratch, "ivac")
+      .map { case (w, kind, total, dead, frac6, vac, live, kl, c1, c2,
+          tomb) =>
+        (artifact, w, kind, total, dead, frac6, vac, live, kl, c1, c2,
+          tomb)
       }
-      val tomb =
-        if (outstanding.isEmpty) live.select(col(key)).limit(0)
-        else outstanding.reduce(_ unionByName _)
-      val r = live
-        .join(broadcast(tomb.withColumn("dd", lit(1))), Seq(key), "left")
-        .agg(count(lit(1)).as("rows_total"),
-          coalesce(sum(when($"dd" === 1, 1L)), lit(0L)).as("rows_dead"),
-          coalesce(sum(when($"dd".isNull, $"c1")), lit(0L)).as("chk1"),
-          coalesce(sum(when($"dd".isNull, $"c2")), lit(0L)).as("chk2"),
-          countDistinct(when($"dd".isNull, $"k")).as("keys_live"))
-        .head()
-      val total = r.getLong(0)
-      val dead = r.getLong(1)
-      val frac6 = if (total > 0) dead * 1000000L / total else 0L
-      val vac = frac6 > VacuumThresh6
-      val tombN = outstandingN
-      if (vac) {
-        vacN += 1
-        val vdir = s"$scratch/${artifact}_ivac$vacN"
-        live.join(broadcast(tomb), Seq(key), "left_anti")
-          .write.mode("overwrite").parquet(vdir)
-        live = s.read.parquet(vdir)
-        outstanding = Vector.empty
-        outstandingN = 0L
-      }
-      sheet += ((artifact, (i + 1).toLong, kind, total, dead, frac6,
-        vac, total - dead, r.getLong(4), r.getLong(2), r.getLong(3),
-        if (vac) 0L else tombN))
-    }
-    sheet.result().toDF("artifact", "wave", "kind", "rows_total",
-      "rows_dead", "dead_frac6", "vacuumed", "rows_live", "keys_live",
-      "chk1_live", "chk2_live", "tomb_outstanding")
+      .toDF("artifact", "wave", "kind", "rows_total",
+        "rows_dead", "dead_frac6", "vacuumed", "rows_live", "keys_live",
+        "chk1_live", "chk2_live", "tomb_outstanding")
   }
 
   private def q215(s: SparkSession, dir: String): DataFrame = {
@@ -3307,15 +3358,27 @@ object StreamingQueries {
   private def q218(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q218") { scratch =>
-      // stage-1 feeds: throttled to 8 files/trigger so the feed
+      // stage-1 feed: throttled to 8 files/trigger so the feed
       // arrives as real successive batches (2 per key space — the
       // batch DIMENSION the lag needs, at half the per-micro-batch
       // planning+commit cost of a finer split), stamped into the
-      // sink's batch column. The two key-space feeds and the two
-      // expectation checkpoints are independent — overlap all four
-      // (guide §2.6; AvailableNow startup/commit is mostly fixed
-      // driver latency)
-      val Seq(docD, vecD, docTombB, vecTombB) =
+      // sink's batch column. The two key spaces ride ONE multiplexed
+      // AvailableNow stream (the q220 interleaveFeeds discipline — a
+      // production ingest bus multiplexes record kinds on one topic):
+      // maxFilesPerTrigger is a PER-SOURCE read limit, so each
+      // source still admits 8 of its 16 replica files per
+      // micro-batch and a key's batch stamp is byte-identical to the
+      // two-stream form (batch i carries files [8i, 8i+8) of BOTH
+      // sources; StreamingSpec pins the >=2-batch dimension, and the
+      // r18 multiplex spec pins per-key stamp equality against
+      // single-source feeds). One stream startup + commit cycle and
+      // 2 micro-batches replace two startups and 4. The feed and the
+      // two expectation checkpoints are independent — overlap all
+      // three (guide §2.6). NOTE (ADVICE r17): the checkpoint
+      // branches run while withStatePartitions holds the session's
+      // shuffle width reduced — they must stay SHUFFLE-FREE (they
+      // are: filter+select scans, no exchange).
+      val Seq(docD, vecD, tombAll) =
         graft.Scratch.parMap(Seq[() => DataFrame](
           () => graft.Tables.documents(s, dir)
             .filter(Takedown.purged($"doc_id")).select($"doc_id")
@@ -3326,12 +3389,16 @@ object StreamingQueries {
             .localCheckpoint(true),
           () => runToSinkBatched(s,
             multiFileStream(s, dir, "documents", 8)
-              .filter(Takedown.purged($"doc_id")).select($"doc_id"),
-            scratch + "/td").localCheckpoint(true),
-          () => runToSinkBatched(s,
-            multiFileStream(s, dir, "embeddings", 8)
-              .filter(Takedown.purged($"vec_id")).select($"vec_id"),
-            scratch + "/tv").localCheckpoint(true)), 4)(_())
+              .filter(Takedown.purged($"doc_id"))
+              .select($"doc_id", lit(null).cast("long").as("vec_id"))
+              .unionByName(multiFileStream(s, dir, "embeddings", 8)
+                .filter(Takedown.purged($"vec_id"))
+                .select(lit(null).cast("long").as("doc_id"), $"vec_id")),
+            scratch + "/t").localCheckpoint(true)), 3)(_())
+      val docTombB = tombAll.filter($"doc_id".isNotNull)
+        .select($"doc_id", $"batch")
+      val vecTombB = tombAll.filter($"vec_id".isNotNull)
+        .select($"vec_id", $"batch")
       val docTomb = docTombB.select($"doc_id")
       val vecTomb = vecTombB.select($"vec_id")
       def headOf(tombB: DataFrame): Long = {

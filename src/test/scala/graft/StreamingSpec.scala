@@ -304,4 +304,38 @@ class StreamingSpec extends SparkSpec {
     assert(sunk.count() ==
       graft.Tables.documents(spark, sf).count())
   }
+
+  test("q218 multiplexed feed: per-key batch stamps equal the single-source feeds'") {
+    import spark.implicits._
+    // q218 (r18) rides BOTH key spaces on ONE AvailableNow stream;
+    // the lag audit reads each violating key's sink batch id, so the
+    // multiplex is only equivalence-preserving if maxFilesPerTrigger
+    // is a PER-SOURCE read limit: batch i of the union must carry
+    // files [8i, 8i+8) of EACH source, i.e. every key keeps the batch
+    // stamp the dedicated single-source feed would have given it.
+    def stamps(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.filter(col(key).isNotNull)
+        .select(col(key), col("batch").cast("long").as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val muxed = graft.queries.StreamingQueries.runToSinkBatched(spark,
+      graft.queries.StreamingQueries
+        .multiFileStream(spark, sf, "documents", 8)
+        .select($"doc_id", lit(null).cast("long").as("vec_id"))
+        .unionByName(graft.queries.StreamingQueries
+          .multiFileStream(spark, sf, "embeddings", 8)
+          .select(lit(null).cast("long").as("doc_id"), $"vec_id")),
+      tmpDir("graft_muxfeed"))
+    val docSolo = graft.queries.StreamingQueries.runToSinkBatched(spark,
+      graft.queries.StreamingQueries
+        .multiFileStream(spark, sf, "documents", 8).select($"doc_id"),
+      tmpDir("graft_muxdoc"))
+    val vecSolo = graft.queries.StreamingQueries.runToSinkBatched(spark,
+      graft.queries.StreamingQueries
+        .multiFileStream(spark, sf, "embeddings", 8).select($"vec_id"),
+      tmpDir("graft_muxvec"))
+    assert(stamps(muxed, "doc_id") == stamps(docSolo, "doc_id"))
+    assert(stamps(muxed, "vec_id") == stamps(vecSolo, "vec_id"))
+    // and the union still drains in >= 2 batches (the lag dimension)
+    assert(muxed.select($"batch".cast("long")).distinct().count() >= 2)
+  }
 }

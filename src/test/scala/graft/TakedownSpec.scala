@@ -327,6 +327,39 @@ class TakedownSpec extends SparkSpec {
     assert(sheet(3).getAs[Long]("chk2_live") == liveKeys.map(_ % 5).sum)
   }
 
+  test("q220 interleaved audit: a key appended twice keeps both rows; takedown kills both") {
+    import spark.implicits._
+    // the r18 one-pass fold tags rows with (append event, takedown
+    // event) instead of folding per event — pin its multiplicity
+    // semantics: a key present in base AND re-appended (never taken
+    // down before the append, so the screen must NOT drop it)
+    // contributes one row per append, and a later takedown kills all
+    // of its rows at once.
+    val events = Seq(
+      "append" -> interleaveRows(Seq(1L, 101L)), // key 1 again (live)
+      "takedown" -> Seq(1L).toDF("key"),         // kills BOTH rows of 1
+      "append" -> interleaveRows(Seq(102L)),
+      "takedown" -> Seq(103L).toDF("key"))       // not present: no-op
+    val sheet = StreamingQueries.interleavedWaveAudit("t",
+        interleaveRows(1L to 10L), events, "key",
+        tmpDir("graft_ivdup"))
+      .orderBy($"wave").collect()
+    assert(sheet.map(_.getAs[Long]("rows_total")).toSeq ==
+      Seq(12L, 12L, 11L, 11L))
+    // wave 2: both rows of key 1 (base + re-append) are dead = 2/12
+    // (16.7% > threshold -> vacuum fires and retires them)
+    assert(sheet.map(_.getAs[Long]("rows_dead")).toSeq ==
+      Seq(0L, 2L, 0L, 0L))
+    assert(sheet.map(_.getAs[Boolean]("vacuumed")).toSeq ==
+      Seq(false, true, false, false))
+    assert(sheet.map(_.getAs[Long]("tomb_outstanding")).toSeq ==
+      Seq(0L, 0L, 0L, 1L))
+    assert(sheet(3).getAs[Long]("rows_live") == 11L)
+    assert(sheet(3).getAs[Long]("keys_live") == 11L)
+    assert(sheet(3).getAs[Long]("chk1_live") ==
+      ((2L to 10L) ++ Seq(101L, 102L)).map(_ * 7).sum)
+  }
+
   test("q220: event-order matrix — A-D-A-D and D-A-D-A converge to the same final live state") {
     import spark.implicits._
     // takedowns are forever (ingest screen + anti-join), so the final
