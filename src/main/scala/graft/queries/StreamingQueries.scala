@@ -1912,13 +1912,26 @@ object StreamingQueries {
     val docs = graft.Tables.documents(s, dir)
     val newD = split.withIx(docs).filter($"ix" < split.NewMax)
       .select($"doc_id", $"lang", $"text")
-    val tail =
-      tailDocs(releaseTailScreen(newD, blob, relFps), langTot, benchNg)
-      .select($"lang", $"doc_id", $"n_tok")
-    val inc = relB.select($"lang", $"doc_id", $"n_tok").unionByName(tail)
-    val ful = TextQueries
-      .releaseDocs(docs.select($"doc_id", $"lang", $"text"))
-      .select($"lang".as("f_lang"), $"doc_id", $"n_tok".as("f_tok"))
+    // the incremental state (frozen base + screened tail) and the
+    // full batch re-release are INDEPENDENT chains until the drift
+    // join — and each runs its own driver-side checkpoint jobs
+    // during construction (the tail screen; releaseStages' slim
+    // attribution/dup-rank checkpoints). Overlap them (guide §2.6,
+    // r18): TimeAudit measured 44 sequential jobs summing 4.7 s
+    // inside an 8.1 s wall — ~42% inter-job driver latency. Both
+    // chains still run IN FULL (the live re-release is this gate's
+    // documented cost); only their construction overlaps.
+    val Seq(inc, ful) = graft.Scratch.parMap(Seq[() => DataFrame](
+      () => {
+        val tail = tailDocs(releaseTailScreen(newD, blob, relFps),
+            langTot, benchNg)
+          .select($"lang", $"doc_id", $"n_tok")
+        relB.select($"lang", $"doc_id", $"n_tok").unionByName(tail)
+      },
+      () => TextQueries
+        .releaseDocs(docs.select($"doc_id", $"lang", $"text"))
+        .select($"lang".as("f_lang"), $"doc_id", $"n_tok".as("f_tok"))),
+      2)(_())
     inc.select($"lang".as("i_lang"), $"doc_id", $"n_tok".as("i_tok"))
       .join(ful, Seq("doc_id"), "full_outer")
       .withColumn("lang", coalesce($"i_lang", $"f_lang"))
@@ -2433,15 +2446,21 @@ object StreamingQueries {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q206") { scratch =>
       // the takedown feed, streamed: key tombstones through a real
-      // AvailableNow streaming sink (one per key space)
-      val docTomb = runToSink(s,
+      // AvailableNow streaming sink. Both key spaces ride ONE
+      // multiplexed stream (r18, the q218/q220 ingest-bus
+      // discipline): one startup + commit cycle instead of two, and
+      // the sink rows per key space are identical (same filters,
+      // same projections — the oracle recomputes D per space).
+      val tombAll = runToSink(s,
         multiFileStream(s, dir, "documents")
-          .filter(Takedown.purged($"doc_id")).select($"doc_id"),
-        scratch + "/tomb_doc").localCheckpoint(true)
-      val vecTomb = runToSink(s,
-        multiFileStream(s, dir, "embeddings")
-          .filter(Takedown.purged($"vec_id")).select($"vec_id"),
-        scratch + "/tomb_vec").localCheckpoint(true)
+          .filter(Takedown.purged($"doc_id"))
+          .select($"doc_id", lit(null).cast("long").as("vec_id"))
+          .unionByName(multiFileStream(s, dir, "embeddings")
+            .filter(Takedown.purged($"vec_id"))
+            .select(lit(null).cast("long").as("doc_id"), $"vec_id")),
+        scratch + "/tomb").localCheckpoint(true)
+      val docTomb = tombAll.filter($"doc_id".isNotNull).select($"doc_id")
+      val vecTomb = tombAll.filter($"vec_id".isNotNull).select($"vec_id")
       val (dp, cp, ac) = purgeArtifactRows(s, dir)
       purgeFunnel("ann_codes", ac, vecTomb, "vec_id")
         .unionByName(purgeFunnel("chunk_postings", cp, docTomb, "doc_id"))
@@ -2867,16 +2886,21 @@ object StreamingQueries {
     val tkWaves = events.zipWithIndex.collect {
       case (("takedown", df), i0) => (i0 + 1, df.select(col(key)))
     }
-    // per-wave outstanding-store sizes: one tiny count at arrival,
-    // same as the first form (waves are disjoint)
-    val tkCounts: Map[Int, Long] =
-      tkWaves.map { case (i, t) => i -> t.count() }.toMap
+    val dm0 = tkWaves.map { case (i, t) => t.withColumn("d", lit(i)) }
+      .reduceOption(_ unionByName _)
+    // per-wave outstanding-store sizes: ONE aggregate over the tagged
+    // wave union (the first form paid one count job per wave)
+    val tkCounts: Map[Int, Long] = dm0 match {
+      case Some(dm) => dm.groupBy($"d").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      case None => Map.empty[Int, Long].withDefaultValue(0L)
+    }
     val union0 = (base.select(col(key), $"k", $"c1", $"c2")
       .withColumn("a", lit(0)) +: appendsTagged).reduce(_ unionByName _)
-    val tagged = tkWaves.map { case (i, t) => t.withColumn("d", lit(i)) }
-      .reduceOption(_ unionByName _) match {
-      case Some(dm0) =>
-        val dm = dm0.groupBy(col(key)).agg(min($"d").as("d"))
+    val tagged = dm0 match {
+      case Some(d0) =>
+        val dm = d0.groupBy(col(key)).agg(min($"d").as("d"))
         union0.join(broadcast(dm), Seq(key), "left")
           .filter($"d".isNull || $"d" >= $"a")
       case None => union0.withColumn("d", lit(null).cast("int"))
@@ -3005,22 +3029,30 @@ object StreamingQueries {
   private def q215(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Scratch.withScratchDir("graft_q215") { scratch =>
-      // the takedown FEED: ONE stream per key space carrying the
-      // wave tag (a production feed arrives tagged with its batch);
-      // the per-wave tombstone batches are sink partitions of it —
-      // the first form ran one StreamingQuery per wave and paid 6
-      // stream startups for the same rows. The two key spaces are
-      // independent feeds, so they run overlapped (guide §2.6): each
-      // AvailableNow startup/commit is mostly fixed driver latency.
-      val Seq(docSunk, vecSunk) = graft.Scratch.parMap(Seq(
-        ("documents", "doc_id", "td"),
-        ("embeddings", "vec_id", "tv")), 2) { case (tbl, key, sub) =>
-        runToSink(s, multiFileStream(s, dir, tbl)
-            .filter(Takedown.waveHex(col(key))
+      // the takedown FEED: ONE multiplexed stream carrying the wave
+      // tag for BOTH key spaces (a production feed arrives tagged
+      // with its batch; an ingest bus multiplexes record kinds on one
+      // topic — the q218/q220 discipline, r18); the per-wave
+      // tombstone batches are sink partitions of it. The first form
+      // ran one StreamingQuery per wave (6 startups); the r17 form
+      // two overlapped per-key-space streams; one stream is one
+      // startup + commit cycle total. Sink rows per key space are
+      // identical (same filters/projections — the oracle holds).
+      val sunkAll = runToSink(s,
+        multiFileStream(s, dir, "documents")
+          .filter(Takedown.waveHex($"doc_id").isin(Takedown.Waves: _*))
+          .select($"doc_id", lit(null).cast("long").as("vec_id"),
+            Takedown.waveHex($"doc_id").as("wave"))
+          .unionByName(multiFileStream(s, dir, "embeddings")
+            .filter(Takedown.waveHex($"vec_id")
               .isin(Takedown.Waves: _*))
-            .select(col(key), Takedown.waveHex(col(key)).as("wave")),
-          s"$scratch/$sub").localCheckpoint(true)
-      }
+            .select(lit(null).cast("long").as("doc_id"), $"vec_id",
+              Takedown.waveHex($"vec_id").as("wave"))),
+        s"$scratch/t").localCheckpoint(true)
+      val docSunk = sunkAll.filter($"doc_id".isNotNull)
+        .select($"doc_id", $"wave")
+      val vecSunk = sunkAll.filter($"vec_id".isNotNull)
+        .select($"vec_id", $"wave")
       val docT = Takedown.Waves.map(h =>
         docSunk.filter($"wave" === h).select($"doc_id"))
       val vecT = Takedown.Waves.map(h =>
